@@ -36,11 +36,13 @@ _MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer, elementwise over a uint64 array (or scalar)."""
-    z = (np.asarray(x, dtype=_U64) + _U64(0x9E3779B97F4A7C15)) & _MASK64
-    z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK64
-    z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK64
-    return z ^ (z >> _U64(31))
+    """SplitMix64 finalizer, elementwise over a uint64 array (or scalar).
+    uint64 wraparound is the algorithm (mod-2^64 arithmetic)."""
+    with np.errstate(over="ignore"):
+        z = (np.asarray(x, dtype=_U64) + _U64(0x9E3779B97F4A7C15)) & _MASK64
+        z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK64
+        z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK64
+        return z ^ (z >> _U64(31))
 
 
 def mix_seed(h: np.ndarray, seed: int) -> np.ndarray:

@@ -1,0 +1,47 @@
+"""Mergeable sketch cores (pure Python + numpy; no Ray imports).
+
+All sketches follow the ``MergeableSketch`` protocol (base.py): vectorized
+``add_array``, associative/commutative ``merge``, Arrow-friendly
+``to_row``/``from_row``, and pickling for the aggregate shuffle path.
+"""
+
+from ddsketch_ray.sketches.base import MergeableSketch, from_bytes, to_bytes
+from ddsketch_ray.sketches.bloom import BloomFilter
+from ddsketch_ray.sketches.countmin import CountMin, HeavyHitters
+from ddsketch_ray.sketches.ddsketch import (
+    DDSketch,
+    MODE_COLLAPSE,
+    MODE_FIRST,
+    MODE_LAST,
+)
+from ddsketch_ray.sketches.hll import HyperLogLog
+from ddsketch_ray.sketches.kll import KLL
+from ddsketch_ray.sketches.minhash import (
+    MinHashSketch,
+    hamming64,
+    minhash_signatures,
+    popcount64,
+    simhash64,
+)
+from ddsketch_ray.sketches.tdigest import TDigest
+
+__all__ = [
+    "MergeableSketch",
+    "to_bytes",
+    "from_bytes",
+    "DDSketch",
+    "MODE_COLLAPSE",
+    "MODE_LAST",
+    "MODE_FIRST",
+    "HyperLogLog",
+    "CountMin",
+    "HeavyHitters",
+    "BloomFilter",
+    "TDigest",
+    "KLL",
+    "MinHashSketch",
+    "minhash_signatures",
+    "simhash64",
+    "hamming64",
+    "popcount64",
+]

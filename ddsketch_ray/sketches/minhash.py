@@ -1,0 +1,144 @@
+"""MinHash signature sketch (Broder 1997) + batched signature kernels.
+
+``MinHashSketch`` is the mergeable form (signature of a *set*; merge =
+elementwise min — used e.g. to estimate Jaccard similarity between two
+corpora). ``minhash_signatures`` is the vectorized batch kernel producing
+one signature per document from a flattened shingle-hash array — the hot
+path for MinHash-LSH dedup (one ``np.minimum.reduceat`` per permutation,
+no per-document Python).
+
+Permutation family: ``h_i(x) = splitmix64(x XOR seed_i)`` — cheap,
+deterministic, and empirically well-mixed (SplitMix64 is a bijection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ddsketch_ray.hashing import splitmix64
+
+_U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def perm_seeds(num_perm: int, seed: int = 0) -> np.ndarray:
+    return splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed * 0x9E3779B9 + 1))
+
+
+def minhash_signatures(
+    shingle_hashes: np.ndarray, doc_offsets: np.ndarray, num_perm: int = 128, seed: int = 0
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures.
+
+    shingle_hashes: flattened uint64 hashes of all docs' shingles.
+    doc_offsets: int64 array of start offsets per doc (len n_docs), i.e.
+    doc d owns shingle_hashes[doc_offsets[d]:doc_offsets[d+1]]. Docs with
+    zero shingles get all-max signatures.
+    """
+    h = np.asarray(shingle_hashes, dtype=np.uint64)
+    offs = np.asarray(doc_offsets, dtype=np.int64)
+    n_docs = offs.size
+    seeds = perm_seeds(num_perm, seed)
+    out = np.full((n_docs, num_perm), _U64MAX, dtype=np.uint64)
+    if h.size == 0 or n_docs == 0:
+        return out
+    # empty docs: reduceat at offset==next offset returns garbage; mask after
+    sizes = np.diff(np.append(offs, h.size))
+    valid = sizes > 0
+    red_offs = np.minimum(offs, h.size - 1)
+    for p in range(num_perm):
+        mixed = splitmix64(h ^ seeds[p])
+        mins = np.minimum.reduceat(mixed, red_offs)
+        out[valid, p] = mins[valid]
+    return out
+
+
+class MinHashSketch:
+    __slots__ = ("num_perm", "seed", "sig")
+
+    def __init__(self, num_perm: int = 128, seed: int = 0):
+        self.num_perm = int(num_perm)
+        self.seed = int(seed)
+        self.sig = np.full(self.num_perm, _U64MAX, dtype=np.uint64)
+
+    def add_hashed(self, element_hashes: np.ndarray) -> None:
+        h = np.asarray(element_hashes, dtype=np.uint64)
+        if h.size == 0:
+            return
+        seeds = perm_seeds(self.num_perm, self.seed)
+        # chunk to bound the (num_perm × chunk) temporary
+        for lo in range(0, h.size, 8192):
+            chunk = h[lo : lo + 8192]
+            mixed = splitmix64(chunk[None, :] ^ seeds[:, None])
+            np.minimum(self.sig, mixed.min(axis=1), out=self.sig)
+
+    def add_array(self, values) -> None:
+        self.add_hashed(values)
+
+    def merge(self, other: "MinHashSketch") -> "MinHashSketch":
+        if (self.num_perm, self.seed) != (other.num_perm, other.seed):
+            raise ValueError("minhash parameter mismatch")
+        np.minimum(self.sig, other.sig, out=self.sig)
+        return self
+
+    def jaccard(self, other: "MinHashSketch") -> float:
+        if (self.num_perm, self.seed) != (other.num_perm, other.seed):
+            raise ValueError("minhash parameter mismatch")
+        return float(np.mean(self.sig == other.sig))
+
+    def to_row(self) -> dict:
+        return {
+            "kind": "minhash",
+            "num_perm": self.num_perm,
+            "seed": self.seed,
+            "sig": self.sig.copy(),
+        }
+
+    @classmethod
+    def from_row(cls, row: dict) -> "MinHashSketch":
+        sk = cls(num_perm=int(row["num_perm"]), seed=int(row["seed"]))
+        sk.sig = np.asarray(row["sig"], dtype=np.uint64).copy()
+        return sk
+
+
+def simhash64(
+    token_hashes: np.ndarray, doc_offsets: np.ndarray
+) -> np.ndarray:
+    """64-bit SimHash (Charikar 2002) per document, vectorized.
+
+    token_hashes: flattened uint64 token hashes; doc_offsets: start offset
+    per doc. Returns uint64 fingerprints (0 for empty docs).
+    """
+    h = np.asarray(token_hashes, dtype=np.uint64)
+    offs = np.asarray(doc_offsets, dtype=np.int64)
+    n_docs = offs.size
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if h.size == 0 or n_docs == 0:
+        return out
+    sizes = np.diff(np.append(offs, h.size))
+    valid = sizes > 0
+    red_offs = np.minimum(offs, h.size - 1)
+    fp = np.zeros(n_docs, dtype=np.uint64)
+    for bit in range(64):
+        bits = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        pos = np.add.reduceat(bits, red_offs)  # count of 1s per doc
+        ones = (2 * pos) >= sizes  # majority vote (ties -> 1, deterministic)
+        fp |= (ones.astype(np.uint64)) << np.uint64(bit)
+    out[valid] = fp[valid]
+    return out
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 fingerprints."""
+    return popcount64(np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.uint64)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(8):
+        cnt += _POPCNT8[np.bitwise_and(x, np.uint64(0xFF)).astype(np.int64)]
+        x = x >> np.uint64(8)
+    return cnt
