@@ -1,0 +1,265 @@
+"""Ray Data ``AggregateFnV2`` adapters for the mergeable sketch family.
+
+This is the architectural heart of the engine (SURVEY.md §1.2): the
+reference's per-shard build + ``DDS_MergeCollapse*`` reduction
+(``/root/reference/main.cpp:516-529``) maps exactly onto Ray Data's
+aggregate protocol — ``aggregate_block`` builds a partial sketch per Arrow
+block (map-side combine: only KB-sized sketch bytes ever enter the
+shuffle, never rows), ``combine`` tree-merges partials, ``finalize``
+answers the query.
+
+Accumulators travel as **pickled bytes**, not sketch objects: Ray stores
+intermediate accumulators in blocks between shuffle rounds, and a binary
+column stays on the zero-copy Arrow path while arbitrary Python objects
+force a pandas object-dtype fallback.
+
+Works for both ``ds.aggregate(...)`` (global) and
+``ds.groupby(key).aggregate(...)`` (per-group sketches).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFnV2
+
+from ddsketch_ray.hashing import hash_floats, hash_ints, hash_strings
+from ddsketch_ray.sketches import (
+    BloomFilter,
+    DDSketch,
+    HeavyHitters,
+    HyperLogLog,
+    KLL,
+    MinHashSketch,
+    TDigest,
+)
+
+
+def _column_values(block, col: str):
+    """Extract a column from a Ray block (pyarrow Table or pandas DataFrame)
+    as (arrow_array_or_numpy, is_arrow)."""
+    if isinstance(block, pa.Table):
+        return block.column(col), True
+    return block[col].to_numpy(), False  # pandas fallback path
+
+
+def _to_float64(col, is_arrow: bool) -> np.ndarray:
+    if is_arrow:
+        # zero-copy when no nulls; nulls become NaN (dropped+counted downstream)
+        return col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return np.asarray(col, dtype=np.float64)
+
+
+def hash_any_column(col, is_arrow: bool, seed: int = 0) -> np.ndarray:
+    """uint64-hash a column of any type (string/int/float), null-safe."""
+    if is_arrow:
+        typ = col.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return hash_strings(col, seed=seed)
+        if pa.types.is_integer(typ):
+            arr = col.to_numpy(zero_copy_only=False)
+            arr = np.where(np.isnan(arr), 0, arr) if arr.dtype.kind == "f" else arr
+            return hash_ints(arr.astype(np.int64, copy=False), seed=seed)
+        if pa.types.is_floating(typ):
+            return hash_floats(col.to_numpy(zero_copy_only=False), seed=seed)
+        return hash_strings(col.cast(pa.string()), seed=seed)
+    arr = np.asarray(col)
+    if arr.dtype.kind in ("i", "u"):
+        return hash_ints(arr, seed=seed)
+    if arr.dtype.kind == "f":
+        return hash_floats(arr, seed=seed)
+    return hash_strings(arr, seed=seed)
+
+
+class _SketchAggBase(AggregateFnV2):
+    """Shared mechanics: bytes accumulators, unpickle-merge-repickle combine."""
+
+    def __init__(self, factory: Callable[[], object], name: str, on: Optional[str]):
+        self._factory = factory
+        zero = pickle.dumps(factory(), protocol=pickle.HIGHEST_PROTOCOL)
+        super().__init__(
+            name=name,
+            zero_factory=lambda: zero,
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def _accumulate(self, sketch, block) -> None:  # override per sketch kind
+        raise NotImplementedError
+
+    def aggregate_block(self, block) -> bytes:
+        sk = self._factory()
+        self._accumulate(sk, block)
+        return pickle.dumps(sk, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def combine(self, current: bytes, new: bytes) -> bytes:
+        a, b = pickle.loads(current), pickle.loads(new)
+        return pickle.dumps(a.merge(b), protocol=pickle.HIGHEST_PROTOCOL)
+
+    def finalize(self, accumulator: bytes):
+        return accumulator  # default: the serialized sketch itself
+
+
+class DDSketchAgg(_SketchAggBase):
+    """DDSketch over a numeric column. finalize → quantile estimates
+    (list<double> per the ``qs`` arg) or the serialized sketch if qs=None."""
+
+    def __init__(
+        self,
+        on: str,
+        qs: Optional[Sequence[float]] = None,
+        alpha: float = 0.008,
+        bin_limit: int = 2048,
+        mode: str = "collapse",
+        alias_name: Optional[str] = None,
+    ):
+        self._qs = list(qs) if qs is not None else None
+        super().__init__(
+            factory=lambda: DDSketch(alpha=alpha, bin_limit=bin_limit, mode=mode),
+            name=alias_name or f"ddsketch({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        sk.add_array(_to_float64(col, is_arrow))
+
+    def finalize(self, accumulator: bytes):
+        if self._qs is None:
+            return accumulator
+        sk = pickle.loads(accumulator)
+        return [float(v) for v in sk.quantiles(self._qs)]
+
+
+class TDigestAgg(_SketchAggBase):
+    def __init__(self, on: str, qs=None, delta: int = 200, alias_name=None):
+        self._qs = list(qs) if qs is not None else None
+        super().__init__(
+            factory=lambda: TDigest(delta=delta),
+            name=alias_name or f"tdigest({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        sk.add_array(_to_float64(col, is_arrow))
+
+    def finalize(self, accumulator: bytes):
+        if self._qs is None:
+            return accumulator
+        return [float(v) for v in pickle.loads(accumulator).quantiles(self._qs)]
+
+
+class KLLAgg(_SketchAggBase):
+    def __init__(self, on: str, qs=None, k: int = 200, alias_name=None):
+        self._qs = list(qs) if qs is not None else None
+        super().__init__(
+            factory=lambda: KLL(k=k), name=alias_name or f"kll({on})", on=on
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        sk.add_array(_to_float64(col, is_arrow))
+
+    def finalize(self, accumulator: bytes):
+        if self._qs is None:
+            return accumulator
+        return [float(v) for v in pickle.loads(accumulator).quantiles(self._qs)]
+
+
+class HLLAgg(_SketchAggBase):
+    """Distinct count of any column. finalize → int64 estimate."""
+
+    def __init__(self, on: str, p: int = 14, seed: int = 0, alias_name=None):
+        self._seed = seed
+        super().__init__(
+            factory=lambda: HyperLogLog(p=p),
+            name=alias_name or f"hll({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
+
+    def finalize(self, accumulator: bytes) -> int:
+        return pickle.loads(accumulator).cardinality()
+
+
+class HeavyHittersAgg(_SketchAggBase):
+    """Count-min + candidates over a key column. finalize → serialized
+    sketch bytes (use ``topk_from_bytes`` / the pipeline helpers to read)."""
+
+    def __init__(
+        self,
+        on: str,
+        width: int = 8192,
+        depth: int = 5,
+        capacity: int = 256,
+        seed: int = 0,
+        alias_name=None,
+    ):
+        self._seed = seed
+        super().__init__(
+            factory=lambda: HeavyHitters(width=width, depth=depth, capacity=capacity),
+            name=alias_name or f"heavy_hitters({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        if is_arrow:
+            keys = col.to_pylist()
+        else:
+            keys = list(col)
+        hashes = hash_any_column(col, is_arrow, seed=self._seed)
+        # one candidate update per UNIQUE key in the block, counts via CMS
+        sk.cms.add_hashed(hashes)
+        uniq: dict = {}
+        for k, h in zip(keys, hashes.tolist()):
+            uniq[k] = h
+        sk.candidates.update(uniq)
+        sk._prune()
+
+
+class BloomAgg(_SketchAggBase):
+    """Bloom filter of a key column. finalize → serialized filter bytes."""
+
+    def __init__(
+        self, on: str, capacity: int, fp_rate: float = 0.01, seed: int = 0, alias_name=None
+    ):
+        self._seed = seed
+        super().__init__(
+            factory=lambda: BloomFilter.from_capacity(capacity, fp_rate),
+            name=alias_name or f"bloom({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
+
+
+class MinHashAgg(_SketchAggBase):
+    """MinHash signature of a column-as-set (e.g. corpus-level similarity)."""
+
+    def __init__(self, on: str, num_perm: int = 128, seed: int = 0, alias_name=None):
+        self._seed = seed
+        super().__init__(
+            factory=lambda: MinHashSketch(num_perm=num_perm, seed=seed),
+            name=alias_name or f"minhash({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
+
+
+def sketch_from_result(result) -> object:
+    """Unpickle a sketch from an aggregate result value (bytes)."""
+    return pickle.loads(result)

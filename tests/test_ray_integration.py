@@ -1,0 +1,219 @@
+"""Ray Data E2E tests: aggregate adapters, flagship pipeline, grouped
+quantiles, checkpoint/resume, parallelism-invariance (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ddsketch_ray.agg import (
+    BloomAgg,
+    DDSketchAgg,
+    HeavyHittersAgg,
+    HLLAgg,
+    KLLAgg,
+    TDigestAgg,
+    sketch_from_result,
+)
+from tests.oracle import exact_quantile, rel_error
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def lineitem(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_extendedprice", "l_returnflag"])
+
+
+def test_global_ddsketch_agg_matches_oracle(ray_session, lineitem):
+    res = lineitem.aggregate(
+        DDSketchAgg(on="l_extendedprice", qs=[0.5, 0.95, 0.99], alias_name="q")
+    )
+    vals = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_extendedprice"])[
+        "l_extendedprice"
+    ].to_numpy()
+    for q, est in zip([0.5, 0.95, 0.99], res["q"]):
+        assert rel_error(est, exact_quantile(vals, q)) <= 0.008 + 1e-9
+
+
+def test_global_agg_equals_local_sketch(ray_session, lineitem):
+    """Distributed tree-merge == single local sketch (bins identical when
+    no collapse occurs)."""
+    from ddsketch_ray.sketches import DDSketch
+
+    res = lineitem.aggregate(DDSketchAgg(on="l_extendedprice", alias_name="sk"))
+    dist = sketch_from_result(res["sk"])
+    vals = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_extendedprice"])[
+        "l_extendedprice"
+    ].to_numpy()
+    local = DDSketch(alpha=0.008, bin_limit=2048)
+    local.add_array(vals)
+    assert dist.bins == local.bins
+    assert dist.n == local.n
+
+
+def test_grouped_ddsketch_agg(ray_session, lineitem):
+    out = (
+        lineitem.groupby("l_returnflag")
+        .aggregate(DDSketchAgg(on="l_extendedprice", qs=[0.5], alias_name="q50"))
+        .to_pandas()
+    )
+    full = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    assert set(out["l_returnflag"]) == set(full["l_returnflag"].unique())
+    for _, row in out.iterrows():
+        vals = full.loc[full["l_returnflag"] == row["l_returnflag"], "l_extendedprice"].to_numpy()
+        assert rel_error(row["q50"][0], exact_quantile(vals, 0.5)) <= 0.008 + 1e-9
+
+
+def test_multi_sketch_single_pass(ray_session):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    res = orders.aggregate(
+        HLLAgg(on="o_custkey", alias_name="distinct_cust"),
+        TDigestAgg(on="o_totalprice", qs=[0.5], alias_name="td_q50"),
+        KLLAgg(on="o_totalprice", qs=[0.5], alias_name="kll_q50"),
+        BloomAgg(on="o_custkey", capacity=20_000, alias_name="bloom"),
+    )
+    t = pq.read_table(f"{SF}/orders.parquet")
+    exact_distinct = len(set(t["o_custkey"].to_pylist()))
+    assert abs(res["distinct_cust"] - exact_distinct) / exact_distinct < 0.05
+    prices = t["o_totalprice"].to_numpy()
+    srt = np.sort(prices)
+    for key in ("td_q50", "kll_q50"):
+        rank = np.searchsorted(srt, res[key][0]) / len(prices)
+        assert abs(rank - 0.5) < 0.03
+    from ddsketch_ray.hashing import hash_ints
+
+    bloom = sketch_from_result(res["bloom"])
+    assert bloom.contains_hashed(hash_ints(t["o_custkey"].to_numpy())).all()
+
+
+def test_heavy_hitters_agg(ray_session):
+    import ray.data as rd
+
+    events = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    res = events.aggregate(HeavyHittersAgg(on="event_type", alias_name="hh"))
+    hh = sketch_from_result(res["hh"])
+    import duckdb
+
+    exact = duckdb.sql(
+        f"select event_type, count(*) c from '{SF}/events.parquet' group by 1 order by c desc, event_type"
+    ).fetchall()
+    top = hh.top_k(len(exact))
+    assert dict(top) == {k: c for k, c in exact}  # small key space → exact
+
+
+def test_webpages_flagship_pipeline(ray_session, tmp_path):
+    from ddsketch_ray.synth import write_webpages_fixture
+    from ddsketch_ray.pipelines import webpages_sketch_report
+    import ray.data as rd
+
+    path = str(tmp_path / "webpages.parquet")
+    write_webpages_fixture(path, 2000, seed=42)
+    ds = rd.read_parquet(path)
+    report = webpages_sketch_report(ds)
+    assert report["rows"] == 2000
+    assert report["extract_byte_identical"], "distributed extraction must be byte-identical"
+    assert report["distinct_urls"] == pytest.approx(2000, rel=0.05)
+    t = pq.read_table(path)
+    text_lens = np.array([len(x.encode()) for x in t["text"].to_pylist()], dtype=np.float64)
+    for q, est in zip(report["qs"], report["text_len_quantiles"]):
+        assert rel_error(est, exact_quantile(text_lens, q)) <= 0.008 + 1e-9
+    langs = [k for k, _ in report["top_langs"]]
+    assert langs[0] == "en"
+
+
+def test_quantiles_by_group_long_format(ray_session, tmp_path):
+    from ddsketch_ray.synth import write_webpages_fixture
+    from ddsketch_ray.pipelines import derive_page_features, quantiles_by_group
+    import ray.data as rd
+
+    path = str(tmp_path / "webpages.parquet")
+    write_webpages_fixture(path, 3000, seed=7)
+    feats = rd.read_parquet(path).map_batches(derive_page_features, batch_format="pyarrow")
+    out = quantiles_by_group(feats, "text_len", "lang", qs=(0.5, 0.95)).to_pandas()
+    assert set(out.columns) == {"lang", "q", "est"}
+    t = pq.read_table(path)
+    df = t.to_pandas()
+    df["text_len"] = df["text"].str.encode("utf-8").str.len()
+    assert set(out["lang"]) == set(df["lang"].unique())
+    for (lang, q), grp in out.groupby(["lang", "q"]):
+        vals = df.loc[df["lang"] == lang, "text_len"].to_numpy(dtype=np.float64)
+        est = grp["est"].iloc[0]
+        assert rel_error(est, exact_quantile(vals, q)) <= 0.008 + 1e-9, (lang, q)
+
+
+def test_parallelism_invariance(ray_session, tmp_path):
+    """Same job at 1 block vs 16 blocks → identical sketch answers
+    (the sandbox stand-in for cluster-size invariance)."""
+    from ddsketch_ray.synth import write_webpages_fixture
+    from ddsketch_ray.pipelines import webpages_sketch_report
+    import ray.data as rd
+
+    path = str(tmp_path / "webpages.parquet")
+    write_webpages_fixture(path, 2000, seed=11)
+    r1 = webpages_sketch_report(rd.read_parquet(path, override_num_blocks=1))
+    r16 = webpages_sketch_report(rd.read_parquet(path, override_num_blocks=16))
+    assert r1["text_len_quantiles"] == r16["text_len_quantiles"]
+    assert r1["html_len_quantiles"] == r16["html_len_quantiles"]
+    assert r1["distinct_urls"] == r16["distinct_urls"]
+    assert dict(r1["top_langs"]) == dict(r16["top_langs"])
+
+
+def test_distributed_generation_matches_local(ray_session):
+    from ddsketch_ray.synth import generate_webpages, webpages_table
+
+    ds = generate_webpages(500, seed=42, override_num_blocks=8)
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    want = webpages_table(0, 500, seed=42).to_pandas().sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from ddsketch_ray.state import CheckpointedSketchJob
+    from ddsketch_ray.synth import webpages_table
+    from ddsketch_ray.sketches import DDSketch
+
+    files = []
+    for i in range(6):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(webpages_table(i * 500, 500, seed=3), p)
+        files.append(p)
+
+    def build(tbl: pa.Table):
+        sk = DDSketch(alpha=0.008, bin_limit=2048)
+        lens = np.array([len(x) for x in tbl.column("html").to_pylist()], dtype=np.float64)
+        sk.add_array(lens)
+        return sk
+
+    job = CheckpointedSketchJob(
+        files, build, columns=["html"], ckpt_dir=str(tmp_path / "ckpt"), run_id="r1"
+    )
+    assert len(job.pending_partitions()) == 6
+    merged = job.run(concurrency=2)
+    assert merged.n == 3000
+    assert job.pending_partitions() == []
+
+    # simulate partial failure: delete two part files, resume recomputes only them
+    os.remove(job._part_path(1))
+    os.remove(job._part_path(4))
+    job2 = CheckpointedSketchJob(
+        files, build, columns=["html"], ckpt_dir=str(tmp_path / "ckpt"), run_id="r1"
+    )
+    assert job2.pending_partitions() == [1, 4]
+    merged2 = job2.run(concurrency=2)
+    assert merged2.n == 3000
+    assert merged2.bins == merged.bins
+
+    man = job2.manifest().to_pandas()
+    assert len(man) == 6
+    assert man["row_count"].sum() == 3000
+    assert (man["wall_s"] > 0).all()
