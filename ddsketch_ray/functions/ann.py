@@ -1,0 +1,256 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk`` — the exactness baseline: broadcast the query
+  matrix once (ray.put), every batch does one float64 matmul against it,
+  emits batch-local top-k candidates, and a final tiny groupby reduces to
+  global top-k. Shuffle payload = candidates only (q × k rows per batch).
+- ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH buckets
+  (deterministic seeded planes); queries probe only their own bucket
+  (+optionally neighbors), so the matmul per batch shrinks by the bucket
+  fan-out. Recall measured against brute force in tests.
+- ``embedding_near_dup_pairs`` — cosine near-dup (dedup flavor #5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ddsketch_ray.hashing import splitmix64
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # single chunk after combine
+        arr = arr.chunk(0)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+class BatchTopK:
+    """Actor-pool stage: per-batch brute-force cosine top-k candidates.
+    Query matrix is fetched once per actor in __init__ (broadcast)."""
+
+    def __init__(self, queries_ref, id_col: str, emb_col: str, k: int):
+        try:
+            import ray
+
+            if isinstance(queries_ref, ray.ObjectRef):
+                queries_ref = ray.get(queries_ref)
+        except ImportError:  # pragma: no cover
+            pass
+        self.query_ids = np.asarray(queries_ref["ids"], dtype=np.int64)
+        self.qmat = _normalize(np.asarray(queries_ref["mat"], dtype=np.float64))
+        self.id_col, self.emb_col, self.k = id_col, emb_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(batch, self.emb_col))
+        ids = batch.column(self.id_col).to_numpy()
+        sims = self.qmat @ emb.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        # per-query batch-local top-k (argpartition then exact sort)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = {
+            "query_id": np.repeat(self.query_ids, k),
+            "neighbor_id": ids[part.ravel()],
+            "score": np.take_along_axis(sims, part, axis=1).ravel(),
+        }
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+                "score": pa.array(rows["score"], type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds,
+    queries: dict,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+    concurrency: int = 2,
+):
+    """Exact global cosine top-k for each query → pyarrow Table
+    (query_id, neighbor_id, rank), rank 1-based by (score desc, id asc).
+
+    queries: {"ids": int64 array, "mat": (nq, d) float array} — broadcast
+    with ray.put by callers that run many batches.
+    """
+    import ray
+
+    ref = ray.put(queries)
+    cands = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "id_col": id_col,
+            "emb_col": emb_col,
+            "k": k + (1 if exclude_self else 0),
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def finalize(group):
+        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.head(k).reset_index(drop=True)
+        return {
+            "query_id": g["query_id"].to_numpy(dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }
+
+    out = cands.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    return out
+
+
+def lsh_bucketed_topk(
+    ds,
+    queries: dict,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 0,
+    exclude_self: bool = True,
+    concurrency: int = 2,
+):
+    """Approximate top-k: sign-LSH buckets (2^n_planes); each batch scores
+    only vectors whose bucket matches some query's bucket. Same output
+    shape as brute_force_topk; recall < 1 by design."""
+    import ray
+
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+    d = qmat.shape[1]
+    # deterministic hyperplanes from seeded splitmix bits (Box-Muller)
+    n_f = n_planes * d
+    h1 = splitmix64(np.arange(n_f, dtype=np.uint64) + np.uint64(seed * 7919 + 13))
+    h2 = splitmix64(np.arange(n_f, dtype=np.uint64) + np.uint64(seed * 104729 + 17))
+    u1 = np.clip((h1 >> np.uint64(11)).astype(np.float64) / float(1 << 53), 1e-12, 1)
+    u2 = (h2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    planes = (np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)).reshape(n_planes, d)
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        bits = (m @ planes.T) >= 0
+        out = np.zeros(m.shape[0], dtype=np.int64)
+        for b in range(n_planes):
+            out |= bits[:, b].astype(np.int64) << b
+        return out
+
+    q_buckets = set(bucket_of(qmat).tolist())
+    ref = ray.put(
+        {"ids": queries["ids"], "mat": queries["mat"], "planes": planes, "qb": q_buckets}
+    )
+
+    class BucketTopK(BatchTopK):
+        def __init__(self, queries_ref, id_col, emb_col, k):
+            import ray as _ray
+
+            payload = (
+                _ray.get(queries_ref)
+                if isinstance(queries_ref, _ray.ObjectRef)
+                else queries_ref
+            )
+            super().__init__(
+                {"ids": payload["ids"], "mat": payload["mat"]}, id_col, emb_col, k
+            )
+            self.planes = payload["planes"]
+            self.qb = payload["qb"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_embedding_matrix(batch, self.emb_col))
+            bits = (emb @ self.planes.T) >= 0
+            buckets = np.zeros(emb.shape[0], dtype=np.int64)
+            for b in range(self.planes.shape[0]):
+                buckets |= bits[:, b].astype(np.int64) << b
+            mask = np.isin(buckets, list(self.qb))
+            if not mask.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            sub = batch.filter(pa.array(mask))
+            return super().__call__(sub)
+
+    cands = ds.map_batches(
+        BucketTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "id_col": id_col,
+            "emb_col": emb_col,
+            "k": k + (1 if exclude_self else 0),
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def finalize(group):
+        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.head(k).reset_index(drop=True)
+        return {
+            "query_id": g["query_id"].to_numpy(dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }
+
+    return cands.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+def embedding_near_dup_pairs(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    concurrency: int = 2,
+):
+    """All (a < b) pairs with cosine ≥ threshold. Strategy: every batch
+    scores against the (broadcast) full normalized matrix — fine while the
+    corpus side fits a worker (the IVF/LSH variant is the scale path)."""
+    import ray
+
+    full = ds.to_pandas()
+    ids = full[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in full[emb_col]])
+    ref = ray.put({"ids": ids, "mat": _normalize(mat)})
+
+    class PairFinder:
+        def __init__(self):
+            payload = ray.get(ref)
+            self.ids = payload["ids"]
+            self.mat = payload["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_embedding_matrix(batch, emb_col))
+            bids = batch.column(id_col).to_numpy()
+            sims = emb @ self.mat.T
+            rows_a, rows_b, rows_s = [], [], []
+            hit_r, hit_c = np.nonzero(sims >= threshold)
+            for r, c in zip(hit_r.tolist(), hit_c.tolist()):
+                a, b = int(bids[r]), int(self.ids[c])
+                if a < b:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    rows_s.append(float(sims[r, c]))
+            return pa.table(
+                {
+                    "a": pa.array(rows_a, type=pa.int64()),
+                    "b": pa.array(rows_b, type=pa.int64()),
+                    "cosine": pa.array(rows_s, type=pa.float64()),
+                }
+            )
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=concurrency)

