@@ -1,44 +1,623 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship multi-sketch pipeline on /root/testdata/sf0.001.
+``queries()`` — one entry per operator/pipeline from SURVEY.md §2 (sketch
+aggregates, exact analytics, text analysis, dedup family, similarity
+search, checkpointed jobs).
+``oracle_sql()`` — DuckDB-equivalent SQL for every deterministic query;
+the DDSketch quantile oracles replicate the bucket math
+(key = ceil(ln x / ln γ) ± offset, estimate = ±2γ^k/(γ+1), scan for the
+first cumulative count > q·(n−1)) directly in SQL — verified bit-exact on
+the test corpora. Approximate-by-design queries (HLL/CMS/Bloom/
+t-digest/KLL/MinHash/SimHash/LSH) have no SQL entry → rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+ALPHA = 0.008
+GAMMA = (1 + ALPHA) / (1 - ALPHA)
+OFFSET = 1 << 30
+QS = [0.5, 0.95, 0.99]
+BIN_LIMIT = 4096  # large enough that no collapse occurs on test corpora
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+
+def entry() -> pd.DataFrame:
+    """Flagship: the full mergeable-sketch suite over sf0.001 in three
+    aggregate passes (lineitem quantiles, orders distincts+membership,
+    events grouped sketches) — the Ray-native replacement for the
+    reference's insert→merge→query harness (main.cpp:467-629)."""
+    from ddsketch_ray.agg import (
+        DDSketchAgg,
+        HLLAgg,
+        HeavyHittersAgg,
+        KLLAgg,
+        TDigestAgg,
+        sketch_from_result,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows: list[tuple[str, float]] = []
+
+    li = _read(sf, "lineitem", ["l_extendedprice"])
+    res = li.aggregate(
+        DDSketchAgg(on="l_extendedprice", qs=QS, alpha=ALPHA, alias_name="dds"),
+        TDigestAgg(on="l_extendedprice", qs=[0.5], alias_name="td"),
+        KLLAgg(on="l_extendedprice", qs=[0.5], alias_name="kll"),
+    )
+    for q, v in zip(QS, res["dds"]):
+        rows.append((f"lineitem.l_extendedprice.ddsketch.q{q}", float(v)))
+    rows.append(("lineitem.l_extendedprice.tdigest.q0.5", float(res["td"][0])))
+    rows.append(("lineitem.l_extendedprice.kll.q0.5", float(res["kll"][0])))
+
+    orders = _read(sf, "orders", ["o_custkey"])
+    res2 = orders.aggregate(HLLAgg(on="o_custkey", alias_name="hll"))
+    rows.append(("orders.o_custkey.hll.distinct", float(res2["hll"])))
+
+    ev = _read(sf, "events", ["event_type", "value"])
+    res3 = ev.aggregate(HeavyHittersAgg(on="event_type", alias_name="hh"))
+    for key, cnt in sketch_from_result(res3["hh"]).top_k(3):
+        rows.append((f"events.event_type.cms_topk.{key}", float(cnt)))
+
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+
+def _round6(x) -> np.ndarray:
+    return np.round(np.asarray(x, dtype=np.float64), 6)
+
+
+def q_dds_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.agg import DDSketchAgg
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(
+        DDSketchAgg(
+            on="l_extendedprice", qs=QS, alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="q"
+        )
+    )
+    return pd.DataFrame({"q": QS, "est": _round6(res["q"])})
+
+
+def q_dds_quantiles_events(sf_dir: str) -> pd.DataFrame:
+    """Same sketch, driven through the checkpoint/resume machinery
+    (state/checkpoint.py) — per-partition part files under /tmp."""
+    import tempfile
+
+    from ddsketch_ray.sketches import DDSketch
+    from ddsketch_ray.state import CheckpointedSketchJob
+
+    def build(tbl: pa.Table):
+        sk = DDSketch(alpha=ALPHA, bin_limit=BIN_LIMIT)
+        sk.add_array(tbl.column("value").to_numpy(zero_copy_only=False))
+        return sk
+
+    with tempfile.TemporaryDirectory(prefix="ddsr-ckpt-") as ckpt:
+        job = CheckpointedSketchJob(
+            [f"{sf_dir}/events.parquet"],
+            build,
+            columns=["value"],
+            ckpt_dir=ckpt,
+            run_id="gate",
+        )
+        sk = job.run(concurrency=2)
+    return pd.DataFrame({"q": QS, "est": _round6(sk.quantiles(QS))})
+
+
+def q_dds_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.pipelines import quantiles_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = quantiles_by_group(
+        ds, "value", "event_type", qs=QS, alpha=ALPHA, alias="est"
+    ).to_pandas()
+    out["est"] = _round6(out["est"])
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+def q_exact_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """Exact order statistic, reference indexing (main.cpp:971-976):
+    sorted[floor(q*(n-1))]. Distributed pre-agg: per-value counts via
+    groupby (only distincts reach the driver), tiny sorted-cumsum finish."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    counts = (
+        ds.groupby("l_extendedprice").aggregate(Count(alias_name="c")).to_pandas()
+    )
+    counts = counts.sort_values("l_extendedprice")
+    cum = counts["c"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = counts["l_extendedprice"].to_numpy()
+    ests = []
+    for q in QS:
+        idx = math.floor(q * (n - 1))
+        ests.append(float(vals[np.searchsorted(cum, idx, side="right")]))
+    return pd.DataFrame({"q": QS, "est": ests})
+
+
+def q_q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-style grouped aggregate. Sums are computed in integer
+    cents inside map_batches so they are exact and order-independent
+    (float sums would differ from the oracle in the last ulp)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ext = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty_c = np.round(qty * 100).astype(np.int64)
+        ext_c = np.round(ext * 100).astype(np.int64)
+        disc_c = np.round(disc * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty_c": pa.array(qty_c),
+                "ext_c": pa.array(ext_c),
+                "disc_c": pa.array(ext_c * (100 - disc_c)),
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sq"),
+            Sum("ext_c", alias_name="se"),
+            Sum("disc_c", alias_name="sd"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out.pop("sq") / 100.0
+    out["sum_base_price"] = out.pop("se") / 100.0
+    out["sum_disc_price"] = out.pop("sd") / 10000.0
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_token_counts_documents(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lang_doc_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "sum_chars", "min_chars", "max_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_top_event_types(sf_dir: str) -> pd.DataFrame:
+    """Exact top-5 by count: partial counts per batch inside map_batches,
+    then a tiny groupby-sum over (#blocks × #keys) partials — the
+    pre-aggregation pattern that keeps the shuffle small at scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("event_type"))
+        return pa.table(
+            {
+                "event_type": vc.field("values"),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out = out.sort_values(["n", "event_type"], ascending=[False, True]).head(5)
+    return out.reset_index(drop=True)
+
+
+def q_distinct_custkeys(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    n = ds.unique("o_custkey")
+    return pd.DataFrame({"n_distinct": [np.int64(len(n))]})
+
+
+def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.ann import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 10))
+    queries = {
+        "ids": qt.column("vec_id").to_numpy(),
+        "mat": np.stack([np.asarray(e, dtype=np.float64) for e in qt.column("embedding").to_pylist()]),
+    }
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=5).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ------------------------------ rows-only (approximate / non-SQL) ----------
+
+
+def q_hll_distinct_custkeys(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.agg import HLLAgg
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    res = ds.aggregate(HLLAgg(on="o_custkey", alias_name="est"))
+    return pd.DataFrame({"estimate": [np.int64(res["est"])]})
+
+
+def q_cms_top_event_types(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.agg import HeavyHittersAgg, sketch_from_result
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    res = ds.aggregate(HeavyHittersAgg(on="event_type", alias_name="hh"))
+    top = sketch_from_result(res["hh"]).top_k(5)
+    return pd.DataFrame(
+        {
+            "event_type": [k for k, _ in top],
+            "est": np.array([c for _, c in top], dtype=np.int64),
+        }
+    )
+
+
+def q_tdigest_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.agg import TDigestAgg
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(TDigestAgg(on="l_extendedprice", qs=QS, alias_name="q"))
+    return pd.DataFrame({"q": QS, "est": res["q"]})
+
+
+def q_kll_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.agg import KLLAgg
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(KLLAgg(on="l_extendedprice", qs=QS, alias_name="q"))
+    return pd.DataFrame({"q": QS, "est": res["q"]})
+
+
+def q_bloom_customer_membership(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-filter pattern: Bloom of orders.o_custkey built by one
+    aggregate pass, then customers probed against it per batch."""
+    from ddsketch_ray.agg import BloomAgg, sketch_from_result
+    from ddsketch_ray.hashing import hash_ints
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_orders = orders.count()
+    res = orders.aggregate(BloomAgg(on="o_custkey", capacity=max(n_orders, 64), alias_name="bf"))
+    bloom = sketch_from_result(res["bf"])
+    import ray
+
+    bloom_ref = ray.put(bloom)
+
+    class Probe:
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = self.bloom.contains_hashed(hash_ints(keys))
+            return pa.table(
+                {
+                    "c_custkey": pa.array(keys),
+                    "maybe_present": pa.array(hit.astype(np.int64)),
+                }
+            )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    out = cust.map_batches(Probe, batch_format="pyarrow", concurrency=2).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
+    """Fit profiles on a labeled driver-side sample, broadcast, predict
+    in an actor pool — the canonical model-scoring stage shape."""
+    import ray
+
+    from ddsketch_ray.functions.text import LangId, fit_lang_profiles
+
+    sample = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    ).to_pandas()
+    profiles = fit_lang_profiles(sample["text"], sample["lang"])
+    ref = ray.put(profiles)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"profiles_ref": ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()[["doc_id", "lang_pred"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quality_scores_documents(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.text import quality_features_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: quality_features_batch(b).select(
+            ["doc_id", "n_tokens", "n_punct", "n_digit", "n_stopwords", "quality_score"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.text import doc_fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        out = doc_fingerprint_batch(b)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "fingerprint": pc.cast(
+                    pc.bit_wise_and(
+                        out.column("fingerprint"), pa.scalar(0x7FFFFFFFFFFFFFFF, pa.uint64())
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.ann import lsh_bucketed_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 10))
+    queries = {
+        "ids": qt.column("vec_id").to_numpy(),
+        "mat": np.stack([np.asarray(e, dtype=np.float64) for e in qt.column("embedding").to_pylist()]),
+    }
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_bucketed_topk(ds, queries, k=5, n_planes=4).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_webpages_report(sf_dir: str) -> pd.DataFrame:
+    """Flagship webpages sketch suite over the deterministic synthetic
+    generator (the north-star input table; no file needed)."""
+    from ddsketch_ray.pipelines import webpages_sketch_report
+    from ddsketch_ray.synth import generate_webpages
+
+    ds = generate_webpages(2000, seed=42, override_num_blocks=8)
+    rep = webpages_sketch_report(ds)
+    rows = [("rows", float(rep["rows"])), ("distinct_urls", float(rep["distinct_urls"]))]
+    rows += [
+        (f"text_len.q{q}", float(v)) for q, v in zip(rep["qs"], rep["text_len_quantiles"])
+    ]
+    rows += [
+        (f"html_len.q{q}", float(v)) for q, v in zip(rep["qs"], rep["html_len_quantiles"])
+    ]
+    rows.append(("extract_byte_identical", float(rep["extract_byte_identical"])))
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "dds_quantiles_price": q_dds_quantiles_price,
+        "dds_quantiles_events_ckpt": q_dds_quantiles_events,
+        "dds_quantiles_by_event_type": q_dds_quantiles_by_event_type,
+        "exact_quantiles_price": q_exact_quantiles_price,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_counts_documents": q_token_counts_documents,
+        "lang_doc_stats": q_lang_doc_stats,
+        "top_event_types": q_top_event_types,
+        "distinct_custkeys": q_distinct_custkeys,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "hll_distinct_custkeys": q_hll_distinct_custkeys,
+        "cms_top_event_types": q_cms_top_event_types,
+        "tdigest_quantiles_price": q_tdigest_quantiles_price,
+        "kll_quantiles_price": q_kll_quantiles_price,
+        "bloom_customer_membership": q_bloom_customer_membership,
+        "minhash_dedup_documents": q_minhash_dedup_documents,
+        "simhash_dedup_documents": q_simhash_dedup_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "quality_scores_documents": q_quality_scores_documents,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "webpages_report": q_webpages_report,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+_G = repr(GAMMA)
+_OFF = str(OFFSET)
+
+
+def _dds_sql(table: str, col: str, where: str = "", group: str | None = None) -> str:
+    """DDSketch quantile replicated in SQL (see module docstring)."""
+    gexpr = f"CAST({_G} AS DOUBLE)"
+    key = (
+        f"CASE WHEN {col} > 0 THEN CAST(ceil(ln({col})/ln({gexpr})) AS BIGINT) + {_OFF} "
+        f"WHEN {col} < 0 THEN -CAST(ceil(ln(-{col})/ln({gexpr})) AS BIGINT) - {_OFF} "
+        f"ELSE 0 END"
+    )
+    est = (
+        f"CASE WHEN kq > 0 THEN 2*pow({gexpr}, kq - {_OFF})/({gexpr}+1) "
+        f"WHEN kq < 0 THEN -2*pow({gexpr}, -(kq + {_OFF}))/({gexpr}+1) "
+        f"ELSE 0.0 END"
+    )
+    qs_values = ", ".join(f"({q})" for q in QS)
+    if group is None:
+        return f"""
+WITH keys AS (SELECT {key} AS k FROM {table} {where}),
+bins AS (SELECT k, COUNT(*)::BIGINT AS c FROM keys GROUP BY k),
+scan AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM bins),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM keys),
+qs(q) AS (VALUES {qs_values}),
+sel AS (SELECT q, MIN(k) AS kq FROM qs, scan, tot WHERE cum > q*(n-1) GROUP BY q)
+SELECT q, ROUND({est}, 6) AS est FROM sel ORDER BY q
+"""
+    return f"""
+WITH keys AS (SELECT {group} AS g, {key} AS k FROM {table} {where}),
+bins AS (SELECT g, k, COUNT(*)::BIGINT AS c FROM keys GROUP BY g, k),
+scan AS (SELECT g, k, SUM(c) OVER (PARTITION BY g ORDER BY k) AS cum FROM bins),
+tot AS (SELECT g, COUNT(*)::BIGINT AS n FROM keys GROUP BY g),
+qs(q) AS (VALUES {qs_values}),
+sel AS (SELECT s.g, q, MIN(k) AS kq
+        FROM qs, scan s JOIN tot t ON s.g = t.g
+        WHERE cum > q*(n-1) GROUP BY s.g, q)
+SELECT g AS {group}, q, ROUND({est}, 6) AS est FROM sel ORDER BY g, q
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs_values = ", ".join(f"({q})" for q in QS)
+    return {
+        "dds_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),
+        "dds_quantiles_events_ckpt": _dds_sql("events", "value"),
+        "dds_quantiles_by_event_type": _dds_sql("events", "value", group="event_type"),
+        "exact_quantiles_price": f"""
+WITH ranked AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) - 1 AS r
+  FROM lineitem
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM lineitem),
+qs(q) AS (VALUES {qs_values})
+SELECT q, v AS est
+FROM qs, ranked, tot
+WHERE r = CAST(floor(q*(n-1)) AS BIGINT)
+ORDER BY q
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "dedup_exact_documents": """
+SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "token_counts_documents": r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                       x -> x <> ''))::BIGINT AS n_tokens
+FROM documents ORDER BY doc_id
+""",
+        "lang_doc_stats": """
+SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(n_chars)::BIGINT AS min_chars, MAX(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "top_event_types": """
+SELECT event_type, COUNT(*)::BIGINT AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+""",
+        "distinct_custkeys": """
+SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
+""",
+        "ann_topk_embeddings": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS s
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+  FROM sims
+)
+SELECT qid AS query_id, nid AS neighbor_id, r::BIGINT AS rank
+FROM ranked WHERE r <= 5 ORDER BY query_id, rank
+""",
+    }
