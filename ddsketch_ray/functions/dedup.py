@@ -146,27 +146,75 @@ def lsh_band_rows(
     )
 
 
+def _chain_pairs(df, id_col: str):
+    """Within each (band, band_hash) bucket, emit the chain pairs
+    (id_i, id_{i+1}) over sorted ids — enough to connect the cluster.
+    Vectorized: sort once, pair adjacent rows of the same bucket."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+    s = df.sort_values(["band", "band_hash", id_col])
+    same = (s["band"].values[1:] == s["band"].values[:-1]) & (
+        s["band_hash"].values[1:] == s["band_hash"].values[:-1]
+    )
+    ids = s[id_col].to_numpy()
+    return pd.DataFrame({"a": ids[:-1][same], "b": ids[1:][same]}).drop_duplicates()
+
+
+def hot_bucket_pairs(band_rows, id_col: str):
+    """Candidate (a, b) pairs from band rows, at scale:
+
+    1. vectorized groupby-count finds buckets with ≥ 2 members — this is
+       the only full-data shuffle and its payload is (band, hash, count);
+    2. the hot-bucket key set (near-dup buckets only — tiny for real
+       corpora) is broadcast and band rows are filtered to it per batch;
+    3. the surviving candidate rows are pair-chained (sorted-adjacent,
+       vectorized) — no per-group Python ever runs on singleton buckets.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    hot = (
+        band_rows.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="c"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("c"), 1)), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    if len(hot) == 0:
+        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
+    hot_ref = ray.put(hot_keys)
+
+    class HotFilter:
+        def __init__(self):
+            self.keys = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bands_np = t.column("band").to_numpy()
+            hashes_np = t.column("band_hash").to_numpy()
+            mask = np.fromiter(
+                ((b, h) in self.keys for b, h in zip(bands_np, hashes_np)),
+                dtype=bool,
+                count=len(bands_np),
+            )
+            return t.filter(pa.array(mask))
+
+    cand = band_rows.map_batches(
+        HotFilter, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    return _chain_pairs(cand, id_col)
+
+
 def minhash_lsh_candidates(ds_sigs, id_col: str = "doc_id", bands: int = 16):
-    """(a, b) candidate id pairs (a < b) sharing at least one LSH bucket.
-    groupby (band, band_hash) keeps the shuffle key space uniform."""
+    """(a, b) candidate id pairs (a < b) sharing at least one LSH bucket."""
     band_rows = ds_sigs.map_batches(
         lambda b: lsh_band_rows(b, id_col=id_col, bands=bands), batch_format="pyarrow"
-    )
-
-    def pairs_of_group(group):
-        ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
-        a, b = [], []
-        for i in range(len(ids) - 1):  # chain pairs: enough for clustering
-            a.append(ids[i])
-            b.append(ids[i + 1])
-        return {"a": np.array(a, dtype=np.int64), "b": np.array(b, dtype=np.int64)}
-
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs_of_group, batch_format="pandas"
-    )
-    return pairs
+    ).materialize()  # scanned twice (count pass + filter pass)
+    return hot_bucket_pairs(band_rows, id_col)
 
 
 def cluster_pairs(pairs_df, all_ids: np.ndarray) -> dict[int, int]:
@@ -214,8 +262,7 @@ def minhash_dedup(
         ).select([id_col, "minhash_sig"]),
         batch_format="pyarrow",
     ).materialize()  # signatures are small (id + num_perm*8B); reused twice
-    pairs = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands).to_pandas()
-    pairs = pairs.drop_duplicates()
+    pairs = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands)
     sig_tbl = sigs.to_pandas()
     sig_map = {
         int(i): np.asarray(s, dtype=np.int64).view(np.uint64)
@@ -295,22 +342,9 @@ def simhash_dedup(
             }
         )
 
-    banded = fps_ds.map_batches(band_rows, batch_format="pyarrow")
-
-    def pairs_of_group(group):
-        ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
-        a = [ids[i] for i in range(len(ids) - 1)]
-        b = [ids[i + 1] for i in range(len(ids) - 1)]
-        return {"a": np.array(a, dtype=np.int64), "b": np.array(b, dtype=np.int64)}
-
-    pairs = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    fps_ds = fps_ds.materialize()  # reused: banding pass + verify map
+    banded = fps_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
+    pairs = hot_bucket_pairs(banded, id_col)
     fp_tbl = fps_ds.to_pandas()
     fp_map = dict(zip(fp_tbl[id_col].astype(int), fp_tbl["simhash"].astype(np.int64)))
     if len(pairs):

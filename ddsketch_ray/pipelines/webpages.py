@@ -80,7 +80,11 @@ def webpages_sketch_report(
     Returns {text_len_quantiles, html_len_quantiles, distinct_urls,
     top_langs, extract_ok_count, rows}.
     """
-    feats = ds.map_batches(derive_page_features, batch_format="pyarrow")
+    schema_names = ds.schema().names
+    if "text_len" in schema_names:  # caller already derived (fused path)
+        feats = ds
+    else:
+        feats = ds.map_batches(derive_page_features, batch_format="pyarrow")
     aggs = [
         DDSketchAgg(on="text_len", qs=list(qs), alpha=alpha, alias_name="q_text_len"),
         DDSketchAgg(on="html_len", qs=list(qs), alpha=alpha, alias_name="q_html_len"),

@@ -192,3 +192,28 @@ def write_webpages_fixture(
 
     pq.write_table(webpages_table(0, n, seed=seed, ln_mu=ln_mu, ln_sigma=ln_sigma), path)
     return path
+
+
+def generate_page_features(
+    n: int,
+    seed: int = 42,
+    ln_mu: float = 6.5,
+    ln_sigma: float = 1.2,
+    override_num_blocks: int | None = None,
+):
+    """Fused generate→derive: one map_batches producing the small feature
+    columns (url, lang, text_len, html_len, extract_ok) directly, so the
+    wide html/text bytes never enter the object store. This is the
+    shape a read-from-storage pipeline has after column pruning."""
+    import ray.data as rd
+
+    from ddsketch_ray.pipelines.webpages import derive_page_features
+
+    def gen(batch):
+        pages = webpages_table_for_indices(
+            batch["id"], seed=seed, ln_mu=ln_mu, ln_sigma=ln_sigma
+        )
+        return derive_page_features(pages)
+
+    ds = rd.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="pyarrow")
