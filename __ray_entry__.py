@@ -458,6 +458,174 @@ def q_lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_salted_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware salted plan; must equal the unsalted oracle exactly."""
+    from ddsketch_ray.pipelines.skew import quantiles_by_group_salted
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = quantiles_by_group_salted(
+        ds, "value", "event_type", qs=QS, alpha=ALPHA, salt=8, alias="est"
+    ).to_pandas()
+    out["est"] = _round6(out["est"])
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+def q_actorpool_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool physical plan (SketchBuilder → tree merge); same oracle
+    as the aggregate plan."""
+    from ddsketch_ray.sketches import DDSketch
+    from ddsketch_ray.stages import sketch_via_actor_pool
+
+    def factory():
+        return DDSketch(alpha=ALPHA, bin_limit=BIN_LIMIT)
+
+    def accumulate(sk, batch):
+        sk.add_array(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    sk = sketch_via_actor_pool(ds, factory, accumulate, concurrency=2)
+    return pd.DataFrame({"q": QS, "est": _round6(sk.quantiles(QS))})
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (small dims): customer→nation map shipped once via
+    ray.put, looked up per batch — no shuffle join. Sums in int cents."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk_of_cust = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    name_of_nk = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    lookup_ref = ray.put({ck: name_of_nk[nk] for ck, nk in nk_of_cust.items()})
+
+    class AddNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("o_custkey").to_pylist()
+            price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_name": pa.array([self.lookup[k] for k in keys], type=pa.string()),
+                    "price_c": pa.array(np.round(price * 100).astype(np.int64)),
+                }
+            )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("price_c", alias_name="sp"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out.pop("sp") / 100.0
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_hourly_event_type_counts(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window exact aggregate: vectorized window derive, then
+    pre-aggregated groupby (value sums in int cents)."""
+    from ddsketch_ray.functions.windows import US_PER_HOUR, add_tumbling_window
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = add_tumbling_window(b, size_us=US_PER_HOUR)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_start": b.column("window_start"),
+                "value_c": pa.array(np.round(v * 100).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sv"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out.pop("sv") / 100.0
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def q_windowed_quantiles_events(sf_dir: str) -> pd.DataFrame:
+    """DDSketch quantiles per (event_type, day window) — windowed sketch
+    aggregate; oracle replicates bucket math grouped by both."""
+    from ddsketch_ray.functions.windows import US_PER_HOUR, add_tumbling_window
+    from ddsketch_ray.pipelines import quantiles_by_group
+
+    day_us = 24 * US_PER_HOUR
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = add_tumbling_window(b, size_us=day_us)
+        key = pa.compute.binary_join_element_wise(
+            b.column("event_type"),
+            pa.compute.cast(pa.compute.cast(b.column("window_start"), pa.int64()), pa.string()),
+            "|",
+        )
+        return pa.table({"wkey": key, "value": b.column("value")})
+
+    out = quantiles_by_group(
+        ds.map_batches(derive, batch_format="pyarrow"), "value", "wkey", qs=QS, alpha=ALPHA
+    ).to_pandas()
+    out["est"] = _round6(out["est"])
+    return out.sort_values(["wkey", "q"]).reset_index(drop=True)
+
+
+def q_session_counts_users(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.windows import session_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = session_counts(ds, gap_us=30 * 60 * 1_000_000).to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_sliding_window_counts(sf_dir: str) -> pd.DataFrame:
+    """Sliding windows (1h size, 15min hop) — rows-only check."""
+    from ddsketch_ray.functions.windows import US_PER_HOUR, explode_sliding_windows
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    out = (
+        ds.map_batches(
+            lambda b: explode_sliding_windows(b, size_us=US_PER_HOUR, hop_us=US_PER_HOUR // 4),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def q_media_decode_report(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: synthetic media table → actor-pool decode →
+    feature rows (deterministic fake codec; see stages/multimodal.py)."""
+    import ray.data as rd
+
+    from ddsketch_ray.stages.multimodal import MediaDecodeStage, media_table
+
+    ds = rd.from_arrow(media_table(200, seed=42)).repartition(4)
+    out = ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     """Flagship webpages sketch suite over the deterministic synthetic
     generator (the north-star input table; no file needed)."""
@@ -507,6 +675,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "webpages_report": q_webpages_report,
+        "salted_quantiles_by_event_type": q_salted_quantiles_by_event_type,
+        "actorpool_quantiles_price": q_actorpool_quantiles_price,
+        "revenue_by_nation": q_revenue_by_nation,
+        "hourly_event_type_counts": q_hourly_event_type_counts,
+        "windowed_quantiles_events": q_windowed_quantiles_events,
+        "session_counts_users": q_session_counts_users,
+        "sliding_window_counts": q_sliding_window_counts,
+        "media_decode_report": q_media_decode_report,
     }
 
 
@@ -605,6 +781,39 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
 """,
         "distinct_custkeys": """
 SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
+""",
+        "salted_quantiles_by_event_type": _dds_sql("events", "value", group="event_type"),
+        "actorpool_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),
+        "windowed_quantiles_events": _dds_sql(
+            "(SELECT event_type || '|' || CAST(epoch_us(date_trunc('day', ts)) AS VARCHAR) AS wkey, value FROM events)",
+            "value",
+            group="wkey",
+        ),
+        "revenue_by_nation": """
+SELECT n_name,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+        "hourly_event_type_counts": """
+SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*)::BIGINT AS n,
+       SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "session_counts_users": """
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+  FROM o
+)
+SELECT user_id, SUM(brk)::BIGINT AS n_sessions FROM s GROUP BY user_id ORDER BY user_id
 """,
         "ann_topk_embeddings": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,188 @@
+"""Multimodal (image/audio/video) column stages.
+
+Convention: media travels as an opaque ``payload: binary`` column with
+typed metadata columns alongside (``kind: string``, ``meta: string``
+JSON). Decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages — setup (codec init, model load) once per actor in
+``__init__``, vectorized work per batch.
+
+The container ships no image/audio codecs (no PIL/cv2/torchaudio), so the
+DECODE KERNEL is stubbed two ways, per the driver instructions:
+
+- real libraries are probed behind an import-try; if present they would
+  be used (``_HAVE_PIL``);
+- otherwise a deterministic fake codec handles payloads produced by
+  ``ddsketch_ray.stages.multimodal.encode_fake_media`` (12-byte header:
+  magic ``DDSM``, kind, width/height/channels or rate/samples, then a
+  splitmix-derived byte payload), and anything else raises
+  ``NotImplementedError("no image codec in this environment")``.
+
+The Ray-side plumbing — schema, batch sizing for wide binary rows, actor
+signatures, output layout — is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ddsketch_ray.hashing import splitmix64
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+_MAGIC = b"DDSM"
+KIND_IMAGE = 1
+KIND_AUDIO = 2
+
+
+def encode_fake_media(kind: int, a: int, b: int, c: int, seed: int) -> bytes:
+    """Deterministic fake media blob: header(magic, kind, a, b, c) +
+    payload bytes derived from splitmix64(seed). For images a/b/c =
+    width/height/channels; for audio a/b = sample_rate/1000, n_samples."""
+    header = _MAGIC + struct.pack("<BIII", kind, a, b, c)
+    n = a * b * c if kind == KIND_IMAGE else b
+    words = splitmix64(np.arange((n + 7) // 8, dtype=np.uint64) + np.uint64(seed))
+    payload = words.view(np.uint8)[:n].tobytes()
+    return header + payload
+
+
+def decode_fake_media(blob: bytes):
+    """Parse a DDSM blob → (kind, dims, uint8 ndarray). Raises
+    NotImplementedError for non-DDSM payloads when no real codec exists."""
+    if blob[:4] != _MAGIC:
+        if _HAVE_PIL:  # pragma: no cover
+            raise NotImplementedError("real-codec path not wired in this build")
+        raise NotImplementedError("no image/audio codec in this environment")
+    kind, a, b, c = struct.unpack("<BIII", blob[4:17])
+    data = np.frombuffer(blob[17:], dtype=np.uint8)
+    if kind == KIND_IMAGE:
+        return kind, (a, b, c), data.reshape(b, a, c)
+    return kind, (a, b, c), data
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: payload → decoded feature columns.
+
+    Emits (media_id, kind, width/a, height/b, channels/c, mean_value,
+    byte_len). Keep ``batch_size`` small for wide binary rows — a batch ×
+    concurrency must fit the worker heap (the map_batches caller decides;
+    64 is a sane default for multi-MB payloads).
+    """
+
+    def __init__(self):
+        self.decoded = 0  # per-actor counter (state amortization proof)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        out = {"media_id": [], "kind": [], "dim_a": [], "dim_b": [], "dim_c": [],
+               "byte_len": [], "mean_value": []}
+        for mid, blob in zip(ids, batch.column("payload").to_pylist()):
+            kind, (a, b, c), arr = decode_fake_media(blob)
+            self.decoded += 1
+            out["media_id"].append(mid)
+            out["kind"].append("image" if kind == KIND_IMAGE else "audio")
+            out["dim_a"].append(a)
+            out["dim_b"].append(b)
+            out["dim_c"].append(c)
+            out["byte_len"].append(len(blob))
+            out["mean_value"].append(float(arr.mean()) if arr.size else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], type=pa.int64()),
+                "kind": pa.array(out["kind"], type=pa.string()),
+                "dim_a": pa.array(out["dim_a"], type=pa.int64()),
+                "dim_b": pa.array(out["dim_b"], type=pa.int64()),
+                "dim_c": pa.array(out["dim_c"], type=pa.int64()),
+                "byte_len": pa.array(out["byte_len"], type=pa.int64()),
+                "mean_value": pa.array(out["mean_value"], type=pa.float64()),
+            }
+        )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: nearest-neighbor resize of DDSM images → new DDSM
+    payloads (the real-codec path would call PIL.Image.resize)."""
+
+    def __init__(self, width: int, height: int):
+        self.width = int(width)
+        self.height = int(height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for blob in batch.column("payload").to_pylist():
+            kind, (w, h, c), arr = decode_fake_media(blob)
+            if kind != KIND_IMAGE:
+                payloads.append(blob)  # pass-through for non-images
+                continue
+            ys = (np.arange(self.height) * h // self.height).astype(np.int64)
+            xs = (np.arange(self.width) * w // self.width).astype(np.int64)
+            resized = arr[ys][:, xs]
+            header = _MAGIC + struct.pack("<BIII", KIND_IMAGE, self.width, self.height, c)
+            payloads.append(header + resized.tobytes())
+        return batch.set_column(
+            batch.schema.get_field_index("payload"), "payload", pa.array(payloads, type=pa.binary())
+        )
+
+
+class AudioFrameSampleStage:
+    """Actor-pool stage: sample every k-th frame window of DDSM audio →
+    (media_id, frame_idx, frame_mean) rows (flat_map-shaped output)."""
+
+    def __init__(self, frame_len: int = 256, hop: int = 1024):
+        self.frame_len = int(frame_len)
+        self.hop = int(hop)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, fmean = [], [], []
+        for mid, blob in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            kind, dims, arr = decode_fake_media(blob)
+            if kind != KIND_AUDIO:
+                continue
+            for j, start in enumerate(range(0, max(arr.size - self.frame_len, 0) + 1, self.hop)):
+                frame = arr[start : start + self.frame_len]
+                mids.append(mid)
+                fidx.append(j)
+                fmean.append(float(frame.mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(mids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "frame_mean": pa.array(fmean, type=pa.float64()),
+            }
+        )
+
+
+def media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table: alternating small images and
+    audio clips. (media_id, kind, payload, meta)."""
+    rows_kind, payloads, metas = [], [], []
+    for i in range(n):
+        h = int(splitmix64(np.uint64(i ^ (seed * 2654435761))))
+        if i % 2 == 0:
+            w, ht, c = 16 + h % 48, 16 + (h >> 8) % 48, 3
+            payloads.append(encode_fake_media(KIND_IMAGE, w, ht, c, seed=h & 0xFFFF))
+            rows_kind.append("image")
+            metas.append(json.dumps({"width": w, "height": ht, "channels": c}))
+        else:
+            rate, samples = 16000, 2048 + (h >> 16) % 4096
+            payloads.append(encode_fake_media(KIND_AUDIO, rate, samples, 1, seed=h & 0xFFFF))
+            rows_kind.append("audio")
+            metas.append(json.dumps({"sample_rate": rate, "n_samples": samples}))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(rows_kind, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta": pa.array(metas, type=pa.string()),
+        }
+    )

@@ -1,0 +1,182 @@
+"""Sources, actor-pool builders, multimodal stages, windows, salting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_sketch_parquet_roundtrip(tmp_path):
+    from ddsketch_ray.sketches import DDSketch, HyperLogLog, KLL, TDigest, BloomFilter
+    from ddsketch_ray.sources import read_sketch_parquet, write_sketch_parquet
+
+    rng = np.random.default_rng(5)
+    vals = rng.gamma(2, 2, 20_000)
+    for sk in (DDSketch(), TDigest(), KLL()):
+        sk.add_array(vals)
+        p = str(tmp_path / f"{type(sk).__name__}.parquet")
+        write_sketch_parquet(sk, p)
+        back = read_sketch_parquet(p)
+        assert np.allclose(back.quantiles([0.5, 0.95]), sk.quantiles([0.5, 0.95]))
+    from ddsketch_ray.hashing import splitmix64
+
+    h = splitmix64(np.arange(10_000, dtype=np.uint64))
+    for sk in (HyperLogLog(p=12), BloomFilter(m=4096, k=4)):
+        sk.add_hashed(h)
+        p = str(tmp_path / f"{type(sk).__name__}.parquet")
+        write_sketch_parquet(sk, p)
+        back = read_sketch_parquet(p)
+        if hasattr(sk, "estimate"):
+            assert back.estimate() == sk.estimate()
+        else:
+            assert np.array_equal(back.words, sk.words)
+
+
+def test_read_values_csv(ray_session, tmp_path):
+    from ddsketch_ray.sources import read_values_csv
+
+    p = tmp_path / "vals.csv"
+    p.write_text("value\n1.5\n2.5\nnot_a_number\n-3.25\n")
+    out = read_values_csv(str(p)).to_pandas()
+    got = out["value"].tolist()  # block order is not guaranteed -> multiset compare
+    assert sorted(v for v in got if not pd.isna(v)) == [-3.25, 1.5, 2.5]
+    assert sum(pd.isna(v) for v in got) == 1  # stod failure -> null
+
+
+def test_actor_pool_builder_equals_aggregate(ray_session):
+    import ray.data as rd
+
+    from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
+    from ddsketch_ray.sketches import DDSketch
+    from ddsketch_ray.stages import sketch_via_actor_pool
+
+    ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_extendedprice"])
+
+    def factory():
+        return DDSketch(alpha=0.008, bin_limit=4096)
+
+    def accumulate(sk, batch):
+        sk.add_array(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+
+    via_pool = sketch_via_actor_pool(ds, factory, accumulate, concurrency=2)
+    via_agg = sketch_from_result(
+        ds.aggregate(DDSketchAgg(on="l_extendedprice", bin_limit=4096, alias_name="sk"))["sk"]
+    )
+    assert via_pool.bins == via_agg.bins
+    assert via_pool.n == via_agg.n
+
+
+def test_media_stages(ray_session):
+    import ray.data as rd
+
+    from ddsketch_ray.stages.multimodal import (
+        AudioFrameSampleStage,
+        ImageResizeStage,
+        MediaDecodeStage,
+        decode_fake_media,
+        media_table,
+    )
+
+    t = media_table(40, seed=3)
+    ds = rd.from_arrow(t).repartition(2)
+    decoded = ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).to_pandas()
+    assert len(decoded) == 40
+    assert set(decoded["kind"]) == {"image", "audio"}
+    # deterministic: same input -> same features
+    decoded2 = ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).to_pandas()
+    assert decoded.sort_values("media_id").reset_index(drop=True).equals(
+        decoded2.sort_values("media_id").reset_index(drop=True)
+    )
+    # resize: all images land at 8x8
+    resized = ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"width": 8, "height": 8},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    for _, row in resized.iterrows():
+        if row["kind"] == "image":
+            _, (w, h, c), arr = decode_fake_media(row["payload"])
+            assert (w, h) == (8, 8) and arr.shape == (8, 8, c)
+    # audio frame sampling emits (media_id, frame_idx, frame_mean)
+    frames = ds.map_batches(
+        AudioFrameSampleStage, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert len(frames) > 0
+    assert set(frames.columns) == {"media_id", "frame_idx", "frame_mean"}
+
+
+def test_media_unknown_payload_raises():
+    from ddsketch_ray.stages.multimodal import decode_fake_media
+
+    with pytest.raises(NotImplementedError):
+        decode_fake_media(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_tumbling_and_sliding_windows():
+    from ddsketch_ray.functions.windows import (
+        US_PER_HOUR,
+        add_tumbling_window,
+        explode_sliding_windows,
+    )
+
+    ts = pa.array(
+        np.array([0, 10, 3600, 3601, 7200], dtype="int64") * 1_000_000
+    ).cast(pa.timestamp("us"))
+    t = pa.table({"ts": ts, "v": pa.array([1, 2, 3, 4, 5])})
+    out = add_tumbling_window(t, size_us=US_PER_HOUR)
+    starts = out.column("window_start").cast(pa.int64()).to_pylist()
+    assert starts == [0, 0, 3600_000_000, 3600_000_000, 7200_000_000]
+    slid = explode_sliding_windows(t, size_us=US_PER_HOUR, hop_us=US_PER_HOUR // 4)
+    # every event appears in exactly size/hop = 4 windows
+    assert slid.num_rows == 4 * t.num_rows
+    # each window containing the event satisfies start <= ts < start+size
+    ts_out = slid.column("ts").cast(pa.int64()).to_numpy()
+    ws = slid.column("window_start").cast(pa.int64()).to_numpy()
+    assert ((ws <= ts_out) & (ts_out < ws + US_PER_HOUR)).all()
+
+
+def test_session_counts(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.windows import session_counts
+
+    m = 60 * 1_000_000
+    rows = []
+    for u, offsets in [(1, [0, 5, 10, 100, 105]), (2, [0]), (3, [0, 50, 100, 150])]:
+        for o in offsets:
+            rows.append({"user_id": u, "ts": np.datetime64(o * m, "us")})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = session_counts(ds, gap_us=30 * m).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2  # gap 10->100 splits
+    assert out.loc[2, "n_sessions"] == 1
+    assert out.loc[3, "n_sessions"] == 4  # every gap is 50min > 30min
+
+
+def test_salted_equals_unsalted(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.pipelines import quantiles_by_group
+    from ddsketch_ray.pipelines.skew import quantiles_by_group_salted
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    a = (
+        quantiles_by_group(ds, "value", "event_type", qs=(0.5, 0.95))
+        .to_pandas()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    b = (
+        quantiles_by_group_salted(ds, "value", "event_type", qs=(0.5, 0.95), salt=8)
+        .to_pandas()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b), "salting must not change results (merge associativity)"
