@@ -626,6 +626,57 @@ def q_media_decode_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_dds_buckets_price(sf_dir: str) -> pd.DataFrame:
+    """Bucket-table export (DDS_PrintCSV parity): (key, cnt) of the
+    distributed sketch — the strongest parity check, since the oracle
+    recomputes every bucket key and count in SQL."""
+    from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(
+        DDSketchAgg(on="l_extendedprice", alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="sk")
+    )
+    t = sketch_from_result(res["sk"]).to_bucket_table()
+    return t.select(["key", "cnt"]).to_pandas()
+
+
+def q_dds_turnstile_delete(sf_dir: str) -> pd.DataFrame:
+    """Turnstile semantics (DDS_DeleteCollapse, ddsketch.cc:342-392):
+    sketch everything, then delete the even-orderkey rows; with no
+    collapse the counts cancel exactly, so quantiles equal a sketch of
+    only the odd-orderkey rows (the oracle computes exactly that)."""
+    from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    res = ds.aggregate(
+        DDSketchAgg(on="l_extendedprice", alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="all")
+    )
+    sk = sketch_from_result(res["all"])
+
+    def evens_only(b: pa.Table) -> pa.Table:
+        mask = pc.equal(pc.bit_wise_and(b.column("l_orderkey"), 1), 0)
+        return b.filter(mask).select(["l_extendedprice"])
+
+    evens = ds.map_batches(evens_only, batch_format="pyarrow")
+    # distributed delete: per-block value arrays stream to the driver and
+    # decrement the merged sketch (turnstile is a per-sketch op; at scale
+    # you'd sketch the deletes and subtract bucket-wise — same math)
+    for batch in evens.iter_batches(batch_format="pyarrow", batch_size=65536):
+        sk.delete_array(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+    return pd.DataFrame({"q": QS, "est": _round6(sk.quantiles(QS))})
+
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.ann import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, threshold=0.4).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    out = out[["a", "b"]].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     """Flagship webpages sketch suite over the deterministic synthetic
     generator (the north-star input table; no file needed)."""
@@ -683,6 +734,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_counts_users": q_session_counts_users,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
+        "dds_buckets_price": q_dds_buckets_price,
+        "dds_turnstile_delete": q_dds_turnstile_delete,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -782,6 +836,20 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
         "distinct_custkeys": """
 SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
 """,
+        "dds_buckets_price": f"""
+WITH keys AS (
+  SELECT CASE WHEN l_extendedprice > 0
+              THEN CAST(ceil(ln(l_extendedprice)/ln(CAST({_G} AS DOUBLE))) AS BIGINT) + {_OFF}
+              WHEN l_extendedprice < 0
+              THEN -CAST(ceil(ln(-l_extendedprice)/ln(CAST({_G} AS DOUBLE))) AS BIGINT) - {_OFF}
+              ELSE 0 END AS key
+  FROM lineitem
+)
+SELECT key, COUNT(*)::BIGINT AS cnt FROM keys GROUP BY key ORDER BY key
+""",
+        "dds_turnstile_delete": _dds_sql(
+            "lineitem", "l_extendedprice", where="WHERE l_orderkey % 2 = 1"
+        ),
         "salted_quantiles_by_event_type": _dds_sql("events", "value", group="event_type"),
         "actorpool_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),
         "windowed_quantiles_events": _dds_sql(

@@ -346,6 +346,39 @@ class DDSketch:
         """DDS_SumBins (ddsketch.cc:951-965)."""
         return sum(self.bins.values())
 
+    def to_bucket_table(self):
+        """DDS_PrintCSV + DDS_GetBounds parity (ddsketch.cc:908-949,
+        151-181): one row per bucket with key, count, value bounds
+        (lower, upper] = (±γ^(k−1), ±γ^k] sign-aware, and the mid-bucket
+        estimate. Returns a pyarrow Table sorted by key."""
+        import pyarrow as pa
+
+        keys = sorted(self.bins)
+        counts = [self.bins[k] for k in keys]
+        uppers, lowers, ests = [], [], []
+        for k in keys:
+            if k > 0:
+                u = k - self.offset
+                lowers.append(self.gamma ** (u - 1))
+                uppers.append(self.gamma**u)
+            elif k < 0:
+                u = -(k + self.offset)  # magnitude c (see keys_for)
+                lowers.append(-(self.gamma**u))
+                uppers.append(-(self.gamma ** (u - 1)))
+            else:
+                lowers.append(0.0)
+                uppers.append(0.0)
+            ests.append(self.key_to_estimate(k))
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.int64()),
+                "cnt": pa.array(counts, type=pa.int64()),
+                "lower": pa.array(lowers, type=pa.float64()),
+                "upper": pa.array(uppers, type=pa.float64()),
+                "estimate": pa.array(ests, type=pa.float64()),
+            }
+        )
+
     def to_row(self) -> dict:
         """Arrow-friendly serialized form (Parquet checkpoint row)."""
         keys = sorted(self.bins)
