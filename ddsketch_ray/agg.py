@@ -212,17 +212,17 @@ class HeavyHittersAgg(_SketchAggBase):
 
     def _accumulate(self, sk, block):
         col, is_arrow = _column_values(block, self._target_col_name)
-        if is_arrow:
-            keys = col.to_pylist()
-        else:
-            keys = list(col)
         hashes = hash_any_column(col, is_arrow, seed=self._seed)
-        # one candidate update per UNIQUE key in the block, counts via CMS
         sk.cms.add_hashed(hashes)
-        uniq: dict = {}
-        for k, h in zip(keys, hashes.tolist()):
-            uniq[k] = h
-        sk.candidates.update(uniq)
+        # candidate set touches only UNIQUE keys (vectorized dedup on the
+        # hashes; labels materialized for the uniques alone)
+        _, first_idx = np.unique(hashes, return_index=True)
+        if is_arrow:
+            taken = col.take(first_idx) if hasattr(col, "take") else col
+            labels = taken.to_pylist()
+        else:
+            labels = [col[i] for i in first_idx.tolist()]
+        sk.candidates.update(zip(labels, hashes[first_idx].tolist()))
         sk._prune()
 
 

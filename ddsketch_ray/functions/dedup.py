@@ -162,8 +162,12 @@ def _chain_pairs(df, id_col: str):
     return pd.DataFrame({"a": ids[:-1][same], "b": ids[1:][same]}).drop_duplicates()
 
 
-def hot_bucket_pairs(band_rows, id_col: str):
-    """Candidate (a, b) pairs from band rows, at scale:
+def hot_bucket_pairs(band_rows, id_col: str, driver_threshold: int = 2_000_000):
+    """Candidate (a, b) pairs from band rows.
+
+    Small-table fast path (≤ driver_threshold rows — 3 int64 columns, so
+    ≤ ~50 MB): pull to the driver and find duplicate buckets with one
+    vectorized pandas pass. At scale, the distributed path:
 
     1. vectorized groupby-count finds buckets with ≥ 2 members — this is
        the only full-data shuffle and its payload is (band, hash, count);
@@ -175,6 +179,11 @@ def hot_bucket_pairs(band_rows, id_col: str):
     import pandas as pd
     import ray
     from ray.data.aggregate import Count
+
+    if band_rows.count() <= driver_threshold:
+        df = band_rows.to_pandas()
+        cand = df[df.duplicated(["band", "band_hash"], keep=False)]
+        return _chain_pairs(cand, id_col)
 
     hot = (
         band_rows.groupby(["band", "band_hash"])
