@@ -677,6 +677,70 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_tdigest_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped t-digest (any MergeableSketch drops into groupby.aggregate)."""
+    from ddsketch_ray.agg import TDigestAgg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    grouped = ds.groupby("event_type").aggregate(
+        TDigestAgg(on="value", qs=QS, alias_name="_q")
+    ).to_pandas()
+    rows = []
+    for _, r in grouped.iterrows():
+        for q, v in zip(QS, r["_q"]):
+            rows.append((r["event_type"], q, float(v)))
+    return (
+        pd.DataFrame(rows, columns=["event_type", "q", "est"])
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+
+
+def q_hll_users_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped HLL: approximate distinct users per event type."""
+    from ddsketch_ray.agg import HLLAgg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(HLLAgg(on="user_id", alias_name="distinct_users"))
+        .to_pandas()
+    )
+    out["distinct_users"] = out["distinct_users"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_union_filter_orders(sf_dir: str) -> pd.DataFrame:
+    """filter + union + grouped count (vectorized predicate inside
+    map_batches, then partial-count pre-aggregation)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+
+    def only(status):
+        return ds.map_batches(
+            lambda b, s=status: b.filter(pc.equal(b.column("o_orderstatus"), s)),
+            batch_format="pyarrow",
+        )
+
+    both = only("F").union(only("O"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("o_orderstatus"))
+        return pa.table(
+            {"o_orderstatus": vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    out = (
+        both.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     """Flagship webpages sketch suite over the deterministic synthetic
     generator (the north-star input table; no file needed)."""
@@ -737,6 +801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dds_buckets_price": q_dds_buckets_price,
         "dds_turnstile_delete": q_dds_turnstile_delete,
         "embedding_near_dup": q_embedding_near_dup,
+        "tdigest_quantiles_by_event_type": q_tdigest_quantiles_by_event_type,
+        "hll_users_by_event_type": q_hll_users_by_event_type,
+        "union_filter_orders": q_union_filter_orders,
     }
 
 
@@ -850,6 +917,11 @@ SELECT key, COUNT(*)::BIGINT AS cnt FROM keys GROUP BY key ORDER BY key
         "dds_turnstile_delete": _dds_sql(
             "lineitem", "l_extendedprice", where="WHERE l_orderkey % 2 = 1"
         ),
+        "union_filter_orders": """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
         "salted_quantiles_by_event_type": _dds_sql("events", "value", group="event_type"),
         "actorpool_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),
         "windowed_quantiles_events": _dds_sql(
