@@ -27,6 +27,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+try:  # executor tuning for map-heavy sketch pipelines (no session made)
+    from ddsketch_ray import tune_for_sketch_pipelines
+
+    tune_for_sketch_pipelines()
+except Exception:  # never block the driver on a tuning knob
+    pass
+
 ALPHA = 0.008
 GAMMA = (1 + ALPHA) / (1 - ALPHA)
 OFFSET = 1 << 30
