@@ -687,20 +687,13 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 def q_tdigest_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
     """Grouped t-digest (any MergeableSketch drops into groupby.aggregate)."""
     from ddsketch_ray.agg import TDigestAgg
+    from ddsketch_ray.pipelines import quantiles_by_group
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    grouped = ds.groupby("event_type").aggregate(
-        TDigestAgg(on="value", qs=QS, alias_name="_q")
+    out = quantiles_by_group(
+        ds, "value", "event_type", qs=QS, alias="est", agg_cls=TDigestAgg
     ).to_pandas()
-    rows = []
-    for _, r in grouped.iterrows():
-        for q, v in zip(QS, r["_q"]):
-            rows.append((r["event_type"], q, float(v)))
-    return (
-        pd.DataFrame(rows, columns=["event_type", "q", "est"])
-        .sort_values(["event_type", "q"])
-        .reset_index(drop=True)
-    )
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
 def q_hll_users_by_event_type(sf_dir: str) -> pd.DataFrame:
@@ -928,6 +921,15 @@ SELECT key, COUNT(*)::BIGINT AS cnt FROM keys GROUP BY key ORDER BY key
 SELECT o_orderstatus, COUNT(*)::BIGINT AS n FROM orders
 WHERE o_orderstatus IN ('F', 'O')
 GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+        "sliding_window_counts": """
+-- size = 1h = 4 x 15min hop: every event lies in exactly the 4
+-- hop-aligned windows with start in (ts - size, ts]
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 900000000 - g.g) * 900000000) AS window_start,
+       COUNT(*)::BIGINT AS n
+FROM events, generate_series(0, 3) AS g(g)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "salted_quantiles_by_event_type": _dds_sql("events", "value", group="event_type"),
         "actorpool_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),

@@ -54,6 +54,21 @@ def _to_float64(col, is_arrow: bool) -> np.ndarray:
     return np.asarray(col, dtype=np.float64)
 
 
+def drop_nulls(col, is_arrow: bool):
+    """Null rows removed (aggregates here are ignore_nulls=True: a null
+    key must not hash as 0/NaN/"" and leak into distinct/membership)."""
+    if is_arrow:
+        return col.drop_null()
+    arr = np.asarray(col)
+    if arr.dtype.kind == "f":
+        return arr[~np.isnan(arr)]
+    if arr.dtype.kind == "O":
+        import pandas as pd
+
+        return arr[~pd.isna(arr)]
+    return arr
+
+
 def hash_any_column(col, is_arrow: bool, seed: int = 0) -> np.ndarray:
     """uint64-hash a column of any type (string/int/float), null-safe."""
     if is_arrow:
@@ -184,6 +199,7 @@ class HLLAgg(_SketchAggBase):
 
     def _accumulate(self, sk, block):
         col, is_arrow = _column_values(block, self._target_col_name)
+        col = drop_nulls(col, is_arrow)
         sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
 
     def finalize(self, accumulator: bytes) -> int:
@@ -212,14 +228,15 @@ class HeavyHittersAgg(_SketchAggBase):
 
     def _accumulate(self, sk, block):
         col, is_arrow = _column_values(block, self._target_col_name)
+        col = drop_nulls(col, is_arrow)
         hashes = hash_any_column(col, is_arrow, seed=self._seed)
         sk.cms.add_hashed(hashes)
         # candidate set touches only UNIQUE keys (vectorized dedup on the
-        # hashes; labels materialized for the uniques alone)
+        # hashes; labels materialized for the uniques alone, by index so
+        # they can never misalign with hashes[first_idx])
         _, first_idx = np.unique(hashes, return_index=True)
         if is_arrow:
-            taken = col.take(first_idx) if hasattr(col, "take") else col
-            labels = taken.to_pylist()
+            labels = col.take(first_idx).to_pylist()
         else:
             labels = [col[i] for i in first_idx.tolist()]
         sk.candidates.update(zip(labels, hashes[first_idx].tolist()))
@@ -241,6 +258,7 @@ class BloomAgg(_SketchAggBase):
 
     def _accumulate(self, sk, block):
         col, is_arrow = _column_values(block, self._target_col_name)
+        col = drop_nulls(col, is_arrow)
         sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
 
 
@@ -257,6 +275,7 @@ class MinHashAgg(_SketchAggBase):
 
     def _accumulate(self, sk, block):
         col, is_arrow = _column_values(block, self._target_col_name)
+        col = drop_nulls(col, is_arrow)
         sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
 
 

@@ -146,20 +146,50 @@ def lsh_band_rows(
     )
 
 
-def _chain_pairs(df, id_col: str):
-    """Within each (band, band_hash) bucket, emit the chain pairs
-    (id_i, id_{i+1}) over sorted ids — enough to connect the cluster.
-    Vectorized: sort once, pair adjacent rows of the same bucket."""
+def _chain_pairs(df, id_col: str, max_bucket_pairs: int = 64):
+    """Within each (band, band_hash) bucket, emit candidate pairs.
+
+    Because every candidate pair is later VERIFIED (Jaccard / Hamming)
+    before clustering, adjacent-chain pairs are not enough: an unrelated
+    bucket collision sorted between two true near-dups would break the
+    chain. So buckets up to ``max_bucket_pairs`` members emit ALL pairs
+    (true-dup buckets are small); larger buckets — overwhelmingly hash
+    collisions — fall back to the sorted chain and are counted so
+    callers can log the coverage cap (no silent truncation)."""
+    import itertools
+
     import pandas as pd
 
     if len(df) == 0:
         return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-    s = df.sort_values(["band", "band_hash", id_col])
-    same = (s["band"].values[1:] == s["band"].values[:-1]) & (
-        s["band_hash"].values[1:] == s["band_hash"].values[:-1]
-    )
-    ids = s[id_col].to_numpy()
-    return pd.DataFrame({"a": ids[:-1][same], "b": ids[1:][same]}).drop_duplicates()
+    a_out: list[int] = []
+    b_out: list[int] = []
+    capped = 0
+    for _, grp in df.groupby(["band", "band_hash"], sort=False):
+        ids = sorted(set(int(i) for i in grp[id_col].tolist()))
+        if len(ids) < 2:
+            continue
+        if len(ids) <= max_bucket_pairs:
+            for x, y in itertools.combinations(ids, 2):
+                a_out.append(x)
+                b_out.append(y)
+        else:  # giant collision bucket: chain only (documented cap)
+            capped += 1
+            a_out.extend(ids[:-1])
+            b_out.extend(ids[1:])
+    out = pd.DataFrame(
+        {"a": np.array(a_out, dtype=np.int64), "b": np.array(b_out, dtype=np.int64)}
+    ).drop_duplicates()
+    if capped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "lsh candidate generation: %d buckets over %d members used chain "
+            "pairs only (possible recall loss in those buckets)",
+            capped,
+            max_bucket_pairs,
+        )
+    return out
 
 
 def hot_bucket_pairs(band_rows, id_col: str, driver_threshold: int = 2_000_000):
@@ -195,21 +225,29 @@ def hot_bucket_pairs(band_rows, id_col: str, driver_threshold: int = 2_000_000):
     )
     if len(hot) == 0:
         return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
+
+    def _combined(bands_np: np.ndarray, hashes_np: np.ndarray) -> np.ndarray:
+        # (band, band_hash) -> one uint64 key; collisions only ADD
+        # candidates (verified later), never lose them
+        return splitmix64(
+            hashes_np.astype(np.int64).view(np.uint64)
+            ^ splitmix64(bands_np.astype(np.int64).view(np.uint64))
+        )
+
+    hot_keys = np.sort(
+        _combined(hot["band"].to_numpy(), hot["band_hash"].to_numpy())
+    )
     hot_ref = ray.put(hot_keys)
 
     class HotFilter:
         def __init__(self):
-            self.keys = ray.get(hot_ref)
+            self.keys = ray.get(hot_ref)  # sorted uint64 array
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            bands_np = t.column("band").to_numpy()
-            hashes_np = t.column("band_hash").to_numpy()
-            mask = np.fromiter(
-                ((b, h) in self.keys for b, h in zip(bands_np, hashes_np)),
-                dtype=bool,
-                count=len(bands_np),
-            )
+            ck = _combined(t.column("band").to_numpy(), t.column("band_hash").to_numpy())
+            idx = np.searchsorted(self.keys, ck)
+            idx = np.minimum(idx, len(self.keys) - 1)
+            mask = self.keys[idx] == ck  # vectorized membership
             return t.filter(pa.array(mask))
 
     cand = band_rows.map_batches(

@@ -47,7 +47,7 @@ def explode_sliding_windows(
     """Each row repeated once per sliding window covering it (size/hop
     copies — keep the ratio small; it multiplies the shuffle)."""
     ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
-    k = size_us // hop_us
+    k = -(-size_us // hop_us)  # ceiling: covers non-divisible size/hop
     # windows with start in (ts - size, ts], aligned to hop
     last = (ts // hop_us) * hop_us
     starts = last[:, None] - hop_us * np.arange(k, dtype=np.int64)[None, :]

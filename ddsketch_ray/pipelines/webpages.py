@@ -120,15 +120,24 @@ def quantiles_by_group(
     qs=(0.5, 0.95, 0.99),
     alpha: float = 0.008,
     alias: str = "est",
+    agg_cls=None,
+    **agg_kwargs,
 ):
-    """Grouped DDSketch quantiles → long-format Dataset
+    """Grouped quantile sketch → long-format Dataset
     (group_col, q, {alias}) with one row per (group, quantile).
+
+    agg_cls: any quantile sketch aggregate with the (on, qs, alias_name)
+    interface — DDSketchAgg (default), TDigestAgg, KLLAgg.
 
     The groupby shuffles only per-block partial sketches (map-side
     combined by Ray's aggregate), so group skew costs nothing extra.
     """
     qs = [float(q) for q in qs]
-    agg = DDSketchAgg(on=value_col, qs=qs, alpha=alpha, alias_name="_qvals")
+    if agg_cls is None or agg_cls is DDSketchAgg:
+        agg_kwargs.setdefault("alpha", alpha)
+        agg = DDSketchAgg(on=value_col, qs=qs, alias_name="_qvals", **agg_kwargs)
+    else:
+        agg = agg_cls(on=value_col, qs=qs, alias_name="_qvals", **agg_kwargs)
     grouped = ds.groupby(group_col).aggregate(agg)
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -145,21 +145,30 @@ class HeavyHitters:
         return [(k, c) for k, c in self.top_k(len(self.candidates)) if c >= thresh]
 
     def to_row(self) -> dict:
+        import json
+
         keys = list(self.candidates)
         return {
             "kind": "heavy_hitters",
             "capacity": self.capacity,
             "cms": self.cms.to_row(),
-            "cand_keys": [str(k) for k in keys],
+            # JSON keeps int/str/float key types through a parquet
+            # round-trip (str(k) would silently retype int keys)
+            "cand_keys": json.dumps(keys),
             "cand_hashes": np.array([self.candidates[k] for k in keys], dtype=np.uint64),
         }
 
     @classmethod
     def from_row(cls, row: dict) -> "HeavyHitters":
+        import json
+
         cms = CountMin.from_row(row["cms"])
         hh = cls(width=cms.width, depth=cms.depth, capacity=int(row["capacity"]))
         hh.cms = cms
+        keys = row["cand_keys"]
+        if isinstance(keys, str):
+            keys = json.loads(keys)
         hh.candidates = {
-            k: int(h) for k, h in zip(row["cand_keys"], np.asarray(row["cand_hashes"]))
+            k: int(h) for k, h in zip(keys, np.asarray(row["cand_hashes"]))
         }
         return hh

@@ -41,14 +41,17 @@ def minhash_signatures(
     out = np.full((n_docs, num_perm), _U64MAX, dtype=np.uint64)
     if h.size == 0 or n_docs == 0:
         return out
-    # empty docs: reduceat at offset==next offset returns garbage; mask after
+    # reduceat only over NON-empty docs: their offsets are strictly
+    # increasing and in-range, so segments are exact. (Clamping empty
+    # docs' offsets instead would truncate the preceding doc's segment.)
     sizes = np.diff(np.append(offs, h.size))
     valid = sizes > 0
-    red_offs = np.minimum(offs, h.size - 1)
+    if not valid.any():
+        return out
+    v_offs = offs[valid]
     for p in range(num_perm):
         mixed = splitmix64(h ^ seeds[p])
-        mins = np.minimum.reduceat(mixed, red_offs)
-        out[valid, p] = mins[valid]
+        out[valid, p] = np.minimum.reduceat(mixed, v_offs)
     return out
 
 
@@ -116,14 +119,17 @@ def simhash64(
         return out
     sizes = np.diff(np.append(offs, h.size))
     valid = sizes > 0
-    red_offs = np.minimum(offs, h.size - 1)
-    fp = np.zeros(n_docs, dtype=np.uint64)
+    if not valid.any():
+        return out
+    v_offs = offs[valid]  # exact reduceat segments over non-empty docs
+    v_sizes = sizes[valid]
+    fp = np.zeros(v_offs.size, dtype=np.uint64)
     for bit in range(64):
         bits = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-        pos = np.add.reduceat(bits, red_offs)  # count of 1s per doc
-        ones = (2 * pos) >= sizes  # majority vote (ties -> 1, deterministic)
+        pos = np.add.reduceat(bits, v_offs)  # count of 1s per doc
+        ones = (2 * pos) >= v_sizes  # majority vote (ties -> 1, deterministic)
         fp |= (ones.astype(np.uint64)) << np.uint64(bit)
-    out[valid] = fp[valid]
+    out[valid] = fp
     return out
 
 

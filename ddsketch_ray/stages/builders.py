@@ -59,8 +59,12 @@ class MergeSketchBytesAgg(AggregateFnV2):
     def aggregate_block(self, block) -> bytes:
         merged = None
         for blob in block.column(self._target_col_name).to_pylist():
+            if not blob:  # null / empty cell: nothing to merge
+                continue
             sk = pickle.loads(blob)
             merged = sk if merged is None else merged.merge(sk)
+        if merged is None:
+            return b""  # zero value; combine() treats b"" as identity
         return pickle.dumps(merged, protocol=pickle.HIGHEST_PROTOCOL)
 
     def combine(self, cur: bytes, new: bytes) -> bytes:
@@ -84,4 +88,7 @@ def sketch_via_actor_pool(ds, factory, accumulate, concurrency=2, batch_size=Non
         concurrency=concurrency,
     )
     res = rows.aggregate(MergeSketchBytesAgg(on="sketch", alias_name="merged"))
-    return pickle.loads(res["merged"])
+    blob = res["merged"]
+    if not blob:
+        return factory()  # empty input -> empty sketch, not None
+    return pickle.loads(blob)

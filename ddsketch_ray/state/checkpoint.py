@@ -122,7 +122,7 @@ class CheckpointedSketchJob:
                         out = pa.table(
                             {
                                 "part_id": [part_id],
-                                "sketch": [pickle.dumps(sketch, protocol=pickle.HIGHEST_PROTOCOL)],
+                                "sketch": [b"" if sketch is None else pickle.dumps(sketch, protocol=pickle.HIGHEST_PROTOCOL)],
                                 "input_files": [json.dumps(files)],
                                 "row_count": [n_rows],
                                 "byte_count": [n_bytes],
@@ -192,6 +192,10 @@ def load_merged_sketches(part_dir: str) -> object:
     merged = None
     for f in files:
         blob = pq.read_table(f, columns=["sketch"]).column("sketch")[0].as_py()
-        sk = pickle.loads(blob)
+        sk = pickle.loads(blob) if blob else None
+        if sk is None:  # empty partition (zero input rows) — valid, skip
+            continue
         merged = sk if merged is None else merged.merge(sk)
+    if merged is None:
+        raise ValueError(f"every partition in {part_dir} was empty")
     return merged

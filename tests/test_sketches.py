@@ -311,3 +311,20 @@ def test_all_sketches_pickle():
     ):
         blob = pickle.dumps(sk)
         assert pickle.loads(blob) is not None
+
+
+def test_minhash_simhash_trailing_empty_docs():
+    """Regression: trailing zero-token docs must not corrupt the previous
+    doc's reduceat segment (offset-clamping bug)."""
+    rng = np.random.default_rng(51)
+    d0 = splitmix64(rng.integers(0, 1 << 63, size=7).astype(np.uint64))
+    flat = d0
+    offs = np.array([0, 7, 7])  # docs: d0, empty, empty
+    sigs = minhash_signatures(flat, offs, num_perm=32, seed=1)
+    solo = minhash_signatures(d0, np.array([0]), num_perm=32, seed=1)
+    assert np.array_equal(sigs[0], solo[0]), "trailing empties corrupted doc0"
+    assert (sigs[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    fp = simhash64(flat, offs)
+    fp_solo = simhash64(d0, np.array([0]))
+    assert fp[0] == fp_solo[0]
+    assert fp[1] == 0 and fp[2] == 0

@@ -180,3 +180,55 @@ def test_salted_equals_unsalted(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b), "salting must not change results (merge associativity)"
+
+
+def test_sliding_windows_non_divisible():
+    """Regression: size not a multiple of hop must still emit every
+    covering window (ceiling fan-out + mask)."""
+    from ddsketch_ray.functions.windows import explode_sliding_windows
+
+    m = 60 * 1_000_000
+    ts = pa.array(np.array([100 * m], dtype="int64")).cast(pa.timestamp("us"))
+    t = pa.table({"ts": ts})
+    out = explode_sliding_windows(t, size_us=60 * m, hop_us=25 * m)
+    starts = sorted(out.column("window_start").cast(pa.int64()).to_pylist())
+    assert starts == [50 * m, 75 * m, 100 * m]
+
+
+def test_heavy_hitters_parquet_roundtrip_keeps_key_types(tmp_path):
+    from ddsketch_ray.hashing import hash_ints
+    from ddsketch_ray.sketches import HeavyHitters
+    from ddsketch_ray.sources import read_sketch_parquet, write_sketch_parquet
+
+    hh = HeavyHitters(width=256, depth=3, capacity=16)
+    keys = np.array([7, 7, 7, 42, 42, 99], dtype=np.int64)
+    hh.add_keyed(keys.tolist(), hash_ints(keys))
+    p = str(tmp_path / "hh.parquet")
+    write_sketch_parquet(hh, p)
+    back = read_sketch_parquet(p)
+    assert back.top_k(2) == hh.top_k(2)
+    assert isinstance(back.top_k(1)[0][0], int)  # int keys stay int
+
+
+def test_checkpoint_empty_partition(ray_session, tmp_path):
+    import pyarrow.parquet as pqt
+
+    from ddsketch_ray.sketches import DDSketch
+    from ddsketch_ray.state import CheckpointedSketchJob
+
+    full = pa.table({"v": pa.array(np.arange(100, dtype=np.float64))})
+    empty = full.slice(0, 0)
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pqt.write_table(full, f1)
+    pqt.write_table(empty, f2)
+
+    def build(tbl):
+        sk = DDSketch(alpha=0.008, bin_limit=2048)
+        sk.add_array(tbl.column("v").to_numpy(zero_copy_only=False))
+        return sk
+
+    job = CheckpointedSketchJob(
+        [f1, f2], build, columns=["v"], ckpt_dir=str(tmp_path / "ck"), run_id="e"
+    )
+    sk = job.run(concurrency=2)  # must not crash on the empty partition
+    assert sk.n == 100
