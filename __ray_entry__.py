@@ -741,6 +741,41 @@ def q_union_filter_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def q_text_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact integer text features (token/punct/digit/stopword counts) —
+    the SQL-oracled core of the quality scorer."""
+    from ddsketch_ray.functions.text import quality_features_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: quality_features_batch(b).select(
+            ["doc_id", "n_tokens", "n_punct", "n_digit", "n_stopwords"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dds_quantiles_price_lastmode(sf_dir: str) -> pd.DataFrame:
+    """Last-bucket collapse mode through the distributed aggregate; with
+    bin_limit never reached it answers exactly like collapse mode, so the
+    same SQL oracle applies (mode plumbing check)."""
+    from ddsketch_ray.agg import DDSketchAgg
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(
+        DDSketchAgg(
+            on="l_extendedprice",
+            qs=QS,
+            alpha=ALPHA,
+            bin_limit=BIN_LIMIT,
+            mode="last",
+            alias_name="q",
+        )
+    )
+    return pd.DataFrame({"q": QS, "est": _round6(res["q"])})
+
+
 def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     """Flagship webpages sketch suite over the deterministic synthetic
     generator (the north-star input table; no file needed)."""
@@ -804,6 +839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_quantiles_by_event_type": q_tdigest_quantiles_by_event_type,
         "hll_users_by_event_type": q_hll_users_by_event_type,
         "union_filter_orders": q_union_filter_orders,
+        "text_stats_documents": q_text_stats_documents,
+        "dds_quantiles_price_lastmode": q_dds_quantiles_price_lastmode,
     }
 
 
@@ -884,6 +921,18 @@ ORDER BY l_returnflag, l_linestatus
 """,
         "dedup_exact_documents": """
 SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "dds_quantiles_price_lastmode": _dds_sql("lineitem", "l_extendedprice"),
+        "text_stats_documents": r"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents)
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(tx, '[ \t\n\r\f\v]+'),
+                       x -> x <> ''))::BIGINT AS n_tokens,
+       length(regexp_replace(tx, '[^!-/:-@\[-`{-~]', '', 'g'))::BIGINT AS n_punct,
+       length(regexp_replace(tx, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+       len(list_filter(regexp_split_to_array(lower(tx), '[ \t\n\r\f\v]+'),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from'], x)))::BIGINT AS n_stopwords
+FROM t ORDER BY doc_id
 """,
         "token_counts_documents": r"""
 SELECT doc_id,
