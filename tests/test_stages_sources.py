@@ -232,3 +232,34 @@ def test_checkpoint_empty_partition(ray_session, tmp_path):
     )
     sk = job.run(concurrency=2)  # must not crash on the empty partition
     assert sk.n == 100
+
+
+def test_streaming_sketch_service(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from ddsketch_ray.stages.streaming import StreamingSketchService
+
+    rng = np.random.default_rng(77)
+    keys = rng.choice(["a", "b", "c", "d", "e"], size=20_000).tolist()
+    vals = rng.gamma(2, 2, 20_000)
+    svc = StreamingSketchService(num_shards=3)
+
+    # incremental: quantile visible after first batch, refined after more
+    svc.ingest_batch(keys[:5000], vals[:5000])
+    q_mid = svc.quantile("a", 0.5)
+    assert not math.isnan(q_mid)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys[5000:]), "v": pa.array(vals[5000:])}))
+    svc.ingest_dataset(ds, "k", "v", batch_size=4096)
+    assert svc.keys() == ["a", "b", "c", "d", "e"]
+
+    # final state equals a batch DDSketch per key (order-insensitivity)
+    from ddsketch_ray.sketches import DDSketch
+
+    for key in ("a", "e"):
+        mask = np.array([k == key for k in keys])
+        ref = DDSketch(alpha=0.008, bin_limit=2048)
+        ref.add_array(vals[mask])
+        assert svc.quantile(key, 0.95) == ref.quantile(0.95)
+    assert math.isnan(svc.quantile("zz", 0.5))
