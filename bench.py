@@ -43,6 +43,59 @@ def bench_webpages(n: int) -> dict:
     return {"sec": dt, "docs_per_sec": n / dt, "report": report}
 
 
+_CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/ddsr_bench_corpus")
+
+
+def ensure_corpus(n: int) -> str:
+    """Write the deterministic page corpus once; reused across bench runs
+    and scaling legs (generation is ingest simulation, not the engine)."""
+    marker = os.path.join(_CORPUS_DIR, f".complete-{n}")
+    if os.path.exists(marker):
+        return _CORPUS_DIR
+    import shutil
+
+    from ddsketch_ray.synth import generate_webpages
+
+    shutil.rmtree(_CORPUS_DIR, ignore_errors=True)
+    ds = generate_webpages(n, seed=42, override_num_blocks=max(NUM_CPUS * 2, 16))
+    ds.write_parquet(_CORPUS_DIR, min_rows_per_file=max(n // 32, 1000))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return _CORPUS_DIR
+
+
+def bench_read_webpages(n: int) -> dict:
+    """Production-shaped headline: read parquet (pruned to `text`) →
+    text-length derive → 6-sketch aggregate. No generation in the timed
+    path; column pruning keeps html bytes on disk."""
+    import pyarrow.compute as pc
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import DDSketchAgg, HLLAgg, HeavyHittersAgg
+
+    path = ensure_corpus(n)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(path, columns=["url", "lang", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "lang": b.column("lang"),
+                "text_len": pc.cast(pc.binary_length(b.column("text")), pa.int64()),
+            }
+        )
+
+    res = ds.map_batches(derive, batch_format="pyarrow").aggregate(
+        DDSketchAgg(on="text_len", qs=[0.5, 0.95, 0.99], alias_name="q"),
+        HLLAgg(on="url", alias_name="u"),
+        HeavyHittersAgg(on="lang", alias_name="l"),
+    )
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "docs_per_sec": n / dt}
+
+
 def bench_lineitem_sketches() -> float:
     from ddsketch_ray.agg import DDSketchAgg, HLLAgg, KLLAgg, TDigestAgg
     import ray.data as rd
@@ -163,6 +216,10 @@ def run_bench() -> dict:
     web = min((bench_webpages(WEBPAGES_N) for _ in range(3)), key=lambda r: r["sec"])
     queries["webpages_sketch_suite"] = round(web["sec"], 3)
     log(f"webpages: {web['sec']:.2f}s ({web['docs_per_sec']:.0f} docs/s)")
+    bench_read_webpages(WEBPAGES_N)  # warm (also builds the corpus once)
+    readw = min((bench_read_webpages(WEBPAGES_N) for _ in range(2)), key=lambda r: r["sec"])
+    queries["read_webpages_sketch"] = round(readw["sec"], 3)
+    log(f"read_webpages: {readw['sec']:.2f}s ({readw['docs_per_sec']:.0f} docs/s)")
     for name, fn in [
         ("lineitem_sketches", bench_lineitem_sketches),
         ("grouped_quantiles_events", bench_grouped_quantiles),
@@ -183,6 +240,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "webpages_docs_per_sec": round(web["docs_per_sec"], 1),
+        "read_webpages_docs_per_sec": round(readw["docs_per_sec"], 1),
         "webpages_n": WEBPAGES_N,
     }
     ray.shutdown()

@@ -64,29 +64,21 @@ class TDigest:
         self.means, self.weights = self._compress(means, weights)
 
     def _compress(self, means: np.ndarray, weights: np.ndarray):
+        """Vectorized k-cell compression: points whose LEFT cumulative
+        quantile falls in the same unit cell of the K1 scale merge into
+        one centroid (numpy reduceat; no per-centroid Python). Same
+        k-size invariant as the greedy pass — a cluster spans < 1 unit
+        of k plus its last point — with ≤ δ/2 + 2 centroids."""
         order = np.argsort(means, kind="stable")
-        m, w = means[order], weights[order]
-        total = w.sum()
-        out_m: list[float] = []
-        out_w: list[int] = []
-        cur_m, cur_w = float(m[0]), int(w[0])
-        w_before = 0  # weight fully emitted so far
-        k = self._k
-        for i in range(1, m.size):
-            proposed = cur_w + int(w[i])
-            q0 = w_before / total
-            q2 = (w_before + proposed) / total
-            if k(np.float64(q2)) - k(np.float64(q0)) <= 1.0:
-                cur_m = (cur_m * cur_w + float(m[i]) * int(w[i])) / proposed
-                cur_w = proposed
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_before += cur_w
-                cur_m, cur_w = float(m[i]), int(w[i])
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        return np.array(out_m), np.array(out_w, dtype=np.int64)
+        m, w = means[order].astype(np.float64), weights[order].astype(np.int64)
+        total = float(w.sum())
+        q_left = (np.cumsum(w) - w) / total
+        kcell = np.floor(self._k(q_left)).astype(np.int64)
+        bounds = np.nonzero(np.diff(kcell))[0] + 1
+        seg_starts = np.concatenate([[0], bounds])
+        out_w = np.add.reduceat(w, seg_starts)
+        out_m = np.add.reduceat(m * w, seg_starts) / out_w
+        return out_m, out_w.astype(np.int64)
 
     def merge(self, other: "TDigest") -> "TDigest":
         if self.delta != other.delta:
