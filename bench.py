@@ -22,6 +22,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 WEBPAGES_N = int(os.environ.get("GRAFT_WEBPAGES_N", "300000"))
+READ_N = int(os.environ.get("GRAFT_READ_N", "600000"))  # corpus cached on disk
 
 
 def log(msg: str) -> None:
@@ -216,8 +217,8 @@ def run_bench() -> dict:
     web = min((bench_webpages(WEBPAGES_N) for _ in range(3)), key=lambda r: r["sec"])
     queries["webpages_sketch_suite"] = round(web["sec"], 3)
     log(f"webpages: {web['sec']:.2f}s ({web['docs_per_sec']:.0f} docs/s)")
-    bench_read_webpages(WEBPAGES_N)  # warm (also builds the corpus once)
-    readw = min((bench_read_webpages(WEBPAGES_N) for _ in range(2)), key=lambda r: r["sec"])
+    bench_read_webpages(READ_N)  # warm (also builds the corpus once)
+    readw = min((bench_read_webpages(READ_N) for _ in range(2)), key=lambda r: r["sec"])
     queries["read_webpages_sketch"] = round(readw["sec"], 3)
     log(f"read_webpages: {readw['sec']:.2f}s ({readw['docs_per_sec']:.0f} docs/s)")
     for name, fn in [
@@ -242,6 +243,7 @@ def run_bench() -> dict:
         "webpages_docs_per_sec": round(web["docs_per_sec"], 1),
         "read_webpages_docs_per_sec": round(readw["docs_per_sec"], 1),
         "webpages_n": WEBPAGES_N,
+        "read_n": READ_N,
     }
     ray.shutdown()
     return result
@@ -274,9 +276,11 @@ def run_scaling() -> dict:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     dps_lo, dps_hi = r_lo["webpages_docs_per_sec"], r_hi["webpages_docs_per_sec"]
+    rd_lo, rd_hi = r_lo["read_webpages_docs_per_sec"], r_hi["read_webpages_docs_per_sec"]
     # efficiency on the north-star metric (sketch-build docs/sec,
     # BASELINE.json): throughput ratio normalized by the CPU ratio
     eff = (dps_hi / dps_lo) / (hi / lo)
+    eff_read = (rd_hi / rd_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -287,6 +291,9 @@ def run_scaling() -> dict:
         "sec_hi": t_hi,
         "docs_per_sec_lo": dps_lo,
         "docs_per_sec_hi": dps_hi,
+        "read_docs_per_sec_lo": rd_lo,
+        "read_docs_per_sec_hi": rd_hi,
+        "read_scaling_efficiency": round(eff_read, 3),
         "total_sec_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
