@@ -200,7 +200,7 @@ def q_q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty_c", alias_name="sq"),
@@ -231,7 +231,7 @@ def q_token_counts_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -273,7 +273,7 @@ def q_top_event_types(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
         .groupby("event_type")
         .aggregate(Sum("c", alias_name="n"))
         .to_pandas()
@@ -374,7 +374,7 @@ def q_bloom_customer_membership(sf_dir: str) -> pd.DataFrame:
             )
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    out = cust.map_batches(Probe, batch_format="pyarrow", concurrency=2).to_pandas()
+    out = cust.map_batches(Probe, batch_format="pyarrow", batch_size=None, concurrency=2).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -408,7 +408,7 @@ def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(
         LangId,
         fn_constructor_kwargs={"profiles_ref": ref},
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         concurrency=2,
     ).to_pandas()[["doc_id", "lang_pred"]]
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -422,7 +422,7 @@ def q_quality_scores_documents(sf_dir: str) -> pd.DataFrame:
         lambda b: quality_features_batch(b).select(
             ["doc_id", "n_tokens", "n_punct", "n_digit", "n_stopwords", "quality_score"]
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -446,7 +446,7 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    out = ds.map_batches(fp, batch_format="pyarrow", batch_size=None).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -526,7 +526,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
-        orders.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        orders.map_batches(AddNation, batch_format="pyarrow", batch_size=None, concurrency=2)
         .groupby("n_name")
         .aggregate(Sum("price_c", alias_name="sp"), Count(alias_name="n_orders"))
         .to_pandas()
@@ -556,7 +556,7 @@ def q_hourly_event_type_counts(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sv"))
         .to_pandas()
@@ -585,7 +585,7 @@ def q_windowed_quantiles_events(sf_dir: str) -> pd.DataFrame:
         return pa.table({"wkey": key, "value": b.column("value")})
 
     out = quantiles_by_group(
-        ds.map_batches(derive, batch_format="pyarrow"), "value", "wkey", qs=QS, alpha=ALPHA
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "value", "wkey", qs=QS, alpha=ALPHA
     ).to_pandas()
     out["est"] = _round6(out["est"])
     return out.sort_values(["wkey", "q"]).reset_index(drop=True)
@@ -609,7 +609,7 @@ def q_sliding_window_counts(sf_dir: str) -> pd.DataFrame:
     out = (
         ds.map_batches(
             lambda b: explode_sliding_windows(b, size_us=US_PER_HOUR, hop_us=US_PER_HOUR // 4),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
         )
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"))
@@ -664,7 +664,7 @@ def q_dds_turnstile_delete(sf_dir: str) -> pd.DataFrame:
         mask = pc.equal(pc.bit_wise_and(b.column("l_orderkey"), 1), 0)
         return b.filter(mask).select(["l_extendedprice"])
 
-    evens = ds.map_batches(evens_only, batch_format="pyarrow")
+    evens = ds.map_batches(evens_only, batch_format="pyarrow", batch_size=None)
     # distributed delete: per-block value arrays stream to the driver and
     # decrement the merged sketch (turnstile is a per-sketch op; at scale
     # you'd sketch the deletes and subtract bucket-wise — same math)
@@ -732,7 +732,7 @@ def q_union_filter_orders(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        both.map_batches(partial, batch_format="pyarrow")
+        both.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("o_orderstatus")
         .aggregate(Sum("c", alias_name="n"))
         .to_pandas()
@@ -751,7 +751,7 @@ def q_text_stats_documents(sf_dir: str) -> pd.DataFrame:
         lambda b: quality_features_batch(b).select(
             ["doc_id", "n_tokens", "n_punct", "n_digit", "n_stopwords"]
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 

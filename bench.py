@@ -5,7 +5,7 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N, "webpages_docs_per_sec": ...}
 
 ``--scaling``: runs the same bench in two fresh processes at
-num_cpus=8 and num_cpus=32 (the sandbox stand-in for N → 4N nodes) and
+two CPU counts (default 4 and 16; GRAFT_SCALE_LO/HI — the sandbox stand-in for N → 4N nodes) and
 reports both throughputs plus scaling efficiency.
 
 All progress goes to stderr; stdout carries only the JSON line.
@@ -88,7 +88,7 @@ def bench_read_webpages(n: int) -> dict:
             }
         )
 
-    res = ds.map_batches(derive, batch_format="pyarrow").aggregate(
+    res = ds.map_batches(derive, batch_format="pyarrow", batch_size=None).aggregate(
         DDSketchAgg(on="text_len", qs=[0.5, 0.95, 0.99], alias_name="q"),
         HLLAgg(on="url", alias_name="u"),
         HeavyHittersAgg(on="lang", alias_name="l"),
@@ -160,7 +160,7 @@ def bench_token_quality() -> float:
     ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     ds.map_batches(
         lambda b: quality_features_batch(b).select(["doc_id", "n_tokens", "quality_score"]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     ).materialize()
     return time.perf_counter() - t0
 

@@ -94,7 +94,7 @@ def brute_force_topk(
             "emb_col": emb_col,
             "k": k + (1 if exclude_self else 0),
         },
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         concurrency=concurrency,
     )
 
@@ -192,7 +192,7 @@ def lsh_bucketed_topk(
             "emb_col": emb_col,
             "k": k + (1 if exclude_self else 0),
         },
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         concurrency=concurrency,
     )
 
@@ -253,4 +253,4 @@ def embedding_near_dup_pairs(
                 }
             )
 
-    return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=None, concurrency=concurrency)

@@ -47,7 +47,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", seed: int = 
         lambda b: content_hash_batch(b, text_col=text_col, seed=seed).select(
             ["content_hash", id_col]
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
     from ray.data.aggregate import Min
 
@@ -251,7 +251,7 @@ def hot_bucket_pairs(band_rows, id_col: str, driver_threshold: int = 2_000_000):
             return t.filter(pa.array(mask))
 
     cand = band_rows.map_batches(
-        HotFilter, batch_format="pyarrow", concurrency=2
+        HotFilter, batch_format="pyarrow", batch_size=None, concurrency=2
     ).to_pandas()
     return _chain_pairs(cand, id_col)
 
@@ -259,7 +259,7 @@ def hot_bucket_pairs(band_rows, id_col: str, driver_threshold: int = 2_000_000):
 def minhash_lsh_candidates(ds_sigs, id_col: str = "doc_id", bands: int = 16):
     """(a, b) candidate id pairs (a < b) sharing at least one LSH bucket."""
     band_rows = ds_sigs.map_batches(
-        lambda b: lsh_band_rows(b, id_col=id_col, bands=bands), batch_format="pyarrow"
+        lambda b: lsh_band_rows(b, id_col=id_col, bands=bands), batch_format="pyarrow", batch_size=None
     ).materialize()  # scanned twice (count pass + filter pass)
     return hot_bucket_pairs(band_rows, id_col)
 
@@ -307,7 +307,7 @@ def minhash_dedup(
         lambda b: minhash_signature_batch(
             b, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed
         ).select([id_col, "minhash_sig"]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     ).materialize()  # signatures are small (id + num_perm*8B); reused twice
     pairs = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands)
     sig_tbl = sigs.to_pandas()
@@ -369,7 +369,7 @@ def simhash_dedup(
     """
     fps_ds = ds.map_batches(
         lambda b: simhash_batch(b, text_col=text_col, seed=seed).select([id_col, "simhash"]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -390,7 +390,7 @@ def simhash_dedup(
         )
 
     fps_ds = fps_ds.materialize()  # reused: banding pass + verify map
-    banded = fps_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
+    banded = fps_ds.map_batches(band_rows, batch_format="pyarrow", batch_size=None).materialize()
     pairs = hot_bucket_pairs(banded, id_col)
     fp_tbl = fps_ds.to_pandas()
     fp_map = dict(zip(fp_tbl[id_col].astype(int), fp_tbl["simhash"].astype(np.int64)))

@@ -44,7 +44,7 @@ def quantiles_by_group_salted(
         s = (hash_floats(v, seed=7) % np.uint64(salt)).astype(np.int64)
         return batch.append_column("_salt", pa.array(s))
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
     stage1 = salted.groupby([group_col, "_salt"]).aggregate(
         DDSketchAgg(on=value_col, alpha=alpha, alias_name="_sk")  # bytes finalize
     )
@@ -70,4 +70,4 @@ def quantiles_by_group_salted(
             }
         )
 
-    return stage2.map_batches(explode, batch_format="pyarrow")
+    return stage2.map_batches(explode, batch_format="pyarrow", batch_size=None)

@@ -84,7 +84,7 @@ def webpages_sketch_report(
     if "text_len" in schema_names:  # caller already derived (fused path)
         feats = ds
     else:
-        feats = ds.map_batches(derive_page_features, batch_format="pyarrow")
+        feats = ds.map_batches(derive_page_features, batch_format="pyarrow", batch_size=None)
     aggs = [
         DDSketchAgg(on="text_len", qs=list(qs), alpha=alpha, alias_name="q_text_len"),
         DDSketchAgg(on="html_len", qs=list(qs), alpha=alpha, alias_name="q_html_len"),
@@ -157,4 +157,4 @@ def quantiles_by_group(
             }
         )
 
-    return grouped.map_batches(explode, batch_format="pyarrow")
+    return grouped.map_batches(explode, batch_format="pyarrow", batch_size=None)

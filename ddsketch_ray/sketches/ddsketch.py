@@ -156,12 +156,34 @@ class DDSketch:
         if v.size == 0:
             return
         keys = self.keys_for(v)
-        uk, counts = np.unique(keys, return_counts=True)
         bins = self.bins
-        for k, c in zip(uk.tolist(), counts.tolist()):
-            bins[k] = bins.get(k, 0) + c
+        for uk, counts in self._group_keys(keys):
+            for k, c in zip(uk.tolist(), counts.tolist()):
+                bins[k] = bins.get(k, 0) + c
         self.n += int(v.size)
         self._enforce_limit()
+
+    @staticmethod
+    def _group_keys(keys: np.ndarray):
+        """(unique_keys, counts) pairs. Within one sign zone the key span
+        is tiny (≈ ln(DBL_MAX/DBL_MIN)/ln γ ≈ 1e5), so np.bincount over
+        the shifted zone beats sort-based np.unique by ~10×; the rare
+        wide-span case falls back to unique."""
+        for zone in (keys > 0, keys < 0):
+            if not zone.any():
+                continue
+            zk = keys[zone]
+            kmin = int(zk.min())
+            span = int(zk.max()) - kmin + 1
+            if span <= max(4 * zk.size, 1 << 18):
+                counts = np.bincount(zk - kmin)
+                nz = np.nonzero(counts)[0]
+                yield nz + kmin, counts[nz]
+            else:  # pragma: no cover - needs pathological key spread
+                yield np.unique(zk, return_counts=True)
+        n_zero = int((keys == 0).sum())
+        if n_zero:
+            yield np.array([0], dtype=np.int64), np.array([n_zero], dtype=np.int64)
 
     def add(self, value: float) -> None:
         """Single insert with the reference's per-item limit check."""

@@ -45,7 +45,7 @@ def read_values_csv(paths, column: str = "value"):
             col = pc.cast(col, pa.float64())
         return pa.table({column: col})
 
-    return ds.map_batches(coerce, batch_format="pyarrow")
+    return ds.map_batches(coerce, batch_format="pyarrow", batch_size=None)
 
 
 def read_webpages(paths, columns=None, **kwargs):

@@ -181,7 +181,7 @@ def generate_webpages(
         return webpages_table_for_indices(ids, seed=seed, ln_mu=ln_mu, ln_sigma=ln_sigma)
 
     ds = rd.range(n, override_num_blocks=override_num_blocks)
-    return ds.map_batches(gen, batch_format="pyarrow")
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
 def write_webpages_fixture(
@@ -216,4 +216,4 @@ def generate_page_features(
         return derive_page_features(pages)
 
     ds = rd.range(n, override_num_blocks=override_num_blocks)
-    return ds.map_batches(gen, batch_format="pyarrow")
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
