@@ -47,6 +47,19 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _embedding_queries(sf_dir: str, max_id: int = 10) -> dict:
+    """Query matrix for the ANN queries: {ids, mat(float64)}; one shared
+    builder so the gate and its variants can never diverge."""
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), max_id))
+    return {
+        "ids": qt.column("vec_id").to_numpy(),
+        "mat": np.stack(
+            [np.asarray(e, dtype=np.float64) for e in qt.column("embedding").to_pylist()]
+        ),
+    }
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -71,7 +84,7 @@ def entry() -> pd.DataFrame:
 
     li = _read(sf, "lineitem", ["l_extendedprice"])
     res = li.aggregate(
-        DDSketchAgg(on="l_extendedprice", qs=QS, alpha=ALPHA, alias_name="dds"),
+        DDSketchAgg(on="l_extendedprice", qs=QS, alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="dds"),
         TDigestAgg(on="l_extendedprice", qs=[0.5], alias_name="td"),
         KLLAgg(on="l_extendedprice", qs=[0.5], alias_name="kll"),
     )
@@ -143,7 +156,7 @@ def q_dds_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     out = quantiles_by_group(
-        ds, "value", "event_type", qs=QS, alpha=ALPHA, alias="est"
+        ds, "value", "event_type", qs=QS, alpha=ALPHA, alias="est", bin_limit=BIN_LIMIT
     ).to_pandas()
     out["est"] = _round6(out["est"])
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
@@ -292,12 +305,7 @@ def q_distinct_custkeys(sf_dir: str) -> pd.DataFrame:
 def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     from ddsketch_ray.functions.ann import brute_force_topk
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = qt.filter(pc.less(qt.column("vec_id"), 10))
-    queries = {
-        "ids": qt.column("vec_id").to_numpy(),
-        "mat": np.stack([np.asarray(e, dtype=np.float64) for e in qt.column("embedding").to_pylist()]),
-    }
+    queries = _embedding_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = brute_force_topk(ds, queries, k=5).to_pandas()
     out["rank"] = out["rank"].astype(np.int64)
@@ -399,9 +407,17 @@ def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
 
     from ddsketch_ray.functions.text import LangId, fit_lang_profiles
 
-    sample = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
-    ).to_pandas()
+    # bounded labeled sample (NOT the full table: at the design scale a
+    # full-text driver read is an OOM) — first batches up to 2000 rows
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    batches = []
+    seen = 0
+    for b in pf.iter_batches(columns=["text", "lang"], batch_size=512):
+        batches.append(b)
+        seen += b.num_rows
+        if seen >= 2000:
+            break
+    sample = pa.Table.from_batches(batches).to_pandas()
     profiles = fit_lang_profiles(sample["text"], sample["lang"])
     ref = ray.put(profiles)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -453,12 +469,7 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 def q_lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     from ddsketch_ray.functions.ann import lsh_bucketed_topk
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = qt.filter(pc.less(qt.column("vec_id"), 10))
-    queries = {
-        "ids": qt.column("vec_id").to_numpy(),
-        "mat": np.stack([np.asarray(e, dtype=np.float64) for e in qt.column("embedding").to_pylist()]),
-    }
+    queries = _embedding_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = lsh_bucketed_topk(ds, queries, k=5, n_planes=4).to_pandas()
     out["rank"] = out["rank"].astype(np.int64)
@@ -471,7 +482,8 @@ def q_salted_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     out = quantiles_by_group_salted(
-        ds, "value", "event_type", qs=QS, alpha=ALPHA, salt=8, alias="est"
+        ds, "value", "event_type", qs=QS, alpha=ALPHA, salt=8, alias="est",
+        bin_limit=BIN_LIMIT,
     ).to_pandas()
     out["est"] = _round6(out["est"])
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
@@ -585,7 +597,8 @@ def q_windowed_quantiles_events(sf_dir: str) -> pd.DataFrame:
         return pa.table({"wkey": key, "value": b.column("value")})
 
     out = quantiles_by_group(
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "value", "wkey", qs=QS, alpha=ALPHA
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None),
+        "value", "wkey", qs=QS, alpha=ALPHA, bin_limit=BIN_LIMIT,
     ).to_pandas()
     out["est"] = _round6(out["est"])
     return out.sort_values(["wkey", "q"]).reset_index(drop=True)

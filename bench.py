@@ -180,11 +180,9 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # Default 0.5 reserves half the CPUs for downstream operators; our
-    # downstream is a KB-sized sketch merge, so the reservation just idles
-    # half the cluster during the map-heavy phase (measured 1.85x on the
-    # webpages suite at 32 CPUs).
-    ctx.op_resource_reservation_ratio = 0.2
+    from ddsketch_ray import tune_for_sketch_pipelines
+
+    tune_for_sketch_pipelines()  # single source of the executor settings
 
     # Page-cache warmup for the inputs (untimed).
     import pyarrow.parquet as pq

@@ -34,6 +34,7 @@ def quantiles_by_group_salted(
     alpha: float = 0.008,
     salt: int = 8,
     alias: str = "est",
+    bin_limit: int = 2048,
 ):
     """Long-format (group_col, q, alias) like pipelines.quantiles_by_group,
     via the salted two-stage plan."""
@@ -46,7 +47,7 @@ def quantiles_by_group_salted(
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
     stage1 = salted.groupby([group_col, "_salt"]).aggregate(
-        DDSketchAgg(on=value_col, alpha=alpha, alias_name="_sk")  # bytes finalize
+        DDSketchAgg(on=value_col, alpha=alpha, bin_limit=bin_limit, alias_name="_sk")  # bytes finalize
     )
     stage2 = stage1.groupby(group_col).aggregate(
         MergeSketchBytesAgg(on="_sk", alias_name="_merged")

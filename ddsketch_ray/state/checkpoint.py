@@ -79,9 +79,26 @@ class CheckpointedSketchJob:
         return os.path.join(self.dir, f"part-{part_id:05d}.parquet")
 
     def pending_partitions(self) -> list[int]:
-        return [
-            i for i in range(len(self.partitions)) if not os.path.exists(self._part_path(i))
-        ]
+        """Partitions with no part file OR whose stored lineage does not
+        match the current partition spec (the input file list may have
+        changed between runs — a stale part must be recomputed, not
+        silently reused under the same index)."""
+        pending = []
+        for i in range(len(self.partitions)):
+            path = self._part_path(i)
+            if not os.path.exists(path):
+                pending.append(i)
+                continue
+            try:
+                stored = pq.read_table(path, columns=["input_files"]).column(
+                    "input_files"
+                )[0].as_py()
+            except Exception:
+                pending.append(i)  # unreadable part: recompute
+                continue
+            if stored != json.dumps(self.partitions[i]):
+                pending.append(i)
+        return pending
 
     def run(self, concurrency: int = 4) -> object:
         """Process pending partitions (skipping checkpointed ones), then
@@ -163,15 +180,19 @@ class CheckpointedSketchJob:
         return self.merged_sketch()
 
     def merged_sketch(self) -> object:
-        return load_merged_sketches(self.dir)
+        # merge only THIS job's partition ids — orphan part files from an
+        # older layout with more partitions must not leak into the result
+        return load_merged_sketches(
+            self.dir, files=[self._part_path(i) for i in range(len(self.partitions))]
+        )
 
     def manifest(self) -> pa.Table:
-        """Lineage + metrics across all completed partitions."""
-        files = sorted(
-            os.path.join(self.dir, f)
-            for f in os.listdir(self.dir)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
+        """Lineage + metrics across this job's completed partitions."""
+        files = [
+            self._part_path(i)
+            for i in range(len(self.partitions))
+            if os.path.exists(self._part_path(i))
+        ]
         tables = [
             pq.read_table(f, columns=["part_id", "input_files", "row_count", "byte_count", "wall_s"])
             for f in files
@@ -179,14 +200,18 @@ class CheckpointedSketchJob:
         return pa.concat_tables(tables)
 
 
-def load_merged_sketches(part_dir: str) -> object:
-    """Merge every part file's sketch (associative reduce on the driver;
-    part sketches are KBs, so thousands of partitions merge in seconds)."""
-    files = sorted(
-        os.path.join(part_dir, f)
-        for f in os.listdir(part_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
+def load_merged_sketches(part_dir: str, files: list[str] | None = None) -> object:
+    """Merge part sketches (associative reduce on the driver; part
+    sketches are KBs, so thousands of partitions merge in seconds).
+    ``files`` restricts to a specific part list (a job's own ids)."""
+    if files is None:
+        files = sorted(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+    else:
+        files = [f for f in files if os.path.exists(f)]
     if not files:
         raise FileNotFoundError(f"no part files in {part_dir}")
     merged = None

@@ -92,14 +92,18 @@ def main() -> int:
 
     man = job.manifest().to_pandas()
     qs = [float(q) for q in args.qs.split(",")]
+    recomputed = man[man["part_id"].isin(pending)]
     result = {
         "run_id": job.run_id,
         "rows": int(man["row_count"].sum()),
         "bytes": int(man["byte_count"].sum()),
         "partitions": len(man),
         "recomputed_partitions": len(pending),
+        "recomputed_rows": int(recomputed["row_count"].sum()),
         "wall_s": round(wall, 3),
-        "rows_per_sec": round(int(man["row_count"].sum()) / max(wall, 1e-9), 1),
+        # throughput over THIS run's recomputed work only (a pure-resume
+        # run merging cached parts would otherwise report absurd rates)
+        "rows_per_sec": round(int(recomputed["row_count"].sum()) / max(wall, 1e-9), 1),
         "quantiles": {str(q): float(v) for q, v in zip(qs, sketch.quantiles(qs))},
         "sketch_bins": sketch.size,
         "alpha_effective": sketch.alpha,

@@ -9,6 +9,7 @@ def ray_session():
     """One Ray session for the whole test run (driver requirement)."""
     import ray
 
+    created = False
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -17,11 +18,13 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        created = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
     yield ray
-    ray.shutdown()
+    if created:  # never tear down a session someone else owns
+        ray.shutdown()
 
 
 # The reference's six test distributions (/root/reference/main.cpp:175-181),

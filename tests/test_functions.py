@@ -21,7 +21,6 @@ from ddsketch_ray.functions.text import (
     token_count_batch,
 )
 
-SF = "/root/testdata/sf0.01"
 
 
 def _docs_table(texts, ids=None):
