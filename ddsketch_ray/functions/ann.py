@@ -32,8 +32,9 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BatchTopK:
-    """Actor-pool stage: per-batch brute-force cosine top-k candidates.
-    Query matrix is fetched once per actor in __init__ (broadcast)."""
+    """Per-batch brute-force cosine top-k scorer. Used inside stateless
+    map_batches tasks: the broadcast query matrix is a plasma object
+    fetched zero-copy per task (ray.get of shared memory)."""
 
     def __init__(self, queries_ref, id_col: str, emb_col: str, k: int):
         try:
@@ -85,18 +86,18 @@ def brute_force_topk(
     """
     import ray
 
+    # Stateless tasks, not an actor pool: the only "state" is the
+    # broadcast query matrix, which lives in the object store (ray.put
+    # once) and is fetched zero-copy per task — no pool spawn cost, and
+    # the scheduler elastically uses whatever CPUs are free.
     ref = ray.put(queries)
-    cands = ds.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ref,
-            "id_col": id_col,
-            "emb_col": emb_col,
-            "k": k + (1 if exclude_self else 0),
-        },
-        batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency,
-    )
+    kk = k + (1 if exclude_self else 0)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        worker = BatchTopK(ref, id_col, emb_col, kk)
+        return worker(batch)
+
+    cands = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=None)
 
     def finalize(group):
         g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
@@ -184,17 +185,13 @@ def lsh_bucketed_topk(
             sub = batch.filter(pa.array(mask))
             return super().__call__(sub)
 
-    cands = ds.map_batches(
-        BucketTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ref,
-            "id_col": id_col,
-            "emb_col": emb_col,
-            "k": k + (1 if exclude_self else 0),
-        },
-        batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency,
-    )
+    kk = k + (1 if exclude_self else 0)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        worker = BucketTopK(ref, id_col, emb_col, kk)
+        return worker(batch)
+
+    cands = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=None)
 
     def finalize(group):
         g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
@@ -253,4 +250,7 @@ def embedding_near_dup_pairs(
                 }
             )
 
-    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+    def find_pairs(batch: pa.Table) -> pa.Table:
+        return PairFinder()(batch)
+
+    return ds.map_batches(find_pairs, batch_format="pyarrow", batch_size=None)
