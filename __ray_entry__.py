@@ -789,6 +789,25 @@ def q_dds_quantiles_price_lastmode(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": QS, "est": _round6(res["q"])})
 
 
+def q_dds_quantiles_price_firstmode(sf_dir: str) -> pd.DataFrame:
+    """First-bucket collapse mode through the distributed aggregate
+    (same oracle as collapse mode while the bin limit is unreached)."""
+    from ddsketch_ray.agg import DDSketchAgg
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(
+        DDSketchAgg(
+            on="l_extendedprice",
+            qs=QS,
+            alpha=ALPHA,
+            bin_limit=BIN_LIMIT,
+            mode="first",
+            alias_name="q",
+        )
+    )
+    return pd.DataFrame({"q": QS, "est": _round6(res["q"])})
+
+
 def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     """Flagship webpages sketch suite over the deterministic synthetic
     generator (the north-star input table; no file needed)."""
@@ -854,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_filter_orders": q_union_filter_orders,
         "text_stats_documents": q_text_stats_documents,
         "dds_quantiles_price_lastmode": q_dds_quantiles_price_lastmode,
+        "dds_quantiles_price_firstmode": q_dds_quantiles_price_firstmode,
     }
 
 
@@ -936,6 +956,7 @@ ORDER BY l_returnflag, l_linestatus
 SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 """,
         "dds_quantiles_price_lastmode": _dds_sql("lineitem", "l_extendedprice"),
+        "dds_quantiles_price_firstmode": _dds_sql("lineitem", "l_extendedprice"),
         "text_stats_documents": r"""
 WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents)
 SELECT doc_id,
