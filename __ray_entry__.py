@@ -808,6 +808,29 @@ def q_dds_quantiles_price_firstmode(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": QS, "est": _round6(res["q"])})
 
 
+def q_dds_quantiles_price_pushdown(sf_dir: str) -> pd.DataFrame:
+    """Predicate pushdown at the read: the row filter is a pyarrow
+    dataset expression handed to read_parquet, so non-matching row
+    groups never leave storage (column pruning + row pruning together
+    are the 100 TB read discipline)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ddsketch_ray.agg import DDSketchAgg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice"],
+        filter=pads.field("l_quantity") > 25,
+    )
+    res = ds.aggregate(
+        DDSketchAgg(
+            on="l_extendedprice", qs=QS, alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="q"
+        )
+    )
+    return pd.DataFrame({"q": QS, "est": _round6(res["q"])})
+
+
 def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     """Flagship webpages sketch suite over the deterministic synthetic
     generator (the north-star input table; no file needed)."""
@@ -874,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_documents": q_text_stats_documents,
         "dds_quantiles_price_lastmode": q_dds_quantiles_price_lastmode,
         "dds_quantiles_price_firstmode": q_dds_quantiles_price_firstmode,
+        "dds_quantiles_price_pushdown": q_dds_quantiles_price_pushdown,
     }
 
 
@@ -957,6 +981,9 @@ SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text ORDER BY doc_i
 """,
         "dds_quantiles_price_lastmode": _dds_sql("lineitem", "l_extendedprice"),
         "dds_quantiles_price_firstmode": _dds_sql("lineitem", "l_extendedprice"),
+        "dds_quantiles_price_pushdown": _dds_sql(
+            "lineitem", "l_extendedprice", where="WHERE l_quantity > 25"
+        ),
         "text_stats_documents": r"""
 WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents)
 SELECT doc_id,
