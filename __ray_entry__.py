@@ -831,6 +831,20 @@ def q_dds_quantiles_price_pushdown(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": QS, "est": _round6(res["q"])})
 
 
+def q_top_orders_by_price(sf_dir: str) -> pd.DataFrame:
+    """Distributed sort + limit (ds.sort is a full range-partitioned
+    shuffle; the limit then takes the head) — deterministic via the
+    orderkey tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     """Flagship webpages sketch suite over the deterministic synthetic
     generator (the north-star input table; no file needed)."""
@@ -898,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dds_quantiles_price_lastmode": q_dds_quantiles_price_lastmode,
         "dds_quantiles_price_firstmode": q_dds_quantiles_price_firstmode,
         "dds_quantiles_price_pushdown": q_dds_quantiles_price_pushdown,
+        "top_orders_by_price": q_top_orders_by_price,
     }
 
 
@@ -1009,6 +1024,10 @@ FROM documents GROUP BY lang ORDER BY lang
         "top_event_types": """
 SELECT event_type, COUNT(*)::BIGINT AS n FROM events
 GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+""",
+        "top_orders_by_price": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
         "distinct_custkeys": """
 SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
