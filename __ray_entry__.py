@@ -661,36 +661,47 @@ def q_dds_buckets_price(sf_dir: str) -> pd.DataFrame:
 
 
 def q_dds_turnstile_delete(sf_dir: str) -> pd.DataFrame:
-    """Turnstile semantics (DDS_DeleteCollapse, ddsketch.cc:342-392):
-    sketch everything, then delete the even-orderkey rows; with no
-    collapse the counts cancel exactly, so quantiles equal a sketch of
-    only the odd-orderkey rows (the oracle computes exactly that)."""
+    """Distributed turnstile delete (DDS_DeleteCollapse semantics,
+    ddsketch.cc:342-392): ONE pass aggregates both the full stream and
+    the delete stream (even orderkeys) into two sketches — map-side
+    combine, only KB-sized sketch state shuffles — then the delete
+    sketch is subtracted bucket-wise on the driver. With no collapse
+    the counts cancel exactly, so quantiles equal a sketch of only the
+    odd-orderkey rows (the oracle computes exactly that)."""
     from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
-    res = ds.aggregate(
-        DDSketchAgg(on="l_extendedprice", alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="all")
+
+    def with_deletes(b: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(b.column("l_orderkey"), 1), 0)
+        price = b.column("l_extendedprice")
+        return pa.table(
+            {
+                "price": price,
+                # delete stream as a second column (null = not deleted)
+                "del_price": pc.if_else(even, price, pa.scalar(None, pa.float64())),
+            }
+        )
+
+    res = ds.map_batches(with_deletes, batch_format="pyarrow", batch_size=None).aggregate(
+        DDSketchAgg(on="price", alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="all"),
+        DDSketchAgg(on="del_price", alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="dels"),
     )
-    sk = sketch_from_result(res["all"])
-
-    def evens_only(b: pa.Table) -> pa.Table:
-        mask = pc.equal(pc.bit_wise_and(b.column("l_orderkey"), 1), 0)
-        return b.filter(mask).select(["l_extendedprice"])
-
-    evens = ds.map_batches(evens_only, batch_format="pyarrow", batch_size=None)
-    # distributed delete: per-block value arrays stream to the driver and
-    # decrement the merged sketch (turnstile is a per-sketch op; at scale
-    # you'd sketch the deletes and subtract bucket-wise — same math)
-    for batch in evens.iter_batches(batch_format="pyarrow", batch_size=65536):
-        sk.delete_array(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+    sk = sketch_from_result(res["all"]).subtract_sketch(sketch_from_result(res["dels"]))
     return pd.DataFrame({"q": QS, "est": _round6(sk.quantiles(QS))})
 
 
 def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Banded sign-LSH near-dup (never all-pairs): band params tuned for
+    the low gate threshold (r=2, L=24 → per-pair miss 5e-6 at cos 0.4);
+    exact-cosine verify makes precision 1, so the exact SQL oracle
+    matches."""
     from ddsketch_ray.functions.ann import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = embedding_near_dup_pairs(ds, threshold=0.4).to_pandas()
+    out = embedding_near_dup_pairs(
+        ds, threshold=0.4, n_bands=24, planes_per_band=2, max_bucket_pairs=10000
+    ).to_pandas()
     if out.empty:
         out = pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
     out = out[["a", "b"]].astype(np.int64)
@@ -1092,6 +1103,12 @@ s AS (
   FROM o
 )
 SELECT user_id, SUM(brk)::BIGINT AS n_sessions FROM s GROUP BY user_id ORDER BY user_id
+""",
+        "embedding_near_dup": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY a, b
 """,
         "ann_topk_embeddings": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),

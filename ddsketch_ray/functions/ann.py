@@ -45,7 +45,10 @@ class BatchTopK:
         except ImportError:  # pragma: no cover
             pass
         self.query_ids = np.asarray(queries_ref["ids"], dtype=np.int64)
-        self.qmat = _normalize(np.asarray(queries_ref["mat"], dtype=np.float64))
+        qmat = np.asarray(queries_ref["mat"], dtype=np.float64)
+        # callers that broadcast may pre-normalize once (normalized=True)
+        # so the per-task constructor is just a zero-copy ray.get
+        self.qmat = qmat if queries_ref.get("normalized") else _normalize(qmat)
         self.id_col, self.emb_col, self.k = id_col, emb_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -88,9 +91,16 @@ def brute_force_topk(
 
     # Stateless tasks, not an actor pool: the only "state" is the
     # broadcast query matrix, which lives in the object store (ray.put
-    # once) and is fetched zero-copy per task — no pool spawn cost, and
-    # the scheduler elastically uses whatever CPUs are free.
-    ref = ray.put(queries)
+    # once, pre-normalized once here) and is fetched zero-copy per task
+    # — no pool spawn cost, and the scheduler elastically uses whatever
+    # CPUs are free.
+    ref = ray.put(
+        {
+            "ids": np.asarray(queries["ids"], dtype=np.int64),
+            "mat": _normalize(np.asarray(queries["mat"], dtype=np.float64)),
+            "normalized": True,
+        }
+    )
     kk = k + (1 if exclude_self else 0)
 
     def score_batch(batch: pa.Table) -> pa.Table:
@@ -114,6 +124,18 @@ def brute_force_topk(
     return out
 
 
+def random_planes(n_planes: int, d: int, seed: int = 0) -> np.ndarray:
+    """Deterministic (n_planes, d) Gaussian hyperplanes from seeded
+    splitmix bits (Box-Muller) — identical on every worker, no RNG
+    state to ship."""
+    n_f = n_planes * d
+    h1 = splitmix64(np.arange(n_f, dtype=np.uint64) + np.uint64(seed * 7919 + 13))
+    h2 = splitmix64(np.arange(n_f, dtype=np.uint64) + np.uint64(seed * 104729 + 17))
+    u1 = np.clip((h1 >> np.uint64(11)).astype(np.float64) / float(1 << 53), 1e-12, 1)
+    u2 = (h2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)).reshape(n_planes, d)
+
+
 def lsh_bucketed_topk(
     ds,
     queries: dict,
@@ -132,13 +154,7 @@ def lsh_bucketed_topk(
 
     qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
     d = qmat.shape[1]
-    # deterministic hyperplanes from seeded splitmix bits (Box-Muller)
-    n_f = n_planes * d
-    h1 = splitmix64(np.arange(n_f, dtype=np.uint64) + np.uint64(seed * 7919 + 13))
-    h2 = splitmix64(np.arange(n_f, dtype=np.uint64) + np.uint64(seed * 104729 + 17))
-    u1 = np.clip((h1 >> np.uint64(11)).astype(np.float64) / float(1 << 53), 1e-12, 1)
-    u2 = (h2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-    planes = (np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)).reshape(n_planes, d)
+    planes = random_planes(n_planes, d, seed=seed)
 
     def bucket_of(m: np.ndarray) -> np.ndarray:
         bits = (m @ planes.T) >= 0
@@ -212,45 +228,85 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
+    n_bands: int = 16,
+    planes_per_band: int = 3,
+    seed: int = 0,
     concurrency: int = 2,
+    max_bucket_pairs: int = 64,
 ):
-    """All (a < b) pairs with cosine ≥ threshold. Strategy: every batch
-    scores against the (broadcast) full normalized matrix — fine while the
-    corpus side fits a worker (the IVF/LSH variant is the scale path)."""
-    import ray
+    """All (a < b) pairs with cosine ≥ threshold, found by banded
+    sign-LSH (the scale path — never an all-pairs scan):
 
-    full = ds.to_pandas()
-    ids = full[id_col].to_numpy(dtype=np.int64)
-    mat = np.stack([np.asarray(e, dtype=np.float64) for e in full[emb_col]])
-    ref = ray.put({"ids": ids, "mat": _normalize(mat)})
+    1. each embedding emits one (band, band_hash, id) row per band,
+       band_hash = the sign pattern under that band's hyperplanes;
+    2. candidate pairs = ids sharing any (band, band_hash) bucket —
+       the same hot-bucket machinery MinHash-LSH uses (only fixed-width
+       band rows enter the shuffle, never vectors);
+    3. exact cosine verify on a semi-join gather of the candidate-pair
+       embeddings (driver holds O(pairs) vectors, never the corpus).
 
-    class PairFinder:
-        def __init__(self):
-            payload = ray.get(ref)
-            self.ids = payload["ids"]
-            self.mat = payload["mat"]
+    Recall is 1-(1-p^r)^L per pair with p = 1 - acos(cos)/π; the
+    defaults (r=3, L=16) are tuned for near-dup thresholds (≈1 above
+    cosine 0.9). Low thresholds need fewer bits per band and more bands
+    (e.g. r=2, L=24 → miss 5e-6 per pair at cosine 0.4) plus a larger
+    ``max_bucket_pairs`` cap, because low-similarity buckets are
+    inherently crowded — the cap keeps candidate volume explicit and
+    logged rather than silently truncated. Bits per band should grow
+    with corpus size (buckets ≈ n / expected cluster size).
+    Returns a pyarrow Table (a, b, cosine) — verified pairs only.
+    """
+    from ddsketch_ray.functions.dedup import gather_rows_for_ids, hot_bucket_pairs
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _normalize(_embedding_matrix(batch, emb_col))
-            bids = batch.column(id_col).to_numpy()
-            sims = emb @ self.mat.T
-            rows_a, rows_b, rows_s = [], [], []
-            hit_r, hit_c = np.nonzero(sims >= threshold)
-            for r, c in zip(hit_r.tolist(), hit_c.tolist()):
-                a, b = int(bids[r]), int(self.ids[c])
-                if a < b:
-                    rows_a.append(a)
-                    rows_b.append(b)
-                    rows_s.append(float(sims[r, c]))
-            return pa.table(
-                {
-                    "a": pa.array(rows_a, type=pa.int64()),
-                    "b": pa.array(rows_b, type=pa.int64()),
-                    "cosine": pa.array(rows_s, type=pa.float64()),
-                }
-            )
+    # probe d from the schema (first row only — no corpus materialization)
+    first = ds.limit(1).take_batch(1, batch_format="pyarrow")
+    d = len(first.column(emb_col)[0])
+    planes = random_planes(n_bands * planes_per_band, d, seed=seed)
 
-    def find_pairs(batch: pa.Table) -> pa.Table:
-        return PairFinder()(batch)
+    def band_rows(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(batch, emb_col))
+        ids = batch.column(id_col).combine_chunks()
+        bits = (emb @ planes.T) >= 0  # (n, L*r)
+        n = emb.shape[0]
+        hashes = np.zeros((n_bands, n), dtype=np.int64)
+        for l in range(n_bands):
+            for j in range(planes_per_band):
+                hashes[l] |= bits[:, l * planes_per_band + j].astype(np.int64) << j
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int64), n)),
+                "band_hash": pa.array(hashes.ravel()),
+                id_col: pa.concat_arrays([ids] * n_bands),
+            }
+        )
 
-    return ds.map_batches(find_pairs, batch_format="pyarrow", batch_size=None)
+    banded = ds.map_batches(band_rows, batch_format="pyarrow", batch_size=None).materialize()
+    pairs = hot_bucket_pairs(banded, id_col, max_bucket_pairs=max_bucket_pairs)
+    if not len(pairs):
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+    cand = gather_rows_for_ids(ds.select_columns([id_col, emb_col]), cand_ids, id_col)
+    order = np.argsort(cand[id_col].to_numpy(), kind="stable")
+    sorted_ids = cand[id_col].to_numpy()[order]
+    mat = _normalize(
+        np.stack([np.asarray(e, dtype=np.float64) for e in cand[emb_col].to_numpy()[order]])
+    )
+    ai = np.searchsorted(sorted_ids, pairs["a"].to_numpy())
+    bi = np.searchsorted(sorted_ids, pairs["b"].to_numpy())
+    cos = (mat[ai] * mat[bi]).sum(axis=1)
+    keep = cos >= threshold
+    a = pairs["a"].to_numpy()[keep]
+    b = pairs["b"].to_numpy()[keep]
+    o = np.lexsort((b, a))
+    return pa.table(
+        {
+            "a": pa.array(a[o], type=pa.int64()),
+            "b": pa.array(b[o], type=pa.int64()),
+            "cosine": pa.array(cos[keep][o], type=pa.float64()),
+        }
+    )

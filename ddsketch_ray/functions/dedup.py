@@ -192,7 +192,12 @@ def _chain_pairs(df, id_col: str, max_bucket_pairs: int = 64):
     return out
 
 
-def hot_bucket_pairs(band_rows, id_col: str, driver_threshold: int = 2_000_000):
+def hot_bucket_pairs(
+    band_rows,
+    id_col: str,
+    driver_threshold: int = 2_000_000,
+    max_bucket_pairs: int = 64,
+):
     """Candidate (a, b) pairs from band rows.
 
     Small-table fast path (≤ driver_threshold rows — 3 int64 columns, so
@@ -213,7 +218,7 @@ def hot_bucket_pairs(band_rows, id_col: str, driver_threshold: int = 2_000_000):
     if band_rows.count() <= driver_threshold:
         df = band_rows.to_pandas()
         cand = df[df.duplicated(["band", "band_hash"], keep=False)]
-        return _chain_pairs(cand, id_col)
+        return _chain_pairs(cand, id_col, max_bucket_pairs=max_bucket_pairs)
 
     hot = (
         band_rows.groupby(["band", "band_hash"])
@@ -253,7 +258,7 @@ def hot_bucket_pairs(band_rows, id_col: str, driver_threshold: int = 2_000_000):
     cand = band_rows.map_batches(
         HotFilter, batch_format="pyarrow", batch_size=None, concurrency=2
     ).to_pandas()
-    return _chain_pairs(cand, id_col)
+    return _chain_pairs(cand, id_col, max_bucket_pairs=max_bucket_pairs)
 
 
 def minhash_lsh_candidates(ds_sigs, id_col: str = "doc_id", bands: int = 16):
@@ -287,6 +292,72 @@ def cluster_pairs(pairs_df, all_ids: np.ndarray) -> dict[int, int]:
     return {int(i): find(int(i)) for i in all_ids.tolist()}
 
 
+def gather_rows_for_ids(ds, ids: np.ndarray, id_col: str):
+    """Distributed semi-join: filter ``ds`` to rows whose ``id_col`` is in
+    ``ids`` (broadcast once via ray.put, binary-searched per batch) and
+    pull ONLY those rows to the driver as a pandas frame.
+
+    This is the scale-safe replacement for ``ds.to_pandas()`` in the
+    dedup verify stages: the driver holds O(candidate ids), never
+    O(corpus). Returns an empty frame with the dataset's schema when
+    ``ids`` is empty."""
+    import ray
+
+    if len(ids) == 0:
+        return ds.limit(0).to_pandas()
+    key_ref = ray.put(np.sort(np.asarray(ids, dtype=np.int64)))
+
+    class IdFilter:
+        def __init__(self):
+            self.keys = ray.get(key_ref)  # sorted int64 ids
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(self.keys, v)
+            idx = np.minimum(idx, len(self.keys) - 1)
+            return t.filter(pa.array(self.keys[idx] == v))
+
+    return ds.map_batches(
+        IdFilter, batch_format="pyarrow", batch_size=None, concurrency=2
+    ).to_pandas()
+
+
+def emit_cluster_assignments(ds, rep: dict[int, int], id_col: str):
+    """Distributed final stage of every dedup flavor: broadcast the
+    (small — non-self entries only) representative map and emit one
+    ``(id_col, rep, is_survivor)`` row per input row via map_batches.
+    Returns a streaming Dataset; nothing O(corpus) touches the driver."""
+    import ray
+
+    nontrivial = {i: r for i, r in rep.items() if r != i}
+    keys = np.array(sorted(nontrivial), dtype=np.int64)
+    vals = np.array([nontrivial[int(k)] for k in keys], dtype=np.int64)
+    map_ref = ray.put((keys, vals))
+
+    class RepMap:
+        def __init__(self):
+            self.keys, self.vals = ray.get(map_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(self.keys):
+                idx = np.searchsorted(self.keys, ids)
+                idx = np.minimum(idx, len(self.keys) - 1)
+                hit = self.keys[idx] == ids
+                reps = np.where(hit, self.vals[idx], ids)
+            else:
+                reps = ids
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "rep": pa.array(reps),
+                    "is_survivor": pa.array(ids == reps),
+                }
+            )
+
+    return ds.map_batches(RepMap, batch_format="pyarrow", batch_size=None, concurrency=2)
+
+
 def minhash_dedup(
     ds,
     text_col: str = "text",
@@ -297,11 +368,14 @@ def minhash_dedup(
     jaccard_threshold: float = 0.7,
     seed: int = 0,
 ):
-    """Full MinHash-LSH near-dup pipeline → pyarrow Table
+    """Full MinHash-LSH near-dup pipeline → streaming Dataset of
     (id_col, rep: int64, is_survivor: bool), rep = min id of the cluster.
 
     Candidates sharing an LSH bucket are verified by estimated Jaccard
-    (signature agreement) ≥ threshold before clustering.
+    (signature agreement) ≥ threshold before clustering. Driver footprint
+    is O(candidate pairs) throughout: verification semi-joins signatures
+    to candidate ids, and the per-doc output is emitted distributedly
+    from the broadcast representative map.
     """
     sigs = ds.map_batches(
         lambda b: minhash_signature_batch(
@@ -310,27 +384,26 @@ def minhash_dedup(
         batch_format="pyarrow", batch_size=None,
     ).materialize()  # signatures are small (id + num_perm*8B); reused twice
     pairs = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands)
-    sig_tbl = sigs.to_pandas()
-    sig_map = {
-        int(i): np.asarray(s, dtype=np.int64).view(np.uint64)
-        for i, s in zip(sig_tbl[id_col], sig_tbl["minhash_sig"])
-    }
     if len(pairs):
-        keep = [
-            float(np.mean(sig_map[int(a)] == sig_map[int(b)])) >= jaccard_threshold
-            for a, b in zip(pairs["a"], pairs["b"])
-        ]
-        pairs = pairs[np.array(keep, dtype=bool)]
-    all_ids = np.array(sorted(sig_map), dtype=np.int64)
-    rep = cluster_pairs(pairs, all_ids)
-    reps = np.array([rep[int(i)] for i in all_ids], dtype=np.int64)
-    return pa.table(
-        {
-            id_col: pa.array(all_ids),
-            "rep": pa.array(reps),
-            "is_survivor": pa.array(all_ids == reps),
-        }
-    )
+        # Distributed verify: pull ONLY the candidate-pair signatures to
+        # the driver (semi-join via broadcast id set, O(pairs) rows — the
+        # whole corpus never materializes), then one vectorized compare.
+        cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+        cand = gather_rows_for_ids(sigs, cand_ids, id_col)
+        order = np.argsort(cand[id_col].to_numpy(), kind="stable")
+        sorted_ids = cand[id_col].to_numpy()[order]
+        smat = np.stack(
+            [np.asarray(s, dtype=np.int64) for s in cand["minhash_sig"].to_numpy()[order]]
+        )
+        ai = np.searchsorted(sorted_ids, pairs["a"].to_numpy())
+        bi = np.searchsorted(sorted_ids, pairs["b"].to_numpy())
+        agree = (smat[ai] == smat[bi]).mean(axis=1)
+        pairs = pairs[agree >= jaccard_threshold]
+    pair_ids = np.unique(
+        np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+    ) if len(pairs) else np.empty(0, np.int64)
+    rep = cluster_pairs(pairs, pair_ids)  # rep map over clustered ids only
+    return emit_cluster_assignments(sigs, rep, id_col)
 
 
 # ------------------------------------------------------------------ SimHash
@@ -361,11 +434,13 @@ def simhash_dedup(
     max_hamming: int = 3,
     seed: int = 0,
 ):
-    """SimHash near-dup → pyarrow Table (id_col, rep, is_survivor).
+    """SimHash near-dup → streaming Dataset (id_col, rep, is_survivor).
 
     Candidate generation: 4 bands of 16 bits each (pigeonhole: any pair
     with Hamming ≤ 3 over 64 bits agrees exactly on ≥1 band) → groupby
-    band value → verify Hamming ≤ max_hamming → cluster.
+    band value → verify Hamming ≤ max_hamming → cluster. Driver holds
+    only O(candidate pairs) fingerprints (semi-join gather), never the
+    corpus.
     """
     fps_ds = ds.map_batches(
         lambda b: simhash_batch(b, text_col=text_col, seed=seed).select([id_col, "simhash"]),
@@ -389,22 +464,22 @@ def simhash_dedup(
             }
         )
 
-    fps_ds = fps_ds.materialize()  # reused: banding pass + verify map
+    fps_ds = fps_ds.materialize()  # reused: banding pass + verify semi-join
     banded = fps_ds.map_batches(band_rows, batch_format="pyarrow", batch_size=None).materialize()
     pairs = hot_bucket_pairs(banded, id_col)
-    fp_tbl = fps_ds.to_pandas()
-    fp_map = dict(zip(fp_tbl[id_col].astype(int), fp_tbl["simhash"].astype(np.int64)))
     if len(pairs):
-        av = np.array([fp_map[int(a)] for a in pairs["a"]], dtype=np.int64).view(np.uint64)
-        bv = np.array([fp_map[int(b)] for b in pairs["b"]], dtype=np.int64).view(np.uint64)
+        # Distributed verify: semi-join fingerprints to candidate ids
+        # (16 B/doc × O(pairs) on the driver, never the corpus).
+        cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+        cand = gather_rows_for_ids(fps_ds, cand_ids, id_col)
+        order = np.argsort(cand[id_col].to_numpy(), kind="stable")
+        sorted_ids = cand[id_col].to_numpy()[order]
+        fps_sorted = cand["simhash"].to_numpy()[order].astype(np.int64)
+        av = fps_sorted[np.searchsorted(sorted_ids, pairs["a"].to_numpy())].view(np.uint64)
+        bv = fps_sorted[np.searchsorted(sorted_ids, pairs["b"].to_numpy())].view(np.uint64)
         pairs = pairs[hamming64(av, bv) <= max_hamming]
-    all_ids = np.array(sorted(fp_map), dtype=np.int64)
-    rep = cluster_pairs(pairs, all_ids)
-    reps = np.array([rep[int(i)] for i in all_ids], dtype=np.int64)
-    return pa.table(
-        {
-            id_col: pa.array(all_ids),
-            "rep": pa.array(reps),
-            "is_survivor": pa.array(all_ids == reps),
-        }
-    )
+    pair_ids = np.unique(
+        np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+    ) if len(pairs) else np.empty(0, np.int64)
+    rep = cluster_pairs(pairs, pair_ids)
+    return emit_cluster_assignments(fps_ds, rep, id_col)

@@ -166,23 +166,35 @@ class LangId:
                 mat[li, self.vocab_index[w]] = wt
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         self.mat = mat / np.maximum(norms, 1e-12)
+        # vocab lookup table for the vectorized __call__: sorted 64-bit
+        # token hashes -> vocab column (hash equality stands in for string
+        # equality; a 64-bit collision inside the tiny vocab is ~impossible)
+        vh = hash_strings(vocab) if vocab else np.empty(0, np.uint64)
+        order = np.argsort(vh)
+        self._vocab_hashes = vh[order]
+        self._vocab_cols = np.arange(len(vocab), dtype=np.int64)[order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Fully vectorized: explode tokens → hash → binary-search the
+        vocab table → scatter-add a (docs × vocab) count matrix → one
+        matmul against the profile matrix. No per-document Python."""
         s = _text_series(batch, self.text_col)
         toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
-        preds = []
-        vi = self.vocab_index
-        for doc in toks.to_list():
-            vec = np.zeros(self.mat.shape[1], dtype=np.float64)
-            if doc:
-                for w in doc:
-                    j = vi.get(w)
-                    if j is not None:
-                        vec[j] += 1.0
-            nv = np.linalg.norm(vec)
-            if nv == 0:
-                preds.append("und")
-                continue
-            sims = self.mat @ (vec / nv)
-            preds.append(self.langs[int(np.argmax(sims))])
-        return batch.append_column(self.out_col, pa.array(preds, type=pa.string()))
+        lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        n_docs = len(lens)
+        counts = np.zeros((n_docs, self.mat.shape[1]), dtype=np.float64)
+        flat = toks.explode().drop_nulls()
+        if flat.len() and len(self._vocab_hashes):
+            th = hash_strings(flat.to_arrow())
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            idx = np.searchsorted(self._vocab_hashes, th)
+            idx = np.minimum(idx, len(self._vocab_hashes) - 1)
+            hit = self._vocab_hashes[idx] == th
+            np.add.at(counts, (doc_of[hit], self._vocab_cols[idx[hit]]), 1.0)
+        nv = np.linalg.norm(counts, axis=1)
+        sims = counts @ self.mat.T  # (docs, langs); argmax is norm-invariant
+        lang_arr = np.array(self.langs, dtype=object)
+        preds = np.where(nv > 0, lang_arr[np.argmax(sims, axis=1)], "und")
+        return batch.append_column(
+            self.out_col, pa.array(preds.tolist(), type=pa.string())
+        )

@@ -328,6 +328,66 @@ class DDSketch:
         self._enforce_limit()
         return self
 
+    def subtract_sketch(self, deletes: "DDSketch") -> "DDSketch":
+        """Distributed turnstile delete: subtract a sketch of the delete
+        stream bucket-wise, in place.
+
+        Same per-bucket semantics as replaying the deletes through
+        ``delete_array`` (DDS_DeleteCollapse, ddsketch.cc:342-392): each
+        delete-bucket count decrements the matching bucket, clamped at
+        zero — surplus deletes in an absent/short bucket are no-ops that
+        do NOT decrement ``n`` (reference quirk, cc:380-388). In
+        "last"/"first" modes, delete-buckets inside the collapsed window
+        drain the current extreme bucket first (cc:414-418 / 477-480).
+
+        This is the scale path for deletes: aggregate the delete stream
+        into a second sketch (map-side combine, KB-sized state) and
+        subtract once on the driver — no per-value stream ever leaves
+        the cluster. Exact whenever neither sketch collapsed between
+        insert and delete (counts cancel bucket-for-bucket).
+        """
+        if not isinstance(deletes, DDSketch):
+            raise TypeError(f"cannot subtract {type(deletes).__name__}")
+        if self.mode != deletes.mode:
+            raise ValueError(f"mode mismatch: {self.mode} vs {deletes.mode}")
+        if self.offset != deletes.offset:
+            raise ValueError("offset mismatch")
+        if abs(self.alpha - deletes.alpha) > 1e-4:
+            raise ValueError(
+                f"subtract_sketch requires equal alpha "
+                f"({self.alpha} vs {deletes.alpha})"
+            )
+        bins = self.bins
+        window_deletes = 0
+        for k in sorted(deletes.bins):
+            c = deletes.bins[k]
+            if (
+                self.mode in (MODE_LAST, MODE_FIRST)
+                and self.win_min <= self.win_max
+                and self.win_min <= k <= self.win_max
+            ):
+                window_deletes += c
+                continue
+            have = bins.get(k)
+            if have is None:
+                continue  # absent key: no-op, n unchanged (cc:380-388)
+            removed = min(c, have)
+            if removed == have:
+                del bins[k]
+            else:
+                bins[k] = have - removed
+            self.n -= removed
+        while window_deletes > 0 and bins:
+            k = max(bins) if self.mode == MODE_LAST else min(bins)
+            take = min(window_deletes, bins[k])
+            if take == bins[k]:
+                del bins[k]
+            else:
+                bins[k] -= take
+            self.n -= take
+            window_deletes -= take
+        return self
+
     # ---------------------------------------------------------------- query
 
     def quantile(self, q: float) -> float:

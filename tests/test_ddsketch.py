@@ -262,3 +262,72 @@ def test_quantile_clamps_q():
 
 def test_empty_sketch_quantile_nan():
     assert math.isnan(DDSketch().quantile(0.5))
+
+
+class TestSubtractSketch:
+    """Distributed turnstile delete: subtracting a sketch of the delete
+    stream must equal replaying the deletes through delete_array
+    (DDS_DeleteCollapse semantics, ddsketch.cc:342-392)."""
+
+    def test_subtract_equals_delete_array_plain(self):
+        from ddsketch_ray.sketches import DDSketch
+
+        rng = np.random.default_rng(3)
+        vals = rng.exponential(100.0, size=20_000)
+        dels = vals[::2]
+        a = DDSketch(alpha=0.008, bin_limit=2048)
+        a.add_array(vals)
+        b = a.copy()
+        b.delete_array(dels)
+        dsk = DDSketch(alpha=0.008, bin_limit=2048)
+        dsk.add_array(dels)
+        a.subtract_sketch(dsk)
+        assert a.bins == b.bins and a.n == b.n
+
+    def test_absent_key_quirk_preserved(self):
+        from ddsketch_ray.sketches import DDSketch
+
+        a = DDSketch(alpha=0.008, bin_limit=2048)
+        a.add_array(np.array([10.0, 10.0, 20.0]))
+        dsk = DDSketch(alpha=0.008, bin_limit=2048)
+        dsk.add_array(np.array([10.0, 999999.0]))  # second key absent
+        n_before = a.n
+        a.subtract_sketch(dsk)
+        assert a.n == n_before - 1  # absent-key delete does NOT decrement n
+
+    def test_surplus_deletes_clamp_at_zero(self):
+        from ddsketch_ray.sketches import DDSketch
+
+        a = DDSketch(alpha=0.008, bin_limit=2048)
+        a.add_array(np.array([5.0, 5.0]))
+        dsk = DDSketch(alpha=0.008, bin_limit=2048)
+        dsk.add_array(np.array([5.0] * 10))
+        a.subtract_sketch(dsk)
+        assert a.n == 0 and not a.bins
+
+    def test_subtract_window_modes_match_delete_array(self):
+        from ddsketch_ray.sketches import DDSketch
+
+        rng = np.random.default_rng(11)
+        vals = rng.gamma(2.0, 2.0, size=50_000) + 0.01
+        dels = vals[1::3]
+        for mode in ("last", "first"):
+            a = DDSketch(alpha=0.01, bin_limit=64, mode=mode)
+            a.add_array(vals)
+            assert a.win_min <= a.win_max  # collapse actually happened
+            b = a.copy()
+            # batch delete_array semantics == bucket-wise subtract when the
+            # delete sketch did not itself collapse
+            dsk = DDSketch(alpha=0.01, bin_limit=1 << 30, mode=mode)
+            dsk.add_array(dels)
+            b.delete_array(dels)
+            a.subtract_sketch(dsk)
+            assert a.bins == b.bins and a.n == b.n
+
+    def test_alpha_mismatch_rejected(self):
+        from ddsketch_ray.sketches import DDSketch
+
+        a = DDSketch(alpha=0.008)
+        d = DDSketch(alpha=0.02)
+        with pytest.raises(ValueError):
+            a.subtract_sketch(d)

@@ -217,3 +217,72 @@ def test_embedding_near_dup(ray_session):
     found = set(zip(pairs["a"], pairs["b"]))
     for i in range(5):
         assert (i, 50 + i) in found
+
+
+def test_near_dup_recall_vs_brute_force_at_gate_threshold(ray_session):
+    """Banded sign-LSH near-dup must recover ≥95% of the exact all-pairs
+    result at the gate threshold (VERDICT r1 item 2 done-criterion)."""
+    import ray.data as rd
+    from ddsketch_ray.functions.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 32
+    mat = rng.normal(size=(n, d))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # plant correlated pairs across the cosine range above the threshold
+    for i in range(0, 60, 2):
+        mix = rng.uniform(0.55, 0.95)
+        mat[i + 1] = mix * mat[i] + (1 - mix) * mat[i + 1]
+        mat[i + 1] /= np.linalg.norm(mat[i + 1])
+    sims = mat @ mat.T
+    iu = np.triu_indices(n, k=1)
+    exact = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.4], iu[1][sims[iu] >= 0.4])
+    }
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel().astype(np.float32), type=pa.float32()), d
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = embedding_near_dup_pairs(
+        ds, threshold=0.4, n_bands=24, planes_per_band=2, max_bucket_pairs=10000
+    ).to_pandas()
+    found = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    assert not (found - exact)  # exact verify → precision 1
+    assert len(found & exact) / max(len(exact), 1) >= 0.95
+
+
+def test_gather_rows_for_ids_is_driver_bounded(ray_session):
+    """The dedup verify semi-join must pull only the requested ids."""
+    import ray.data as rd
+    from ddsketch_ray.functions.dedup import gather_rows_for_ids
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10_000), type=pa.int64()),
+            "payload": pa.array(np.arange(10_000), type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    want = np.array([3, 777, 9_999], dtype=np.int64)
+    out = gather_rows_for_ids(ds, want, "doc_id")
+    assert sorted(out["doc_id"].tolist()) == want.tolist()
+    assert gather_rows_for_ids(ds, np.empty(0, np.int64), "doc_id").empty
+
+
+def test_minhash_dedup_streams_output(ray_session):
+    """Dedup output is a Dataset (the per-doc assignment is emitted
+    distributedly from the broadcast rep map, not built on the driver)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table(["a b c d e f g h i j"] * 4 + ["zz yy xx ww vv"]))
+    out = minhash_dedup(ds)
+    assert isinstance(out, rd.Dataset)
+    df = out.to_pandas().set_index("doc_id")
+    assert df.loc[0, "is_survivor"] and not df.loc[3, "is_survivor"]
+    assert df.loc[4, "is_survivor"]
