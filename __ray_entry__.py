@@ -643,6 +643,9 @@ def q_media_decode_report(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(
         MediaDecodeStage, batch_format="pyarrow", batch_size=64, concurrency=2
     ).to_pandas()
+    # estimate convention (BASELINE.md): floats reported at 6 decimals so
+    # results are stable at the bit level across summation orders
+    out["mean_value"] = _round6(out["mean_value"])
     return out.sort_values("media_id").reset_index(drop=True)
 
 
@@ -974,6 +977,24 @@ SELECT g AS {group}, q, ROUND({est}, 6) AS est FROM sel ORDER BY g, q
 
 def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"({q})" for q in QS)
+    out = _recomputed_oracles(qs_values)
+    # Approximate sketches (HLL/CMS/Bloom/LSH/...) cannot be recomputed by
+    # an independent SQL query; their fixed-seed distributed output is
+    # deterministic, so the expected values are computed once and frozen
+    # (tools/freeze_oracles.py — re-verified across fresh Ray sessions).
+    # t-digest / KLL stay unfrozen: their merges are order-dependent by
+    # design, so only pytest rank-error oracles apply.
+    try:
+        from frozen_oracles import FROZEN_ORACLES
+
+        for name, sql in FROZEN_ORACLES.items():
+            out.setdefault(name, sql)
+    except ImportError:  # regenerate with tools/freeze_oracles.py
+        pass
+    return out
+
+
+def _recomputed_oracles(qs_values: str) -> dict[str, str]:
     return {
         "dds_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),
         "dds_quantiles_events_ckpt": _dds_sql("events", "value"),
@@ -1020,6 +1041,33 @@ SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(tx), '[ \t\n\r\f\v]+'),
                        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from'], x)))::BIGINT AS n_stopwords
 FROM t ORDER BY doc_id
+""",
+        "quality_scores_documents": r"""
+-- full recompute of the deterministic quality heuristic: integer counts
+-- as in text_stats, then the identical float64 expression (same op
+-- order -> bit-identical IEEE results)
+WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+f AS (
+  SELECT doc_id,
+    strlen(tx)::BIGINT AS n_chars,
+    len(list_filter(regexp_split_to_array(tx, '[ \t\n\r\f\v]+'), x -> x <> ''))::BIGINT AS n_tokens,
+    length(regexp_replace(tx, '[^!-/:-@\[-`{-~]', '', 'g'))::BIGINT AS n_punct,
+    length(regexp_replace(tx, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+    len(list_filter(regexp_split_to_array(lower(tx), '[ \t\n\r\f\v]+'),
+        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from'], x)))::BIGINT AS n_stopwords
+  FROM t),
+g AS (
+  SELECT *,
+    (n_chars - GREATEST(n_tokens - 1, 0)) / GREATEST(n_tokens, 1) AS mtl,
+    n_punct / GREATEST(n_chars, 1) AS punct_ratio,
+    n_digit / GREATEST(n_chars, 1) AS digit_ratio
+  FROM f)
+SELECT doc_id, n_tokens, n_punct, n_digit, n_stopwords,
+  1.0 - LEAST(punct_ratio * 3.0, 0.5)
+      - LEAST(digit_ratio * 2.0, 0.3)
+      - (CASE WHEN mtl < 2.0 OR mtl > 12.0 THEN 0.2 ELSE 0.0 END)
+      - (CASE WHEN n_tokens < 5 THEN 0.3 ELSE 0.0 END) AS quality_score
+FROM g ORDER BY doc_id
 """,
         "token_counts_documents": r"""
 SELECT doc_id,
