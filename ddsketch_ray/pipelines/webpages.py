@@ -31,7 +31,7 @@ from ddsketch_ray.agg import (
     HLLAgg,
     sketch_from_result,
 )
-from ddsketch_ray.extract import extract_text
+from ddsketch_ray.extract import extract_text_series
 
 
 def derive_page_features(batch: pa.Table) -> pa.Table:
@@ -54,16 +54,12 @@ def derive_page_features(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
         out["text_len"] = pc.cast(pc.binary_length(text), pa.int64())
         if "html" in cols:
-            extracted = pa.array(
-                [extract_text(h) for h in batch.column("html").to_pylist()],
-                type=pa.string(),
-            )
+            # vectorized Rust-regex extractor — byte-identical to the
+            # per-row spec (extract.py: extract_text), asserted in tests
+            extracted = extract_text_series(batch.column("html"))
             out["extract_ok"] = pc.cast(pc.equal(extracted, text), pa.int64())
     elif "html" in cols:
-        extracted = pa.array(
-            [extract_text(h) for h in batch.column("html").to_pylist()],
-            type=pa.string(),
-        )
+        extracted = extract_text_series(batch.column("html"))
         out["text_len"] = pc.cast(pc.binary_length(extracted), pa.int64())
     return pa.table(out)
 

@@ -64,7 +64,9 @@ class BloomFilter:
         return self
 
     def fill_ratio(self) -> float:
-        return float(np.unpackbits(self.words.view(np.uint8)).sum()) / (len(self.words) * 64)
+        # denominator is m, not the padded word capacity: positions are
+        # always < m, so the tail padding bits can never be set
+        return float(np.unpackbits(self.words.view(np.uint8)).sum()) / self.m
 
     def to_row(self) -> dict:
         return {

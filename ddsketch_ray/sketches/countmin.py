@@ -8,8 +8,11 @@ so accumulation stays fully vectorized.
 
 ``HeavyHitters`` pairs the CMS with a bounded candidate set (top keys seen
 per partition); merge unions candidates and re-scores them against the
-merged CMS — associative and safe because CMS never undercounts, so a true
-heavy hitter surfaces in at least one partition's candidates.
+merged CMS. CMS never undercounts, so a candidate's merged score is always
+an upper bound — but candidate RECALL is heuristic, not guaranteed: a key
+spread thinly across many partitions can fall below every partition's
+top-``capacity`` cut. In practice capacity ≫ k makes this vanishingly
+rare; size ``capacity`` generously relative to partition count.
 """
 
 from __future__ import annotations
@@ -34,8 +37,12 @@ class CountMin:
 
     @classmethod
     def from_error(cls, epsilon: float, delta: float) -> "CountMin":
+        # width rounds UP to a power of two: the double-hash stride (odd
+        # h2) is only full-period modulo 2^k; a shared factor with an
+        # arbitrary width would correlate rows and weaken the δ guarantee
+        w = int(math.ceil(math.e / epsilon))
         return cls(
-            width=int(math.ceil(math.e / epsilon)),
+            width=1 << max(1, (w - 1).bit_length()),
             depth=int(math.ceil(math.log(1.0 / delta))),
         )
 

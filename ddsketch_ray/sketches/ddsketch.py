@@ -42,7 +42,11 @@ Deliberate divergences (documented in SURVEY.md §2):
 - batch inserts check the bin limit once per batch, not once per row, so in
   "last"/"first" modes the surviving bins can differ from a row-at-a-time
   run; estimates still honor the published bound (tests assert the bound,
-  not bin identity — see SURVEY.md §4 on merge order-dependence).
+  not bin identity — see SURVEY.md §4 on merge order-dependence);
+- batch deletes in "last"/"first" modes process all non-window deletes
+  before the window-redirected ones, so within one batch the extreme
+  bucket drained can differ from the reference's per-item interleaving
+  (same bound-level guarantee as the batched-insert divergence above).
 """
 
 from __future__ import annotations

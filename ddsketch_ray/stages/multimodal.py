@@ -54,12 +54,31 @@ def encode_fake_media(kind: int, a: int, b: int, c: int, seed: int) -> bytes:
     return header + payload
 
 
+def decode_real_image(blob: bytes):
+    """Real-codec path (PIL): decode an actual image payload into the
+    same (kind, (w, h, c), uint8 array) contract the fake codec uses, so
+    every downstream stage (decode report, resize, sketch aggregation)
+    is codec-agnostic. Exercised by a skipif-marked test when PIL is
+    available; in this container it is reached only via DDSM fallback
+    errors."""
+    if not _HAVE_PIL:  # pragma: no cover - guarded by caller
+        raise NotImplementedError("no image/audio codec in this environment")
+    import io
+
+    img = Image.open(io.BytesIO(blob))  # pragma: no cover - no PIL here
+    arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    h, w, c = arr.shape
+    return KIND_IMAGE, (w, h, c), arr
+
+
 def decode_fake_media(blob: bytes):
-    """Parse a DDSM blob → (kind, dims, uint8 ndarray). Raises
-    NotImplementedError for non-DDSM payloads when no real codec exists."""
+    """Parse a DDSM blob → (kind, dims, uint8 ndarray). Non-DDSM payloads
+    go to the real codec when one is importable (``decode_real_image``),
+    else raise NotImplementedError (driver-sanctioned: this container
+    ships no codecs)."""
     if blob[:4] != _MAGIC:
-        if _HAVE_PIL:  # pragma: no cover
-            raise NotImplementedError("real-codec path not wired in this build")
+        if _HAVE_PIL:  # pragma: no cover - no PIL in this container
+            return decode_real_image(blob)
         raise NotImplementedError("no image/audio codec in this environment")
     kind, a, b, c = struct.unpack("<BIII", blob[4:17])
     data = np.frombuffer(blob[17:], dtype=np.uint8)

@@ -45,7 +45,10 @@ class SketchShard:
     def add(self, keys: list, values: np.ndarray) -> int:
         """Vectorized per-key accumulate of one routed batch."""
         values = np.asarray(values, dtype=np.float64)
-        order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+        # canonical (type, repr) sort key: mixed-type key batches (e.g.
+        # int and str) must group deterministically, not raise TypeError
+        canon = np.array([f"{type(k).__name__}\x00{k}" for k in keys], dtype=object)
+        order = np.argsort(canon, kind="stable")
         keys_sorted = [keys[i] for i in order.tolist()]
         vals_sorted = values[order]
         start = 0
@@ -119,4 +122,5 @@ class StreamingSketchService:
         out: list = []
         for ks in ray.get([s.keys.remote() for s in self.shards]):
             out.extend(ks)
-        return sorted(out)
+        # canonical ordering works for mixed-type key populations too
+        return sorted(out, key=lambda k: (type(k).__name__, str(k)))

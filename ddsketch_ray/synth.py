@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ddsketch_ray.extract import extract_text
+from ddsketch_ray.extract import extract_text_series
 from ddsketch_ray.hashing import splitmix64
 
 _EPOCH_2025_US = 1735689600_000_000  # 2025-01-01T00:00:00Z in microseconds
@@ -108,14 +108,15 @@ def webpages_table_for_indices(
         _build_html(int(hb), int(tl), u, lg)
         for hb, tl, u, lg in zip(h_body.tolist(), target_len.tolist(), urls, langs)
     ]
-    texts = [extract_text(h) for h in htmls]
+    # vectorized extractor — byte-identical to extract_text (tested)
+    texts = extract_text_series(pa.array(htmls, type=pa.binary()))
 
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),
             "warc_ts": pa.array(ts, type=pa.timestamp("us")),
             "html": pa.array(htmls, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
+            "text": texts,
             "lang": pa.array(langs, type=pa.string()),
         }
     )

@@ -263,3 +263,65 @@ def test_streaming_sketch_service(ray_session):
         ref.add_array(vals[mask])
         assert svc.quantile(key, 0.95) == ref.quantile(0.95)
     assert math.isnan(svc.quantile("zz", 0.5))
+
+
+def test_vectorized_extractor_byte_identical():
+    """extract_text_series (polars Rust-regex chain) must reproduce the
+    per-row spec extract_text byte-for-byte — on the synthetic corpus
+    and on adversarial entity/tag edge cases."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ddsketch_ray.extract import extract_text, extract_text_series
+    from ddsketch_ray.synth import webpages_table_for_indices
+
+    tbl = webpages_table_for_indices(np.arange(0, 4000, 7), seed=7)
+    vec = extract_text_series(tbl.column("html")).to_pylist()
+    ref = [extract_text(h) for h in tbl.column("html").to_pylist()]
+    assert vec == ref
+    cases = [
+        "&amp;lt;", "a &amp; b", "<script>x</script>tail",
+        "<!--<script>--><b>k</b>", "&nbsp;&copy;", "<style a=b>s</style>ok",
+        "&amp;amp;", "&quot;q&quot;", "<SCRIPT>js</SCRIPT>z",
+        "m <style>a</style><script>b</script> c", "", "no tags at all",
+        "<unclosed", "a  \t\n  b",
+    ]
+    ct = pa.array([c.encode() for c in cases], type=pa.binary())
+    assert extract_text_series(ct).to_pylist() == [extract_text(c.encode()) for c in cases]
+
+
+def test_real_codec_branch_when_pil_present():
+    """Exercises the PIL decode path when the library exists (skipped in
+    this container); always verifies the no-codec guard raises."""
+    import pytest
+
+    from ddsketch_ray.stages import multimodal as mm
+
+    if not mm._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.decode_fake_media(b"\x89PNG\r\n\x1a\nnot-really")
+        pytest.skip("PIL not available in this container")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4), (10, 20, 30)).save(buf, format="PNG")
+    kind, (w, h, c), arr = mm.decode_fake_media(buf.getvalue())
+    assert (kind, w, h, c) == (mm.KIND_IMAGE, 8, 4, 3)
+    assert arr.shape == (4, 8, 3) and arr[0, 0].tolist() == [10, 20, 30]
+
+
+def test_streaming_service_mixed_type_keys(ray_session):
+    """Mixed int/str keys in one shard must not crash the actor (ADVICE
+    r1): grouping and keys() use a canonical (type, repr) ordering."""
+    import numpy as np
+
+    from ddsketch_ray.stages.streaming import StreamingSketchService
+
+    svc = StreamingSketchService(num_shards=1)
+    svc.ingest_batch([1, "1", 2, "a", 1], np.array([1.0, 2.0, 3.0, 4.0, 5.0]))
+    ks = svc.keys()
+    assert set(map(str, ks)) == {"1", "2", "a"} and len(ks) == 4
+    assert svc.quantile(1, 0.5) > 0  # int key 1 got values 1.0 and 5.0
+    svc.shutdown() if hasattr(svc, "shutdown") else None
