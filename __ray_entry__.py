@@ -476,6 +476,72 @@ def q_lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Composite training-data cleaning pipeline (the C4-style shape):
+    quality-score filter → exact near-zero-cost dedup → per-language
+    corpus stats. One narrow shuffle: after the vectorized filter, rows
+    project to (content_hash, lang, n_tokens, doc_id); the dedup groupby
+    carries lang/n_tokens inside the key (identical text ⇒ identical
+    features), and the final per-lang rollup is pre-aggregated per batch
+    before a 5-row groupby."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ddsketch_ray.functions.dedup import content_hash_batch
+    from ddsketch_ray.functions.text import quality_features_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def filter_and_hash(b: pa.Table) -> pa.Table:
+        f = quality_features_batch(b)
+        keep = pc.and_(
+            pc.greater_equal(f.column("quality_score"), 0.5),
+            pc.greater_equal(f.column("n_tokens"), 5),
+        )
+        f = f.filter(keep)
+        return content_hash_batch(f).select(
+            ["content_hash", "lang", "n_tokens", "doc_id"]
+        )
+
+    deduped = (
+        ds.map_batches(filter_and_hash, batch_format="pyarrow", batch_size=None)
+        .groupby(["content_hash", "lang", "n_tokens"])
+        .aggregate(Min("doc_id", alias_name="survivor"), Count(alias_name="n_dups"))
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(b.select(["lang", "n_tokens"]))
+            .group_by("lang")
+            .agg(pl.len().alias("n_docs"), pl.col("n_tokens").sum().alias("sum_tokens"))
+        )
+        return g.to_arrow()
+
+    out = (
+        deduped.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_tokens", alias_name="sum_tokens"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_tokens"] = out["sum_tokens"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF coarse-quantizer ANN (deterministic spherical k-means +
+    probe-list pruning) — the second approximate scale path next to
+    sign-LSH."""
+    from ddsketch_ray.functions.ann import ivf_topk
+
+    queries = _embedding_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, k=5, n_centroids=16, n_probe=4).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_salted_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
     """Skew-aware salted plan; must equal the unsalted oracle exactly."""
     from ddsketch_ray.pipelines.skew import quantiles_by_group_salted
@@ -907,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_documents": q_quality_scores_documents,
         "doc_fingerprints": q_doc_fingerprints,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "clean_corpus_stats": q_clean_corpus_stats,
         "webpages_report": q_webpages_report,
         "salted_quantiles_by_event_type": q_salted_quantiles_by_event_type,
         "actorpool_quantiles_price": q_actorpool_quantiles_price,
@@ -1041,6 +1109,39 @@ SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(tx), '[ \t\n\r\f\v]+'),
                        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from'], x)))::BIGINT AS n_stopwords
 FROM t ORDER BY doc_id
+""",
+        "clean_corpus_stats": r"""
+-- composite cleaning pipeline: quality filter (same bit-exact float
+-- expression as quality_scores_documents) -> exact dedup by text ->
+-- per-language doc/token rollup
+WITH t AS (SELECT doc_id, lang, coalesce(text, '') AS tx FROM documents),
+f AS (
+  SELECT doc_id, lang, tx,
+    strlen(tx)::BIGINT AS n_chars,
+    len(list_filter(regexp_split_to_array(tx, '[ \t\n\r\f\v]+'), x -> x <> ''))::BIGINT AS n_tokens,
+    length(regexp_replace(tx, '[^!-/:-@\[-`{-~]', '', 'g'))::BIGINT AS n_punct,
+    length(regexp_replace(tx, '[^0-9]', '', 'g'))::BIGINT AS n_digit
+  FROM t),
+g AS (
+  SELECT *,
+    (n_chars - GREATEST(n_tokens - 1, 0)) / GREATEST(n_tokens, 1) AS mtl,
+    n_punct / GREATEST(n_chars, 1) AS punct_ratio,
+    n_digit / GREATEST(n_chars, 1) AS digit_ratio
+  FROM f),
+q AS (
+  SELECT doc_id, lang, tx, n_tokens,
+    1.0 - LEAST(punct_ratio * 3.0, 0.5)
+        - LEAST(digit_ratio * 2.0, 0.3)
+        - (CASE WHEN mtl < 2.0 OR mtl > 12.0 THEN 0.2 ELSE 0.0 END)
+        - (CASE WHEN n_tokens < 5 THEN 0.3 ELSE 0.0 END) AS quality_score
+  FROM g),
+kept AS (SELECT * FROM q WHERE quality_score >= 0.5 AND n_tokens >= 5),
+dedup AS (
+  SELECT min(doc_id) AS survivor, any_value(lang) AS lang,
+         any_value(n_tokens) AS n_tokens
+  FROM kept GROUP BY tx)
+SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
+FROM dedup GROUP BY lang ORDER BY lang
 """,
         "quality_scores_documents": r"""
 -- full recompute of the deterministic quality heuristic: integer counts

@@ -128,7 +128,7 @@ def bench_minhash_dedup() -> float:
 
     t0 = time.perf_counter()
     ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-    minhash_dedup(ds)
+    minhash_dedup(ds).materialize()  # consume the lazy assignment emit
     return time.perf_counter() - t0
 
 
@@ -175,6 +175,11 @@ def run_bench() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # polars ignores Ray's CPU accounting and spins an
+            # os.cpu_count() thread pool PER WORKER (measured: 32 threads
+            # in a num_cpus=4 session) — the parallelism is Ray's tasks,
+            # one core per task, exactly like a real multi-node cluster
+            runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}},
         )
     from ray.data import DataContext
 
@@ -216,7 +221,9 @@ def run_bench() -> dict:
     queries["webpages_sketch_suite"] = round(web["sec"], 3)
     log(f"webpages: {web['sec']:.2f}s ({web['docs_per_sec']:.0f} docs/s)")
     bench_read_webpages(READ_N)  # warm (also builds the corpus once)
-    readw = min((bench_read_webpages(READ_N) for _ in range(2)), key=lambda r: r["sec"])
+    # best-of-4: this path is IO/steal-noise dominated (observed 2.8-5.4 s
+    # for identical work back-to-back); more samples = honest best case
+    readw = min((bench_read_webpages(READ_N) for _ in range(4)), key=lambda r: r["sec"])
     queries["read_webpages_sketch"] = round(readw["sec"], 3)
     log(f"read_webpages: {readw['sec']:.2f}s ({readw['docs_per_sec']:.0f} docs/s)")
     for name, fn in [

@@ -223,6 +223,136 @@ def lsh_bucketed_topk(
     return cands.groupby("query_id").map_groups(finalize, batch_format="pandas")
 
 
+def _spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd's on the unit sphere).
+    Init = splitmix-chosen sample rows; ties and empty clusters resolve
+    deterministically. Returns (n_centroids, d) unit-norm centroids."""
+    n = sample.shape[0]
+    k = min(n_centroids, n)
+    idx = (splitmix64(np.arange(k, dtype=np.uint64) + np.uint64(seed * 40503 + 7)) % np.uint64(n)).astype(np.int64)
+    # de-duplicate init rows deterministically (walk forward on collision)
+    seen, init = set(), []
+    for i in idx.tolist():
+        while i in seen:
+            i = (i + 1) % n
+        seen.add(i)
+        init.append(i)
+    centroids = sample[np.array(init, dtype=np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    centroids[c] = v / nv
+    return centroids
+
+
+def ivf_topk(
+    ds,
+    queries: dict,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 0,
+    exclude_self: bool = True,
+):
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path next to sign-LSH:
+
+    1. train spherical k-means centroids on a small driver-side sample
+       (sorted by id → deterministic regardless of block order);
+    2. broadcast centroids + each query's ``n_probe`` nearest centroid
+       ids; every batch assigns its vectors to centroids with one matmul
+       and drops vectors in lists no query probes — the matmul then runs
+       on the surviving fraction (~n_probe/n_centroids of the corpus);
+    3. batch-local top-k candidates → tiny groupby(query) exact reduce.
+
+    Same output shape as brute_force_topk; recall < 1 by design,
+    measured against brute force in tests.
+    """
+    import ray
+
+    sample_df = ds.select_columns([id_col, emb_col]).limit(sample_size).to_pandas()
+    sample_df = sample_df.sort_values(id_col)  # order-independent training set
+    sample = _normalize(
+        np.stack([np.asarray(e, dtype=np.float64) for e in sample_df[emb_col]])
+    )
+    centroids = _spherical_kmeans(sample, n_centroids, iters, seed)
+
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+    qc = np.argsort(-(qmat @ centroids.T), axis=1)[:, : min(n_probe, centroids.shape[0])]
+    # probe_mask[c] = True iff some query probes centroid c
+    probed = np.zeros(centroids.shape[0], dtype=bool)
+    probed[np.unique(qc)] = True
+    # per-query allowed-centroid boolean matrix for the scoring mask
+    allow = np.zeros((qmat.shape[0], centroids.shape[0]), dtype=bool)
+    for qi in range(qmat.shape[0]):
+        allow[qi, qc[qi]] = True
+
+    kk = k + (1 if exclude_self else 0)
+    ref = ray.put(
+        {
+            "ids": np.asarray(queries["ids"], dtype=np.int64),
+            "qmat": qmat,
+            "centroids": centroids,
+            "probed": probed,
+            "allow": allow,
+        }
+    )
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        p = ray.get(ref)  # zero-copy plasma fetch per stateless task
+        emb = _normalize(_embedding_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = np.argmax(emb @ p["centroids"].T, axis=1)
+        keep = p["probed"][assign]
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        emb, ids, assign = emb[keep], ids[keep], assign[keep]
+        sims = p["qmat"] @ emb.T  # (nq, m) on the probed fraction only
+        sims = np.where(p["allow"][:, assign], sims, -np.inf)
+        kq = min(kk, sims.shape[1])
+        part = np.argpartition(-sims, kq - 1, axis=1)[:, :kq]
+        scores = np.take_along_axis(sims, part, axis=1)
+        valid = np.isfinite(scores)
+        qidx = np.repeat(np.arange(sims.shape[0]), kq)[valid.ravel()]
+        return pa.table(
+            {
+                "query_id": pa.array(p["ids"][qidx], type=pa.int64()),
+                "neighbor_id": pa.array(ids[part.ravel()[valid.ravel()]], type=pa.int64()),
+                "score": pa.array(scores.ravel()[valid.ravel()], type=pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=None)
+
+    def finalize(group):
+        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.head(k).reset_index(drop=True)
+        return {
+            "query_id": g["query_id"].to_numpy(dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }
+
+    return cands.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
 def embedding_near_dup_pairs(
     ds,
     id_col: str = "vec_id",

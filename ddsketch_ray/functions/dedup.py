@@ -244,20 +244,15 @@ def hot_bucket_pairs(
     )
     hot_ref = ray.put(hot_keys)
 
-    class HotFilter:
-        def __init__(self):
-            self.keys = ray.get(hot_ref)  # sorted uint64 array
+    def hot_filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)  # sorted uint64 array, zero-copy per task
+        ck = _combined(t.column("band").to_numpy(), t.column("band_hash").to_numpy())
+        idx = np.searchsorted(keys, ck)
+        idx = np.minimum(idx, len(keys) - 1)
+        mask = keys[idx] == ck  # vectorized membership
+        return t.filter(pa.array(mask))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = _combined(t.column("band").to_numpy(), t.column("band_hash").to_numpy())
-            idx = np.searchsorted(self.keys, ck)
-            idx = np.minimum(idx, len(self.keys) - 1)
-            mask = self.keys[idx] == ck  # vectorized membership
-            return t.filter(pa.array(mask))
-
-    cand = band_rows.map_batches(
-        HotFilter, batch_format="pyarrow", batch_size=None, concurrency=2
-    ).to_pandas()
+    cand = band_rows.map_batches(hot_filter, batch_format="pyarrow", batch_size=None).to_pandas()
     return _chain_pairs(cand, id_col, max_bucket_pairs=max_bucket_pairs)
 
 
@@ -307,19 +302,16 @@ def gather_rows_for_ids(ds, ids: np.ndarray, id_col: str):
         return ds.limit(0).to_pandas()
     key_ref = ray.put(np.sort(np.asarray(ids, dtype=np.int64)))
 
-    class IdFilter:
-        def __init__(self):
-            self.keys = ray.get(key_ref)  # sorted int64 ids
+    # stateless tasks (not an actor pool): the broadcast id set is a
+    # plasma object fetched zero-copy per task — no pool spawn latency
+    def id_filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)  # sorted int64 ids (shared memory)
+        v = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, v)
+        idx = np.minimum(idx, len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == v))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            idx = np.searchsorted(self.keys, v)
-            idx = np.minimum(idx, len(self.keys) - 1)
-            return t.filter(pa.array(self.keys[idx] == v))
-
-    return ds.map_batches(
-        IdFilter, batch_format="pyarrow", batch_size=None, concurrency=2
-    ).to_pandas()
+    return ds.map_batches(id_filter, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
 def emit_cluster_assignments(ds, rep: dict[int, int], id_col: str):
@@ -334,28 +326,25 @@ def emit_cluster_assignments(ds, rep: dict[int, int], id_col: str):
     vals = np.array([nontrivial[int(k)] for k in keys], dtype=np.int64)
     map_ref = ray.put((keys, vals))
 
-    class RepMap:
-        def __init__(self):
-            self.keys, self.vals = ray.get(map_ref)
+    def rep_map(t: pa.Table) -> pa.Table:
+        mkeys, mvals = ray.get(map_ref)  # zero-copy per stateless task
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(mkeys):
+            idx = np.searchsorted(mkeys, ids)
+            idx = np.minimum(idx, len(mkeys) - 1)
+            hit = mkeys[idx] == ids
+            reps = np.where(hit, mvals[idx], ids)
+        else:
+            reps = ids
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "rep": pa.array(reps),
+                "is_survivor": pa.array(ids == reps),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(self.keys):
-                idx = np.searchsorted(self.keys, ids)
-                idx = np.minimum(idx, len(self.keys) - 1)
-                hit = self.keys[idx] == ids
-                reps = np.where(hit, self.vals[idx], ids)
-            else:
-                reps = ids
-            return pa.table(
-                {
-                    id_col: pa.array(ids),
-                    "rep": pa.array(reps),
-                    "is_survivor": pa.array(ids == reps),
-                }
-            )
-
-    return ds.map_batches(RepMap, batch_format="pyarrow", batch_size=None, concurrency=2)
+    return ds.map_batches(rep_map, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_dedup(

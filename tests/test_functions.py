@@ -286,3 +286,32 @@ def test_minhash_dedup_streams_output(ray_session):
     df = out.to_pandas().set_index("doc_id")
     assert df.loc[0, "is_survivor"] and not df.loc[3, "is_survivor"]
     assert df.loc[4, "is_survivor"]
+
+
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(17)
+    n, d = 600, 24
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float32()), d
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    queries = {"ids": np.arange(8, dtype=np.int64), "mat": mat[:8]}
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = ivf_topk(ds, queries, k=10, n_centroids=16, n_probe=8).to_pandas()
+    recalls = []
+    for qi in range(8):
+        e = set(exact.loc[exact["query_id"] == qi, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == qi, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # probing half the lists on random data
+    # self-probe sanity: each query's own list is its top probe
+    assert (approx.groupby("query_id").size() == 10).all()
