@@ -476,6 +476,26 @@ def q_lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_kmv_sample_custkeys(sf_dir: str) -> pd.DataFrame:
+    """KMV bottom-k distinct sample + (k-1)/U_(k) distinct estimate.
+    The ONLY approximate sketch with an exact end-to-end SQL oracle: the
+    oracle recomputes SplitMix64 in mod-2^64 SQL arithmetic and takes
+    the same bottom-64, so sample AND estimate hash-match bit-for-bit."""
+    from ddsketch_ray.agg import KMVAgg, sketch_from_result
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    res = ds.aggregate(KMVAgg(on="o_custkey", k=64, alias_name="kmv"))
+    sk = sketch_from_result(res["kmv"])
+    vals = np.array([int(v) for v in sk.sample()], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(vals) + 1, dtype=np.int64),
+            "o_custkey": vals,
+            "est_distinct": np.full(len(vals), sk.estimate_distinct(), dtype=np.float64),
+        }
+    )
+
+
 def q_clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
     """Composite training-data cleaning pipeline (the C4-style shape):
     quality-score filter → exact near-zero-cost dedup → per-language
@@ -975,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "clean_corpus_stats": q_clean_corpus_stats,
+        "kmv_sample_custkeys": q_kmv_sample_custkeys,
         "webpages_report": q_webpages_report,
         "salted_quantiles_by_event_type": q_salted_quantiles_by_event_type,
         "actorpool_quantiles_price": q_actorpool_quantiles_price,
@@ -1062,8 +1083,53 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _splitmix_sql(x: str) -> str:
+    """SplitMix64 of a UBIGINT SQL expression, bit-identical to
+    ``ddsketch_ray.hashing.splitmix64``: mod-2^64 arithmetic via HUGEINT,
+    with the 64x64 multiply split into 32-bit halves (a*b mod 2^64 =
+    a*b_lo + ((a*b_hi mod 2^32) << 32), each term < 2^97 < HUGEINT)."""
+    M = 18446744073709551616  # 2^64
+
+    def mulmod(a: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (
+            f"CAST(((CAST({a} AS HUGEINT) * {bl}) + "
+            f"(((CAST({a} AS HUGEINT) * {bh}) % 4294967296) * 4294967296)) "
+            f"% {M} AS UBIGINT)"
+        )
+
+    z = f"CAST((CAST({x} AS HUGEINT) + 11400714819323198485) % {M} AS UBIGINT)"
+    z1 = mulmod(f"xor({z}, {z} >> 30)", 13787848793156543929)
+    z2 = mulmod(f"xor({z1}, {z1} >> 27)", 10723151780598845931)
+    return f"xor({z2}, {z2} >> 31)"
+
+
+# hash_ints(v, seed=0) = splitmix64(v ^ splitmix64(0))
+_SPLITMIX_ZERO = 16294208416658607535
+
+
 def _recomputed_oracles(qs_values: str) -> dict[str, str]:
+    kmv_hash = _splitmix_sql(
+        f"xor(CAST(o_custkey AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
+    )
     return {
+        "kmv_sample_custkeys": f"""
+-- exact recompute of the KMV bottom-64 sample: SplitMix64 in mod-2^64
+-- SQL arithmetic over the distinct keys, then the same (k-1)/U_(k)
+-- estimator (63 * 2^64 exact in float64, one division -> bit-identical)
+WITH d AS (SELECT DISTINCT o_custkey FROM orders),
+h AS (SELECT o_custkey, {kmv_hash} AS hv FROM d),
+k AS (SELECT o_custkey, hv, row_number() OVER (ORDER BY hv, o_custkey) AS r FROM h),
+kk AS (SELECT * FROM k WHERE r <= 64),
+est AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM d) < 64
+              THEN CAST((SELECT COUNT(*) FROM d) AS DOUBLE)
+              ELSE (63.0 * 18446744073709551616.0) / CAST(MAX(hv) AS DOUBLE)
+         END AS e
+  FROM kk)
+SELECT r::BIGINT AS rank, o_custkey::BIGINT AS o_custkey, e AS est_distinct
+FROM kk, est ORDER BY rank
+""",
         "dds_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),
         "dds_quantiles_events_ckpt": _dds_sql("events", "value"),
         "dds_quantiles_by_event_type": _dds_sql("events", "value", group="event_type"),

@@ -34,6 +34,7 @@ from ddsketch_ray.sketches import (
     HeavyHitters,
     HyperLogLog,
     KLL,
+    KMV,
     MinHashSketch,
     TDigest,
 )
@@ -204,6 +205,27 @@ class HLLAgg(_SketchAggBase):
 
     def finalize(self, accumulator: bytes) -> int:
         return pickle.loads(accumulator).cardinality()
+
+
+class KMVAgg(_SketchAggBase):
+    """KMV bottom-k distinct sample + distinct estimate over any column.
+    finalize → serialized sketch (use ``sketch_from_result``); the
+    bottom-k sample and the (k-1)/U_(k) estimate are exactly
+    reproducible by a SQL oracle (SplitMix64 in mod-2^64 arithmetic)."""
+
+    def __init__(self, on: str, k: int = 256, seed: int = 0, alias_name=None):
+        self._seed = seed
+        super().__init__(
+            factory=lambda: KMV(k=k),
+            name=alias_name or f"kmv({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        col = drop_nulls(col, is_arrow)
+        values = col.to_numpy(zero_copy_only=False) if is_arrow else np.asarray(col)
+        sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed), values)
 
 
 class HeavyHittersAgg(_SketchAggBase):

@@ -16,6 +16,7 @@ from ddsketch_ray.sketches.ddsketch import (
 )
 from ddsketch_ray.sketches.hll import HyperLogLog
 from ddsketch_ray.sketches.kll import KLL
+from ddsketch_ray.sketches.kmv import KMV
 from ddsketch_ray.sketches.minhash import (
     MinHashSketch,
     hamming64,

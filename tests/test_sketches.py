@@ -328,3 +328,64 @@ def test_minhash_simhash_trailing_empty_docs():
     fp_solo = simhash64(d0, np.array([0]))
     assert fp[0] == fp_solo[0]
     assert fp[1] == 0 and fp[2] == 0
+
+
+class TestKMV:
+    def test_bottom_k_and_exact_below_saturation(self):
+        from ddsketch_ray.hashing import hash_ints
+        from ddsketch_ray.sketches import KMV
+
+        vals = np.arange(40, dtype=np.int64)
+        sk = KMV(k=64)
+        sk.add_hashed(hash_ints(vals), vals)
+        assert sk.size == 40 and sk.estimate_distinct() == 40.0
+        # duplicates don't grow the sketch
+        sk.add_hashed(hash_ints(vals), vals)
+        assert sk.size == 40
+
+    def test_estimate_accuracy(self):
+        from ddsketch_ray.hashing import hash_ints
+        from ddsketch_ray.sketches import KMV
+
+        n, k = 200_000, 1024
+        vals = np.arange(n, dtype=np.int64)
+        sk = KMV(k=k)
+        for chunk in np.array_split(vals, 10):
+            sk.add_hashed(hash_ints(chunk), chunk)
+        est = sk.estimate_distinct()
+        assert abs(est - n) / n < 5 / np.sqrt(k)  # ~1/sqrt(k) rel error
+
+    def test_merge_order_independent(self):
+        from ddsketch_ray.hashing import hash_ints
+        from ddsketch_ray.sketches import KMV
+
+        rng = np.random.default_rng(2)
+        vals = rng.integers(0, 1 << 40, size=30_000)
+        parts = np.array_split(vals, 7)
+
+        def build(order):
+            sk = KMV(k=128)
+            for i in order:
+                p = parts[i]
+                other = KMV(k=128)
+                other.add_hashed(hash_ints(p), p)
+                sk.merge(other)
+            return sk
+
+        a = build(range(7))
+        b = build(reversed(range(7)))
+        assert np.array_equal(a.hashes, b.hashes)
+        assert [int(x) for x in a.sample()] == [int(x) for x in b.sample()]
+        assert a.estimate_distinct() == b.estimate_distinct()
+
+    def test_sample_matches_global_bottom_k(self):
+        from ddsketch_ray.hashing import hash_ints
+        from ddsketch_ray.sketches import KMV
+
+        vals = np.arange(5000, dtype=np.int64)
+        h = hash_ints(vals)
+        want = vals[np.argsort(h)][:64]
+        sk = KMV(k=64)
+        for chunk in np.array_split(vals, 13):
+            sk.add_hashed(hash_ints(chunk), chunk)
+        assert [int(x) for x in sk.sample()] == want.tolist()
