@@ -23,7 +23,6 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ddsketch_ray.functions.text import TOKEN_PATTERN
 from ddsketch_ray.hashing import hash_strings, splitmix64
@@ -60,27 +59,56 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", seed: int = 
 
 def shingle_hashes(texts: pl.Series, k: int = 5, seed: int = 0):
     """Per-doc k-gram (word) shingle hashes → (flat uint64, offsets int64).
-    Shingles are joins of k consecutive lowercase tokens; docs with fewer
-    than k tokens get one whole-doc shingle."""
+
+    A shingle hash is a SplitMix64 chain over the k consecutive token
+    hashes (order-sensitive rolling combine) — equivalent discriminating
+    power to hashing the joined string, but fully vectorized: tokens are
+    hashed once by the Rust kernel and every window position combines in
+    O(k) numpy passes over the whole batch (no per-document Python; the
+    old string-join implementation spent ~100 µs/doc building shingle
+    strings, the dominant cost of dedup at the 600k-doc stress scale).
+    Docs with fewer than k tokens get one whole-doc chained shingle.
+    """
     toks = texts.fill_null("").str.to_lowercase().str.extract_all(TOKEN_PATTERN)
-    lists = toks.to_list()
-    shingles: list[str] = []
-    offsets = np.zeros(len(lists), dtype=np.int64)
-    pos = 0
-    for d, words in enumerate(lists):
-        offsets[d] = pos
-        if not words:
-            shingles.append("")
-            pos += 1
-        elif len(words) < k:
-            shingles.append(" ".join(words))
-            pos += 1
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    n_docs = len(lens)
+    flat_toks = toks.explode().drop_nulls()
+    th = (
+        hash_strings(flat_toks.to_arrow(), seed=seed)
+        if flat_toks.len()
+        else np.empty(0, np.uint64)
+    )
+    n_sh = np.where(lens >= k, lens - k + 1, 1)
+    offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(n_sh[:-1], out=offsets[1:])
+    out = np.empty(int(n_sh.sum()), dtype=np.uint64)
+    tok_off = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=tok_off[1:])
+
+    full = lens >= k
+    counts = n_sh[full]
+    if counts.size:
+        # window start index per shingle, all docs at once
+        ar = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        starts = np.repeat(tok_off[full], counts) + ar
+        acc = th[starts].copy()
+        for j in range(1, k):
+            acc = splitmix64(acc ^ th[starts + j])
+        out[np.repeat(offsets[full], counts) + ar] = acc
+
+    empty_hash = hash_strings([""], seed=seed)[0]
+    for d in np.nonzero(~full)[0].tolist():  # short docs are rare
+        t0, ln = int(tok_off[d]), int(lens[d])
+        if ln == 0:
+            out[offsets[d]] = empty_hash
         else:
-            for j in range(len(words) - k + 1):
-                shingles.append(" ".join(words[j : j + k]))
-            pos += len(words) - k + 1
-    flat = hash_strings(shingles, seed=seed) if shingles else np.empty(0, np.uint64)
-    return flat, offsets
+            a = th[t0]
+            for j in range(1, ln):
+                a = splitmix64(a ^ th[t0 + j])
+            out[offsets[d]] = a
+    return out, offsets
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5, seed: int = 0) -> float:
@@ -204,32 +232,26 @@ def hot_bucket_pairs(
     ≤ ~50 MB): pull to the driver and find duplicate buckets with one
     vectorized pandas pass. At scale, the distributed path:
 
-    1. vectorized groupby-count finds buckets with ≥ 2 members — this is
-       the only full-data shuffle and its payload is (band, hash, count);
-    2. the hot-bucket key set (near-dup buckets only — tiny for real
+    1. a distributed SORT on the combined bucket key makes equal keys
+       globally contiguous — this is the only full-data exchange, and a
+       Ray Data sort of the single int64 key column measures ~60× faster
+       than groupby().aggregate(Count) at this shape (BASELINE.md r2);
+    2. each sorted block reports its internal adjacent-duplicate keys
+       plus its first/last key (block-boundary stitching: a bucket
+       spanning blocks shows its key at ≥2 block edges) — the driver
+       receives only hot keys + 2 keys per block;
+    3. the hot-bucket key set (near-dup buckets only — tiny for real
        corpora) is broadcast and band rows are filtered to it per batch;
-    3. the surviving candidate rows are pair-chained (sorted-adjacent,
+    4. the surviving candidate rows are pair-chained (sorted-adjacent,
        vectorized) — no per-group Python ever runs on singleton buckets.
     """
     import pandas as pd
     import ray
-    from ray.data.aggregate import Count
 
     if band_rows.count() <= driver_threshold:
         df = band_rows.to_pandas()
         cand = df[df.duplicated(["band", "band_hash"], keep=False)]
         return _chain_pairs(cand, id_col, max_bucket_pairs=max_bucket_pairs)
-
-    hot = (
-        band_rows.groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="c"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t.column("c"), 1)), batch_format="pyarrow"
-        )
-        .to_pandas()
-    )
-    if len(hot) == 0:
-        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
 
     def _combined(bands_np: np.ndarray, hashes_np: np.ndarray) -> np.ndarray:
         # (band, band_hash) -> one uint64 key; collisions only ADD
@@ -239,9 +261,38 @@ def hot_bucket_pairs(
             ^ splitmix64(bands_np.astype(np.int64).view(np.uint64))
         )
 
-    hot_keys = np.sort(
-        _combined(hot["band"].to_numpy(), hot["band_hash"].to_numpy())
-    )
+    def to_ck(t: pa.Table) -> pa.Table:
+        ck = _combined(t.column("band").to_numpy(), t.column("band_hash").to_numpy())
+        return pa.table({"ck": pa.array(ck.astype(np.int64))})
+
+    sorted_ck = band_rows.map_batches(to_ck, batch_format="pyarrow", batch_size=None).sort("ck")
+
+    def block_hot(t: pa.Table) -> pa.Table:
+        ck = t.column("ck").to_numpy()
+        if len(ck) == 0:
+            return pa.table(
+                {"ck": pa.array([], type=pa.int64()), "boundary": pa.array([], type=pa.bool_())}
+            )
+        eq = ck[1:] == ck[:-1]
+        internal = np.unique(ck[:-1][eq])
+        edges = np.array([ck[0], ck[-1]], dtype=np.int64)
+        return pa.table(
+            {
+                "ck": pa.array(np.concatenate([internal, edges])),
+                "boundary": pa.array(
+                    np.concatenate([np.zeros(len(internal), bool), np.ones(2, bool)])
+                ),
+            }
+        )
+
+    rep = sorted_ck.map_batches(block_hot, batch_format="pyarrow", batch_size=None).to_pandas()
+    internal_hot = rep.loc[~rep["boundary"], "ck"].to_numpy()
+    edge = rep.loc[rep["boundary"], "ck"].to_numpy()
+    edge_vals, edge_counts = np.unique(edge, return_counts=True)
+    hot_i64 = np.union1d(internal_hot, edge_vals[edge_counts >= 2])
+    if len(hot_i64) == 0:
+        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+    hot_keys = np.sort(hot_i64.astype(np.int64).view(np.uint64))
     hot_ref = ray.put(hot_keys)
 
     def hot_filter(t: pa.Table) -> pa.Table:
