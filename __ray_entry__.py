@@ -504,7 +504,7 @@ def q_clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
     carries lang/n_tokens inside the key (identical text ⇒ identical
     features), and the final per-lang rollup is pre-aggregated per batch
     before a 5-row groupby."""
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Sum
 
     from ddsketch_ray.functions.dedup import content_hash_batch
     from ddsketch_ray.functions.text import quality_features_batch
@@ -522,10 +522,15 @@ def q_clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
             ["content_hash", "lang", "n_tokens", "doc_id"]
         )
 
-    deduped = (
-        ds.map_batches(filter_and_hash, batch_format="pyarrow", batch_size=None)
-        .groupby(["content_hash", "lang", "n_tokens"])
-        .aggregate(Min("doc_id", alias_name="survivor"), Count(alias_name="n_dups"))
+    # high-cardinality dedup via the sort-rollup plan (7-60x faster than
+    # groupby().aggregate at scale; see functions/dedup.py)
+    from ddsketch_ray.functions.dedup import sorted_group_rollup
+
+    deduped = sorted_group_rollup(
+        ds.map_batches(filter_and_hash, batch_format="pyarrow", batch_size=None),
+        key_col="content_hash",
+        id_col="doc_id",
+        carry_cols=("lang", "n_tokens"),
     )
 
     def partial(b: pa.Table) -> pa.Table:

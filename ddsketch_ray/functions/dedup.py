@@ -41,17 +41,119 @@ def content_hash_batch(
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", seed: int = 0):
     """Survivor ids (min id per identical-content group), as a Dataset of
-    (id_col). Shuffle payload = (hash, id) pairs only."""
+    (id_col). Shuffle payload = (hash, id) pairs only.
+
+    Physical plan: distributed SORT on the content hash, then a
+    per-block ``minimum.reduceat`` over the now-contiguous groups. A
+    block's first/last group may span into neighbors, so each block
+    emits its per-block min for those two groups tagged ``boundary`` and
+    the driver resolves them (≤ 2 tiny rows per block). High-cardinality
+    ``groupby().aggregate(Min)`` measures 7× slower than this sort plan
+    at 600k rows and 60× at 9.6M (BASELINE.md r2) — the sort IS the
+    hash-partition, without the per-key aggregation machinery."""
+    import ray.data as rd
+
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col=text_col, seed=seed).select(
             ["content_hash", id_col]
         ),
         batch_format="pyarrow", batch_size=None,
     )
-    from ray.data.aggregate import Min
+    s = hashed.sort("content_hash")
 
-    survivors = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
-    return survivors.select_columns([id_col])
+    def block_mins(t: pa.Table) -> pa.Table:
+        h = t.column("content_hash").to_numpy()
+        ids = t.column(id_col).to_numpy()
+        if len(h) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "content_hash": pa.array([], type=pa.int64()),
+                    "boundary": pa.array([], type=pa.bool_()),
+                }
+            )
+        starts = np.nonzero(np.r_[True, h[1:] != h[:-1]])[0]
+        mins = np.minimum.reduceat(ids, starts)
+        boundary = np.zeros(len(starts), dtype=bool)
+        boundary[0] = boundary[-1] = True
+        return pa.table(
+            {
+                id_col: pa.array(mins.astype(np.int64)),
+                "content_hash": pa.array(h[starts]),
+                "boundary": pa.array(boundary),
+            }
+        )
+
+    rep = s.map_batches(block_mins, batch_format="pyarrow", batch_size=None).materialize()
+    internal = rep.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("boundary"))).select([id_col]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    edge = rep.map_batches(
+        lambda t: t.filter(t.column("boundary")).select(["content_hash", id_col]),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()  # ≤ 2 rows per block
+    edge_ids = edge.groupby("content_hash")[id_col].min().to_numpy().astype(np.int64)
+    return internal.union(
+        rd.from_arrow(pa.table({id_col: pa.array(np.sort(edge_ids))}))
+    )
+
+
+def sorted_group_rollup(ds, key_col: str, id_col: str, carry_cols=()):
+    """Per-key (min id, count, carried columns) via the sort plan —
+    the scale-safe replacement for a high-cardinality
+    ``groupby(key).aggregate(Min, Count)`` (7-60× faster, BASELINE.md
+    r2). ``carry_cols`` must be constant within a key group (e.g.
+    features derived from the key's content); they are taken from the
+    group's first sorted row. Returns a Dataset
+    (key_col, id_col=min, n=count, *carry_cols); block-spanning groups
+    are resolved on the driver (≤ 2 per-block partial rows each)."""
+    import pandas as pd
+    import ray.data as rd
+
+    carry_cols = list(carry_cols)
+    s = ds.sort(key_col)
+
+    def block_rollup(t: pa.Table) -> pa.Table:
+        h = t.column(key_col).to_numpy()
+        cols = {
+            key_col: pa.array([], type=t.schema.field(key_col).type),
+            id_col: pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            **{c: pa.array([], type=t.schema.field(c).type) for c in carry_cols},
+            "boundary": pa.array([], type=pa.bool_()),
+        }
+        if len(h) == 0:
+            return pa.table(cols)
+        ids = t.column(id_col).to_numpy()
+        starts = np.nonzero(np.r_[True, h[1:] != h[:-1]])[0]
+        counts = np.diff(np.r_[starts, len(h)])
+        boundary = np.zeros(len(starts), dtype=bool)
+        boundary[0] = boundary[-1] = True
+        out = {
+            key_col: pa.array(h[starts]),
+            id_col: pa.array(np.minimum.reduceat(ids, starts).astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+        for c in carry_cols:
+            out[c] = t.column(c).take(pa.array(starts))
+        out["boundary"] = pa.array(boundary)
+        return pa.table(out)
+
+    rep = s.map_batches(block_rollup, batch_format="pyarrow", batch_size=None).materialize()
+    keep_cols = [key_col, id_col, "n"] + carry_cols
+    internal = rep.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("boundary"))).select(keep_cols),
+        batch_format="pyarrow", batch_size=None,
+    )
+    edge = rep.map_batches(
+        lambda t: t.filter(t.column("boundary")).select(keep_cols),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()  # ≤ 2 partial rows per block
+    if len(edge):
+        agg = {id_col: "min", "n": "sum", **{c: "first" for c in carry_cols}}
+        edge = edge.groupby(key_col, as_index=False).agg(agg)[keep_cols]
+    return internal.union(rd.from_pandas(edge[keep_cols]))
 
 
 # ------------------------------------------------------------- shingling

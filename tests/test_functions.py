@@ -315,3 +315,41 @@ def test_ivf_topk_recall_vs_brute_force(ray_session):
     assert np.mean(recalls) >= 0.6  # probing half the lists on random data
     # self-probe sanity: each query's own list is its top probe
     assert (approx.groupby("query_id").size() == 10).all()
+
+
+def test_sorted_group_rollup_matches_groupby(ray_session):
+    """Sort-rollup plan must equal a reference groupby (min, count, carry)
+    including groups that span sorted block boundaries."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.dedup import sorted_group_rollup
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    keys = rng.integers(0, 3_000, size=n).astype(np.int64)  # many spanning groups
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "k": pa.array(keys),
+            "doc_id": pa.array(ids),
+            "carry": pa.array((keys * 7).astype(np.int64)),  # constant per key
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(16)
+    got = (
+        sorted_group_rollup(ds, "k", "doc_id", carry_cols=("carry",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": keys, "doc_id": ids, "carry": keys * 7})
+        .groupby("k", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n=("doc_id", "size"), carry=("carry", "first"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n"].astype(int).tolist() == want["n"].tolist()
+    assert got["carry"].tolist() == want["carry"].tolist()
