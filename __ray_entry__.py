@@ -297,9 +297,13 @@ def q_top_event_types(sf_dir: str) -> pd.DataFrame:
 
 
 def q_distinct_custkeys(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed distinct count (sort + per-block adjacent scan;
+    3 numbers per block reach the driver — ``Dataset.unique`` would
+    materialize every distinct value driver-side)."""
+    from ddsketch_ray.functions.dedup import distinct_count
+
     ds = _read(sf_dir, "orders", ["o_custkey"])
-    n = ds.unique("o_custkey")
-    return pd.DataFrame({"n_distinct": [np.int64(len(n))]})
+    return pd.DataFrame({"n_distinct": [np.int64(distinct_count(ds, "o_custkey"))]})
 
 
 def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:

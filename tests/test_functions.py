@@ -353,3 +353,15 @@ def test_sorted_group_rollup_matches_groupby(ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n"].astype(int).tolist() == want["n"].tolist()
     assert got["carry"].tolist() == want["carry"].tolist()
+
+
+def test_distinct_count_exact(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.dedup import distinct_count
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 500, size=50_000).astype(np.int64)  # heavy spanning
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(16)
+    assert distinct_count(ds, "v") == len(np.unique(vals))
+    one = rd.from_arrow(pa.table({"v": pa.array(np.zeros(10_000, np.int64))})).repartition(8)
+    assert distinct_count(one, "v") == 1
