@@ -480,6 +480,56 @@ def q_lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_asof_rates_events(sf_dir: str) -> pd.DataFrame:
+    """As-of join (brief's custom-operator list): every event matches
+    the LATEST qualifying hourly reference row (count ≥ 6 makes the dim
+    sparse, so matches genuinely reach back in time). Dim is built by a
+    partial-count pre-aggregation (bounded by hours × types — naturally
+    small) and broadcast; the event side streams with zero shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ddsketch_ray.functions.joins import asof_join_broadcast
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(b.select(["event_type", "ts"]))
+            .group_by(
+                "event_type",
+                pl.col("ts").dt.truncate("1h").alias("window_start"),
+            )
+            .agg(pl.len().alias("c"))
+        )
+        return g.to_arrow()
+
+    dim_df = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    dim_df = dim_df[dim_df["n"] >= 6]
+    dim = pa.table(
+        {
+            "event_type": pa.array(dim_df["event_type"].tolist(), type=pa.string()),
+            "window_start": pa.array(dim_df["window_start"], type=pa.timestamp("us")),
+            "n": pa.array(dim_df["n"].astype(np.int64)),
+        }
+    )
+    out = asof_join_broadcast(
+        ds, dim, key_col="event_type", ts_col="ts",
+        dim_ts_col="window_start", value_cols=["n"],
+    ).to_pandas()
+    out = out.rename(columns={"window_start_ref": "ref_hour", "n_ref": "ref_n"})
+    out = out[["event_id", "ref_hour", "ref_n"]]
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["ref_n"] = out["ref_n"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_kmv_sample_custkeys(sf_dir: str) -> pd.DataFrame:
     """KMV bottom-k distinct sample + (k-1)/U_(k) distinct estimate.
     The ONLY approximate sketch with an exact end-to-end SQL oracle: the
@@ -1005,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "clean_corpus_stats": q_clean_corpus_stats,
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
+        "asof_rates_events": q_asof_rates_events,
         "webpages_report": q_webpages_report,
         "salted_quantiles_by_event_type": q_salted_quantiles_by_event_type,
         "actorpool_quantiles_price": q_actorpool_quantiles_price,
@@ -1122,6 +1173,15 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
         f"xor(CAST(o_custkey AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
     return {
+        "asof_rates_events": """
+WITH dim AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 6)
+SELECT e.event_id::BIGINT AS event_id, d.window_start AS ref_hour, d.n AS ref_n
+FROM events e ASOF JOIN dim d
+  ON e.event_type = d.event_type AND e.ts >= d.window_start
+ORDER BY event_id
+""",
         "kmv_sample_custkeys": f"""
 -- exact recompute of the KMV bottom-64 sample: SplitMix64 in mod-2^64
 -- SQL arithmetic over the distinct keys, then the same (k-1)/U_(k)

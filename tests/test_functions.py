@@ -365,3 +365,38 @@ def test_distinct_count_exact(ray_session):
     assert distinct_count(ds, "v") == len(np.unique(vals))
     one = rd.from_arrow(pa.table({"v": pa.array(np.zeros(10_000, np.int64))})).repartition(8)
     assert distinct_count(one, "v") == 1
+
+
+def test_asof_join_broadcast(ray_session):
+    """Backward as-of semantics: latest dim row with same key and
+    ts <= row ts; rows with no qualifying dim row are dropped."""
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import asof_join_broadcast
+
+    def ts(h):
+        return np.datetime64(f"2025-01-01T{h:02d}:00:00", "us")
+
+    big = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "k": pa.array(["a", "a", "a", "b", "b"]),
+            "ts": pa.array([ts(1), ts(5), ts(12), ts(2), ts(3)], type=pa.timestamp("us")),
+        }
+    )
+    dim = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"]),
+            "ts": pa.array([ts(2), ts(10), ts(3)], type=pa.timestamp("us")),
+            "v": pa.array([10, 20, 30], type=pa.int64()),
+        }
+    )
+    out = (
+        asof_join_broadcast(rd.from_arrow(big).repartition(2), dim, "k", "ts", ["v"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1 (a@1h): no dim <= 1h -> dropped; 2 (a@5h) -> v=10;
+    # 3 (a@12h) -> v=20; 4 (b@2h): dropped; 5 (b@3h) -> v=30 (ts equal)
+    assert out["event_id"].tolist() == [2, 3, 5]
+    assert out["v_ref"].tolist() == [10, 20, 30]
