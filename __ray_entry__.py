@@ -530,6 +530,55 @@ def q_asof_rates_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+_PRICE_BANDS = [
+    ("budget", 0.0, 20_000.0),
+    ("mid", 20_000.0, 60_000.0),
+    ("premium", 60_000.0, 95_000.0),
+    ("luxury", 95_000.0, 1e12),
+]
+
+
+def q_range_join_price_bands(sf_dir: str) -> pd.DataFrame:
+    """Range join (brief's custom-operator list): every lineitem row
+    matched to its price band via one broadcast searchsorted per batch
+    (zero big-side shuffle), then a tiny per-band rollup."""
+    from ray.data.aggregate import Sum
+
+    from ddsketch_ray.functions.joins import range_join_broadcast
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    bands = pa.table(
+        {
+            "label": pa.array([b[0] for b in _PRICE_BANDS]),
+            "lo": pa.array([b[1] for b in _PRICE_BANDS]),
+            "hi": pa.array([b[2] for b in _PRICE_BANDS]),
+        }
+    )
+    joined = range_join_broadcast(ds, bands, value_col="l_extendedprice")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(b.select(["label", "l_quantity"]))
+            .with_columns((pl.col("l_quantity") * 100).round(0).cast(pl.Int64).alias("qc"))
+            .group_by("label")
+            .agg(pl.len().alias("n_rows"), pl.col("qc").sum().alias("qty_cents"))
+        )
+        return g.to_arrow()
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("label")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("qty_cents", alias_name="qc"))
+        .to_pandas()
+    )
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_qty"] = out["qc"].astype(np.int64) / 100.0
+    out = out[["label", "n_rows", "sum_qty"]]
+    return out.sort_values("label").reset_index(drop=True)
+
+
 def q_kmv_sample_custkeys(sf_dir: str) -> pd.DataFrame:
     """KMV bottom-k distinct sample + (k-1)/U_(k) distinct estimate.
     The ONLY approximate sketch with an exact end-to-end SQL oracle: the
@@ -1056,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_stats": q_clean_corpus_stats,
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
         "asof_rates_events": q_asof_rates_events,
+        "range_join_price_bands": q_range_join_price_bands,
         "webpages_report": q_webpages_report,
         "salted_quantiles_by_event_type": q_salted_quantiles_by_event_type,
         "actorpool_quantiles_price": q_actorpool_quantiles_price,
@@ -1173,6 +1223,17 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
         f"xor(CAST(o_custkey AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
     return {
+        "range_join_price_bands": """
+WITH bands(label, lo, hi) AS (VALUES
+  ('budget', 0.0, 20000.0), ('mid', 20000.0, 60000.0),
+  ('premium', 60000.0, 95000.0), ('luxury', 95000.0, 1e12))
+SELECT b.label,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.label ORDER BY b.label
+""",
         "asof_rates_events": """
 WITH dim AS (
   SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*)::BIGINT AS n

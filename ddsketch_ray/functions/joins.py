@@ -96,3 +96,48 @@ def asof_join_broadcast(
         return out
 
     return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
+
+
+def range_join_broadcast(
+    big_ds,
+    intervals: pa.Table,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    carry_cols=("label",),
+    closed: str = "left",
+):
+    """Range (interval) join: every big-side row matches the interval
+    containing ``value_col`` (inner join; non-matching rows drop).
+
+    Intervals must be non-overlapping; they are broadcast once as sorted
+    bound arrays and each stateless task does ONE searchsorted per batch
+    — zero shuffle of the big side. ``closed``: "left" = [lo, hi),
+    "both" = [lo, hi]. For overlapping intervals, decompose into
+    elementary disjoint segments first (standard interval-tree flatten)
+    and re-attach interval ids via the carried columns.
+    """
+    import ray
+
+    los = intervals.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    his = intervals.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(los, kind="stable")
+    los, his = los[order], his[order]
+    if np.any(los[1:] < his[:-1]):
+        raise ValueError("range_join_broadcast requires non-overlapping intervals")
+    carry = {c: intervals.column(c).take(pa.array(order)) for c in carry_cols}
+    ref = ray.put((los, his, {c: a.to_numpy(zero_copy_only=False) for c, a in carry.items()}))
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        plos, phis, pcarry = ray.get(ref)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(plos, v, side="right") - 1
+        idx = np.maximum(idx, 0)
+        inside = (v >= plos[idx]) & ((v <= phis[idx]) if closed == "both" else (v < phis[idx]))
+        sub = t.filter(pa.array(inside))
+        out = sub
+        for c in carry_cols:
+            out = out.append_column(c, pa.array(list(pcarry[c][idx[inside]])))
+        return out
+
+    return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)

@@ -400,3 +400,31 @@ def test_asof_join_broadcast(ray_session):
     # 3 (a@12h) -> v=20; 4 (b@2h): dropped; 5 (b@3h) -> v=30 (ts equal)
     assert out["event_id"].tolist() == [2, 3, 5]
     assert out["v_ref"].tolist() == [10, 20, 30]
+
+
+def test_range_join_broadcast(ray_session):
+    import pytest
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import range_join_broadcast
+
+    big = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "v": pa.array([5.0, 10.0, 25.0, 99.0]),
+        }
+    )
+    bands = pa.table(
+        {"label": pa.array(["low", "high"]), "lo": pa.array([0.0, 10.0]), "hi": pa.array([10.0, 50.0])}
+    )
+    out = (
+        range_join_broadcast(rd.from_arrow(big).repartition(2), bands, "v")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # [lo, hi): 5->low, 10->high (left-closed), 25->high, 99 drops
+    assert out["id"].tolist() == [1, 2, 3]
+    assert out["label"].tolist() == ["low", "high", "high"]
+    overlapping = pa.table(
+        {"label": pa.array(["a", "b"]), "lo": pa.array([0.0, 5.0]), "hi": pa.array([10.0, 20.0])}
+    )
+    with pytest.raises(ValueError):
+        range_join_broadcast(rd.from_arrow(big), overlapping, "v")
