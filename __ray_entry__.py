@@ -530,6 +530,26 @@ def q_asof_rates_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_asof_prev_event_value(sf_dir: str) -> pd.DataFrame:
+    """BIG-BIG as-of join (no broadcastable side): every event matched
+    to the same user's most recent STRICTLY-earlier event. One tagged
+    union + one distributed sort; per-block vectorized forward-fill with
+    carry/spill block stitching (see functions/joins.py:asof_join_sorted
+    for the partitioning assumption). Oracle: DuckDB ASOF self-join."""
+    from ddsketch_ray.functions.joins import asof_join_sorted
+
+    left = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    out = asof_join_sorted(
+        left, right, key_col="user_id", ts_col="ts",
+        left_cols=["event_id"], right_value_cols=["value"], strict=True,
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["prev_value"] = _round6(out["value_ref"])
+    out = out[["event_id", "prev_value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 _PRICE_BANDS = [
     ("budget", 0.0, 20_000.0),
     ("mid", 20_000.0, 60_000.0),
@@ -1106,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
+        "asof_prev_event_value": q_asof_prev_event_value,
         "webpages_report": q_webpages_report,
         "salted_quantiles_by_event_type": q_salted_quantiles_by_event_type,
         "actorpool_quantiles_price": q_actorpool_quantiles_price,
@@ -1223,6 +1244,12 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
         f"xor(CAST(o_custkey AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
     return {
+        "asof_prev_event_value": """
+SELECT e.event_id::BIGINT AS event_id, ROUND(d.value, 6) AS prev_value
+FROM events e ASOF JOIN events d
+  ON e.user_id = d.user_id AND e.ts > d.ts
+ORDER BY event_id
+""",
         "range_join_price_bands": """
 WITH bands(label, lo, hi) AS (VALUES
   ('budget', 0.0, 20000.0), ('mid', 20000.0, 60000.0),

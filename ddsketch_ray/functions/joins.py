@@ -98,6 +98,194 @@ def asof_join_broadcast(
     return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
 
+def asof_join_sorted(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    left_cols,
+    right_value_cols,
+    strict: bool = True,
+    suffix: str = "_ref",
+):
+    """Big-big as-of join — the co-partitioned scale path the broadcast
+    variant documents. Neither side fits a broadcast, so:
+
+    1. both sides are tagged and UNIONed into one narrow dataset
+       (key, ts, side, projected columns) — the only wide movement;
+    2. one distributed sort on (key, ts, side) makes every key's
+       timeline contiguous, right rows interleaved exactly where
+       forward-fill needs them (``strict`` orders left BEFORE right at
+       equal ts, so a left row never sees a same-timestamp right row);
+    3. each sorted block forward-fills vectorized (maximum.accumulate
+       over right-row indices, reset at key-group starts) and joins its
+       left rows locally. Only two kinds of rows escape the block: the
+       last key's carry state (≤ 1 row) and the FIRST key's left rows
+       that precede any in-block right row — a key's rows are contiguous
+       after the sort, so only those can be resolved by earlier blocks.
+       The driver walks blocks in range order, threading carry state
+       through and resolving the escaped rows (O(blocks + spilled rows);
+       degenerate single-key skew would spill more — that is the
+       documented partitioning assumption: keys ≫ blocks).
+
+    Inner join: left rows with no qualifying right row are dropped.
+    Returns a Dataset with ``left_cols`` + each right value column as
+    ``{col}{suffix}``. Timestamps are threaded as int64 internally.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    left_cols = list(left_cols)
+    right_value_cols = list(right_value_cols)
+    left_side, right_side = (0, 1) if strict else (1, 0)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        cols = {
+            "k": t.column(key_col),
+            "t": pa.array(ts),
+            "side": pa.array(np.full(t.num_rows, left_side, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[f"l_{c}"] = t.column(c)
+        for c in right_value_cols:
+            cols[f"r_{c}"] = pa.nulls(t.num_rows, type=pa.float64())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        cols = {
+            "k": t.column(key_col),
+            "t": pa.array(ts),
+            "side": pa.array(np.full(t.num_rows, right_side, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, type=pa.int64())
+        for c in right_value_cols:
+            cols[f"r_{c}"] = pa.compute.cast(t.column(c), pa.float64())
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow", batch_size=None).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    )
+    s = tagged.sort(["k", "t", "side"])
+
+    out_fields = (
+        [(c, pa.int64()) for c in left_cols]
+        + [(f"{c}{suffix}", pa.float64()) for c in right_value_cols]
+    )
+
+    def empty_out() -> pa.Table:
+        cols = {name: pa.array([], type=typ) for name, typ in out_fields}
+        cols["_kind"] = pa.array([], type=pa.int8())
+        cols["_k"] = pa.array([], type=pa.int64())
+        cols["_bk"] = pa.array([], type=pa.int64())
+        cols["_t"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+
+    def block_join(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty_out()
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("t").to_numpy()
+        side = t.column("side").to_numpy()
+        is_right = side == right_side
+        idx = np.arange(n)
+        lr = np.maximum.accumulate(np.where(is_right, idx, -1))
+        gstart_marks = np.r_[True, k[1:] != k[:-1]]
+        gid = np.cumsum(gstart_marks) - 1
+        starts = np.nonzero(gstart_marks)[0]
+        gstart = starts[gid]
+        is_left = ~is_right
+        have = lr >= gstart
+        resolved = is_left & have
+        # unresolved lefts in the FIRST key group may match in earlier
+        # blocks; unresolved lefts of later groups are genuinely matchless
+        spill = is_left & ~have & (gid == 0)
+        rvals = {c: t.column(f"r_{c}").to_numpy(zero_copy_only=False) for c in right_value_cols}
+        lvals = {c: t.column(f"l_{c}").to_numpy(zero_copy_only=False) for c in left_cols}
+
+        def rows(mask, kind, rsrc):
+            m = np.nonzero(mask)[0]
+            cols = {}
+            for c in left_cols:
+                cols[c] = pa.array(lvals[c][m].astype(np.int64))
+            for c in right_value_cols:
+                if rsrc is None:
+                    cols[f"{c}{suffix}"] = pa.nulls(len(m), type=pa.float64())
+                else:
+                    cols[f"{c}{suffix}"] = pa.array(rvals[c][rsrc[m]], type=pa.float64())
+            cols["_kind"] = pa.array(np.full(len(m), kind, dtype=np.int8))
+            cols["_k"] = pa.array(k[m])
+            # (_bk, _t) = the block's FIRST (key, ts) — its global range
+            # position. Ordering by the row's own key/ts would be wrong:
+            # timestamps restart per key, so a carry tagged with an
+            # earlier key's timeline could sort AFTER a later block's
+            # spill. Within one block, spills (kind 1) precede the carry
+            # (kind 2), so a spill never sees its own block's rights.
+            cols["_bk"] = pa.array(np.full(len(m), int(k[0]), dtype=np.int64))
+            cols["_t"] = pa.array(np.full(len(m), int(ts[0]), dtype=np.int64))
+            return pa.table(cols)
+
+        parts = [rows(resolved, 0, lr), rows(spill, 1, None)]
+        # carry: the LAST key group's latest right row state (if any)
+        lr_last = lr[-1] if (lr[-1] >= gstart[-1]) else -1
+        carry_cols = {}
+        for c in left_cols:
+            carry_cols[c] = pa.array([0], type=pa.int64())
+        for c in right_value_cols:
+            carry_cols[f"{c}{suffix}"] = (
+                pa.array([rvals[c][lr_last]], type=pa.float64())
+                if lr_last >= 0
+                else pa.nulls(1, type=pa.float64())
+            )
+        carry_cols["_kind"] = pa.array([2], type=pa.int8())
+        carry_cols["_k"] = pa.array([int(k[-1])], type=pa.int64())  # state key
+        carry_cols["_bk"] = pa.array([int(k[0])], type=pa.int64())  # block order
+        carry_cols["_t"] = pa.array([int(ts[0])], type=pa.int64())
+        parts.append(pa.table(carry_cols))
+        return pa.concat_tables(parts)
+
+    rep = s.map_batches(block_join, batch_format="pyarrow", batch_size=None).materialize()
+    resolved = rep.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("_kind"), 0)).drop_columns(
+            ["_kind", "_k", "_bk", "_t"]
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    small = rep.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t.column("_kind"), 0)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()  # carries (1/block) + first-key spills
+    fixed = []
+    if len(small):
+        # walk blocks in (key, block-start-ts) order, spills (kind 1)
+        # before the same block's carry (kind 2); thread carry state
+        state: dict = {}
+        # global block-range order, spills before the same block's carry
+        for _, row in small.sort_values(["_bk", "_t", "_kind"], kind="stable").iterrows():
+            kk = int(row["_k"])
+            if row["_kind"] == 1:  # spill: resolve with prior-block state
+                if kk in state:
+                    vals = state[kk]
+                    fixed.append(
+                        {
+                            **{c: int(row[c]) for c in left_cols},
+                            **{f"{c}{suffix}": vals[c] for c in right_value_cols},
+                        }
+                    )
+            else:  # carry: update state (all-null = no right rows seen)
+                newv = {c: row[f"{c}{suffix}"] for c in right_value_cols}
+                if not all(pd.isna(v) for v in newv.values()):
+                    state[kk] = newv
+
+    extra = pd.DataFrame(
+        fixed, columns=[c for c in left_cols] + [f"{c}{suffix}" for c in right_value_cols]
+    )
+    return resolved.union(rd.from_pandas(extra)) if len(extra) else resolved
+
+
 def range_join_broadcast(
     big_ds,
     intervals: pa.Table,

@@ -428,3 +428,38 @@ def test_range_join_broadcast(ray_session):
     )
     with pytest.raises(ValueError):
         range_join_broadcast(rd.from_arrow(big), overlapping, "v")
+
+
+def test_asof_join_sorted_matches_duckdb(ray_session):
+    """Big-big sorted as-of join vs DuckDB ASOF self-join on a random
+    multi-key stream, with many blocks to force carry/spill stitching."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import asof_join_sorted
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, size=n).astype(np.int64),
+            "ts": base + rng.permutation(n * 60).astype("timedelta64[s]")[:n].astype("timedelta64[us]"),
+            "value": rng.normal(size=n),
+        }
+    )
+    left = rd.from_pandas(df[["event_id", "user_id", "ts"]]).repartition(8)
+    right = rd.from_pandas(df[["user_id", "ts", "value"]]).repartition(8)
+    out = (
+        asof_join_sorted(left, right, "user_id", "ts", ["event_id"], ["value"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.sql(
+        "SELECT e.event_id, d.value FROM ev e ASOF JOIN ev d "
+        "ON e.user_id = d.user_id AND e.ts > d.ts ORDER BY e.event_id"
+    ).df()
+    assert out["event_id"].tolist() == want["event_id"].astype(int).tolist()
+    assert np.array_equal(out["value_ref"].to_numpy(), want["value"].to_numpy())
