@@ -480,6 +480,35 @@ def q_lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_kmv_sample_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Grouped deterministic sampling: the KMV sketch composes with
+    groupby unchanged (any MergeableSketch does), giving a coordinated
+    bottom-16 doc sample PER LANGUAGE — the eval-set-per-stratum shape.
+    Exact SQL oracle: same SplitMix64 bottom-k recomputed per partition."""
+    from ddsketch_ray.agg import KMVAgg, sketch_from_result
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    rows = (
+        ds.groupby("lang")
+        .aggregate(KMVAgg(on="doc_id", k=16, alias_name="kmv"))
+        .to_pandas()
+    )
+    out_lang, out_rank, out_id = [], [], []
+    for _, r in rows.iterrows():
+        sample = sketch_from_result(r["kmv"]).sample()
+        out_lang.extend([r["lang"]] * len(sample))
+        out_rank.extend(range(1, len(sample) + 1))
+        out_id.extend(int(v) for v in sample)
+    out = pd.DataFrame(
+        {
+            "lang": out_lang,
+            "rank": np.array(out_rank, dtype=np.int64),
+            "doc_id": np.array(out_id, dtype=np.int64),
+        }
+    )
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def q_asof_rates_events(sf_dir: str) -> pd.DataFrame:
     """As-of join (brief's custom-operator list): every event matches
     the LATEST qualifying hourly reference row (count ≥ 6 makes the dim
@@ -1127,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
+        "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "webpages_report": q_webpages_report,
         "salted_quantiles_by_event_type": q_salted_quantiles_by_event_type,
         "actorpool_quantiles_price": q_actorpool_quantiles_price,
@@ -1243,7 +1273,19 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
     kmv_hash = _splitmix_sql(
         f"xor(CAST(o_custkey AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
+    kmv_doc_hash = _splitmix_sql(
+        f"xor(CAST(doc_id AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
+    )
     return {
+        "kmv_sample_by_lang": f"""
+-- grouped KMV bottom-16: SplitMix64 bottom-k recomputed per language
+WITH h AS (SELECT lang, doc_id, {kmv_doc_hash} AS hv FROM documents),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rank
+      FROM h)
+SELECT lang, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id
+FROM r WHERE rank <= 16 ORDER BY lang, rank
+""",
         "asof_prev_event_value": """
 SELECT e.event_id::BIGINT AS event_id, ROUND(d.value, 6) AS prev_value
 FROM events e ASOF JOIN events d
