@@ -480,6 +480,25 @@ def q_lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+_CDF_PROBES = [500.0, 5000.0, 25000.0, 60000.0, 95000.0]
+
+
+def q_dds_cdf_price(sf_dir: str) -> pd.DataFrame:
+    """CDF / rank query — the inverse of the quantile query, answered by
+    the same distributed sketch; the oracle recomputes bucket-cumulative
+    counts at each probe with the identical key function."""
+    from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(
+        DDSketchAgg(on="l_extendedprice", alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="sk")
+    )
+    sk = sketch_from_result(res["sk"])
+    return pd.DataFrame(
+        {"probe": _CDF_PROBES, "cdf_est": _round6(sk.cdf(_CDF_PROBES))}
+    )
+
+
 def q_kmv_sample_by_lang(sf_dir: str) -> pd.DataFrame:
     """Grouped deterministic sampling: the KMV sketch composes with
     groupby unchanged (any MergeableSketch does), giving a coordinated
@@ -1157,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
+        "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
         "salted_quantiles_by_event_type": q_salted_quantiles_by_event_type,
         "actorpool_quantiles_price": q_actorpool_quantiles_price,
@@ -1276,7 +1296,27 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
     kmv_doc_hash = _splitmix_sql(
         f"xor(CAST(doc_id AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
+    gexpr = f"CAST({_G} AS DOUBLE)"
+
+    def _key_of(col: str) -> str:
+        return (
+            f"CASE WHEN {col} > 0 THEN CAST(ceil(ln({col})/ln({gexpr})) AS BIGINT) + {_OFF} "
+            f"WHEN {col} < 0 THEN -CAST(ceil(ln(-{col})/ln({gexpr})) AS BIGINT) - {_OFF} "
+            f"ELSE 0 END"
+        )
+
+    cdf_probe_values = ", ".join(f"({p})" for p in _CDF_PROBES)
     return {
+        "dds_cdf_price": f"""
+-- same bucket-key function, cumulative counts at each probe key
+WITH keys AS (SELECT {_key_of('l_extendedprice')} AS k FROM lineitem),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM keys),
+probes(p) AS (VALUES {cdf_probe_values}),
+pk AS (SELECT p, {_key_of('p')} AS kp FROM probes)
+SELECT p AS probe,
+       ROUND((SELECT COUNT(*) FROM keys WHERE k <= kp)::DOUBLE / n, 6) AS cdf_est
+FROM pk, tot ORDER BY probe
+""",
         "kmv_sample_by_lang": f"""
 -- grouped KMV bottom-16: SplitMix64 bottom-k recomputed per language
 WITH h AS (SELECT lang, doc_id, {kmv_doc_hash} AS hv FROM documents),

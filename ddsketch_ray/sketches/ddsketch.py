@@ -410,6 +410,25 @@ class DDSketch:
         idx = np.minimum(idx, len(keys) - 1)
         return np.array([self.key_to_estimate(int(keys[i])) for i in idx])
 
+    def cdf(self, values) -> np.ndarray:
+        """Inverse of ``quantiles``: estimated fraction of inserted items
+        ≤ each probe value — rank(v) = Σ_{k ≤ key(v)} count_k / n.
+
+        Not in the reference API (its DDS_GetRank maps key→value,
+        ddsketch.cc:105-126); this is the natural companion query the
+        same bucket table answers, and it is recomputed exactly by the
+        SQL oracle (same key function, cumulative bucket counts)."""
+        v = np.asarray(values, dtype=np.float64)
+        if self.n <= 0 or not self.bins:
+            return np.full(v.shape, np.nan)
+        keys = np.array(sorted(self.bins), dtype=np.int64)
+        counts = np.array([self.bins[k] for k in keys.tolist()], dtype=np.int64)
+        cum = np.cumsum(counts)
+        probe_keys = self.keys_for(v)
+        idx = np.searchsorted(keys, probe_keys, side="right") - 1
+        out = np.where(idx >= 0, cum[np.maximum(idx, 0)], 0).astype(np.float64)
+        return out / self.n
+
     def valid_quantile_range(self) -> tuple[float, float]:
         """getErrorBound (main.cpp:1108-1152): the q-range still honoring the
         α bound after last/first-bucket collapses."""

@@ -331,3 +331,27 @@ class TestSubtractSketch:
         d = DDSketch(alpha=0.02)
         with pytest.raises(ValueError):
             a.subtract_sketch(d)
+
+
+def test_cdf_matches_exact_rank():
+    """cdf(v) must equal the exact fraction of items with key <= key(v)
+    (exact when no collapse occurred), and be within alpha-bucket
+    tolerance of the true empirical CDF."""
+    from ddsketch_ray.sketches import DDSketch
+
+    rng = np.random.default_rng(9)
+    vals = rng.gamma(3.0, 1000.0, size=50_000)
+    sk = DDSketch(alpha=0.008, bin_limit=4096)
+    sk.add_array(vals)
+    probes = np.array([10.0, 500.0, 2000.0, 5000.0, 50000.0])
+    got = sk.cdf(probes)
+    keys = sk.keys_for(vals)
+    pkeys = sk.keys_for(probes)
+    exact = np.array([(keys <= pk).mean() for pk in pkeys])
+    assert np.allclose(got, exact, rtol=0, atol=1e-12)
+    # bucket-resolution agreement with the true CDF
+    true_cdf = np.array([(vals <= p).mean() for p in probes])
+    assert np.all(np.abs(got - true_cdf) <= 0.02)
+    # inverse relationship: quantile(cdf(v)) ~ v within relative alpha-ish
+    mid = sk.quantile(float(got[2]))
+    assert abs(mid - 2000.0) / 2000.0 < 0.05
