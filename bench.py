@@ -148,7 +148,7 @@ def bench_ann() -> float:
         "mat": np.stack([np.asarray(e, dtype=np.float64) for e in qt.column("embedding").to_pylist()]),
     }
     ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
-    brute_force_topk(ds, queries, k=10, concurrency=max(2, NUM_CPUS // 4)).to_pandas()
+    brute_force_topk(ds, queries, k=10).to_pandas()
     return time.perf_counter() - t0
 
 

@@ -79,7 +79,6 @@ def brute_force_topk(
     emb_col: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
-    concurrency: int = 2,
 ):
     """Exact global cosine top-k for each query → pyarrow Table
     (query_id, neighbor_id, rank), rank 1-based by (score desc, id asc).
@@ -145,7 +144,6 @@ def lsh_bucketed_topk(
     n_planes: int = 6,
     seed: int = 0,
     exclude_self: bool = True,
-    concurrency: int = 2,
 ):
     """Approximate top-k: sign-LSH buckets (2^n_planes); each batch scores
     only vectors whose bucket matches some query's bucket. Same output
@@ -279,8 +277,30 @@ def ivf_topk(
     """
     import ray
 
-    sample_df = ds.select_columns([id_col, emb_col]).limit(sample_size).to_pandas()
-    sample_df = sample_df.sort_values(id_col)  # order-independent training set
+    # corpus-wide deterministic sample: hash-select by id so the
+    # training set spans every block (a limit() sample would train the
+    # quantizer on the leading partition only — fatal for clustered or
+    # sorted storage layouts). Fraction over-shoots by 1.3× then trims
+    # on the sorted hash, so the set is a pure function of the data.
+    n_total = ds.count()
+    frac = min(1.0, 1.3 * sample_size / max(n_total, 1))
+    seed_mix = np.uint64(seed * 2654435761 + 97)
+
+    def keep_sample(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64) ^ seed_mix)
+        u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)  # [0,1)
+        return t.filter(pa.array(u < frac))
+
+    sample_df = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(keep_sample, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    sh = splitmix64(
+        sample_df[id_col].to_numpy().astype(np.int64).view(np.uint64) ^ seed_mix
+    )
+    sample_df = sample_df.iloc[np.argsort(sh, kind="stable")].head(sample_size)
     sample = _normalize(
         np.stack([np.asarray(e, dtype=np.float64) for e in sample_df[emb_col]])
     )
@@ -361,7 +381,6 @@ def embedding_near_dup_pairs(
     n_bands: int = 16,
     planes_per_band: int = 3,
     seed: int = 0,
-    concurrency: int = 2,
     max_bucket_pairs: int = 64,
 ):
     """All (a < b) pairs with cosine ≥ threshold, found by banded

@@ -159,28 +159,31 @@ def sorted_group_rollup(ds, key_col: str, id_col: str, carry_cols=()):
 def distinct_count(ds, col: str) -> int:
     """Exact distributed COUNT(DISTINCT col) via the sort plan: each
     sorted block counts its adjacent-distinct values and reports its
-    first/last value; the driver subtracts one per equal adjacent block
-    edge (a value spanning blocks was counted once per block). Driver
-    payload = 3 numbers per block — unlike ``Dataset.unique``, which
-    materializes every distinct value driver-side."""
+    first/last value (in the column's NATIVE type — no lossy casts);
+    the driver subtracts one per equal adjacent block edge (a value
+    spanning blocks was counted once per block). Driver payload = 3
+    values per block — unlike ``Dataset.unique``, which materializes
+    every distinct value driver-side."""
     s = ds.select_columns([col]).sort(col)
 
     def block_stats(t: pa.Table) -> pa.Table:
-        v = t.column(col).to_numpy(zero_copy_only=False)
+        v = t.column(col)
         if len(v) == 0:
             return pa.table(
                 {
                     "n_distinct": pa.array([], type=pa.int64()),
-                    "first": pa.array([], type=pa.int64()),
-                    "last": pa.array([], type=pa.int64()),
+                    "first": pa.array([], type=v.type),
+                    "last": pa.array([], type=v.type),
                 }
             )
-        n = int(np.count_nonzero(np.r_[True, v[1:] != v[:-1]]))
+        vn = v.to_numpy(zero_copy_only=False)
+        n = int(np.count_nonzero(np.r_[True, vn[1:] != vn[:-1]]))
+        edges = v.take(pa.array([0, len(vn) - 1]))
         return pa.table(
             {
                 "n_distinct": pa.array([n], type=pa.int64()),
-                "first": pa.array([int(v[0])], type=pa.int64()),
-                "last": pa.array([int(v[-1])], type=pa.int64()),
+                "first": edges.slice(0, 1),
+                "last": edges.slice(1, 1),
             }
         )
 
@@ -418,12 +421,20 @@ def hot_bucket_pairs(
             )
         eq = ck[1:] == ck[:-1]
         internal = np.unique(ck[:-1][eq])
-        edges = np.array([ck[0], ck[-1]], dtype=np.int64)
+        # a single-row block has one edge, not two — emitting its key
+        # twice would fake a multiplicity-2 "hot" bucket for a possibly
+        # globally-singleton key (wasted downstream work)
+        edges = (
+            np.array([ck[0], ck[-1]], dtype=np.int64)
+            if len(ck) > 1
+            else np.array([ck[0]], dtype=np.int64)
+        )
+        n_edges = len(edges)
         return pa.table(
             {
                 "ck": pa.array(np.concatenate([internal, edges])),
                 "boundary": pa.array(
-                    np.concatenate([np.zeros(len(internal), bool), np.ones(2, bool)])
+                    np.concatenate([np.zeros(len(internal), bool), np.ones(n_edges, bool)])
                 ),
             }
         )

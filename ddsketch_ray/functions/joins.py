@@ -22,18 +22,21 @@ import pyarrow as pa
 
 
 def _prepare_dim(dim: pa.Table, key_col: str, ts_col: str, value_cols):
-    """{key: (sorted int64 ts array, {col: values aligned to ts})}."""
-    keys = dim.column(key_col).to_pylist()
+    """{key: (sorted int64 ts array, {col: values aligned to ts})}.
+    One lexsort + contiguous slicing — O(n log n), not O(keys × rows)."""
+    keys = np.asarray(dim.column(key_col).to_pylist(), dtype=object)
     ts = dim.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
     vals = {c: dim.column(c).to_numpy(zero_copy_only=False) for c in value_cols}
+    canon = np.array([f"{type(k).__name__}\x00{k}" for k in keys], dtype=object)
+    order = np.lexsort((ts, canon))
+    keys, ts = keys[order], ts[order]
+    vals = {c: a[order] for c, a in vals.items()}
     out: dict = {}
-    for k in set(keys):
-        mask = np.array([kk == k for kk in keys], dtype=bool)
-        order = np.argsort(ts[mask], kind="stable")
-        out[k] = (
-            ts[mask][order],
-            {c: vals[c][mask][order] for c in value_cols},
-        )
+    starts = np.nonzero(np.r_[True, keys[1:] != keys[:-1]])[0]
+    bounds = np.r_[starts, len(keys)]
+    for i, s0 in enumerate(starts):
+        s1 = bounds[i + 1]
+        out[keys[s0]] = (ts[s0:s1], {c: vals[c][s0:s1] for c in value_cols})
     return out
 
 
@@ -138,6 +141,16 @@ def asof_join_sorted(
     left_cols = list(left_cols)
     right_value_cols = list(right_value_cols)
     left_side, right_side = (0, 1) if strict else (1, 0)
+    lschema = left_ds.schema()
+
+    def _arrow_type(col: str) -> pa.DataType:
+        base = getattr(lschema, "base_schema", lschema)
+        if hasattr(base, "field"):
+            return base.field(col).type
+        t = base.types[base.names.index(col)]  # pandas-block schema
+        return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+
+    ltypes = {c: _arrow_type(c) for c in left_cols}
 
     def tag_left(t: pa.Table) -> pa.Table:
         ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
@@ -160,7 +173,7 @@ def asof_join_sorted(
             "side": pa.array(np.full(t.num_rows, right_side, dtype=np.int8)),
         }
         for c in left_cols:
-            cols[f"l_{c}"] = pa.nulls(t.num_rows, type=pa.int64())
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, type=ltypes[c])
         for c in right_value_cols:
             cols[f"r_{c}"] = pa.compute.cast(t.column(c), pa.float64())
         return pa.table(cols)
@@ -171,7 +184,7 @@ def asof_join_sorted(
     s = tagged.sort(["k", "t", "side"])
 
     out_fields = (
-        [(c, pa.int64()) for c in left_cols]
+        [(c, ltypes[c]) for c in left_cols]
         + [(f"{c}{suffix}", pa.float64()) for c in right_value_cols]
     )
 
@@ -181,6 +194,7 @@ def asof_join_sorted(
         cols["_k"] = pa.array([], type=pa.int64())
         cols["_bk"] = pa.array([], type=pa.int64())
         cols["_t"] = pa.array([], type=pa.int64())
+        cols["_bs"] = pa.array([], type=pa.int8())
         return pa.table(cols)
 
     def block_join(t: pa.Table) -> pa.Table:
@@ -204,13 +218,14 @@ def asof_join_sorted(
         # blocks; unresolved lefts of later groups are genuinely matchless
         spill = is_left & ~have & (gid == 0)
         rvals = {c: t.column(f"r_{c}").to_numpy(zero_copy_only=False) for c in right_value_cols}
-        lvals = {c: t.column(f"l_{c}").to_numpy(zero_copy_only=False) for c in left_cols}
 
         def rows(mask, kind, rsrc):
             m = np.nonzero(mask)[0]
             cols = {}
             for c in left_cols:
-                cols[c] = pa.array(lvals[c][m].astype(np.int64))
+                # arrow take: exact round-trip for any left column type
+                # (int64 > 2^53, strings, ...) — never through float64
+                cols[c] = t.column(f"l_{c}").take(pa.array(m))
             for c in right_value_cols:
                 if rsrc is None:
                     cols[f"{c}{suffix}"] = pa.nulls(len(m), type=pa.float64())
@@ -226,6 +241,7 @@ def asof_join_sorted(
             # (kind 2), so a spill never sees its own block's rights.
             cols["_bk"] = pa.array(np.full(len(m), int(k[0]), dtype=np.int64))
             cols["_t"] = pa.array(np.full(len(m), int(ts[0]), dtype=np.int64))
+            cols["_bs"] = pa.array(np.full(len(m), int(side[0]), dtype=np.int8))
             return pa.table(cols)
 
         parts = [rows(resolved, 0, lr), rows(spill, 1, None)]
@@ -233,7 +249,7 @@ def asof_join_sorted(
         lr_last = lr[-1] if (lr[-1] >= gstart[-1]) else -1
         carry_cols = {}
         for c in left_cols:
-            carry_cols[c] = pa.array([0], type=pa.int64())
+            carry_cols[c] = pa.nulls(1, type=ltypes[c])
         for c in right_value_cols:
             carry_cols[f"{c}{suffix}"] = (
                 pa.array([rvals[c][lr_last]], type=pa.float64())
@@ -244,13 +260,14 @@ def asof_join_sorted(
         carry_cols["_k"] = pa.array([int(k[-1])], type=pa.int64())  # state key
         carry_cols["_bk"] = pa.array([int(k[0])], type=pa.int64())  # block order
         carry_cols["_t"] = pa.array([int(ts[0])], type=pa.int64())
+        carry_cols["_bs"] = pa.array([int(side[0])], type=pa.int8())
         parts.append(pa.table(carry_cols))
         return pa.concat_tables(parts)
 
     rep = s.map_batches(block_join, batch_format="pyarrow", batch_size=None).materialize()
     resolved = rep.map_batches(
         lambda t: t.filter(pa.compute.equal(t.column("_kind"), 0)).drop_columns(
-            ["_kind", "_k", "_bk", "_t"]
+            ["_kind", "_k", "_bk", "_t", "_bs"]
         ),
         batch_format="pyarrow", batch_size=None,
     )
@@ -263,15 +280,17 @@ def asof_join_sorted(
         # walk blocks in (key, block-start-ts) order, spills (kind 1)
         # before the same block's carry (kind 2); thread carry state
         state: dict = {}
-        # global block-range order, spills before the same block's carry
-        for _, row in small.sort_values(["_bk", "_t", "_kind"], kind="stable").iterrows():
+        # global block-range order (first key, first ts, first side —
+        # the full sort tuple, so block order is total barring duplicate
+        # (key, ts, side) rows), spills before the same block's carry
+        for _, row in small.sort_values(["_bk", "_t", "_bs", "_kind"], kind="stable").iterrows():
             kk = int(row["_k"])
             if row["_kind"] == 1:  # spill: resolve with prior-block state
                 if kk in state:
                     vals = state[kk]
                     fixed.append(
                         {
-                            **{c: int(row[c]) for c in left_cols},
+                            **{c: row[c] for c in left_cols},
                             **{f"{c}{suffix}": vals[c] for c in right_value_cols},
                         }
                     )
@@ -311,7 +330,10 @@ def range_join_broadcast(
     his = intervals.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
     order = np.argsort(los, kind="stable")
     los, his = los[order], his[order]
-    if np.any(los[1:] < his[:-1]):
+    # closed="both": touching intervals [a,b],[b,c] overlap at b, so the
+    # check must be <= there; closed="left" allows exact touching
+    overlaps = (los[1:] <= his[:-1]) if closed == "both" else (los[1:] < his[:-1])
+    if np.any(overlaps):
         raise ValueError("range_join_broadcast requires non-overlapping intervals")
     carry = {c: intervals.column(c).take(pa.array(order)) for c in carry_cols}
     ref = ray.put((los, his, {c: a.to_numpy(zero_copy_only=False) for c, a in carry.items()}))
@@ -319,9 +341,15 @@ def range_join_broadcast(
     def join_batch(t: pa.Table) -> pa.Table:
         plos, phis, pcarry = ray.get(ref)
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        idx = np.searchsorted(plos, v, side="right") - 1
-        idx = np.maximum(idx, 0)
-        inside = (v >= plos[idx]) & ((v <= phis[idx]) if closed == "both" else (v < phis[idx]))
+        if len(plos) == 0:  # degenerate empty dim: inner join is empty
+            inside = np.zeros(len(v), dtype=bool)
+            idx = np.zeros(len(v), dtype=np.int64)
+        else:
+            idx = np.searchsorted(plos, v, side="right") - 1
+            idx = np.maximum(idx, 0)
+            inside = (v >= plos[idx]) & (
+                (v <= phis[idx]) if closed == "both" else (v < phis[idx])
+            )
         sub = t.filter(pa.array(inside))
         out = sub
         for c in carry_cols:

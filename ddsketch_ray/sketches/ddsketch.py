@@ -356,9 +356,12 @@ class DDSketch:
             raise ValueError(f"mode mismatch: {self.mode} vs {deletes.mode}")
         if self.offset != deletes.offset:
             raise ValueError("offset mismatch")
-        if abs(self.alpha - deletes.alpha) > 1e-4:
+        # EXACT alpha match required (stricter than merge's 1e-4): any
+        # alpha difference means a different gamma bucket grid, so keys
+        # would misalign and deletes silently hit wrong/absent buckets
+        if self.alpha != deletes.alpha:
             raise ValueError(
-                f"subtract_sketch requires equal alpha "
+                f"subtract_sketch requires identical alpha "
                 f"({self.alpha} vs {deletes.alpha})"
             )
         bins = self.bins

@@ -99,13 +99,21 @@ def sql_literal(v, dtype: str) -> str:
     if dtype.startswith(("int", "uint")):
         return f"{int(v)}::BIGINT"
     if dtype.startswith("float"):
-        return f"CAST({float(v)!r} AS DOUBLE)"
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):  # non-finite
+            return f"CAST('{f}' AS DOUBLE)"  # 'nan'/'inf'/'-inf' parse
+        return f"CAST({f!r} AS DOUBLE)"
     s = str(v).replace("'", "''")
     return f"'{s}'"
 
 
 def to_sql(name: str, payload: dict) -> str:
     cols, dtypes, rows = payload["columns"], payload["dtypes"], payload["rows"]
+    if not rows:
+        # VALUES with no tuples is invalid SQL — an empty expected
+        # result freezes as a WHERE FALSE projection instead
+        collist = ", ".join(f"NULL AS \"{c}\"" for c in cols)
+        return f"SELECT {collist} WHERE FALSE"
     tuples = ",".join(
         "(" + ",".join(sql_literal(v, t) for v, t in zip(row, dtypes)) + ")"
         for row in rows
