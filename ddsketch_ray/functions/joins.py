@@ -152,6 +152,22 @@ def asof_join_sorted(
 
     ltypes = {c: _arrow_type(c) for c in left_cols}
 
+    def _default_array(typ: pa.DataType, n: int) -> pa.Array:
+        """Typed zero-padding for the side that doesn't own a column.
+        NOT nulls: Ray's sort may route blocks through pandas, where a
+        nullable int64 column silently becomes float64 and corrupts ids
+        above 2^53. The padding is never read (left cols are only taken
+        at left rows, right cols at right rows)."""
+        if pa.types.is_integer(typ):
+            return pa.array(np.zeros(n, dtype=np.int64), type=typ)
+        if pa.types.is_floating(typ):
+            return pa.array(np.zeros(n, dtype=np.float64), type=typ)
+        if pa.types.is_boolean(typ):
+            return pa.array(np.zeros(n, dtype=bool))
+        if pa.types.is_timestamp(typ):
+            return pa.array(np.zeros(n, dtype=np.int64).view("datetime64[us]"), type=typ)
+        return pa.array([""] * n, type=typ)  # string-like
+
     def tag_left(t: pa.Table) -> pa.Table:
         ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
         cols = {
@@ -162,7 +178,7 @@ def asof_join_sorted(
         for c in left_cols:
             cols[f"l_{c}"] = t.column(c)
         for c in right_value_cols:
-            cols[f"r_{c}"] = pa.nulls(t.num_rows, type=pa.float64())
+            cols[f"r_{c}"] = _default_array(pa.float64(), t.num_rows)
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -173,7 +189,7 @@ def asof_join_sorted(
             "side": pa.array(np.full(t.num_rows, right_side, dtype=np.int8)),
         }
         for c in left_cols:
-            cols[f"l_{c}"] = pa.nulls(t.num_rows, type=ltypes[c])
+            cols[f"l_{c}"] = _default_array(ltypes[c], t.num_rows)
         for c in right_value_cols:
             cols[f"r_{c}"] = pa.compute.cast(t.column(c), pa.float64())
         return pa.table(cols)
@@ -228,7 +244,7 @@ def asof_join_sorted(
                 cols[c] = t.column(f"l_{c}").take(pa.array(m))
             for c in right_value_cols:
                 if rsrc is None:
-                    cols[f"{c}{suffix}"] = pa.nulls(len(m), type=pa.float64())
+                    cols[f"{c}{suffix}"] = _default_array(pa.float64(), len(m))
                 else:
                     cols[f"{c}{suffix}"] = pa.array(rvals[c][rsrc[m]], type=pa.float64())
             cols["_kind"] = pa.array(np.full(len(m), kind, dtype=np.int8))
@@ -249,7 +265,7 @@ def asof_join_sorted(
         lr_last = lr[-1] if (lr[-1] >= gstart[-1]) else -1
         carry_cols = {}
         for c in left_cols:
-            carry_cols[c] = pa.nulls(1, type=ltypes[c])
+            carry_cols[c] = _default_array(ltypes[c], 1)
         for c in right_value_cols:
             carry_cols[f"{c}{suffix}"] = (
                 pa.array([rvals[c][lr_last]], type=pa.float64())

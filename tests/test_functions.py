@@ -463,3 +463,41 @@ def test_asof_join_sorted_matches_duckdb(ray_session):
     ).df()
     assert out["event_id"].tolist() == want["event_id"].astype(int).tolist()
     assert np.array_equal(out["value_ref"].to_numpy(), want["value"].to_numpy())
+
+
+def test_asof_join_sorted_preserves_left_types(ray_session):
+    """Review-fix regression: left columns survive with their true Arrow
+    types — string columns work and int64 ids above 2^53 round-trip
+    exactly (no float64 corruption)."""
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import asof_join_sorted
+
+    def ts(h):
+        return np.datetime64(f"2025-03-01T{h:02d}:00:00", "us")
+
+    big_id = (1 << 62) + 12345  # not representable in float64
+    left = pa.table(
+        {
+            "event_id": pa.array([big_id, big_id + 1], type=pa.int64()),
+            "tag": pa.array(["alpha", "beta"]),
+            "k": pa.array([1, 1], type=pa.int64()),
+            "ts": pa.array([ts(5), ts(9)], type=pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1], type=pa.int64()),
+            "ts": pa.array([ts(1), ts(7)], type=pa.timestamp("us")),
+            "value": pa.array([1.5, 2.5]),
+        }
+    )
+    out = (
+        asof_join_sorted(
+            rd.from_arrow(left).repartition(2), rd.from_arrow(right),
+            "k", "ts", ["event_id", "tag"], ["value"],
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [big_id, big_id + 1]
+    assert out["tag"].tolist() == ["alpha", "beta"]
+    assert out["value_ref"].tolist() == [1.5, 2.5]
