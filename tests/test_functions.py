@@ -501,3 +501,65 @@ def test_asof_join_sorted_preserves_left_types(ray_session):
     assert out["event_id"].tolist() == [big_id, big_id + 1]
     assert out["tag"].tolist() == ["alpha", "beta"]
     assert out["value_ref"].tolist() == [1.5, 2.5]
+
+
+def test_sorted_group_rollup_dominant_key_skew(ray_session):
+    """One key holding 80% of rows spans most sorted blocks — the
+    stitching must still produce exact results with tiny driver spill
+    (the documented skew posture of the sort plans)."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.dedup import distinct_count, sorted_group_rollup
+
+    rng = np.random.default_rng(41)
+    hot = np.zeros(40_000, dtype=np.int64)
+    cold = rng.integers(1, 1001, size=10_000).astype(np.int64)
+    keys = np.concatenate([hot, cold])
+    ids = rng.permutation(len(keys)).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "doc_id": pa.array(ids)})
+    ).repartition(16)
+    got = sorted_group_rollup(ds, "k", "doc_id").to_pandas().set_index("k")
+    want = (
+        pd.DataFrame({"k": keys, "doc_id": ids})
+        .groupby("k")
+        .agg(doc_id=("doc_id", "min"), n=("doc_id", "size"))
+    )
+    assert int(got.loc[0, "n"]) == 40_000
+    assert got["doc_id"].sort_index().tolist() == want["doc_id"].sort_index().tolist()
+    assert got["n"].astype(int).sort_index().tolist() == want["n"].sort_index().tolist()
+    assert distinct_count(ds, "k") == want.shape[0]
+
+
+def test_asof_join_sorted_inclusive_semantics(ray_session):
+    """strict=False: a right row at the SAME timestamp matches."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import asof_join_sorted
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    base = np.datetime64("2024-06-01", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, size=n).astype(np.int64),
+            "ts": base + rng.integers(0, 5000, size=n).astype("timedelta64[s]").astype("timedelta64[us]"),
+            "value": rng.normal(size=n),
+        }
+    )
+    left = rd.from_pandas(df[["event_id", "user_id", "ts"]]).repartition(6)
+    right = rd.from_pandas(df[["user_id", "ts", "value"]]).repartition(6)
+    out = (
+        asof_join_sorted(left, right, "user_id", "ts", ["event_id"], ["value"], strict=False)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.sql(
+        "SELECT e.event_id, d.value FROM ev e ASOF JOIN ev d "
+        "ON e.user_id = d.user_id AND e.ts >= d.ts ORDER BY e.event_id"
+    ).df()
+    assert len(out) == n  # every row matches itself at equal ts
+    assert out["event_id"].tolist() == want["event_id"].astype(int).tolist()
