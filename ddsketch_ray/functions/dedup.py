@@ -26,7 +26,12 @@ import pyarrow as pa
 
 from ddsketch_ray.functions.text import TOKEN_PATTERN
 from ddsketch_ray.hashing import hash_strings, splitmix64
-from ddsketch_ray.sketches.minhash import hamming64, minhash_signatures, simhash64
+from ddsketch_ray.sketches.minhash import (
+    hamming64,
+    minhash_signatures,
+    minhash_signatures_oph,
+    simhash64,
+)
 
 
 # ------------------------------------------------------------------- exact
@@ -276,10 +281,19 @@ def minhash_signature_batch(
     k_shingle: int = 5,
     num_perm: int = 128,
     seed: int = 0,
+    method: str = "classic",
 ) -> pa.Table:
+    """method="classic": one mix+reduceat pass PER permutation (exact
+    Broder minhash); method="oph": one-permutation hashing — a single
+    pass regardless of num_perm (2× on the full stage at stress scale;
+    tokenization dominates once the loop is gone). Same Jaccard
+    contract, different signature values — don't mix within an index,
+    and see minhash_signatures_oph's SCOPE note before LSH-banding OPH
+    signatures."""
     texts = pl.from_arrow(batch.column(text_col)).fill_null("")
     flat, offs = shingle_hashes(texts, k=k_shingle, seed=seed)
-    sigs = minhash_signatures(flat, offs, num_perm=num_perm, seed=seed)
+    kernel = minhash_signatures_oph if method == "oph" else minhash_signatures
+    sigs = kernel(flat, offs, num_perm=num_perm, seed=seed)
     return batch.append_column(
         "minhash_sig",
         pa.FixedSizeListArray.from_arrays(

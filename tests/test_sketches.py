@@ -389,3 +389,55 @@ class TestKMV:
         for chunk in np.array_split(vals, 13):
             sk.add_hashed(hash_ints(chunk), chunk)
         assert [int(x) for x in sk.sample()] == want.tolist()
+
+
+class TestOPHSignatures:
+    def test_jaccard_estimate_accuracy(self):
+        from ddsketch_ray.sketches.minhash import minhash_signatures_oph
+
+        rng = np.random.default_rng(12)
+        union = rng.integers(0, 1 << 62, size=3000).astype(np.uint64)
+        for true_j in (0.2, 0.5, 0.8):
+            n_shared = int(3000 * true_j / (2 - true_j) / (1 - true_j / (2 - true_j)))
+            shared = union[:n_shared]
+            only_a = union[n_shared : n_shared + (3000 - n_shared) // 2]
+            only_b = union[n_shared + (3000 - n_shared) // 2 : 3000]
+            a = np.concatenate([shared, only_a])
+            b = np.concatenate([shared, only_b])
+            jac = len(shared) / (len(a) + len(b) - len(shared))
+            flat = np.concatenate([a, b])
+            offs = np.array([0, len(a)], dtype=np.int64)
+            sig = minhash_signatures_oph(flat, offs, num_perm=256)
+            est = float((sig[0] == sig[1]).mean())
+            assert abs(est - jac) < 0.12  # ~4/sqrt(256)
+
+    def test_identical_and_empty_docs(self):
+        from ddsketch_ray.sketches.minhash import minhash_signatures_oph
+
+        h = np.arange(100, dtype=np.uint64) * np.uint64(2654435761)
+        flat = np.concatenate([h, h])
+        offs = np.array([0, 100], dtype=np.int64)
+        sig = minhash_signatures_oph(flat, offs, num_perm=64)
+        assert (sig[0] == sig[1]).all()
+        empty = minhash_signatures_oph(np.empty(0, np.uint64), np.array([0], np.int64), 64)
+        assert (empty == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+    def test_densification_fills_empty_bins(self):
+        from ddsketch_ray.sketches.minhash import minhash_signatures_oph
+
+        # 3 shingles << 128 bins: most bins empty, all must densify
+        flat = np.array([7, 99, 12345], dtype=np.uint64)
+        offs = np.array([0], dtype=np.int64)
+        sig = minhash_signatures_oph(flat, offs, num_perm=128)
+        assert (sig != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+        # deterministic
+        sig2 = minhash_signatures_oph(flat, offs, num_perm=128)
+        assert (sig == sig2).all()
+
+    def test_power_of_two_required(self):
+        import pytest
+
+        from ddsketch_ray.sketches.minhash import minhash_signatures_oph
+
+        with pytest.raises(ValueError):
+            minhash_signatures_oph(np.empty(0, np.uint64), np.empty(0, np.int64), 100)
