@@ -9,7 +9,9 @@ the DDSketch quantile oracles replicate the bucket math
 (key = ceil(ln x / ln γ) ± offset, estimate = ±2γ^k/(γ+1), scan for the
 first cumulative count > q·(n−1)) directly in SQL — verified bit-exact on
 the test corpora. Approximate-by-design queries (HLL/CMS/Bloom/
-t-digest/KLL/MinHash/SimHash/LSH) have no SQL entry → rows-only check.
+t-digest/KLL/MinHash/SimHash/LSH) use frozen determinism oracles
+(tools/freeze_oracles.py) — t-digest/KLL via the merge-order-
+deterministic plan in pipelines/deterministic.py.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -341,20 +343,38 @@ def q_cms_top_event_types(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q_tdigest_quantiles_price(sf_dir: str) -> pd.DataFrame:
-    from ddsketch_ray.agg import TDigestAgg
+def _lineitem_rowkey(batch: pa.Table) -> np.ndarray:
+    """Deterministic per-row key for lineitem: hash of the unique
+    (l_orderkey, l_linenumber) pair — independent of block layout."""
+    from ddsketch_ray.hashing import hash_ints
 
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    res = ds.aggregate(TDigestAgg(on="l_extendedprice", qs=QS, alias_name="q"))
-    return pd.DataFrame({"q": QS, "est": res["q"]})
+    ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+    return hash_ints(ok * 16 + ln)
+
+
+def q_tdigest_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """Deterministic t-digest build (frozen oracle): pid-partitioned,
+    sorted insert, fixed driver merge order — bit-stable across
+    sessions/CPU counts (pipelines/deterministic.py)."""
+    from ddsketch_ray.pipelines.deterministic import deterministic_sketch_quantiles
+    from ddsketch_ray.sketches.tdigest import TDigest
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return deterministic_sketch_quantiles(
+        ds, "l_extendedprice", _lineitem_rowkey, TDigest, qs=QS
+    )
 
 
 def q_kll_quantiles_price(sf_dir: str) -> pd.DataFrame:
-    from ddsketch_ray.agg import KLLAgg
+    """Deterministic KLL build (frozen oracle) — same plan as t-digest."""
+    from ddsketch_ray.pipelines.deterministic import deterministic_sketch_quantiles
+    from ddsketch_ray.sketches.kll import KLL
 
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    res = ds.aggregate(KLLAgg(on="l_extendedprice", qs=QS, alias_name="q"))
-    return pd.DataFrame({"q": QS, "est": res["q"]})
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return deterministic_sketch_quantiles(
+        ds, "l_extendedprice", _lineitem_rowkey, KLL, qs=QS
+    )
 
 
 def q_bloom_customer_membership(sf_dir: str) -> pd.DataFrame:
@@ -974,13 +994,17 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_tdigest_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
-    """Grouped t-digest (any MergeableSketch drops into groupby.aggregate)."""
-    from ddsketch_ray.agg import TDigestAgg
-    from ddsketch_ray.pipelines import quantiles_by_group
+    """Grouped t-digest, deterministic variant (frozen oracle): one
+    sketch per event_type built from the group's sorted values — no
+    merge-order dependence (pipelines/deterministic.py). The order-free
+    ``quantiles_by_group(..., agg_cls=TDigestAgg)`` path remains the
+    throughput default and is rank-error-tested in pytest."""
+    from ddsketch_ray.pipelines.deterministic import deterministic_quantiles_by_group
+    from ddsketch_ray.sketches.tdigest import TDigest
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = quantiles_by_group(
-        ds, "value", "event_type", qs=QS, alias="est", agg_cls=TDigestAgg
+    out = deterministic_quantiles_by_group(
+        ds, "value", "event_type", TDigest, qs=QS, alias="est"
     ).to_pandas()
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 

@@ -19,25 +19,67 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _schema_types(ds, cols) -> dict[str, pa.DataType]:
+    """Arrow types of ``cols`` from a Dataset schema (handles the
+    pandas-block schema variant)."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    out: dict[str, pa.DataType] = {}
+    for col in cols:
+        if hasattr(base, "field"):
+            out[col] = base.field(col).type
+        else:
+            t = base.types[base.names.index(col)]
+            out[col] = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+    return out
+
+
+def _default_array(typ: pa.DataType, n: int) -> pa.Array:
+    """Typed zero-padding for a column the row's side doesn't own.
+    NOT nulls: Ray's sort may route blocks through pandas, where a
+    nullable int64 column silently becomes float64 and corrupts ids
+    above 2^53. The padding is never read (left cols are only taken
+    at left rows, right cols at right rows)."""
+    if pa.types.is_integer(typ):
+        return pa.array(np.zeros(n, dtype=np.int64), type=typ)
+    if pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=np.float64), type=typ)
+    if pa.types.is_boolean(typ):
+        return pa.array(np.zeros(n, dtype=bool))
+    if pa.types.is_timestamp(typ):
+        return pa.array(np.zeros(n, dtype=np.int64).view("datetime64[us]"), type=typ)
+    return pa.array([""] * n, type=typ)  # string-like
 
 
 def _prepare_dim(dim: pa.Table, key_col: str, ts_col: str, value_cols):
-    """{key: (sorted int64 ts array, {col: values aligned to ts})}.
-    One lexsort + contiguous slicing — O(n log n), not O(keys × rows)."""
-    keys = np.asarray(dim.column(key_col).to_pylist(), dtype=object)
-    ts = dim.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
-    vals = {c: dim.column(c).to_numpy(zero_copy_only=False) for c in value_cols}
-    canon = np.array([f"{type(k).__name__}\x00{k}" for k in keys], dtype=object)
-    order = np.lexsort((ts, canon))
-    keys, ts = keys[order], ts[order]
-    vals = {c: a[order] for c, a in vals.items()}
-    out: dict = {}
-    starts = np.nonzero(np.r_[True, keys[1:] != keys[:-1]])[0]
-    bounds = np.r_[starts, len(keys)]
-    for i, s0 in enumerate(starts):
-        s1 = bounds[i + 1]
-        out[keys[s0]] = (ts[s0:s1], {c: vals[c][s0:s1] for c in value_cols})
-    return out
+    """Broadcast state: the dim table lexsorted by (key_hash, ts) with
+    per-hash-group offsets. Value columns stay ARROW arrays so matches
+    are emitted by typed ``take`` — exact for every type (int64 > 2^53,
+    strings, ...) and schema-stable even for zero-match batches."""
+    from ddsketch_ray.agg import hash_any_column
+
+    kh = hash_any_column(dim.column(key_col), is_arrow=True)
+    ts = (
+        dim.column(ts_col)
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .view(np.int64)
+    )
+    order = np.lexsort((ts, kh))
+    kh, ts = kh[order], ts[order]
+    sorted_tbl = dim.take(pa.array(order))
+    uniq, gstart = np.unique(kh, return_index=True)  # kh already sorted
+    return {
+        "uniq": uniq,
+        "gstart": gstart,
+        "gend": np.r_[gstart[1:], len(kh)],
+        "ts": ts,
+        "keys": sorted_tbl.column(key_col).combine_chunks(),
+        "vals": {c: sorted_tbl.column(c).combine_chunks() for c in value_cols},
+    }
 
 
 def asof_join_broadcast(
@@ -65,37 +107,73 @@ def asof_join_broadcast(
     ref = ray.put(_prepare_dim(dim, key_col, dim_ts_col, value_cols))
 
     def join_batch(t: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        n = t.num_rows
-        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
-        keys = t.column(key_col).to_pylist()
-        matched = np.zeros(n, dtype=bool)
-        m_ts = np.zeros(n, dtype=np.int64)
-        m_vals = {c: np.zeros(n, dtype=object) for c in value_cols}
-        key_arr = np.array(keys, dtype=object)
-        for k in set(keys):
-            entry = lookup.get(k)
-            if entry is None:
-                continue
-            dts, dvals = entry
-            mask = key_arr == k
-            idx = np.searchsorted(dts, ts[mask], side="right") - 1
-            ok = idx >= 0
-            rows = np.nonzero(mask)[0][ok]
-            matched[rows] = True
-            m_ts[rows] = dts[idx[ok]]
-            for c in value_cols:
-                m_vals[c][rows] = dvals[c][idx[ok]]
-        sub = t.filter(pa.array(matched))
-        out = sub
+        # Loop-free kernel (no per-key masks): hash keys, drop rows
+        # whose key has no dim group, then MERGE the batch with the
+        # relevant dim rows — lexsort by (group, ts, side) with dim
+        # before big at equal ts (inclusive backward semantics) and a
+        # group-reset maximum.accumulate finds each big row's latest
+        # dim row. O((b + d') log(b + d')) numpy per batch, d' = dim
+        # rows of groups present in the batch.
+        from ddsketch_ray.agg import hash_any_column
+
+        state = ray.get(ref)
+        uniq, gstart, gend = state["uniq"], state["gstart"], state["gend"]
+        bts = (
+            t.column(ts_col)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        bkh = hash_any_column(t.column(key_col), is_arrow=True)
+        if len(uniq):
+            gidx = np.minimum(np.searchsorted(uniq, bkh), len(uniq) - 1)
+            in_dim = uniq[gidx] == bkh
+        else:
+            gidx = np.zeros(t.num_rows, dtype=np.int64)
+            in_dim = np.zeros(t.num_rows, dtype=bool)
+        bsel = np.nonzero(in_dim)[0]
+        big_rows = np.empty(0, dtype=np.int64)
+        dim_rows = np.empty(0, dtype=np.int64)
+        if len(bsel):
+            bg = gidx[bsel]
+            present = np.unique(bg)
+            lens = gend[present] - gstart[present]
+            # ragged ranges [gstart[g], gend[g]) for every present group
+            didx = (
+                np.repeat(gstart[present] - np.r_[0, np.cumsum(lens)[:-1]], lens)
+                + np.arange(int(lens.sum()))
+            )
+            mg = np.r_[np.repeat(np.arange(len(present)), lens), np.searchsorted(present, bg)]
+            mt = np.r_[state["ts"][didx], bts[bsel]]
+            mside = np.r_[
+                np.zeros(len(didx), dtype=np.int8), np.ones(len(bsel), dtype=np.int8)
+            ]
+            mrow = np.r_[didx, bsel]
+            order = np.lexsort((mside, mt, mg))
+            is_dim = mside[order] == 0
+            pos = np.arange(len(order))
+            last_dim_pos = np.maximum.accumulate(np.where(is_dim, pos, -1))
+            gchg = np.r_[True, mg[order][1:] != mg[order][:-1]]
+            group_first = pos[gchg][np.cumsum(gchg) - 1]
+            have = ~is_dim & (last_dim_pos >= group_first)
+            src = mrow[order]
+            big_rows = src[have]
+            dim_rows = src[last_dim_pos[have]]
+            # hash-collision guard: verify actual key equality (typed)
+            eq = pa.compute.equal(
+                t.column(key_col).take(pa.array(big_rows)),
+                state["keys"].take(pa.array(dim_rows)),
+            )
+            ok = pa.compute.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            big_rows, dim_rows = big_rows[ok], dim_rows[ok]
+
+        out = t.take(pa.array(big_rows))
         out = out.append_column(
             f"{dim_ts_col}{suffix}",
-            pa.array(m_ts[matched].view("datetime64[us]"), type=pa.timestamp("us")),
+            pa.array(state["ts"][dim_rows].view("datetime64[us]"), type=pa.timestamp("us")),
         )
-        for c in value_cols:
-            out = out.append_column(
-                f"{c}{suffix}", pa.array(list(m_vals[c][matched]))
-            )
+        for c in value_cols:  # typed take — schema-stable when empty
+            out = out.append_column(f"{c}{suffix}", state["vals"][c].take(pa.array(dim_rows)))
         return out
 
     return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)

@@ -217,3 +217,62 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert len(man) == 6
     assert man["row_count"].sum() == 3000
     assert (man["wall_s"] > 0).all()
+
+
+def test_deterministic_sketch_quantiles(ray_session, tmp_path):
+    """pipelines/deterministic.py: output is a pure function of the input
+    multiset — identical across block layouts — and rank-accurate."""
+    import ray.data as rd
+
+    from ddsketch_ray.hashing import hash_ints
+    from ddsketch_ray.pipelines.deterministic import (
+        deterministic_quantiles_by_group,
+        deterministic_sketch_quantiles,
+    )
+    from ddsketch_ray.sketches.kll import KLL
+    from ddsketch_ray.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    vals = rng.gamma(2, 2, n)
+    t = pa.table({"rid": pa.array(np.arange(n, dtype=np.int64)), "v": pa.array(vals)})
+    path = str(tmp_path / "det.parquet")
+    pq.write_table(t, path)
+
+    def rowkey(batch: pa.Table) -> np.ndarray:
+        return hash_ints(batch.column("rid").to_numpy(zero_copy_only=False).astype(np.int64))
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    outs = []
+    for blocks in (3, 11):  # different block layouts, same multiset
+        ds = rd.read_parquet(path, override_num_blocks=blocks)
+        for cls in (TDigest, KLL):
+            outs.append(
+                deterministic_sketch_quantiles(ds, "v", rowkey, cls, qs=qs, partitions=8)
+            )
+    for a, b in ((0, 2), (1, 3)):  # tdigest vs tdigest, kll vs kll
+        assert outs[a]["est"].tolist() == outs[b]["est"].tolist()  # bit-identical
+    for df in outs[:2]:  # rank accuracy vs exact order statistics
+        for q, est in zip(qs, df["est"]):
+            exact_rank = (vals <= est).mean()
+            assert abs(exact_rank - q) < 0.05
+
+    # grouped variant: deterministic across layouts too
+    g = pa.table(
+        {
+            "grp": pa.array((np.arange(n) % 3).astype(np.int64)),
+            "v": pa.array(vals),
+        }
+    )
+    gpath = str(tmp_path / "detg.parquet")
+    pq.write_table(g, gpath)
+    grouped = [
+        deterministic_quantiles_by_group(
+            rd.read_parquet(gpath, override_num_blocks=blocks), "v", "grp", TDigest, qs=[0.5, 0.95]
+        )
+        .to_pandas()
+        .sort_values(["grp", "q"])
+        .reset_index(drop=True)
+        for blocks in (2, 7)
+    ]
+    assert grouped[0]["est"].tolist() == grouped[1]["est"].tolist()

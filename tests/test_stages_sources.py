@@ -325,3 +325,42 @@ def test_streaming_service_mixed_type_keys(ray_session):
     assert set(map(str, ks)) == {"1", "2", "a"} and len(ks) == 4
     assert svc.quantile(1, 0.5) > 0  # int key 1 got values 1.0 and 5.0
     svc.shutdown() if hasattr(svc, "shutdown") else None
+
+
+def test_session_counts_sort_plan_matches_oracle(ray_session):
+    """Block-edge stitching property test: many users spanning many
+    blocks, random gaps, vs a pandas per-user oracle."""
+    import ray.data as rd
+    from ddsketch_ray.functions.windows import session_counts
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    gap = 1000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 300, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 500_000, n), unit="us"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)  # force spanning key groups
+    out = (
+        session_counts(ds, gap_us=gap)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    def oracle(g):
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        return 1 + int((np.diff(ts) > gap).sum())
+
+    exp = (
+        df.groupby("user_id")
+        .apply(oracle, include_groups=False)
+        .rename("n_sessions")
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == exp["user_id"].tolist()
+    assert out["n_sessions"].tolist() == exp["n_sessions"].tolist()

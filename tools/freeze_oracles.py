@@ -11,10 +11,12 @@ frozen oracle performs is bit-level determinism of the distributed
 computation at sf0.01: merge-order independence, seed stability, and no
 driver/cluster divergence.
 
-Queries whose output varies run-to-run (t-digest, KLL — centroid/
-compactor merges are order-dependent by design) are REFUSED here and
-stay `no_oracle`; their accuracy is covered by rank-error pytest
-oracles instead.
+t-digest/KLL gate queries are freezable since round 3: they run the
+deterministic plan (pipelines/deterministic.py — pid-partitioned,
+sorted insert, fixed driver merge order), so their output is a pure
+function of the input multiset. Accuracy stays covered by the
+rank-error pytest oracles. Any query whose output still varies
+run-to-run is REFUSED by the two-session verification below.
 
 Usage: python tools/freeze_oracles.py   (writes frozen_oracles.py at the
 repo root; __ray_entry__.oracle_sql() merges it in). Determinism is
@@ -47,6 +49,9 @@ FREEZE = [
     "ivf_topk_embeddings",
     "webpages_report",
     "media_decode_report",
+    "tdigest_quantiles_price",
+    "kll_quantiles_price",
+    "tdigest_quantiles_by_event_type",
 ]
 
 _RUNNER = r"""
