@@ -598,6 +598,108 @@ def q_asof_rates_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_asof_left_rates_events(sf_dir: str) -> pd.DataFrame:
+    """ASOF LEFT JOIN variant: every event kept; events before their
+    type's first qualifying reference hour carry a null ref_n. Same
+    broadcast dim as asof_rates_events."""
+    from ray.data.aggregate import Sum
+
+    from ddsketch_ray.functions.joins import asof_join_broadcast
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(b.select(["event_type", "ts"]))
+            .group_by(
+                "event_type",
+                pl.col("ts").dt.truncate("1h").alias("window_start"),
+            )
+            .agg(pl.len().alias("c"))
+        )
+        return g.to_arrow()
+
+    dim_df = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    dim_df = dim_df[dim_df["n"] >= 6]
+    dim = pa.table(
+        {
+            "event_type": pa.array(dim_df["event_type"].tolist(), type=pa.string()),
+            "window_start": pa.array(dim_df["window_start"], type=pa.timestamp("us")),
+            "n": pa.array(dim_df["n"].astype(np.int64)),
+        }
+    )
+    out = asof_join_broadcast(
+        ds, dim, key_col="event_type", ts_col="ts",
+        dim_ts_col="window_start", value_cols=["n"], how="left",
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["ref_n"] = out["n_ref"].astype(np.float64)  # nullable → NaN
+    out = out[["event_id", "ref_n"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_asof_prev_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Big-big as-of join on a STRING key (round-3 dtype generalization:
+    keys thread as 64-bit hashes, values as typed Arrow columns): every
+    event matched to the most recent strictly-earlier event of the same
+    event_type. Oracle: DuckDB ASOF self-join."""
+    from ddsketch_ray.functions.joins import asof_join_sorted
+
+    left = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    right = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = asof_join_sorted(
+        left, right, key_col="event_type", ts_col="ts",
+        left_cols=["event_id"], right_value_cols=["value"], strict=True,
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["prev_value"] = _round6(out["value_ref"])
+    out = out[["event_id", "prev_value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_bigjoin_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
+    """BIG-BIG shuffle equi-join (Ray Data has no native join): lineitem
+    ⋈ orders on orderkey via hash-bucket co-partitioning + per-bucket
+    Arrow hash join (functions/joins.py:equi_join_shuffle), then revenue
+    per order priority in integer cents."""
+    from ray.data.aggregate import Count, Sum
+
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    li_c = li.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = equi_join_shuffle(
+        li_c, orders, "l_orderkey", "o_orderkey",
+        ["price_c"], ["o_orderpriority"], num_buckets=32,
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("price_c", alias_name="rev_c"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out.pop("rev_c") / 100.0
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_asof_prev_event_value(sf_dir: str) -> pd.DataFrame:
     """BIG-BIG as-of join (no broadcastable side): every event matched
     to the same user's most recent STRICTLY-earlier event. One tagged
@@ -789,38 +891,37 @@ def q_actorpool_quantiles_price(sf_dir: str) -> pd.DataFrame:
 
 
 def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Broadcast join (small dims): customer→nation map shipped once via
-    ray.put, looked up per batch — no shuffle join. Sums in int cents."""
-    import ray
+    """Broadcast lookup join (small dims) via the library operator
+    (functions/joins.py:equi_join_broadcast): the customer→nation-name
+    dim is pre-joined driver-side (customer ⋈ 25-row nation — tiny),
+    broadcast once as a sorted hash index, and the big orders side
+    streams with zero shuffle. Sums in int cents."""
     from ray.data.aggregate import Count, Sum
+
+    from ddsketch_ray.functions.joins import equi_join_broadcast
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nk_of_cust = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey").select(
+        ["c_custkey", "n_name"]
     )
-    name_of_nk = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    lookup_ref = ray.put({ck: name_of_nk[nk] for ck, nk in nk_of_cust.items()})
-
-    class AddNation:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("o_custkey").to_pylist()
-            price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "n_name": pa.array([self.lookup[k] for k in keys], type=pa.string()),
-                    "price_c": pa.array(np.round(price * 100).astype(np.int64)),
-                }
-            )
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = equi_join_broadcast(
+        orders, dim, key_col="o_custkey", value_cols=["n_name"], dim_key_col="c_custkey"
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
     out = (
-        orders.map_batches(AddNation, batch_format="pyarrow", batch_size=None, concurrency=2)
+        joined.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
         .groupby("n_name")
         .aggregate(Sum("price_c", alias_name="sp"), Count(alias_name="n_orders"))
         .to_pandas()
@@ -1199,6 +1300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
+        "asof_left_rates_events": q_asof_left_rates_events,
+        "asof_prev_value_by_type": q_asof_prev_value_by_type,
+        "bigjoin_revenue_by_priority": q_bigjoin_revenue_by_priority,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1355,6 +1459,28 @@ SELECT e.event_id::BIGINT AS event_id, ROUND(d.value, 6) AS prev_value
 FROM events e ASOF JOIN events d
   ON e.user_id = d.user_id AND e.ts > d.ts
 ORDER BY event_id
+""",
+        "asof_prev_value_by_type": """
+SELECT e.event_id::BIGINT AS event_id, ROUND(d.value, 6) AS prev_value
+FROM events e ASOF JOIN events d
+  ON e.event_type = d.event_type AND e.ts > d.ts
+ORDER BY event_id
+""",
+        "asof_left_rates_events": """
+WITH dim AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 6)
+SELECT e.event_id::BIGINT AS event_id, CAST(d.n AS DOUBLE) AS ref_n
+FROM events e ASOF LEFT JOIN dim d
+  ON e.event_type = d.event_type AND e.ts >= d.window_start
+ORDER BY event_id
+""",
+        "bigjoin_revenue_by_priority": """
+SELECT o.o_orderpriority,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
 """,
         "range_join_price_bands": """
 WITH bands(label, lo, hi) AS (VALUES

@@ -165,6 +165,39 @@ def bench_token_quality() -> float:
     return time.perf_counter() - t0
 
 
+def bench_session_counts() -> float:
+    """Sort-plan session windows (round 3): one distributed sort +
+    vectorized per-block gap counts + driver edge stitching."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.windows import session_counts
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    session_counts(ds).materialize()
+    return time.perf_counter() - t0
+
+
+def bench_bigjoin() -> float:
+    """Big-big shuffle equi-join (round 3): lineitem ⋈ orders via
+    hash-bucket co-partition + per-bucket Arrow hash join, then a
+    grouped rollup."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    t0 = time.perf_counter()
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    j = equi_join_shuffle(
+        li, orders, "l_orderkey", "o_orderkey",
+        ["l_extendedprice"], ["o_orderpriority"], num_buckets=32,
+    )
+    j.groupby("o_orderpriority").aggregate(Count(alias_name="n")).to_pandas()
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
     import ray
 
@@ -192,7 +225,7 @@ def run_bench() -> dict:
     # Page-cache warmup for the inputs (untimed).
     import pyarrow.parquet as pq
 
-    for t in ("lineitem", "events", "documents", "embeddings"):
+    for t in ("lineitem", "events", "documents", "embeddings", "orders"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
     # Every pipeline runs twice: the first (untimed) pass pays Ray's
@@ -232,6 +265,8 @@ def run_bench() -> dict:
         ("minhash_dedup_documents", bench_minhash_dedup),
         ("ann_topk_embeddings", bench_ann),
         ("token_quality_documents", bench_token_quality),
+        ("session_counts_events", bench_session_counts),
+        ("bigjoin_lineitem_orders", bench_bigjoin),
     ]:
         fn()  # warm pass
         queries[name] = round(min(fn() for _ in range(2)), 3)
@@ -306,8 +341,57 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_both() -> dict:
+    """Both scaling pairs from four shared legs (4, 8, 16, 32 CPUs):
+    4→16 is the criterion pair (both legs inside the VM's reliably
+    available capacity); 8→32 is reported against the measured 0.77
+    pure-multiprocessing host ceiling (BASELINE.md)."""
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        log(f"--- scaling leg num_cpus={ncpu} ---")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(out.stderr[-1500:])
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    legs = {n: run(n) for n in (4, 8, 16, 32)}
+
+    def pair(lo: int, hi: int) -> dict:
+        dps_lo = legs[lo]["webpages_docs_per_sec"]
+        dps_hi = legs[hi]["webpages_docs_per_sec"]
+        return {
+            "num_cpus_lo": lo,
+            "num_cpus_hi": hi,
+            "docs_per_sec_lo": dps_lo,
+            "docs_per_sec_hi": dps_hi,
+            "efficiency": round((dps_hi / dps_lo) / (hi / lo), 3),
+            "read_efficiency": round(
+                (legs[hi]["read_webpages_docs_per_sec"] / legs[lo]["read_webpages_docs_per_sec"])
+                / (hi / lo),
+                3,
+            ),
+        }
+
+    p_crit, p_wide = pair(4, 16), pair(8, 32)
+    return {
+        "metric": "scaling_efficiency",
+        "value": p_crit["efficiency"],  # criterion pair
+        "unit": "ratio",
+        "pairs": {"4_to_16": p_crit, "8_to_32": p_wide},
+        "legs_total_sec": {str(n): legs[n]["value"] for n in legs},
+        "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-both" in sys.argv:
+        print(json.dumps(run_scaling_both()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -168,11 +168,18 @@ def distinct_count(ds, col: str) -> int:
     the driver subtracts one per equal adjacent block edge (a value
     spanning blocks was counted once per block). Driver payload = 3
     values per block — unlike ``Dataset.unique``, which materializes
-    every distinct value driver-side."""
+    every distinct value driver-side.
+
+    Nulls and float NaN are DROPPED before counting (SQL
+    COUNT(DISTINCT) semantics): NaN != NaN would otherwise count every
+    NaN occurrence as distinct within a block, and null/NaN edges can
+    never match across blocks."""
     s = ds.select_columns([col]).sort(col)
 
     def block_stats(t: pa.Table) -> pa.Table:
-        v = t.column(col)
+        v = t.column(col).drop_null()
+        if pa.types.is_floating(v.type) and len(v):
+            v = v.filter(pa.compute.invert(pa.compute.is_nan(v)))
         if len(v) == 0:
             return pa.table(
                 {
@@ -591,6 +598,20 @@ def minhash_dedup(
         ).select([id_col, "minhash_sig"]),
         batch_format="pyarrow", batch_size=None,
     ).materialize()  # signatures are small (id + num_perm*8B); reused twice
+    return dedup_from_signatures(
+        sigs, id_col=id_col, bands=bands, jaccard_threshold=jaccard_threshold
+    )
+
+
+def dedup_from_signatures(
+    sigs,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+):
+    """LSH-candidate → verify → cluster → emit phase of minhash_dedup,
+    over an existing signature Dataset (id_col, minhash_sig) — e.g. one
+    rebuilt from checkpoint part files (minhash_dedup_checkpointed)."""
     pairs = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands)
     if len(pairs):
         # Distributed verify: pull ONLY the candidate-pair signatures to
@@ -612,6 +633,56 @@ def minhash_dedup(
     ) if len(pairs) else np.empty(0, np.int64)
     rep = cluster_pairs(pairs, pair_ids)  # rep map over clustered ids only
     return emit_cluster_assignments(sigs, rep, id_col)
+
+
+def minhash_dedup_checkpointed(
+    input_files,
+    ckpt_dir: str,
+    run_id: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    seed: int = 0,
+    concurrency: int = 8,
+    files_per_partition: int = 1,
+):
+    """Resumable MinHash dedup for big corpora: the signature stage —
+    the dominant cost (shingle + minhash over every byte of text) — runs
+    as a CheckpointedMapJob writing one signature parquet per input
+    shard, so a killed run resumes from the finished shards instead of
+    recomputing them. The LSH/verify/emit phase then streams from the
+    signature parts (cheap relative to signatures; re-running it after a
+    crash re-reads, never re-tokenizes).
+
+    Returns (assignments Dataset, job) — job.manifest() carries the
+    per-partition lineage + metrics.
+    """
+    import ray.data as rd
+
+    from ddsketch_ray.state.checkpoint import CheckpointedMapJob
+
+    def sig_fn(t: pa.Table) -> pa.Table:
+        return minhash_signature_batch(
+            t, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed
+        ).select([id_col, "minhash_sig"])
+
+    job = CheckpointedMapJob(
+        list(input_files),
+        sig_fn,
+        columns=[id_col, text_col],
+        ckpt_dir=ckpt_dir,
+        run_id=run_id,
+        files_per_partition=files_per_partition,
+    )
+    part_files = job.run(concurrency=concurrency)
+    sigs = rd.read_parquet(part_files)
+    out = dedup_from_signatures(
+        sigs, id_col=id_col, bands=bands, jaccard_threshold=jaccard_threshold
+    )
+    return out, job
 
 
 # ------------------------------------------------------------------ SimHash

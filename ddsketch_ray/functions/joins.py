@@ -33,7 +33,12 @@ def _schema_types(ds, cols) -> dict[str, pa.DataType]:
             out[col] = base.field(col).type
         else:
             t = base.types[base.names.index(col)]
-            out[col] = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+            if isinstance(t, pa.DataType):
+                out[col] = t
+            elif getattr(t, "kind", None) == "O":  # pandas object = string
+                out[col] = pa.string()
+            else:
+                out[col] = pa.from_numpy_dtype(t)
     return out
 
 
@@ -90,18 +95,23 @@ def asof_join_broadcast(
     value_cols,
     dim_ts_col: str | None = None,
     suffix: str = "_ref",
+    how: str = "inner",
 ):
-    """Inner as-of join (backward): every big-side row is matched to the
-    latest dim row with equal ``key_col`` and dim ts ≤ row ts; rows with
-    no qualifying dim row are dropped (DuckDB ``ASOF JOIN`` semantics).
+    """As-of join (backward): every big-side row is matched to the
+    latest dim row with equal ``key_col`` and dim ts ≤ row ts.
+    ``how="inner"`` drops rows with no qualifying dim row (DuckDB
+    ``ASOF JOIN``); ``how="left"`` keeps them with null dim columns
+    (``ASOF LEFT JOIN``).
 
     Returns big_ds's columns plus ``{dim_ts_col}{suffix}`` and
     ``{c}{suffix}`` for each value column. The dim table is broadcast
-    once; each stateless task fetches it zero-copy and runs one
-    searchsorted per key present in the batch.
+    once; each stateless task fetches it zero-copy and joins with a
+    loop-free merge kernel.
     """
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
     dim_ts_col = dim_ts_col or ts_col
     value_cols = list(value_cols)
     ref = ray.put(_prepare_dim(dim, key_col, dim_ts_col, value_cols))
@@ -167,13 +177,20 @@ def asof_join_broadcast(
             ok = pa.compute.fill_null(eq, False).to_numpy(zero_copy_only=False)
             big_rows, dim_rows = big_rows[ok], dim_rows[ok]
 
-        out = t.take(pa.array(big_rows))
-        out = out.append_column(
-            f"{dim_ts_col}{suffix}",
-            pa.array(state["ts"][dim_rows].view("datetime64[us]"), type=pa.timestamp("us")),
+        dim_ts_arrow = pa.array(
+            state["ts"].view("datetime64[us]"), type=pa.timestamp("us")
         )
+        if how == "inner":
+            out = t.take(pa.array(big_rows))
+            take_ind = pa.array(dim_rows)
+        else:  # left: keep every big row; null dim index where unmatched
+            out = t
+            full = np.full(t.num_rows, -1, dtype=np.int64)
+            full[big_rows] = dim_rows
+            take_ind = pa.array(full, mask=full < 0)
+        out = out.append_column(f"{dim_ts_col}{suffix}", dim_ts_arrow.take(take_ind))
         for c in value_cols:  # typed take — schema-stable when empty
-            out = out.append_column(f"{c}{suffix}", state["vals"][c].take(pa.array(dim_rows)))
+            out = out.append_column(f"{c}{suffix}", state["vals"][c].take(take_ind))
         return out
 
     return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
@@ -188,13 +205,19 @@ def asof_join_sorted(
     right_value_cols,
     strict: bool = True,
     suffix: str = "_ref",
+    how: str = "inner",
 ):
     """Big-big as-of join — the co-partitioned scale path the broadcast
     variant documents. Neither side fits a broadcast, so:
 
     1. both sides are tagged and UNIONed into one narrow dataset
-       (key, ts, side, projected columns) — the only wide movement;
-    2. one distributed sort on (key, ts, side) makes every key's
+       (key_hash, ts, side, projected columns) — the only wide movement.
+       Keys of ANY type (string, int64 > 2^53, ...) are threaded as a
+       64-bit hash; carried columns keep their exact Arrow types via
+       typed padding + take, never a float64 round-trip. (A 64-bit
+       hash collision between distinct keys would silently co-mingle
+       their timelines — probability ~n²/2⁶⁵; documented, not checked.)
+    2. one distributed sort on (key_hash, ts, side) makes every key's
        timeline contiguous, right rows interleaved exactly where
        forward-fill needs them (``strict`` orders left BEFORE right at
        equal ts, so a left row never sees a same-timestamp right row);
@@ -209,78 +232,65 @@ def asof_join_sorted(
        degenerate single-key skew would spill more — that is the
        documented partitioning assumption: keys ≫ blocks).
 
-    Inner join: left rows with no qualifying right row are dropped.
-    Returns a Dataset with ``left_cols`` + each right value column as
+    Block order at the driver is the block's FIRST (key_hash, ts, side)
+    tuple. Two blocks share that tuple only when a duplicate-tuple run
+    spans them entirely, which forces every row of both blocks to one
+    (key, ts, side): all-left blocks carry no state (order irrelevant)
+    and all-right blocks differ only in which duplicate-timestamp right
+    row wins — a tie AS-OF semantics leaves unspecified anyway (DuckDB
+    picks arbitrarily too). So no explicit block sequence id is needed
+    for correctness.
+
+    ``how="inner"`` drops left rows with no qualifying right row;
+    ``how="left"`` keeps them with null right columns. Returns a
+    Dataset with ``left_cols`` + each right value column as
     ``{col}{suffix}``. Timestamps are threaded as int64 internally.
     """
-    import pandas as pd
     import ray.data as rd
 
+    from ddsketch_ray.agg import hash_any_column
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
     left_cols = list(left_cols)
     right_value_cols = list(right_value_cols)
     left_side, right_side = (0, 1) if strict else (1, 0)
-    lschema = left_ds.schema()
+    ltypes = _schema_types(left_ds, left_cols)
+    rtypes = _schema_types(right_ds, right_value_cols)
 
-    def _arrow_type(col: str) -> pa.DataType:
-        base = getattr(lschema, "base_schema", lschema)
-        if hasattr(base, "field"):
-            return base.field(col).type
-        t = base.types[base.names.index(col)]  # pandas-block schema
-        return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+    def make_tag(is_left_src: bool):
+        def tag(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            ts = (
+                t.column(ts_col)
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .view(np.int64)
+            )
+            kh = hash_any_column(t.column(key_col), is_arrow=True).view(np.int64)
+            cols = {
+                "k": pa.array(kh),
+                "t": pa.array(ts),
+                "side": pa.array(
+                    np.full(n, left_side if is_left_src else right_side, dtype=np.int8)
+                ),
+            }
+            for c in left_cols:
+                cols[f"l_{c}"] = t.column(c) if is_left_src else _default_array(ltypes[c], n)
+            for c in right_value_cols:
+                cols[f"r_{c}"] = _default_array(rtypes[c], n) if is_left_src else t.column(c)
+            return pa.table(cols)
 
-    ltypes = {c: _arrow_type(c) for c in left_cols}
+        return tag
 
-    def _default_array(typ: pa.DataType, n: int) -> pa.Array:
-        """Typed zero-padding for the side that doesn't own a column.
-        NOT nulls: Ray's sort may route blocks through pandas, where a
-        nullable int64 column silently becomes float64 and corrupts ids
-        above 2^53. The padding is never read (left cols are only taken
-        at left rows, right cols at right rows)."""
-        if pa.types.is_integer(typ):
-            return pa.array(np.zeros(n, dtype=np.int64), type=typ)
-        if pa.types.is_floating(typ):
-            return pa.array(np.zeros(n, dtype=np.float64), type=typ)
-        if pa.types.is_boolean(typ):
-            return pa.array(np.zeros(n, dtype=bool))
-        if pa.types.is_timestamp(typ):
-            return pa.array(np.zeros(n, dtype=np.int64).view("datetime64[us]"), type=typ)
-        return pa.array([""] * n, type=typ)  # string-like
-
-    def tag_left(t: pa.Table) -> pa.Table:
-        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
-        cols = {
-            "k": t.column(key_col),
-            "t": pa.array(ts),
-            "side": pa.array(np.full(t.num_rows, left_side, dtype=np.int8)),
-        }
-        for c in left_cols:
-            cols[f"l_{c}"] = t.column(c)
-        for c in right_value_cols:
-            cols[f"r_{c}"] = _default_array(pa.float64(), t.num_rows)
-        return pa.table(cols)
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
-        cols = {
-            "k": t.column(key_col),
-            "t": pa.array(ts),
-            "side": pa.array(np.full(t.num_rows, right_side, dtype=np.int8)),
-        }
-        for c in left_cols:
-            cols[f"l_{c}"] = _default_array(ltypes[c], t.num_rows)
-        for c in right_value_cols:
-            cols[f"r_{c}"] = pa.compute.cast(t.column(c), pa.float64())
-        return pa.table(cols)
-
-    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow", batch_size=None).union(
-        right_ds.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    tagged = left_ds.map_batches(make_tag(True), batch_format="pyarrow", batch_size=None).union(
+        right_ds.map_batches(make_tag(False), batch_format="pyarrow", batch_size=None)
     )
     s = tagged.sort(["k", "t", "side"])
 
-    out_fields = (
-        [(c, ltypes[c]) for c in left_cols]
-        + [(f"{c}{suffix}", pa.float64()) for c in right_value_cols]
-    )
+    out_fields = [(c, ltypes[c]) for c in left_cols] + [
+        (f"{c}{suffix}", rtypes[c]) for c in right_value_cols
+    ]
 
     def empty_out() -> pa.Table:
         cols = {name: pa.array([], type=typ) for name, typ in out_fields}
@@ -295,7 +305,7 @@ def asof_join_sorted(
         n = t.num_rows
         if n == 0:
             return empty_out()
-        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t.column("k").to_numpy()
         ts = t.column("t").to_numpy()
         side = t.column("side").to_numpy()
         is_right = side == right_side
@@ -309,22 +319,26 @@ def asof_join_sorted(
         have = lr >= gstart
         resolved = is_left & have
         # unresolved lefts in the FIRST key group may match in earlier
-        # blocks; unresolved lefts of later groups are genuinely matchless
+        # blocks; unresolved lefts of later groups are genuinely
+        # matchless — dropped (inner) or emitted with nulls (left)
         spill = is_left & ~have & (gid == 0)
-        rvals = {c: t.column(f"r_{c}").to_numpy(zero_copy_only=False) for c in right_value_cols}
+        matchless = is_left & ~have & (gid > 0)
 
         def rows(mask, kind, rsrc):
             m = np.nonzero(mask)[0]
+            take = pa.array(m.astype(np.int64))
             cols = {}
             for c in left_cols:
                 # arrow take: exact round-trip for any left column type
                 # (int64 > 2^53, strings, ...) — never through float64
-                cols[c] = t.column(f"l_{c}").take(pa.array(m))
+                cols[c] = t.column(f"l_{c}").take(take)
             for c in right_value_cols:
                 if rsrc is None:
-                    cols[f"{c}{suffix}"] = _default_array(pa.float64(), len(m))
+                    cols[f"{c}{suffix}"] = pa.nulls(len(m), type=rtypes[c])
                 else:
-                    cols[f"{c}{suffix}"] = pa.array(rvals[c][rsrc[m]], type=pa.float64())
+                    cols[f"{c}{suffix}"] = t.column(f"r_{c}").take(
+                        pa.array(rsrc[m].astype(np.int64))
+                    )
             cols["_kind"] = pa.array(np.full(len(m), kind, dtype=np.int8))
             cols["_k"] = pa.array(k[m])
             # (_bk, _t) = the block's FIRST (key, ts) — its global range
@@ -339,16 +353,18 @@ def asof_join_sorted(
             return pa.table(cols)
 
         parts = [rows(resolved, 0, lr), rows(spill, 1, None)]
+        if how == "left" and matchless.any():
+            parts.append(rows(matchless, 0, None))  # kept, null rights
         # carry: the LAST key group's latest right row state (if any)
-        lr_last = lr[-1] if (lr[-1] >= gstart[-1]) else -1
+        lr_last = int(lr[-1]) if (lr[-1] >= gstart[-1]) else -1
         carry_cols = {}
         for c in left_cols:
             carry_cols[c] = _default_array(ltypes[c], 1)
         for c in right_value_cols:
             carry_cols[f"{c}{suffix}"] = (
-                pa.array([rvals[c][lr_last]], type=pa.float64())
+                t.column(f"r_{c}").take(pa.array([lr_last], type=pa.int64()))
                 if lr_last >= 0
-                else pa.nulls(1, type=pa.float64())
+                else pa.nulls(1, type=rtypes[c])
             )
         carry_cols["_kind"] = pa.array([2], type=pa.int8())
         carry_cols["_k"] = pa.array([int(k[-1])], type=pa.int64())  # state key
@@ -360,24 +376,27 @@ def asof_join_sorted(
 
     rep = s.map_batches(block_join, batch_format="pyarrow", batch_size=None).materialize()
     resolved = rep.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column("_kind"), 0)).drop_columns(
+        lambda t: t.filter(pc.equal(t.column("_kind"), 0)).drop_columns(
             ["_kind", "_k", "_bk", "_t", "_bs"]
         ),
         batch_format="pyarrow", batch_size=None,
     )
+    # carries (1/block) + first-key spills; take_all keeps exact Python
+    # values (no pandas nullable-int → float64 corruption)
     small = rep.map_batches(
-        lambda t: t.filter(pa.compute.not_equal(t.column("_kind"), 0)),
+        lambda t: t.filter(pc.not_equal(t.column("_kind"), 0)),
         batch_format="pyarrow", batch_size=None,
-    ).to_pandas()  # carries (1/block) + first-key spills
-    fixed = []
-    if len(small):
-        # walk blocks in (key, block-start-ts) order, spills (kind 1)
+    ).take_all()
+    fixed: list[dict] = []
+    if small:
+        # global block-range order (first key, first ts, first side —
+        # the full sort tuple; see docstring for why duplicate-tuple
+        # blocks need no further disambiguation), spills (kind 1)
         # before the same block's carry (kind 2); thread carry state
         state: dict = {}
-        # global block-range order (first key, first ts, first side —
-        # the full sort tuple, so block order is total barring duplicate
-        # (key, ts, side) rows), spills before the same block's carry
-        for _, row in small.sort_values(["_bk", "_t", "_bs", "_kind"], kind="stable").iterrows():
+        for row in sorted(
+            small, key=lambda r: (r["_bk"], r["_t"], r["_bs"], r["_kind"])
+        ):
             kk = int(row["_k"])
             if row["_kind"] == 1:  # spill: resolve with prior-block state
                 if kk in state:
@@ -388,15 +407,27 @@ def asof_join_sorted(
                             **{f"{c}{suffix}": vals[c] for c in right_value_cols},
                         }
                     )
+                elif how == "left":  # no earlier right row: keep, nulls
+                    fixed.append(
+                        {
+                            **{c: row[c] for c in left_cols},
+                            **{f"{c}{suffix}": None for c in right_value_cols},
+                        }
+                    )
             else:  # carry: update state (all-null = no right rows seen)
                 newv = {c: row[f"{c}{suffix}"] for c in right_value_cols}
-                if not all(pd.isna(v) for v in newv.values()):
+                if not all(v is None for v in newv.values()):
                     state[kk] = newv
 
-    extra = pd.DataFrame(
-        fixed, columns=[c for c in left_cols] + [f"{c}{suffix}" for c in right_value_cols]
+    if not fixed:
+        return resolved
+    extra = pa.table(
+        {
+            name: pa.array([r[name] for r in fixed], type=typ)
+            for name, typ in out_fields
+        }
     )
-    return resolved.union(rd.from_pandas(extra)) if len(extra) else resolved
+    return resolved.union(rd.from_arrow(extra))
 
 
 def range_join_broadcast(
@@ -407,9 +438,11 @@ def range_join_broadcast(
     hi_col: str = "hi",
     carry_cols=("label",),
     closed: str = "left",
+    how: str = "inner",
 ):
     """Range (interval) join: every big-side row matches the interval
-    containing ``value_col`` (inner join; non-matching rows drop).
+    containing ``value_col`` (``how="inner"`` drops non-matching rows;
+    ``how="left"`` keeps them with null carried columns).
 
     Intervals must be non-overlapping; they are broadcast once as sorted
     bound arrays and each stateless task does ONE searchsorted per batch
@@ -420,6 +453,8 @@ def range_join_broadcast(
     """
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
     los = intervals.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
     his = intervals.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
     order = np.argsort(los, kind="stable")
@@ -429,13 +464,14 @@ def range_join_broadcast(
     overlaps = (los[1:] <= his[:-1]) if closed == "both" else (los[1:] < his[:-1])
     if np.any(overlaps):
         raise ValueError("range_join_broadcast requires non-overlapping intervals")
-    carry = {c: intervals.column(c).take(pa.array(order)) for c in carry_cols}
-    ref = ray.put((los, his, {c: a.to_numpy(zero_copy_only=False) for c, a in carry.items()}))
+    # carried columns stay typed Arrow arrays (exact take, stable schema)
+    carry = {c: intervals.column(c).take(pa.array(order)).combine_chunks() for c in carry_cols}
+    ref = ray.put((los, his, carry))
 
     def join_batch(t: pa.Table) -> pa.Table:
         plos, phis, pcarry = ray.get(ref)
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        if len(plos) == 0:  # degenerate empty dim: inner join is empty
+        if len(plos) == 0:  # degenerate empty dim: no row matches
             inside = np.zeros(len(v), dtype=bool)
             idx = np.zeros(len(v), dtype=np.int64)
         else:
@@ -444,10 +480,189 @@ def range_join_broadcast(
             inside = (v >= plos[idx]) & (
                 (v <= phis[idx]) if closed == "both" else (v < phis[idx])
             )
-        sub = t.filter(pa.array(inside))
-        out = sub
+        if how == "inner":
+            out = t.filter(pa.array(inside))
+            take_ind = pa.array(idx[inside])
+        else:  # left: all rows kept, null carried cols where unmatched
+            out = t
+            take_ind = pa.array(idx, mask=~inside)
         for c in carry_cols:
-            out = out.append_column(c, pa.array(list(pcarry[c][idx[inside]])))
+            out = out.append_column(c, pcarry[c].take(take_ind))
         return out
 
     return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
+
+
+def equi_join_broadcast(
+    big_ds,
+    dim: pa.Table,
+    key_col: str,
+    value_cols,
+    dim_key_col: str | None = None,
+    how: str = "inner",
+    suffix: str = "",
+):
+    """Broadcast lookup equi-join: the small dim table (unique keys —
+    a lookup, e.g. customer→nation) is ray.put ONCE as a sorted key-hash
+    index; every stateless task binary-searches it per batch. Zero
+    shuffle of the big side. This is the promoted library form of the
+    inline pattern the gate's revenue_by_nation query used.
+
+    ``how="inner"`` drops big rows whose key is absent from dim;
+    ``how="left"`` keeps them with null value columns. Matches are
+    verified by typed key equality (hash collisions between distinct
+    keys cannot cause wrong matches); dim keys must be unique — for
+    many-to-many use ``equi_join_shuffle``.
+    """
+    import ray
+
+    from ddsketch_ray.agg import hash_any_column
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    dim_key_col = dim_key_col or key_col
+    value_cols = list(value_cols)
+    n_distinct = pc.count_distinct(dim.column(dim_key_col)).as_py()
+    if n_distinct != dim.num_rows:
+        raise ValueError(
+            "equi_join_broadcast requires unique dim keys (lookup join); "
+            "use equi_join_shuffle for many-to-many"
+        )
+    # rehash on the astronomically-rare 64-bit collision between
+    # distinct keys (would make one of them unfindable)
+    for seed in range(3):
+        kh = hash_any_column(dim.column(dim_key_col), is_arrow=True, seed=seed)
+        order = np.argsort(kh, kind="stable")
+        kh = kh[order]
+        if not np.any(kh[1:] == kh[:-1]):
+            break
+    else:
+        raise ValueError("persistent 64-bit hash collision in dim keys")
+    sorted_dim = dim.take(pa.array(order))
+    ref = ray.put(
+        {
+            "seed": seed,
+            "kh": kh,
+            "keys": sorted_dim.column(dim_key_col).combine_chunks(),
+            "vals": {c: sorted_dim.column(c).combine_chunks() for c in value_cols},
+        }
+    )
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        state = ray.get(ref)
+        skh = state["kh"]
+        bkh = hash_any_column(t.column(key_col), is_arrow=True, seed=state["seed"])
+        if len(skh):
+            idx = np.minimum(np.searchsorted(skh, bkh), len(skh) - 1)
+            cand = skh[idx] == bkh
+        else:
+            idx = np.zeros(t.num_rows, dtype=np.int64)
+            cand = np.zeros(t.num_rows, dtype=bool)
+        rows = np.nonzero(cand)[0]
+        if len(rows):  # typed equality check on hash candidates
+            eq = pc.equal(
+                t.column(key_col).take(pa.array(rows)),
+                state["keys"].take(pa.array(idx[rows])),
+            )
+            ok = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            rows = rows[ok]
+        if how == "inner":
+            out = t.take(pa.array(rows))
+            take_ind = pa.array(idx[rows])
+        else:
+            out = t
+            full = np.full(t.num_rows, -1, dtype=np.int64)
+            full[rows] = idx[rows]
+            take_ind = pa.array(full, mask=full < 0)
+        for c in value_cols:  # typed take — schema-stable when empty
+            out = out.append_column(f"{c}{suffix}", state["vals"][c].take(take_ind))
+        return out
+
+    return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
+
+
+def equi_join_shuffle(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols,
+    right_cols,
+    num_buckets: int = 64,
+    how: str = "inner",
+    seed: int = 0,
+):
+    """Big-big equi-join (many-to-many) — neither side fits a broadcast.
+    Ray 2.49 Data has no shuffle join, so this builds one from Dataset
+    primitives:
+
+    1. both sides are tagged (bucket = key_hash % num_buckets, side,
+       typed-padded projected columns) and UNIONed — the only wide
+       movement, carrying exactly the projected columns;
+    2. ``groupby(bucket).map_groups`` co-locates each bucket's rows from
+       BOTH sides (num_buckets large-ish groups — the allowed map_groups
+       shape, never per-key) and runs pyarrow's C++ hash join locally.
+
+    Joins on the true key column (carried typed), so hash collisions
+    only co-bucket keys, never mis-join them. ``how``: "inner" or
+    "left" (unmatched left rows null-filled). Skew note: one hot key
+    lands in one bucket; num_buckets bounds a worker's share at
+    roughly total_bytes/num_buckets only under spread keys — salting a
+    join key requires replicating the other side and is not provided.
+
+    Returns a Dataset with ``left_key`` + ``left_cols`` + ``right_cols``
+    (names must not clash; project/rename beforehand).
+    """
+    from ddsketch_ray.agg import hash_any_column
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    clash = set(left_cols) & set(right_cols)
+    if clash:
+        raise ValueError(f"column name clash: {sorted(clash)}; rename before joining")
+    ltypes = _schema_types(left_ds, left_cols + [left_key])
+    rtypes = _schema_types(right_ds, right_cols + [right_key])
+    if ltypes[left_key] != rtypes[right_key]:
+        raise ValueError(
+            f"key type mismatch: {ltypes[left_key]} vs {rtypes[right_key]}"
+        )
+
+    def make_tag(is_left_src: bool):
+        key = left_key if is_left_src else right_key
+
+        def tag(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            b = (hash_any_column(t.column(key), is_arrow=True, seed=seed)
+                 % np.uint64(num_buckets)).astype(np.int64)
+            cols = {
+                "_b": pa.array(b),
+                "_side": pa.array(np.full(n, 0 if is_left_src else 1, dtype=np.int8)),
+                "_k": t.column(key),
+            }
+            for c in left_cols:
+                cols[f"l_{c}"] = t.column(c) if is_left_src else _default_array(ltypes[c], n)
+            for c in right_cols:
+                cols[f"r_{c}"] = _default_array(rtypes[c], n) if is_left_src else t.column(c)
+            return pa.table(cols)
+
+        return tag
+
+    tagged = left_ds.map_batches(make_tag(True), batch_format="pyarrow", batch_size=None).union(
+        right_ds.map_batches(make_tag(False), batch_format="pyarrow", batch_size=None)
+    )
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        lt = g.filter(pa.array(side == 0)).select(["_k"] + [f"l_{c}" for c in left_cols])
+        lt = lt.rename_columns(["_k"] + left_cols)
+        rt = g.filter(pa.array(side == 1)).select(["_k"] + [f"r_{c}" for c in right_cols])
+        rt = rt.rename_columns(["_k"] + right_cols)
+        joined = lt.join(rt, keys="_k", join_type=join_type)
+        # join output column order is not guaranteed — normalize
+        joined = joined.select(["_k"] + left_cols + right_cols)
+        return joined.rename_columns([left_key] + left_cols + right_cols)
+
+    return tagged.groupby("_b").map_groups(bucket_join, batch_format="pyarrow")

@@ -563,3 +563,217 @@ def test_asof_join_sorted_inclusive_semantics(ray_session):
     ).df()
     assert len(out) == n  # every row matches itself at equal ts
     assert out["event_id"].tolist() == want["event_id"].astype(int).tolist()
+
+
+def test_asof_join_left_variants(ray_session):
+    """how='left' keeps unmatched rows with null right columns, for both
+    the broadcast and the big-big sorted as-of joins (vs DuckDB ASOF
+    LEFT JOIN)."""
+    import pandas as pd
+    import duckdb
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import asof_join_broadcast, asof_join_sorted
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 15, size=n).astype(np.int64),
+            "ts": base + rng.permutation(n * 60).astype("timedelta64[s]")[:n].astype("timedelta64[us]"),
+            "value": rng.normal(size=n),
+        }
+    )
+    # right side only has users 0..7 -> users 8..14 never match
+    rdf = df[df["user_id"] < 8][["user_id", "ts", "value"]]
+    con = duckdb.connect()
+    con.register("ev", df)
+    con.register("dim", rdf)
+    want = con.sql(
+        "SELECT e.event_id, d.value FROM ev e ASOF LEFT JOIN dim d "
+        "ON e.user_id = d.user_id AND e.ts > d.ts ORDER BY e.event_id"
+    ).df()
+
+    left = rd.from_pandas(df[["event_id", "user_id", "ts"]]).repartition(7)
+    right = rd.from_pandas(rdf).repartition(5)
+    out = (
+        asof_join_sorted(left, right, "user_id", "ts", ["event_id"], ["value"], how="left")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert out["event_id"].tolist() == want["event_id"].astype(int).tolist()
+    a, b = out["value_ref"].to_numpy(), want["value"].to_numpy()
+    assert np.array_equal(np.isnan(a), np.isnan(b)) and np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+    # broadcast variant, strict=False equivalent semantics (ts <= left ts
+    # inclusive): DuckDB ASOF LEFT JOIN with >= --- matches the kernel
+    want2 = con.sql(
+        "SELECT e.event_id, d.value FROM ev e ASOF LEFT JOIN dim d "
+        "ON e.user_id = d.user_id AND e.ts >= d.ts ORDER BY e.event_id"
+    ).df()
+    out2 = (
+        asof_join_broadcast(
+            rd.from_pandas(df[["event_id", "user_id", "ts"]]).repartition(4),
+            pa.Table.from_pandas(rdf, preserve_index=False),
+            "user_id", "ts", ["value"], how="left",
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(out2) == n
+    a2, b2 = out2["value_ref"].to_numpy(), want2["value"].to_numpy()
+    assert np.array_equal(np.isnan(a2), np.isnan(b2)) and np.array_equal(a2[~np.isnan(a2)], b2[~np.isnan(b2)])
+
+
+def test_asof_join_sorted_string_keys(ray_session):
+    """Round-3 generalization: string keys (hashed to int64 internally)
+    and typed right values (int64 > 2^53 round-trips exactly)."""
+    import pandas as pd
+    import duckdb
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import asof_join_sorted
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    base = np.datetime64("2024-01-01", "us")
+    keys = np.array(["alpha", "beta", "gamma", "delta"])[rng.integers(0, 4, n)]
+    big_ids = (1 << 53) + rng.integers(0, 1 << 52, n).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "sym": keys,
+            "ts": base + rng.permutation(n * 60).astype("timedelta64[s]")[:n].astype("timedelta64[us]"),
+            "big_val": big_ids,
+        }
+    )
+    left = rd.from_pandas(df[["event_id", "sym", "ts"]]).repartition(6)
+    right = rd.from_pandas(df[["sym", "ts", "big_val"]]).repartition(6)
+    out = (
+        asof_join_sorted(left, right, "sym", "ts", ["event_id"], ["big_val"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.sql(
+        "SELECT e.event_id, d.big_val FROM ev e ASOF JOIN ev d "
+        "ON e.sym = d.sym AND e.ts > d.ts ORDER BY e.event_id"
+    ).df()
+    assert out["event_id"].tolist() == want["event_id"].astype(int).tolist()
+    # exact int64 equality — the float64 path would corrupt these
+    assert out["big_val_ref"].tolist() == want["big_val"].astype(np.int64).tolist()
+
+
+def test_equi_join_broadcast(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import equi_join_broadcast
+
+    big = pa.table(
+        {
+            "id": pa.array(np.arange(8, dtype=np.int64)),
+            "k": pa.array(["a", "b", "c", "zz", "a", "b", "zz", "c"]),
+        }
+    )
+    dim = pa.table(
+        {
+            "k": pa.array(["a", "b", "c", "d"]),
+            "grp": pa.array(["g1", "g1", "g2", "g3"]),
+            "w": pa.array([10, 20, 30, 40], type=pa.int64()),
+        }
+    )
+    inner = (
+        equi_join_broadcast(rd.from_arrow(big).repartition(3), dim, "k", ["grp", "w"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert inner["id"].tolist() == [0, 1, 2, 4, 5, 7]
+    assert inner["grp"].tolist() == ["g1", "g1", "g2", "g1", "g1", "g2"]
+    left = (
+        equi_join_broadcast(rd.from_arrow(big).repartition(3), dim, "k", ["w"], how="left")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert len(left) == 8
+    assert left.loc[3, "w"] is None or np.isnan(left.loc[3, "w"])
+    assert left.loc[0, "w"] == 10
+
+    # duplicate dim keys must be rejected (lookup-join contract)
+    dup = pa.table({"k": pa.array(["a", "a"]), "w": pa.array([1, 2], type=pa.int64())})
+    with pytest.raises(ValueError):
+        equi_join_broadcast(rd.from_arrow(big), dup, "k", ["w"])
+
+
+def test_equi_join_shuffle_matches_duckdb(ray_session):
+    """Big-big many-to-many equi-join vs DuckDB, inner + left."""
+    import pandas as pd
+    import duckdb
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    rng = np.random.default_rng(17)
+    nl, nr = 5000, 3000
+    ldf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 400, nl).astype(np.int64),
+            "lid": np.arange(nl, dtype=np.int64),
+            "lval": rng.normal(size=nl),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 500, nr).astype(np.int64),  # some keys unmatched
+            "rid": (1 << 53) + np.arange(nr, dtype=np.int64),  # >2^53 ids
+            "rtag": np.array(["x", "y", "z"])[rng.integers(0, 3, nr)],
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    for how, sql_join in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        out = (
+            equi_join_shuffle(
+                rd.from_pandas(ldf).repartition(9),
+                rd.from_pandas(rdf).repartition(7),
+                "k", "k", ["lid", "lval"], ["rid", "rtag"],
+                num_buckets=16, how=how,
+            )
+            .to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+        )
+        want = con.sql(
+            f"SELECT l.k, l.lid, l.lval, r.rid, r.rtag FROM l {sql_join} r USING (k) "
+            "ORDER BY lid, rid"
+        ).df()
+        assert len(out) == len(want), (how, len(out), len(want))
+        assert out["lid"].tolist() == want["lid"].astype(int).tolist()
+        a, b = out["rid"].to_numpy(dtype=np.float64), want["rid"].to_numpy(dtype=np.float64)
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert out.loc[~np.isnan(a), "rid"].astype(np.int64).tolist() == want.loc[~np.isnan(b), "rid"].astype(np.int64).tolist()
+
+
+def test_range_join_left(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import range_join_broadcast
+
+    big = pa.table(
+        {"id": pa.array([1, 2, 3], type=pa.int64()), "v": pa.array([5.0, 99.0, 15.0])}
+    )
+    bands = pa.table(
+        {"label": pa.array(["low", "high"]), "lo": pa.array([0.0, 10.0]), "hi": pa.array([10.0, 50.0])}
+    )
+    out = (
+        range_join_broadcast(rd.from_arrow(big).repartition(2), bands, "v", how="left")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out["label"].tolist()[0] == "low"
+    assert out["label"].isna().tolist() == [False, True, False]
+
+
+def test_distinct_count_nan_null(ray_session):
+    """NaN/null are dropped (SQL COUNT(DISTINCT) semantics) — NaN used
+    to count once per occurrence because NaN != NaN."""
+    import ray.data as rd
+    from ddsketch_ray.functions.dedup import distinct_count
+
+    v = np.array([1.0, 2.0, np.nan, 2.0, np.nan, np.nan, 3.0])
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)})).repartition(3)
+    assert distinct_count(ds, "v") == 3
+    withnull = pa.table({"v": pa.array([1, None, 2, None, 1], type=pa.int64())})
+    assert distinct_count(rd.from_arrow(withnull).repartition(2), "v") == 2

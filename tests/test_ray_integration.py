@@ -276,3 +276,72 @@ def test_deterministic_sketch_quantiles(ray_session, tmp_path):
         for blocks in (2, 7)
     ]
     assert grouped[0]["est"].tolist() == grouped[1]["est"].tolist()
+
+
+def test_minhash_dedup_checkpointed_resume(ray_session, tmp_path):
+    """Signature stage checkpoints per input shard; a killed run resumes
+    from the finished shards and the final assignments are identical."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import minhash_dedup, minhash_dedup_checkpointed
+
+    rng = np.random.default_rng(23)
+    words = np.array([f"w{i}" for i in range(120)])
+    base = [" ".join(words[rng.integers(0, 120, 40)]) for _ in range(40)]
+    texts, ids = [], []
+    did = 0
+    for t in base:
+        texts.append(t)
+        ids.append(did)
+        did += 1
+        if rng.random() < 0.5:  # near-dup: same text, one word changed
+            toks = t.split()
+            toks[5] = "changed"
+            texts.append(" ".join(toks))
+            ids.append(did)
+            did += 1
+    files = []
+    per = max(1, len(ids) // 6)
+    for i in range(0, len(ids), per):
+        f = str(tmp_path / f"docs-{i:04d}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids[i : i + per], type=pa.int64()),
+                      "text": pa.array(texts[i : i + per])}),
+            f,
+        )
+        files.append(f)
+
+    out1, job = minhash_dedup_checkpointed(
+        files, ckpt_dir=str(tmp_path / "ckpt"), run_id="j1", concurrency=2
+    )
+    df1 = out1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert job.pending_partitions() == []
+    man = job.manifest()
+    assert len(man) == len(files) and sum(m["row_count"] for m in man) == len(ids)
+
+    # matches the non-checkpointed pipeline on the same corpus
+    whole = rd.read_parquet(files)
+    df_ref = minhash_dedup(whole).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df1, df_ref)
+    assert (~df1["is_survivor"]).sum() > 0  # planted dups were caught
+
+    # simulate partial failure: two part files lost -> only those recompute
+    os.remove(job._part_path(1))
+    os.remove(job._part_path(3))
+    out2, job2 = minhash_dedup_checkpointed(
+        files, ckpt_dir=str(tmp_path / "ckpt"), run_id="j1", concurrency=2
+    )
+    # job2 recomputed exactly the missing parts (pending computed before run)
+    df2 = out2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df2, df1)
+
+    # stale lineage: change a partition's input file set -> that part redone
+    extra = str(tmp_path / "docs-extra.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([9999], type=pa.int64()),
+                             "text": pa.array(["lonely new document"])}), extra)
+    out3, job3 = minhash_dedup_checkpointed(
+        files + [extra], ckpt_dir=str(tmp_path / "ckpt"), run_id="j1", concurrency=2
+    )
+    n3 = out3.to_pandas()
+    assert len(n3) == len(ids) + 1

@@ -1,0 +1,274 @@
+"""Round-3 stress runs (recorded in BASELINE.md):
+
+1. ``dedup1m``    — 1M-doc checkpointed MinHash dedup + kill/resume
+2. ``sessions1m`` — session_counts sort plan at 1M users / 5M events
+                    (``--compare-mapgroups`` also times the per-key
+                    map_groups plan it replaced, same input)
+3. ``asof``       — broadcast as-of join, 50k-key dim × 2M-row big side
+                    (the shape the old per-key-mask kernel choked on)
+
+Usage: python tools/stress_r3.py [dedup1m] [sessions1m] [asof]
+       [--compare-mapgroups] [--cpus N]
+Corpora are deterministic and cached under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = 32
+for i, a in enumerate(sys.argv):
+    if a == "--cpus":
+        CPUS = int(sys.argv[i + 1])
+
+DEDUP_DIR = "/tmp/ddsr_stress_dedup1m"
+EVENTS_DIR = "/tmp/ddsr_stress_events1m"
+N_DOCS = 1_000_000
+N_FILES = 16
+N_EVENTS = 5_000_000
+N_USERS = 1_000_000
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_docs() -> list[str]:
+    """1M deterministic ~60-word docs, 5% near-dup pairs (id 20k+19
+    copies 20k+18 with one word changed), 16 parquet shards."""
+    marker = os.path.join(DEDUP_DIR, ".complete")
+    if os.path.exists(marker):
+        return sorted(
+            os.path.join(DEDUP_DIR, f) for f in os.listdir(DEDUP_DIR) if f.endswith(".parquet")
+        )
+    import ray.data as rd
+
+    from ddsketch_ray.hashing import splitmix64
+
+    shutil.rmtree(DEDUP_DIR, ignore_errors=True)
+    os.makedirs(DEDUP_DIR)
+    vocab = np.array([f"word{i:04d}" for i in range(5000)])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        base = np.where(ids % 20 == 19, ids - 1, ids)  # dup pairs share a base
+        w = 60
+        seeds = (base[:, None] * np.int64(w) + np.arange(w)[None, :]).astype(np.uint64)
+        widx = (splitmix64(seeds.ravel()) % np.uint64(len(vocab))).astype(np.int64)
+        words = vocab[widx].reshape(len(ids), w)
+        words[ids % 20 == 19, -1] = "CHANGED"  # near-dup, not exact
+        texts = np.array([" ".join(r) for r in words], dtype=object)
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, type=pa.string())})
+
+    ds = rd.range(N_DOCS, override_num_blocks=N_FILES).map_batches(
+        lambda b: gen(b), batch_format="pyarrow", batch_size=None
+    )
+    ds.write_parquet(DEDUP_DIR, min_rows_per_file=N_DOCS // N_FILES)
+    open(marker, "w").write("ok")
+    return sorted(
+        os.path.join(DEDUP_DIR, f) for f in os.listdir(DEDUP_DIR) if f.endswith(".parquet")
+    )
+
+
+def stress_dedup1m() -> dict:
+    from ddsketch_ray.functions.dedup import minhash_dedup_checkpointed
+
+    files = ensure_docs()
+    ckpt = "/tmp/ddsr_stress_dedup1m_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    out, job = minhash_dedup_checkpointed(
+        files, ckpt_dir=ckpt, run_id="r3", concurrency=CPUS, files_per_partition=1
+    )
+    df = out.to_pandas()
+    cold = time.perf_counter() - t0
+    n_dups = int((~df["is_survivor"]).sum())
+    log(f"dedup1m cold: {cold:.1f}s ({N_DOCS/cold:.0f} docs/s), {n_dups} non-survivors")
+
+    # kill/resume: lose 3 of 16 signature parts, rerun same run_id
+    for i in (2, 7, 11):
+        os.remove(job._part_path(i))
+    t0 = time.perf_counter()
+    out2, job2 = minhash_dedup_checkpointed(
+        files, ckpt_dir=ckpt, run_id="r3", concurrency=CPUS, files_per_partition=1
+    )
+    df2 = out2.to_pandas()
+    resume = time.perf_counter() - t0
+    assert len(df2) == len(df) and int((~df2["is_survivor"]).sum()) == n_dups
+    log(f"dedup1m resume (3/16 parts lost): {resume:.1f}s")
+    return {
+        "docs": N_DOCS,
+        "cold_sec": round(cold, 1),
+        "cold_docs_per_sec": round(N_DOCS / cold),
+        "resume_sec": round(resume, 1),
+        "non_survivors": n_dups,
+        "parts": len(files),
+    }
+
+
+def ensure_events() -> str:
+    marker = os.path.join(EVENTS_DIR, ".complete")
+    if os.path.exists(marker):
+        return EVENTS_DIR
+    import ray.data as rd
+
+    from ddsketch_ray.hashing import splitmix64
+
+    shutil.rmtree(EVENTS_DIR, ignore_errors=True)
+    os.makedirs(EVENTS_DIR)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy().astype(np.uint64)
+        uid = (splitmix64(ids) % np.uint64(N_USERS)).astype(np.int64)
+        ts = (splitmix64(ids ^ np.uint64(0x9E37)) % np.uint64(30 * 86400 * 1_000_000)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "ts": pa.array(ts.view("datetime64[us]"), type=pa.timestamp("us")),
+            }
+        )
+
+    rd.range(N_EVENTS, override_num_blocks=CPUS * 4).map_batches(
+        lambda b: gen(b), batch_format="pyarrow", batch_size=None
+    ).write_parquet(EVENTS_DIR, min_rows_per_file=N_EVENTS // 32)
+    open(marker, "w").write("ok")
+    return EVENTS_DIR
+
+
+def stress_sessions1m(compare: bool) -> dict:
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.windows import session_counts
+
+    path = ensure_events()
+    gap = 30 * 60 * 1_000_000
+
+    def read():
+        return rd.read_parquet(path, columns=["user_id", "ts"])
+
+    session_counts(read(), gap_us=gap).materialize()  # warm
+    t0 = time.perf_counter()
+    out = session_counts(read(), gap_us=gap).materialize()
+    sort_sec = time.perf_counter() - t0
+    n_users = out.count()
+    log(f"sessions1m sort-plan: {sort_sec:.1f}s over {N_EVENTS} events / {n_users} users")
+    res = {
+        "events": N_EVENTS,
+        "users": int(n_users),
+        "sort_plan_sec": round(sort_sec, 1),
+        "events_per_sec": round(N_EVENTS / sort_sec),
+    }
+    if compare:
+        def per_key(g: pd.DataFrame) -> pd.DataFrame:  # the replaced r2 plan
+            ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+            n = 0 if ts.size == 0 else 1 + int((np.diff(ts) > gap).sum())
+            return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(n)]})
+
+        t0 = time.perf_counter()
+        old = read().groupby("user_id").map_groups(per_key, batch_format="pandas").materialize()
+        mg_sec = time.perf_counter() - t0
+        assert old.count() == n_users
+        log(f"sessions1m map_groups: {mg_sec:.1f}s ({mg_sec/sort_sec:.1f}x slower)")
+        res["map_groups_sec"] = round(mg_sec, 1)
+        res["speedup"] = round(mg_sec / sort_sec, 1)
+    return res
+
+
+def stress_asof() -> dict:
+    import ray.data as rd
+
+    from ddsketch_ray.functions.joins import asof_join_broadcast
+    from ddsketch_ray.hashing import splitmix64
+
+    K, PER_KEY, N_BIG = 50_000, 4, 2_000_000
+    dim = pa.table(
+        {
+            "k": pa.array(np.repeat(np.arange(K, dtype=np.int64), PER_KEY)),
+            "ts": pa.array(
+                np.tile((np.arange(PER_KEY, dtype=np.int64) * 3_600_000_000), K).view(
+                    "datetime64[us]"
+                ),
+                type=pa.timestamp("us"),
+            ),
+            "v": pa.array(np.arange(K * PER_KEY, dtype=np.float64)),
+        }
+    )
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "k": pa.array((splitmix64(ids) % np.uint64(K + 1000)).astype(np.int64)),
+                "ts": pa.array(
+                    (splitmix64(ids ^ np.uint64(7)) % np.uint64(PER_KEY * 3_600_000_000))
+                    .astype(np.int64)
+                    .view("datetime64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+
+    big = rd.range(N_BIG, override_num_blocks=CPUS * 2).map_batches(
+        lambda b: gen(b), batch_format="pyarrow", batch_size=None
+    ).materialize()
+    asof_join_broadcast(big, dim, "k", "ts", ["v"]).materialize()  # warm
+    t0 = time.perf_counter()
+    out = asof_join_broadcast(big, dim, "k", "ts", ["v"]).materialize()
+    dt = time.perf_counter() - t0
+    log(f"asof 50k-key dim x 2M rows: {dt:.1f}s, {out.count()} matches")
+    return {
+        "dim_keys": K,
+        "dim_rows": K * PER_KEY,
+        "big_rows": N_BIG,
+        "sec": round(dt, 2),
+        "rows_per_sec": round(N_BIG / dt),
+        "matches": int(out.count()),
+    }
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+        runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}},
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ddsketch_ray import tune_for_sketch_pipelines
+
+    tune_for_sketch_pipelines()
+
+    which = [a for a in sys.argv[1:] if not a.startswith("--") and not a.isdigit()]
+    compare = "--compare-mapgroups" in sys.argv
+    results = {}
+    if not which or "dedup1m" in which:
+        results["dedup1m"] = stress_dedup1m()
+    if not which or "sessions1m" in which:
+        results["sessions1m"] = stress_sessions1m(compare)
+    if not which or "asof" in which:
+        results["asof_highcard"] = stress_asof()
+    print(json.dumps(results))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
