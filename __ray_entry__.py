@@ -700,6 +700,54 @@ def q_bigjoin_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_customers_outside_asia(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI join (the blocklist-filter shape of training-data
+    pipelines): customers whose nation is NOT in region ASIA. The key
+    set (ASIA nation keys) is derived driver-side from the tiny dims
+    and broadcast once; the big customer side streams with zero shuffle
+    (functions/joins.py:semi_join_broadcast)."""
+    from ddsketch_ray.functions.joins import semi_join_broadcast
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    asia_rk = region.filter(pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey")
+    blockset = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=asia_rk.combine_chunks())
+    ).column("n_nationkey")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    out = semi_join_broadcast(cust, blockset, "c_nationkey", anti=True).to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["acctbal_c"] = np.round(out.pop("c_acctbal") * 100).astype(np.int64)
+    out = out[["c_custkey", "acctbal_c"]]
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_top_docs_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k on the sort plan (functions/analytics.py): the 5
+    longest documents per language, ties broken by doc_id — the
+    "best N examples per language" curation shape."""
+    from ddsketch_ray.functions.analytics import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "text_len": pc.cast(pc.binary_length(t.column("text")), pa.int64()),
+            }
+        )
+
+    lens = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    out = grouped_topk(lens, "lang", "text_len", 5, "doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["text_len"] = out["text_len"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def q_asof_prev_event_value(sf_dir: str) -> pd.DataFrame:
     """BIG-BIG as-of join (no broadcastable side): every event matched
     to the same user's most recent STRICTLY-earlier event. One tagged
@@ -1303,6 +1351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_left_rates_events": q_asof_left_rates_events,
         "asof_prev_value_by_type": q_asof_prev_value_by_type,
         "bigjoin_revenue_by_priority": q_bigjoin_revenue_by_priority,
+        "customers_outside_asia": q_customers_outside_asia,
+        "top_docs_by_lang": q_top_docs_by_lang,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1481,6 +1531,23 @@ SELECT o.o_orderpriority,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
+""",
+        "top_docs_by_lang": """
+SELECT lang, doc_id::BIGINT AS doc_id, text_len, rank FROM (
+  SELECT lang, doc_id, strlen(text)::BIGINT AS text_len,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY strlen(text) DESC, doc_id)::BIGINT AS rank
+  FROM documents)
+WHERE rank <= 5 ORDER BY lang, rank
+""",
+        "customers_outside_asia": """
+SELECT c.c_custkey::BIGINT AS c_custkey,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c
+FROM customer c
+WHERE c.c_nationkey NOT IN (
+  SELECT n.n_nationkey FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA')
+ORDER BY c_custkey
 """,
         "range_join_price_bands": """
 WITH bands(label, lo, hi) AS (VALUES

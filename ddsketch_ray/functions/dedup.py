@@ -350,30 +350,43 @@ def _chain_pairs(df, id_col: str, max_bucket_pairs: int = 64):
     chain. So buckets up to ``max_bucket_pairs`` members emit ALL pairs
     (true-dup buckets are small); larger buckets — overwhelmingly hash
     collisions — fall back to the sorted chain and are counted so
-    callers can log the coverage cap (no silent truncation)."""
-    import itertools
+    callers can log the coverage cap (no silent truncation).
 
+    Vectorized: one lexsort + reduceat sizing; size-2 buckets (the
+    overwhelming majority — true near-dup pairs) emit in one slice, and
+    only ≥3-member buckets loop (rare). The r2 per-bucket pandas loop
+    measured ~35 s on 800k buckets at the 1M-doc stress; this is < 1 s.
+    """
     import pandas as pd
 
     if len(df) == 0:
         return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-    a_out: list[int] = []
-    b_out: list[int] = []
+    band = df["band"].to_numpy().astype(np.int64)
+    bh = df["band_hash"].to_numpy().astype(np.int64)
+    ids = df[id_col].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    gchg = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    starts = np.nonzero(gchg)[0]
+    sizes = np.diff(np.r_[starts, len(ids)])
+    s2 = starts[sizes == 2]
+    a_parts = [ids[s2]]  # sorted within bucket -> a < b already
+    b_parts = [ids[s2 + 1]]
     capped = 0
-    for _, grp in df.groupby(["band", "band_hash"], sort=False):
-        ids = sorted(set(int(i) for i in grp[id_col].tolist()))
-        if len(ids) < 2:
+    for s, sz in zip(starts[sizes > 2], sizes[sizes > 2]):  # rare buckets
+        members = np.unique(ids[s : s + sz])
+        if len(members) < 2:
             continue
-        if len(ids) <= max_bucket_pairs:
-            for x, y in itertools.combinations(ids, 2):
-                a_out.append(x)
-                b_out.append(y)
+        if len(members) <= max_bucket_pairs:
+            iu, ju = np.triu_indices(len(members), k=1)
+            a_parts.append(members[iu])
+            b_parts.append(members[ju])
         else:  # giant collision bucket: chain only (documented cap)
             capped += 1
-            a_out.extend(ids[:-1])
-            b_out.extend(ids[1:])
+            a_parts.append(members[:-1])
+            b_parts.append(members[1:])
     out = pd.DataFrame(
-        {"a": np.array(a_out, dtype=np.int64), "b": np.array(b_out, dtype=np.int64)}
+        {"a": np.concatenate(a_parts), "b": np.concatenate(b_parts)}
     ).drop_duplicates()
     if capped:
         import logging
@@ -678,7 +691,10 @@ def minhash_dedup_checkpointed(
         files_per_partition=files_per_partition,
     )
     part_files = job.run(concurrency=concurrency)
-    sigs = rd.read_parquet(part_files)
+    # materialize once: the LSH/verify/emit phase scans signatures three
+    # times (band rows, candidate gather, assignment emit) — object-store
+    # blocks beat three parquet re-reads (id + 128×8B per row)
+    sigs = rd.read_parquet(part_files).materialize()
     out = dedup_from_signatures(
         sigs, id_col=id_col, bands=bands, jaccard_threshold=jaccard_threshold
     )

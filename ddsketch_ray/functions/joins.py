@@ -1,18 +1,26 @@
-"""Join operators Ray Data lacks natively, expressed Ray-Data-first.
+"""Join operators Ray Data 2.49 lacks natively, expressed Ray-Data-first.
 
-``asof_join_broadcast`` — the classic time-series as-of join (each left
-row matches the LATEST right row with the same key and ts ≤ left ts).
-Ray Data has no join operator that expresses this; the scale shape here
-is the broadcast pattern (SURVEY.md §2.3 joins/lookups): the right
-(dimension) side is small — reference rates, config epochs, model
-versions — so it is ray.put ONCE as per-key sorted timestamp arrays and
-every map task binary-searches it per batch. No shuffle of the big side
-at all; the big side streams.
+Two physical families, chosen by the small side's size:
 
-For a big-big as-of join the partitioning assumption is: co-partition
-both sides by key (hash bucket), sort within partition, and run this
-same searchsorted kernel per bucket — the broadcast variant is the
-building block.
+**Broadcast** (small side fits the object store — ray.put ONCE, every
+stateless task reads it zero-copy; the big side streams with ZERO
+shuffle):
+- ``asof_join_broadcast`` — time-series as-of (latest dim row with same
+  key and ts ≤ row ts), inner/left;
+- ``equi_join_broadcast`` — unique-key lookup join, inner/left;
+- ``semi_join_broadcast`` — semi/anti membership filter (blocklists);
+- ``range_join_broadcast`` — interval containment, inner/left.
+
+**Shuffle** (neither side fits a broadcast):
+- ``asof_join_sorted`` — tagged union → ONE distributed sort on
+  (key_hash, ts, side) → per-block vectorized forward-fill with
+  carry/spill block stitching (driver O(blocks));
+- ``equi_join_shuffle`` — hash-bucket co-partition both sides →
+  per-bucket Arrow hash join inside groupby.map_groups (many-to-many).
+
+All kernels are loop-free numpy/Arrow per batch; carried columns keep
+their exact Arrow types end-to-end (typed padding + take — never a
+float64 round-trip; int64 ids above 2^53 and string keys are safe).
 """
 
 from __future__ import annotations
@@ -666,3 +674,51 @@ def equi_join_shuffle(
         return joined.rename_columns([left_key] + left_cols + right_cols)
 
     return tagged.groupby("_b").map_groups(bucket_join, batch_format="pyarrow")
+
+
+def semi_join_broadcast(big_ds, keys, key_col: str, anti: bool = False):
+    """Semi/anti join against a broadcast key set: keep big rows whose
+    ``key_col`` IS in ``keys`` (semi) or IS NOT (anti) — the
+    blocklist/allowlist filter shape of training-data pipelines
+    (e.g. drop documents whose id appears in a dedup blocklist).
+
+    ``keys``: a pyarrow Array/ChunkedArray (deduped here). The key set
+    is broadcast once as a sorted hash index + the typed keys for exact
+    verification, so membership is collision-proof. Scale contract: the
+    KEY SET must fit in the object store (it is the small side); for
+    key sets beyond that, use equi_join_shuffle + null-filter, or a
+    Bloom filter (sketches/bloom.py) for approximate membership with
+    no-false-negative semantics.
+
+    Null keys on the big side never match (SQL IN semantics): they are
+    dropped by semi and kept by anti.
+    """
+    import ray
+
+    from ddsketch_ray.agg import hash_any_column
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    keys = keys.unique().drop_null()
+    kh = hash_any_column(keys, is_arrow=True)
+    order = np.argsort(kh, kind="stable")
+    ref = ray.put({"kh": kh[order], "keys": keys.take(pa.array(order))})
+
+    def filter_batch(t: pa.Table) -> pa.Table:
+        state = ray.get(ref)
+        skh = state["kh"]
+        bkh = hash_any_column(t.column(key_col), is_arrow=True)
+        member = np.zeros(t.num_rows, dtype=bool)
+        if len(skh):
+            idx = np.minimum(np.searchsorted(skh, bkh), len(skh) - 1)
+            cand = np.nonzero(skh[idx] == bkh)[0]
+            if len(cand):  # typed equality: hash collisions never match
+                eq = pc.equal(
+                    t.column(key_col).take(pa.array(cand)),
+                    state["keys"].take(pa.array(idx[cand])),
+                )
+                member[cand] = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        # null big keys: member stays False -> dropped by semi, kept by anti
+        return t.filter(pa.array(~member if anti else member))
+
+    return big_ds.map_batches(filter_batch, batch_format="pyarrow", batch_size=None)

@@ -310,13 +310,23 @@ class CheckpointedMapJob:
                         outs = []
                         n_rows = 0
                         n_bytes = 0
+                        empty_src = None
                         for f in files:
                             pf = pq.ParquetFile(f)
+                            if empty_src is None:
+                                empty_src = pf.schema_arrow
                             for rg in pf.iter_batches(columns=columns):
                                 tbl = pa.Table.from_batches([rg])
                                 outs.append(map_fn(tbl))
                                 n_rows += tbl.num_rows
                                 n_bytes += tbl.nbytes
+                        if not outs:  # zero-row partition: still a valid part
+                            sel = [f for f in (columns or empty_src.names)]
+                            outs.append(
+                                map_fn(pa.schema(
+                                    [empty_src.field(c) for c in sel]
+                                ).empty_table())
+                            )
                         out = pa.concat_tables(outs)
                         wall = time.perf_counter() - t0
                         out = out.replace_schema_metadata(

@@ -777,3 +777,67 @@ def test_distinct_count_nan_null(ray_session):
     assert distinct_count(ds, "v") == 3
     withnull = pa.table({"v": pa.array([1, None, 2, None, 1], type=pa.int64())})
     assert distinct_count(rd.from_arrow(withnull).repartition(2), "v") == 2
+
+
+def test_semi_anti_join_broadcast(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import semi_join_broadcast
+
+    big = pa.table(
+        {
+            "id": pa.array(np.arange(6, dtype=np.int64)),
+            "k": pa.array(["a", "b", None, "c", "a", "x"]),
+        }
+    )
+    keys = pa.array(["a", "c", "c", "nope"])  # dupes deduped internally
+    semi = (
+        semi_join_broadcast(rd.from_arrow(big).repartition(2), keys, "k")
+        .to_pandas().sort_values("id")
+    )
+    assert semi["id"].tolist() == [0, 3, 4]
+    anti = (
+        semi_join_broadcast(rd.from_arrow(big).repartition(2), keys, "k", anti=True)
+        .to_pandas().sort_values("id")
+    )
+    # null key: not IN -> kept by anti (row 2), dropped by semi
+    assert anti["id"].tolist() == [1, 2, 5]
+
+
+def test_grouped_topk(ray_session):
+    """Sort-plan per-group top-k vs a pandas oracle, with groups spanning
+    many blocks and duplicate values (tie-break by id)."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.analytics import grouped_topk
+
+    rng = np.random.default_rng(31)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 40, n).astype(np.int64),  # groups >> span blocks
+            "v": rng.integers(0, 50, n).astype(np.int64),  # many ties
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_topk(rd.from_pandas(df).repartition(11), "g", "v", 5, "rid")
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "v", "rid"], ascending=[True, False, True], kind="stable")
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    exp = exp[exp["rank"] <= 5].sort_values(["g", "rank"]).reset_index(drop=True)
+    assert out["g"].tolist() == exp["g"].tolist()
+    assert out["v"].tolist() == exp["v"].tolist()
+    assert out["rid"].tolist() == exp["rid"].tolist()
+    assert out["rank"].tolist() == exp["rank"].tolist()
+
+    # single dominant group (the documented degraded shape) still correct
+    one = df.assign(g=np.int64(7))
+    o1 = (
+        grouped_topk(rd.from_pandas(one).repartition(9), "g", "v", 3, "rid")
+        .to_pandas().sort_values("rank")
+    )
+    e1 = one.sort_values(["v", "rid"], ascending=[False, True]).head(3)
+    assert o1["rid"].tolist() == e1["rid"].tolist()

@@ -345,3 +345,30 @@ def test_minhash_dedup_checkpointed_resume(ray_session, tmp_path):
     )
     n3 = out3.to_pandas()
     assert len(n3) == len(ids) + 1
+
+
+def test_checkpointed_map_job_empty_partition(ray_session, tmp_path):
+    """A zero-row input shard still produces a valid (empty) part file
+    and a resumable manifest."""
+    from ddsketch_ray.state.checkpoint import CheckpointedMapJob
+
+    full = str(tmp_path / "a.parquet")
+    empty = str(tmp_path / "b.parquet")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["x", "y"])}), full)
+    pq.write_table(schema.empty_table(), empty)
+
+    def mfn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n": pc.cast(pc.binary_length(t.column("text")), pa.int64())})
+
+    job = CheckpointedMapJob([full, empty], mfn, columns=["doc_id", "text"],
+                             ckpt_dir=str(tmp_path / "c"), run_id="e1")
+    files = job.run(concurrency=1)
+    assert job.pending_partitions() == []
+    import ray.data as rd
+    out = rd.read_parquet(files).to_pandas()
+    assert len(out) == 2 and sorted(out.columns) == ["doc_id", "n"]
