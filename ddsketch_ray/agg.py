@@ -77,8 +77,14 @@ def hash_any_column(col, is_arrow: bool, seed: int = 0) -> np.ndarray:
         if pa.types.is_string(typ) or pa.types.is_large_string(typ):
             return hash_strings(col, seed=seed)
         if pa.types.is_integer(typ):
+            # fill nulls BEFORE to_numpy: a nullable int column otherwise
+            # converts to float64, corrupting values above 2^53 (their
+            # hashes would then differ from null-free batches). Null
+            # hashes as hash(0) — callers needing SQL null semantics
+            # must drop/verify nulls explicitly (the joins all do).
+            if col.null_count:
+                col = pa.compute.fill_null(col, 0)
             arr = col.to_numpy(zero_copy_only=False)
-            arr = np.where(np.isnan(arr), 0, arr) if arr.dtype.kind == "f" else arr
             return hash_ints(arr.astype(np.int64, copy=False), seed=seed)
         if pa.types.is_floating(typ):
             return hash_floats(col.to_numpy(zero_copy_only=False), seed=seed)

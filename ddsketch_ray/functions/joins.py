@@ -46,7 +46,9 @@ def _schema_types(ds, cols) -> dict[str, pa.DataType]:
             elif getattr(t, "kind", None) == "O":  # pandas object = string
                 out[col] = pa.string()
             else:
-                out[col] = pa.from_numpy_dtype(t)
+                # pandas nullable extension dtypes (Int64, Float64, ...)
+                # expose their storage dtype as .numpy_dtype
+                out[col] = pa.from_numpy_dtype(getattr(t, "numpy_dtype", t))
     return out
 
 
@@ -71,25 +73,53 @@ def _prepare_dim(dim: pa.Table, key_col: str, ts_col: str, value_cols):
     """Broadcast state: the dim table lexsorted by (key_hash, ts) with
     per-hash-group offsets. Value columns stay ARROW arrays so matches
     are emitted by typed ``take`` — exact for every type (int64 > 2^53,
-    strings, ...) and schema-stable even for zero-match batches."""
+    strings, ...) and schema-stable even for zero-match batches.
+
+    Null-key dim rows are dropped (SQL: a null key matches nothing —
+    they must not share a hash group with real keys). Each hash group
+    must hold exactly ONE distinct key, else the merge kernel could pick
+    a colliding key's row as the latest candidate and the equality guard
+    would then DROP the match instead of falling back to the genuine
+    same-key row — so on the astronomically-rare 64-bit collision the
+    dim is rehashed with a new seed (and raises after 3 tries)."""
     from ddsketch_ray.agg import hash_any_column
 
-    kh = hash_any_column(dim.column(key_col), is_arrow=True)
+    if dim.column(key_col).null_count:
+        dim = dim.filter(pc.is_valid(dim.column(key_col)))
+    for seed in range(3):
+        kh = hash_any_column(dim.column(key_col), is_arrow=True, seed=seed)
+        order = np.argsort(kh, kind="stable")
+        khs = kh[order]
+        sorted_tbl = dim.take(pa.array(order))
+        uniq, gstart = np.unique(khs, return_index=True)
+        gend = np.r_[gstart[1:], len(khs)]
+        # collision check: within each group all keys must equal the first
+        keys_arr = sorted_tbl.column(key_col).combine_chunks()
+        gid = np.cumsum(np.r_[True, khs[1:] != khs[:-1]]) - 1
+        firsts = keys_arr.take(pa.array(gstart[gid]))
+        ok = pc.fill_null(pc.equal(keys_arr, firsts), False)
+        if pc.all(ok).as_py() if len(keys_arr) else True:
+            break
+    else:
+        raise ValueError("persistent 64-bit hash collision in dim keys")
     ts = (
-        dim.column(ts_col)
+        sorted_tbl.column(ts_col)
         .to_numpy(zero_copy_only=False)
         .astype("datetime64[us]")
         .view(np.int64)
     )
-    order = np.lexsort((ts, kh))
-    kh, ts = kh[order], ts[order]
-    sorted_tbl = dim.take(pa.array(order))
-    uniq, gstart = np.unique(kh, return_index=True)  # kh already sorted
+    # ts ascending WITHIN each hash group (argsort above was by hash only)
+    order2 = np.lexsort((ts, khs))
+    khs, ts = khs[order2], ts[order2]
+    sorted_tbl = sorted_tbl.take(pa.array(order2))
+    uniq, gstart = np.unique(khs, return_index=True)
     return {
+        "seed": seed,
         "uniq": uniq,
         "gstart": gstart,
-        "gend": np.r_[gstart[1:], len(kh)],
+        "gend": np.r_[gstart[1:], len(khs)],
         "ts": ts,
+        "ts_arrow": pa.array(ts.view("datetime64[us]"), type=pa.timestamp("us")),
         "keys": sorted_tbl.column(key_col).combine_chunks(),
         "vals": {c: sorted_tbl.column(c).combine_chunks() for c in value_cols},
     }
@@ -142,7 +172,7 @@ def asof_join_broadcast(
             .astype("datetime64[us]")
             .view(np.int64)
         )
-        bkh = hash_any_column(t.column(key_col), is_arrow=True)
+        bkh = hash_any_column(t.column(key_col), is_arrow=True, seed=state["seed"])
         if len(uniq):
             gidx = np.minimum(np.searchsorted(uniq, bkh), len(uniq) - 1)
             in_dim = uniq[gidx] == bkh
@@ -185,9 +215,7 @@ def asof_join_broadcast(
             ok = pa.compute.fill_null(eq, False).to_numpy(zero_copy_only=False)
             big_rows, dim_rows = big_rows[ok], dim_rows[ok]
 
-        dim_ts_arrow = pa.array(
-            state["ts"].view("datetime64[us]"), type=pa.timestamp("us")
-        )
+        dim_ts_arrow = state["ts_arrow"]  # built once in _prepare_dim
         if how == "inner":
             out = t.take(pa.array(big_rows))
             take_ind = pa.array(dim_rows)
@@ -268,6 +296,11 @@ def asof_join_sorted(
 
     def make_tag(is_left_src: bool):
         def tag(t: pa.Table) -> pa.Table:
+            # null keys match nothing (SQL): drop them here — they must
+            # not share a hash with key 0 (and on the left side, "left"
+            # mode re-adds them with null rights via null_left below)
+            if t.column(key_col).null_count:
+                t = t.filter(pc.is_valid(t.column(key_col)))
             n = t.num_rows
             ts = (
                 t.column(ts_col)
@@ -307,6 +340,7 @@ def asof_join_sorted(
         cols["_bk"] = pa.array([], type=pa.int64())
         cols["_t"] = pa.array([], type=pa.int64())
         cols["_bs"] = pa.array([], type=pa.int8())
+        cols["_has"] = pa.array([], type=pa.int8())
         return pa.table(cols)
 
     def block_join(t: pa.Table) -> pa.Table:
@@ -358,6 +392,7 @@ def asof_join_sorted(
             cols["_bk"] = pa.array(np.full(len(m), int(k[0]), dtype=np.int64))
             cols["_t"] = pa.array(np.full(len(m), int(ts[0]), dtype=np.int64))
             cols["_bs"] = pa.array(np.full(len(m), int(side[0]), dtype=np.int8))
+            cols["_has"] = pa.array(np.zeros(len(m), dtype=np.int8))
             return pa.table(cols)
 
         parts = [rows(resolved, 0, lr), rows(spill, 1, None)]
@@ -379,13 +414,17 @@ def asof_join_sorted(
         carry_cols["_bk"] = pa.array([int(k[0])], type=pa.int64())  # block order
         carry_cols["_t"] = pa.array([int(ts[0])], type=pa.int64())
         carry_cols["_bs"] = pa.array([int(side[0])], type=pa.int8())
+        # explicit sentinel: "this block saw a right row for its last
+        # key" — inferring it from value nullness would confuse a right
+        # row whose value columns are ALL null with "no right rows"
+        carry_cols["_has"] = pa.array([1 if lr_last >= 0 else 0], type=pa.int8())
         parts.append(pa.table(carry_cols))
         return pa.concat_tables(parts)
 
     rep = s.map_batches(block_join, batch_format="pyarrow", batch_size=None).materialize()
     resolved = rep.map_batches(
         lambda t: t.filter(pc.equal(t.column("_kind"), 0)).drop_columns(
-            ["_kind", "_k", "_bk", "_t", "_bs"]
+            ["_kind", "_k", "_bk", "_t", "_bs", "_has"]
         ),
         batch_format="pyarrow", batch_size=None,
     )
@@ -422,20 +461,33 @@ def asof_join_sorted(
                             **{f"{c}{suffix}": None for c in right_value_cols},
                         }
                     )
-            else:  # carry: update state (all-null = no right rows seen)
-                newv = {c: row[f"{c}{suffix}"] for c in right_value_cols}
-                if not all(v is None for v in newv.values()):
-                    state[kk] = newv
+            else:  # carry: update state iff the block saw a right row
+                if row["_has"]:
+                    state[kk] = {c: row[f"{c}{suffix}"] for c in right_value_cols}
 
-    if not fixed:
-        return resolved
-    extra = pa.table(
-        {
-            name: pa.array([r[name] for r in fixed], type=typ)
-            for name, typ in out_fields
-        }
-    )
-    return resolved.union(rd.from_arrow(extra))
+    out = resolved
+    if fixed:
+        extra = pa.table(
+            {
+                name: pa.array([r[name] for r in fixed], type=typ)
+                for name, typ in out_fields
+            }
+        )
+        out = out.union(rd.from_arrow(extra))
+    if how == "left":
+        # null-key left rows were excluded from the join (null matches
+        # nothing) — a LEFT join still keeps them, with null rights
+        def null_key_rows(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.is_null(t.column(key_col)))
+            cols = {c: sub.column(c).cast(ltypes[c]) for c in left_cols}
+            for c in right_value_cols:
+                cols[f"{c}{suffix}"] = pa.nulls(sub.num_rows, type=rtypes[c])
+            return pa.table(cols)
+
+        out = out.union(
+            left_ds.map_batches(null_key_rows, batch_format="pyarrow", batch_size=None)
+        )
+    return out
 
 
 def range_join_broadcast(
@@ -530,6 +582,16 @@ def equi_join_broadcast(
         raise ValueError("how must be 'inner' or 'left'")
     dim_key_col = dim_key_col or key_col
     value_cols = list(value_cols)
+    schema = big_ds.schema()
+    big_names = set(getattr(schema, "base_schema", schema).names)
+    clash = [c for c in value_cols if f"{c}{suffix}" in big_names]
+    if clash:
+        raise ValueError(
+            f"output column(s) {clash} already exist on the big side; "
+            "pass a suffix or rename before joining"
+        )
+    if dim.column(dim_key_col).null_count:  # null keys match nothing
+        dim = dim.filter(pc.is_valid(dim.column(dim_key_col)))
     n_distinct = pc.count_distinct(dim.column(dim_key_col)).as_py()
     if n_distinct != dim.num_rows:
         raise ValueError(

@@ -841,3 +841,106 @@ def test_grouped_topk(ray_session):
     )
     e1 = one.sort_values(["v", "rid"], ascending=[False, True]).head(3)
     assert o1["rid"].tolist() == e1["rid"].tolist()
+
+
+def test_asof_joins_null_keys(ray_session):
+    """Review-fix regressions: null join keys match NOTHING (SQL) — they
+    must not co-mingle with key 0's timeline — and a left join keeps
+    null-key left rows with null rights."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import asof_join_broadcast, asof_join_sorted
+
+    def us(v):
+        return np.datetime64(v, "us")
+
+    # sorted variant: left keys [0, NULL, 5, 0]; rights for keys 0 and 5
+    ldf = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "k": pd.array([0, None, 5, 0], dtype="Int64"),
+            "ts": [us(10), us(10), us(10), us(2)],
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "k": pd.array([0, 5], dtype="Int64"),
+            "ts": [us(1), us(1)],
+            "v": [100.0, 500.0],
+        }
+    )
+    left = rd.from_pandas(ldf).repartition(2)
+    right = rd.from_pandas(rdf)
+    inner = (
+        asof_join_sorted(left, right, "k", "ts", ["event_id"], ["v"])
+        .to_pandas().sort_values("event_id")
+    )
+    assert inner["event_id"].tolist() == [0, 2, 3]  # NULL-key row dropped
+    assert inner["v_ref"].tolist() == [100.0, 500.0, 100.0]
+    lj = (
+        asof_join_sorted(left, right, "k", "ts", ["event_id"], ["v"], how="left")
+        .to_pandas().sort_values("event_id")
+    )
+    assert lj["event_id"].tolist() == [0, 1, 2, 3]  # NULL-key row kept...
+    assert np.isnan(lj["v_ref"].tolist()[1])  # ...with null right
+
+    # broadcast variant: null DIM key must not shadow key 0's real row
+    dim = pa.table(
+        {
+            "k": pa.array([0, None], type=pa.int64()),
+            "ts": pa.array([us(1), us(5)], type=pa.timestamp("us")),
+            "v": pa.array([1.0, 99.0]),
+        }
+    )
+    big = pa.table(
+        {
+            "event_id": pa.array([0], type=pa.int64()),
+            "k": pa.array([0], type=pa.int64()),
+            "ts": pa.array([us(10)], type=pa.timestamp("us")),
+        }
+    )
+    out = asof_join_broadcast(rd.from_arrow(big), dim, "k", "ts", ["v"]).to_pandas()
+    assert out["v_ref"].tolist() == [1.0]  # matched, not dropped
+
+
+def test_asof_join_sorted_null_valued_right_rows(ray_session):
+    """Review-fix regression: a right row whose VALUE columns are all
+    null still participates in the as-of match (the carry sentinel must
+    not treat it as 'no right rows in block')."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import asof_join_sorted
+
+    base = np.datetime64("2024-01-01", "us")
+    n = 400
+    # one key; many blocks; values null from ts >= 200 on
+    ldf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "k": np.zeros(n, dtype=np.int64),
+            "ts": base + (np.arange(n) * 1000).astype("timedelta64[us]"),
+        }
+    )
+    rvals = np.arange(n, dtype=np.float64)
+    rdf = pd.DataFrame(
+        {
+            "k": np.zeros(n, dtype=np.int64),
+            "ts": base + (np.arange(n) * 1000).astype("timedelta64[us]"),
+            "v": pd.array(np.where(np.arange(n) >= 200, np.nan, rvals)),
+        }
+    )
+    rdf.loc[np.arange(n) >= 200, "v"] = None
+    out = (
+        asof_join_sorted(
+            rd.from_pandas(ldf).repartition(13),
+            rd.from_pandas(rdf).repartition(7),
+            "k", "ts", ["event_id"], ["v"],
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # strict: event i matches right row i-1; rows >= 201 must match the
+    # NULL-valued right rows (not fall back to v=199)
+    assert len(out) == n - 1
+    got = out["v_ref"].to_numpy()
+    assert got[:200].tolist() == rvals[:200].tolist()  # events 1..200 -> v 0..199
+    assert np.isnan(got[200:]).all()
