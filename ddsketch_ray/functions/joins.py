@@ -661,6 +661,7 @@ def equi_join_shuffle(
     num_buckets: int = 64,
     how: str = "inner",
     seed: int = 0,
+    salt: int = 1,
 ):
     """Big-big equi-join (many-to-many) — neither side fits a broadcast.
     Ray 2.49 Data has no shuffle join, so this builds one from Dataset
@@ -675,10 +676,16 @@ def equi_join_shuffle(
 
     Joins on the true key column (carried typed), so hash collisions
     only co-bucket keys, never mis-join them. ``how``: "inner" or
-    "left" (unmatched left rows null-filled). Skew note: one hot key
-    lands in one bucket; num_buckets bounds a worker's share at
-    roughly total_bytes/num_buckets only under spread keys — salting a
-    join key requires replicating the other side and is not provided.
+    "left" (unmatched left rows null-filled).
+
+    Skew: one hot key lands in one bucket, so num_buckets bounds a
+    worker's share only under spread keys. ``salt > 1`` splits every
+    bucket into ``salt`` sub-buckets — LEFT rows round-robin across
+    them, RIGHT rows are replicated into all of them — so a dominant
+    left-side key's probe work spreads over ``salt`` workers at the
+    cost of a ×salt right-side shuffle. Output is identical for any
+    salt. Use when the LEFT (probe) side is skewed and the right side
+    is the smaller of the two.
 
     Returns a Dataset with ``left_key`` + ``left_cols`` + ``right_cols``
     (names must not clash; project/rename beforehand).
@@ -699,13 +706,25 @@ def equi_join_shuffle(
             f"key type mismatch: {ltypes[left_key]} vs {rtypes[right_key]}"
         )
 
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+
     def make_tag(is_left_src: bool):
         key = left_key if is_left_src else right_key
 
         def tag(t: pa.Table) -> pa.Table:
+            if salt > 1 and not is_left_src:
+                # replicate right rows into every sub-bucket of their key
+                t = t.take(pa.array(np.repeat(np.arange(t.num_rows), salt)))
             n = t.num_rows
             b = (hash_any_column(t.column(key), is_arrow=True, seed=seed)
                  % np.uint64(num_buckets)).astype(np.int64)
+            if salt > 1:
+                if is_left_src:  # round-robin sub-bucket (any spread works)
+                    sub = np.arange(n, dtype=np.int64) % salt
+                else:
+                    sub = np.tile(np.arange(salt, dtype=np.int64), n // salt)
+                b = b * salt + sub
             cols = {
                 "_b": pa.array(b),
                 "_side": pa.array(np.full(n, 0 if is_left_src else 1, dtype=np.int8)),

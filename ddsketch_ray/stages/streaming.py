@@ -69,6 +69,15 @@ class SketchShard:
         sk = self.sketches.get(key)
         return sk.to_row() if sk is not None else None
 
+    def merged_snapshot(self) -> dict | None:
+        """All of this shard's keys merged into one sketch (for global
+        quantiles across the whole stream)."""
+        merged = None
+        for sk in self.sketches.values():
+            copy = DDSketch.from_row(sk.to_row())
+            merged = copy if merged is None else merged.merge(copy)
+        return merged.to_row() if merged is not None else None
+
     def keys(self) -> list:
         return list(self.sketches)
 
@@ -110,6 +119,56 @@ class StreamingSketchService:
                 batch.column(key_col).to_pylist(),
                 batch.column(value_col).to_numpy(zero_copy_only=False),
             )
+
+    def ingest_dataset_distributed(
+        self, ds, key_col: str, value_col: str, concurrency: int = 4
+    ) -> int:
+        """Multi-client ingest: the Dataset's map tasks push their
+        batches straight to the shard actors — rows never pass through
+        the driver (``ingest_dataset`` is the single-client driver-side
+        variant). Each task ray.gets its own pushes, so backpressure is
+        one in-flight batch per client; clients = map task slots.
+        Returns the number of rows ingested."""
+        import pyarrow as pa
+
+        shards = self.shards
+        num_shards = self.num_shards
+
+        def push(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pylist()
+            values = batch.column(value_col).to_numpy(zero_copy_only=False)
+            shard_of = (
+                hash_strings([str(k) for k in keys], seed=11) % np.uint64(num_shards)
+            ).astype(np.int64)
+            futures = []
+            for s in range(num_shards):
+                idx = np.nonzero(shard_of == s)[0]
+                if len(idx):
+                    futures.append(
+                        shards[s].add.remote(
+                            [keys[i] for i in idx.tolist()], values[idx]
+                        )
+                    )
+            ray.get(futures)
+            return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
+
+        acks = ds.map_batches(
+            push, batch_format="pyarrow", batch_size=8192, concurrency=concurrency
+        )
+        return int(acks.sum("rows"))
+
+    def global_quantile(self, q: float) -> float:
+        """Quantile over ALL ingested values (shard-merged snapshot)."""
+        rows = ray.get([s.merged_snapshot.remote() for s in self.shards])
+        merged = None
+        for row in rows:
+            if row is None:
+                continue
+            sk = DDSketch.from_row(row)
+            merged = sk if merged is None else merged.merge(sk)
+        if merged is None:
+            return float("nan")
+        return merged.quantile(q)
 
     def quantile(self, key, q: float) -> float:
         shard = int(self._route([key])[0])

@@ -944,3 +944,31 @@ def test_asof_join_sorted_null_valued_right_rows(ray_session):
     got = out["v_ref"].to_numpy()
     assert got[:200].tolist() == rvals[:200].tolist()  # events 1..200 -> v 0..199
     assert np.isnan(got[200:]).all()
+
+
+def test_equi_join_shuffle_salted(ray_session):
+    """salt spreads a hot probe key; output identical to unsalted."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    rng = np.random.default_rng(13)
+    nl = 4000
+    k = np.where(rng.random(nl) < 0.7, 7, rng.integers(0, 50, nl)).astype(np.int64)
+    ldf = pd.DataFrame({"k": k, "lid": np.arange(nl, dtype=np.int64)})
+    rdf = pd.DataFrame(
+        {"k": np.arange(50, dtype=np.int64), "rv": rng.normal(size=50)}
+    )
+    outs = []
+    for salt in (1, 4):
+        out = (
+            equi_join_shuffle(
+                rd.from_pandas(ldf).repartition(5),
+                rd.from_pandas(rdf).repartition(2),
+                "k", "k", ["lid"], ["rv"], num_buckets=8, how="left", salt=salt,
+            )
+            .to_pandas().sort_values(["lid"]).reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == nl

@@ -364,3 +364,32 @@ def test_session_counts_sort_plan_matches_oracle(ray_session):
     )
     assert out["user_id"].tolist() == exp["user_id"].tolist()
     assert out["n_sessions"].tolist() == exp["n_sessions"].tolist()
+
+
+def test_streaming_distributed_ingest(ray_session):
+    """Multi-client ingest: map tasks push to shard actors directly;
+    per-key and global quantiles match a direct sketch build."""
+    import ray.data as rd
+    from ddsketch_ray.sketches import DDSketch
+    from ddsketch_ray.stages.streaming import StreamingSketchService
+
+    rng = np.random.default_rng(41)
+    n = 40_000
+    keys = rng.integers(0, 20, n).astype(np.int64)
+    vals = rng.gamma(2, 10, n)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals})).repartition(8)
+
+    svc = StreamingSketchService(num_shards=3)
+    ingested = svc.ingest_dataset_distributed(ds, "k", "v", concurrency=3)
+    assert ingested == n
+
+    for k in (0, 7, 19):
+        direct = DDSketch(alpha=0.008, bin_limit=2048)
+        direct.add_array(vals[keys == k])
+        assert svc.quantile(int(k), 0.5) == direct.quantile(0.5)
+
+    glob = DDSketch(alpha=0.008, bin_limit=2048)
+    glob.add_array(vals)
+    est = svc.global_quantile(0.95)
+    exact = np.quantile(vals, 0.95)
+    assert abs(est - exact) / exact < 0.01  # within sketch error
