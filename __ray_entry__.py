@@ -748,6 +748,37 @@ def q_top_docs_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+def q_docs_above_median_tokens(sf_dir: str) -> pd.DataFrame:
+    """Sketch-DRIVEN filtering (the quantile-threshold curation shape:
+    "keep documents above the corpus median"): pass 1 aggregates a
+    DDSketch of per-doc token counts (KB-sized, one shuffle of sketch
+    bytes); pass 2 streams the corpus again filtering on the broadcast
+    estimate. The oracle replicates the bucket math in SQL, so the
+    threshold — and therefore the surviving row set — matches exactly."""
+    from ddsketch_ray.agg import DDSketchAgg
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()  # scanned twice: sketch pass + filter pass
+    res = toks.aggregate(
+        DDSketchAgg(on="n_tokens", qs=[0.5], alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="m")
+    )
+    median_est = float(res["m"][0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(pc.cast(t.column("n_tokens"), pa.float64()), median_est)
+        )
+
+    out = toks.map_batches(keep, batch_format="pyarrow", batch_size=None).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_asof_prev_event_value(sf_dir: str) -> pd.DataFrame:
     """BIG-BIG as-of join (no broadcastable side): every event matched
     to the same user's most recent STRICTLY-earlier event. One tagged
@@ -1353,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigjoin_revenue_by_priority": q_bigjoin_revenue_by_priority,
         "customers_outside_asia": q_customers_outside_asia,
         "top_docs_by_lang": q_top_docs_by_lang,
+        "docs_above_median_tokens": q_docs_above_median_tokens,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1531,6 +1563,25 @@ SELECT o.o_orderpriority,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
+""",
+        "docs_above_median_tokens": rf"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+keys AS (SELECT CASE WHEN n_tokens > 0
+                     THEN CAST(ceil(ln(n_tokens)/ln(CAST({_G} AS DOUBLE))) AS BIGINT) + {_OFF}
+                     ELSE 0 END AS k FROM toks),
+bins AS (SELECT k, COUNT(*)::BIGINT AS c FROM keys GROUP BY k),
+scan AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM bins),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM keys),
+sel AS (SELECT MIN(k) AS kq FROM scan, tot WHERE cum > 0.5*(n-1)),
+thr AS (SELECT CASE WHEN kq > 0
+                    THEN 2*pow(CAST({_G} AS DOUBLE), kq - {_OFF})/(CAST({_G} AS DOUBLE)+1)
+                    ELSE 0.0 END AS est FROM sel)
+SELECT t.doc_id, t.n_tokens FROM toks t, thr WHERE t.n_tokens >= thr.est
+ORDER BY t.doc_id
 """,
         "top_docs_by_lang": """
 SELECT lang, doc_id::BIGINT AS doc_id, text_len, rank FROM (

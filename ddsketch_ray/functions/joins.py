@@ -34,6 +34,11 @@ def _schema_types(ds, cols) -> dict[str, pa.DataType]:
     """Arrow types of ``cols`` from a Dataset schema (handles the
     pandas-block schema variant)."""
     schema = ds.schema()
+    if schema is None:  # empty dataset with no blocks carries no schema
+        raise ValueError(
+            "dataset has no schema (empty, schema-less); the join needs "
+            "typed columns — pass at least one (possibly empty) typed block"
+        )
     base = getattr(schema, "base_schema", schema)
     out: dict[str, pa.DataType] = {}
     for col in cols:

@@ -31,10 +31,12 @@ for i, a in enumerate(sys.argv):
     if a == "--cpus":
         CPUS = int(sys.argv[i + 1])
 
-DEDUP_DIR = "/tmp/ddsr_stress_dedup1m"
+DEDUP_DIR = "/tmp/ddsr_stress_dedup1m_32"
 EVENTS_DIR = "/tmp/ddsr_stress_events1m"
 N_DOCS = 1_000_000
-N_FILES = 16
+# one partition per CPU: 16 shards left half a 32-CPU box idle in the
+# signature stage (measured r3) — partition count should be >= CPUs
+N_FILES = 32
 N_EVENTS = 5_000_000
 N_USERS = 1_000_000
 
@@ -45,7 +47,7 @@ def log(msg: str) -> None:
 
 def ensure_docs() -> list[str]:
     """1M deterministic ~60-word docs, 5% near-dup pairs (id 20k+19
-    copies 20k+18 with one word changed), 16 parquet shards."""
+    copies 20k+18 with one word changed), N_FILES parquet shards."""
     marker = os.path.join(DEDUP_DIR, ".complete")
     if os.path.exists(marker):
         return sorted(
@@ -84,7 +86,7 @@ def stress_dedup1m() -> dict:
     from ddsketch_ray.functions.dedup import minhash_dedup_checkpointed
 
     files = ensure_docs()
-    ckpt = "/tmp/ddsr_stress_dedup1m_ckpt"
+    ckpt = "/tmp/ddsr_stress_dedup1m_ckpt32"
     shutil.rmtree(ckpt, ignore_errors=True)
 
     t0 = time.perf_counter()
@@ -97,7 +99,7 @@ def stress_dedup1m() -> dict:
     log(f"dedup1m cold: {cold:.1f}s ({N_DOCS/cold:.0f} docs/s), {n_dups} non-survivors")
 
     # kill/resume: lose 3 of 16 signature parts, rerun same run_id
-    for i in (2, 7, 11):
+    for i in (2, 7, 11, 19, 26, 30):
         os.remove(job._part_path(i))
     t0 = time.perf_counter()
     out2, job2 = minhash_dedup_checkpointed(
@@ -106,12 +108,12 @@ def stress_dedup1m() -> dict:
     df2 = out2.to_pandas()
     resume = time.perf_counter() - t0
     assert len(df2) == len(df) and int((~df2["is_survivor"]).sum()) == n_dups
-    log(f"dedup1m resume (3/16 parts lost): {resume:.1f}s")
+    log(f"dedup1m resume (6/32 parts lost): {resume:.1f}s")
     return {
         "docs": N_DOCS,
         "cold_sec": round(cold, 1),
         "cold_docs_per_sec": round(N_DOCS / cold),
-        "resume_sec": round(resume, 1),
+        "resume_sec": round(resume, 1), "resume_parts_lost": 6,
         "non_survivors": n_dups,
         "parts": len(files),
     }
