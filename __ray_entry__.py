@@ -779,6 +779,24 @@ def q_docs_above_median_tokens(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Overlapping token-window chunking (the LLM training-data shape):
+    32-token chunks with 8-token overlap; chunk text is the space-join
+    of its tokens, so the SQL oracle replicates boundaries exactly via
+    the shared ASCII-whitespace token definition."""
+    from ddsketch_ray.functions.text import chunk_documents_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: chunk_documents_batch(b, chunk_tokens=32, overlap=8),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["chunk_id"] = out["chunk_id"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def q_asof_prev_event_value(sf_dir: str) -> pd.DataFrame:
     """BIG-BIG as-of join (no broadcastable side): every event matched
     to the same user's most recent STRICTLY-earlier event. One tagged
@@ -1385,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_outside_asia": q_customers_outside_asia,
         "top_docs_by_lang": q_top_docs_by_lang,
         "docs_above_median_tokens": q_docs_above_median_tokens,
+        "chunk_documents": q_chunk_documents,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1563,6 +1582,23 @@ SELECT o.o_orderpriority,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
+""",
+        "chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+stats AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM toks WHERE len(ts) > 0)
+SELECT s.doc_id, g.i::BIGINT AS chunk_id,
+       array_to_string(s.ts[(g.i*24 + 1) : least(g.i*24 + 32, s.n)], ' ') AS chunk_text,
+       (least(g.i*24 + 32, s.n) - g.i*24)::BIGINT AS n_tokens
+FROM stats s
+-- generate_series takes only constants: 512 chunk ids covers docs up to
+-- ~12k tokens (test corpora max ~100); the ON clause keeps real chunks
+JOIN generate_series(0, 512) AS g(i)
+  ON g.i <= greatest(0, CAST(ceil((s.n - 32)/24.0) AS BIGINT))
+ORDER BY s.doc_id, chunk_id
 """,
         "docs_above_median_tokens": rf"""
 WITH toks AS (

@@ -198,3 +198,81 @@ class LangId:
         return batch.append_column(
             self.out_col, pa.array(preds.tolist(), type=pa.string())
         )
+
+
+def chunk_documents_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> pa.Table:
+    """Split each document into overlapping token windows — the LLM
+    training-data chunking shape. Chunk i covers tokens
+    [i*step, min(i*step + chunk_tokens, n)) with step = chunk_tokens −
+    overlap; a document with n tokens yields 1 + ceil((n −
+    chunk_tokens)/step) chunks (0 chunks when it has no tokens), and
+    chunk text is the single-space join of its tokens (whitespace is
+    normalized; the token definition is the ASCII-whitespace
+    TOKEN_PATTERN shared with token_count_batch, so the oracle can
+    replicate boundaries exactly).
+
+    Fully vectorized: token explode + per-token chunk-membership
+    fan-out (each token joins ≤ ceil(chunk/step) chunks) + one polars
+    group_by string join — no per-document Python. Output rows:
+    (id_col, chunk_id, chunk_text, n_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    s = _text_series(batch, text_col)
+    toks = s.str.extract_all(TOKEN_PATTERN)
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    n_chunks = np.where(
+        lens > 0, 1 + np.maximum(0, -(-(lens - chunk_tokens) // step)), 0
+    ).astype(np.int64)
+    total = int(lens.sum())
+    ids = batch.column(id_col).combine_chunks()
+    if total == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=ids.type),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+    flat = toks.explode().drop_nulls()
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    hi = np.minimum(pos // step, np.repeat(n_chunks - 1, lens))
+    lo = np.maximum(0, -(-(pos - chunk_tokens + 1) // step))
+    rep = (hi - lo + 1).astype(np.int64)
+    ridx = np.repeat(np.arange(total), rep)
+    chunk_of = lo[ridx] + (
+        np.arange(int(rep.sum())) - np.repeat(np.cumsum(rep) - rep, rep)
+    )
+    mem = pl.DataFrame(
+        {
+            "doc": doc_of[ridx],
+            "chunk": chunk_of,
+            "pos": pos[ridx],
+            "tok": flat.gather(ridx),
+        }
+    )
+    agg = (
+        mem.sort(["doc", "chunk", "pos"])
+        .group_by(["doc", "chunk"], maintain_order=True)
+        .agg(
+            pl.col("tok").str.join(" ").alias("chunk_text"),
+            pl.len().cast(pl.Int64).alias("n_tokens"),
+        )
+    )
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(agg["doc"].to_numpy())),
+            "chunk_id": pa.array(agg["chunk"].to_numpy().astype(np.int64)),
+            "chunk_text": pa.array(agg["chunk_text"].to_arrow(), type=pa.string()),
+            "n_tokens": pa.array(agg["n_tokens"].to_numpy()),
+        }
+    )

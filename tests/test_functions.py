@@ -972,3 +972,38 @@ def test_equi_join_shuffle_salted(ray_session):
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert len(outs[0]) == nl
+
+
+def test_chunk_documents_batch():
+    from ddsketch_ray.functions.text import chunk_documents_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f g",  # 7 tokens -> 3 chunks of (3,3,3) w/ overlap
+                    "",               # empty -> 0 chunks
+                    "x  y\tz",        # whitespace runs collapse; 3 tokens -> 1 chunk
+                    "one two three four",  # exactly covers 2 chunks (4 tokens)
+                ]
+            ),
+        }
+    )
+    out = chunk_documents_batch(batch, chunk_tokens=3, overlap=1).to_pandas()
+    got = out.set_index(["doc_id", "chunk_id"])["chunk_text"].to_dict()
+    assert got == {
+        (10, 0): "a b c",
+        (10, 1): "c d e",
+        (10, 2): "e f g",
+        (12, 0): "x y z",
+        (13, 0): "one two three",
+        (13, 1): "three four",
+    }
+    assert out.set_index(["doc_id", "chunk_id"])["n_tokens"].to_dict()[(13, 1)] == 2
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    assert got[(10, 0)].split()[-1:] == got[(10, 1)].split()[:1]
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents_batch(batch, chunk_tokens=4, overlap=4)
