@@ -766,7 +766,10 @@ def q_docs_above_median_tokens(sf_dir: str) -> pd.DataFrame:
     res = toks.aggregate(
         DDSketchAgg(on="n_tokens", qs=[0.5], alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="m")
     )
-    median_est = float(res["m"][0])
+    # ROUND(est, 6) on BOTH sides (CLAUDE.md oracle convention): the
+    # unrounded threshold would be 1-ulp-sensitive to pow/ln libm
+    # differences between numpy and DuckDB
+    median_est = round(float(res["m"][0]), 6)
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(
@@ -1437,19 +1440,31 @@ _G = repr(GAMMA)
 _OFF = str(OFFSET)
 
 
-def _dds_sql(table: str, col: str, where: str = "", group: str | None = None) -> str:
-    """DDSketch quantile replicated in SQL (see module docstring)."""
+def _dds_key_sql(col: str) -> str:
+    """THE DDSketch bucket-key expression in SQL — single definition so
+    every oracle that re-derives keys stays on the same math."""
     gexpr = f"CAST({_G} AS DOUBLE)"
-    key = (
+    return (
         f"CASE WHEN {col} > 0 THEN CAST(ceil(ln({col})/ln({gexpr})) AS BIGINT) + {_OFF} "
         f"WHEN {col} < 0 THEN -CAST(ceil(ln(-{col})/ln({gexpr})) AS BIGINT) - {_OFF} "
         f"ELSE 0 END"
     )
-    est = (
-        f"CASE WHEN kq > 0 THEN 2*pow({gexpr}, kq - {_OFF})/({gexpr}+1) "
-        f"WHEN kq < 0 THEN -2*pow({gexpr}, -(kq + {_OFF}))/({gexpr}+1) "
+
+
+def _dds_est_sql(kvar: str = "kq") -> str:
+    """THE DDSketch mid-bucket estimate expression in SQL."""
+    gexpr = f"CAST({_G} AS DOUBLE)"
+    return (
+        f"CASE WHEN {kvar} > 0 THEN 2*pow({gexpr}, {kvar} - {_OFF})/({gexpr}+1) "
+        f"WHEN {kvar} < 0 THEN -2*pow({gexpr}, -({kvar} + {_OFF}))/({gexpr}+1) "
         f"ELSE 0.0 END"
     )
+
+
+def _dds_sql(table: str, col: str, where: str = "", group: str | None = None) -> str:
+    """DDSketch quantile replicated in SQL (see module docstring)."""
+    key = _dds_key_sql(col)
+    est = _dds_est_sql("kq")
     qs_values = ", ".join(f"({q})" for q in QS)
     if group is None:
         return f"""
@@ -1527,12 +1542,7 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
     )
     gexpr = f"CAST({_G} AS DOUBLE)"
 
-    def _key_of(col: str) -> str:
-        return (
-            f"CASE WHEN {col} > 0 THEN CAST(ceil(ln({col})/ln({gexpr})) AS BIGINT) + {_OFF} "
-            f"WHEN {col} < 0 THEN -CAST(ceil(ln(-{col})/ln({gexpr})) AS BIGINT) - {_OFF} "
-            f"ELSE 0 END"
-        )
+    _key_of = _dds_key_sql  # single source for the bucket-key math
 
     cdf_probe_values = ", ".join(f"({p})" for p in _CDF_PROBES)
     return {
@@ -1606,16 +1616,12 @@ WITH toks AS (
          len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
                          x -> x <> ''))::BIGINT AS n_tokens
   FROM documents),
-keys AS (SELECT CASE WHEN n_tokens > 0
-                     THEN CAST(ceil(ln(n_tokens)/ln(CAST({_G} AS DOUBLE))) AS BIGINT) + {_OFF}
-                     ELSE 0 END AS k FROM toks),
+keys AS (SELECT {_dds_key_sql('n_tokens')} AS k FROM toks),
 bins AS (SELECT k, COUNT(*)::BIGINT AS c FROM keys GROUP BY k),
 scan AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM bins),
 tot AS (SELECT COUNT(*)::BIGINT AS n FROM keys),
 sel AS (SELECT MIN(k) AS kq FROM scan, tot WHERE cum > 0.5*(n-1)),
-thr AS (SELECT CASE WHEN kq > 0
-                    THEN 2*pow(CAST({_G} AS DOUBLE), kq - {_OFF})/(CAST({_G} AS DOUBLE)+1)
-                    ELSE 0.0 END AS est FROM sel)
+thr AS (SELECT ROUND({_dds_est_sql('kq')}, 6) AS est FROM sel)
 SELECT t.doc_id, t.n_tokens FROM toks t, thr WHERE t.n_tokens >= thr.est
 ORDER BY t.doc_id
 """,

@@ -97,7 +97,6 @@ def _prepare_dim(dim: pa.Table, key_col: str, ts_col: str, value_cols):
         khs = kh[order]
         sorted_tbl = dim.take(pa.array(order))
         uniq, gstart = np.unique(khs, return_index=True)
-        gend = np.r_[gstart[1:], len(khs)]
         # collision check: within each group all keys must equal the first
         keys_arr = sorted_tbl.column(key_col).combine_chunks()
         gid = np.cumsum(np.r_[True, khs[1:] != khs[:-1]]) - 1
@@ -301,11 +300,16 @@ def asof_join_sorted(
 
     def make_tag(is_left_src: bool):
         def tag(t: pa.Table) -> pa.Table:
-            # null keys match nothing (SQL): drop them here — they must
-            # not share a hash with key 0 (and on the left side, "left"
-            # mode re-adds them with null rights via null_left below)
-            if t.column(key_col).null_count:
-                t = t.filter(pc.is_valid(t.column(key_col)))
+            # null keys match nothing (SQL): drop them — they must not
+            # share a hash with key 0. In "left" mode, null-key LEFT
+            # rows are kept as side-2 marker rows (k = INT64_MIN) and
+            # emitted with null rights inside block_join — no second
+            # scan of the left dataset.
+            col = t.column(key_col)
+            keep_nulls = is_left_src and how == "left"
+            if col.null_count and not keep_nulls:
+                t = t.filter(pc.is_valid(col))
+                col = t.column(key_col)
             n = t.num_rows
             ts = (
                 t.column(ts_col)
@@ -313,13 +317,16 @@ def asof_join_sorted(
                 .astype("datetime64[us]")
                 .view(np.int64)
             )
-            kh = hash_any_column(t.column(key_col), is_arrow=True).view(np.int64)
+            kh = hash_any_column(col, is_arrow=True).view(np.int64)
+            side_arr = np.full(n, left_side if is_left_src else right_side, dtype=np.int8)
+            if keep_nulls and col.null_count:
+                invalid = pc.is_null(col).to_numpy(zero_copy_only=False)
+                kh = np.where(invalid, np.int64(np.iinfo(np.int64).min), kh)
+                side_arr = np.where(invalid, np.int8(2), side_arr).astype(np.int8)
             cols = {
                 "k": pa.array(kh),
                 "t": pa.array(ts),
-                "side": pa.array(
-                    np.full(n, left_side if is_left_src else right_side, dtype=np.int8)
-                ),
+                "side": pa.array(side_arr),
             }
             for c in left_cols:
                 cols[f"l_{c}"] = t.column(c) if is_left_src else _default_array(ltypes[c], n)
@@ -363,13 +370,14 @@ def asof_join_sorted(
         starts = np.nonzero(gstart_marks)[0]
         gstart = starts[gid]
         is_left = ~is_right
+        null_left = side == 2  # null-key left markers ("left" mode only)
         have = lr >= gstart
-        resolved = is_left & have
+        resolved = is_left & have & ~null_left
         # unresolved lefts in the FIRST key group may match in earlier
         # blocks; unresolved lefts of later groups are genuinely
         # matchless — dropped (inner) or emitted with nulls (left)
-        spill = is_left & ~have & (gid == 0)
-        matchless = is_left & ~have & (gid > 0)
+        spill = is_left & ~have & (gid == 0) & ~null_left
+        matchless = is_left & ~have & (gid > 0) & ~null_left
 
         def rows(mask, kind, rsrc):
             m = np.nonzero(mask)[0]
@@ -401,8 +409,10 @@ def asof_join_sorted(
             return pa.table(cols)
 
         parts = [rows(resolved, 0, lr), rows(spill, 1, None)]
-        if how == "left" and matchless.any():
-            parts.append(rows(matchless, 0, None))  # kept, null rights
+        if how == "left":
+            keep = matchless | null_left  # kept with null rights
+            if keep.any():
+                parts.append(rows(keep, 0, None))
         # carry: the LAST key group's latest right row state (if any)
         lr_last = int(lr[-1]) if (lr[-1] >= gstart[-1]) else -1
         carry_cols = {}
@@ -470,29 +480,15 @@ def asof_join_sorted(
                 if row["_has"]:
                     state[kk] = {c: row[f"{c}{suffix}"] for c in right_value_cols}
 
-    out = resolved
-    if fixed:
-        extra = pa.table(
-            {
-                name: pa.array([r[name] for r in fixed], type=typ)
-                for name, typ in out_fields
-            }
-        )
-        out = out.union(rd.from_arrow(extra))
-    if how == "left":
-        # null-key left rows were excluded from the join (null matches
-        # nothing) — a LEFT join still keeps them, with null rights
-        def null_key_rows(t: pa.Table) -> pa.Table:
-            sub = t.filter(pc.is_null(t.column(key_col)))
-            cols = {c: sub.column(c).cast(ltypes[c]) for c in left_cols}
-            for c in right_value_cols:
-                cols[f"{c}{suffix}"] = pa.nulls(sub.num_rows, type=rtypes[c])
-            return pa.table(cols)
-
-        out = out.union(
-            left_ds.map_batches(null_key_rows, batch_format="pyarrow", batch_size=None)
-        )
-    return out
+    if not fixed:
+        return resolved
+    extra = pa.table(
+        {
+            name: pa.array([r[name] for r in fixed], type=typ)
+            for name, typ in out_fields
+        }
+    )
+    return resolved.union(rd.from_arrow(extra))
 
 
 def range_join_broadcast(
@@ -588,6 +584,11 @@ def equi_join_broadcast(
     dim_key_col = dim_key_col or key_col
     value_cols = list(value_cols)
     schema = big_ds.schema()
+    if schema is None:  # empty dataset with no blocks carries no schema
+        raise ValueError(
+            "big_ds has no schema (empty, schema-less); the join needs "
+            "typed columns — pass at least one (possibly empty) typed block"
+        )
     big_names = set(getattr(schema, "base_schema", schema).names)
     clash = [c for c in value_cols if f"{c}{suffix}" in big_names]
     if clash:
@@ -718,12 +719,14 @@ def equi_join_shuffle(
         key = left_key if is_left_src else right_key
 
         def tag(t: pa.Table) -> pa.Table:
+            # hash BEFORE any replication: salt× fewer hash evaluations
+            b = (hash_any_column(t.column(key), is_arrow=True, seed=seed)
+                 % np.uint64(num_buckets)).astype(np.int64)
             if salt > 1 and not is_left_src:
                 # replicate right rows into every sub-bucket of their key
                 t = t.take(pa.array(np.repeat(np.arange(t.num_rows), salt)))
+                b = np.repeat(b, salt)
             n = t.num_rows
-            b = (hash_any_column(t.column(key), is_arrow=True, seed=seed)
-                 % np.uint64(num_buckets)).astype(np.int64)
             if salt > 1:
                 if is_left_src:  # round-robin sub-bucket (any spread works)
                     sub = np.arange(n, dtype=np.int64) % salt

@@ -28,8 +28,30 @@ import numpy as np
 
 import ray
 
-from ddsketch_ray.hashing import hash_strings
+from ddsketch_ray.hashing import hash_floats, hash_strings, splitmix64
 from ddsketch_ray.sketches.ddsketch import DDSketch
+
+
+def _route_shards(keys, num_shards: int) -> np.ndarray:
+    """THE shard-routing function — single definition so ingest paths
+    and query paths can never route the same key differently."""
+    return (hash_strings([str(k) for k in keys], seed=11) % np.uint64(num_shards)).astype(
+        np.int64
+    )
+
+
+def _batch_token(keys, values: np.ndarray) -> int:
+    """Deterministic token of a routed sub-batch's (content, order) —
+    a Ray task retry re-pushes the identical batch, which the shard
+    then ignores (idempotent ingest). Two genuinely DISTINCT pushes
+    with byte-identical content+order would also dedup; streams where
+    that is expected should route through the driver path or add a
+    distinguishing column."""
+    kh = hash_strings([str(k) for k in keys], seed=13)
+    vh = hash_floats(np.asarray(values, dtype=np.float64), seed=17)
+    pos = np.arange(len(kh), dtype=np.uint64)
+    mixed = splitmix64(kh ^ vh ^ splitmix64(pos))
+    return int(np.bitwise_xor.reduce(mixed) ^ np.uint64(len(kh))) if len(kh) else 0
 
 
 @ray.remote
@@ -41,9 +63,15 @@ class SketchShard:
         self.bin_limit = bin_limit
         self.sketches: dict = {}
         self.batches_seen = 0
+        self.seen_tokens: set[int] = set()
 
-    def add(self, keys: list, values: np.ndarray) -> int:
-        """Vectorized per-key accumulate of one routed batch."""
+    def add(self, keys: list, values: np.ndarray, token: int | None = None) -> int:
+        """Vectorized per-key accumulate of one routed batch. ``token``
+        (content-derived) makes the push idempotent under task retries."""
+        if token is not None:
+            if token in self.seen_tokens:
+                return len(self.sketches)
+            self.seen_tokens.add(token)
         values = np.asarray(values, dtype=np.float64)
         # canonical (type, repr) sort key: mixed-type key batches (e.g.
         # int and str) must group deterministically, not raise TypeError
@@ -74,8 +102,7 @@ class SketchShard:
         quantiles across the whole stream)."""
         merged = None
         for sk in self.sketches.values():
-            copy = DDSketch.from_row(sk.to_row())
-            merged = copy if merged is None else merged.merge(copy)
+            merged = sk.copy() if merged is None else merged.merge(sk.copy())
         return merged.to_row() if merged is not None else None
 
     def keys(self) -> list:
@@ -92,9 +119,7 @@ class StreamingSketchService:
         ]
 
     def _route(self, keys) -> np.ndarray:
-        return (hash_strings([str(k) for k in keys], seed=11) % np.uint64(self.num_shards)).astype(
-            np.int64
-        )
+        return _route_shards(keys, self.num_shards)
 
     def ingest_batch(self, keys: list, values: np.ndarray) -> None:
         """Split one arriving batch by shard and push concurrently."""
@@ -128,7 +153,9 @@ class StreamingSketchService:
         the driver (``ingest_dataset`` is the single-client driver-side
         variant). Each task ray.gets its own pushes, so backpressure is
         one in-flight batch per client; clients = map task slots.
-        Returns the number of rows ingested."""
+        Pushes carry content-derived tokens, so a Ray task RETRY that
+        re-pushes the same batch is ignored by the shards (idempotent —
+        see _batch_token for the caveat). Returns the rows ingested."""
         import pyarrow as pa
 
         shards = self.shards
@@ -137,16 +164,16 @@ class StreamingSketchService:
         def push(batch: pa.Table) -> pa.Table:
             keys = batch.column(key_col).to_pylist()
             values = batch.column(value_col).to_numpy(zero_copy_only=False)
-            shard_of = (
-                hash_strings([str(k) for k in keys], seed=11) % np.uint64(num_shards)
-            ).astype(np.int64)
+            shard_of = _route_shards(keys, num_shards)
             futures = []
             for s in range(num_shards):
                 idx = np.nonzero(shard_of == s)[0]
                 if len(idx):
+                    sub_keys = [keys[i] for i in idx.tolist()]
+                    sub_vals = values[idx]
                     futures.append(
                         shards[s].add.remote(
-                            [keys[i] for i in idx.tolist()], values[idx]
+                            sub_keys, sub_vals, token=_batch_token(sub_keys, sub_vals)
                         )
                     )
             ray.get(futures)

@@ -393,3 +393,25 @@ def test_streaming_distributed_ingest(ray_session):
     est = svc.global_quantile(0.95)
     exact = np.quantile(vals, 0.95)
     assert abs(est - exact) / exact < 0.01  # within sketch error
+
+
+def test_streaming_ingest_retry_idempotent(ray_session):
+    """A re-pushed identical batch (what a Ray task retry does) is
+    ignored by the shard thanks to the content-derived token."""
+    import ray
+    from ddsketch_ray.stages.streaming import SketchShard, _batch_token
+
+    shard = SketchShard.remote()
+    keys = [1, 1, 2]
+    vals = np.array([10.0, 20.0, 30.0])
+    tok = _batch_token(keys, vals)
+    ray.get(shard.add.remote(keys, vals, token=tok))
+    ray.get(shard.add.remote(keys, vals, token=tok))  # "retry"
+    row = ray.get(shard.snapshot.remote(1))
+    from ddsketch_ray.sketches import DDSketch
+    assert DDSketch.from_row(row).n == 2  # not 4
+
+    # distinct content produces a distinct token -> ingested
+    vals2 = np.array([11.0, 21.0, 31.0])
+    ray.get(shard.add.remote(keys, vals2, token=_batch_token(keys, vals2)))
+    assert DDSketch.from_row(ray.get(shard.snapshot.remote(1))).n == 4

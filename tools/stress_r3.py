@@ -98,7 +98,7 @@ def stress_dedup1m() -> dict:
     n_dups = int((~df["is_survivor"]).sum())
     log(f"dedup1m cold: {cold:.1f}s ({N_DOCS/cold:.0f} docs/s), {n_dups} non-survivors")
 
-    # kill/resume: lose 3 of 16 signature parts, rerun same run_id
+    # kill/resume: lose 6 of the 32 signature parts, rerun same run_id
     for i in (2, 7, 11, 19, 26, 30):
         os.remove(job._part_path(i))
     t0 = time.perf_counter()
