@@ -800,6 +800,26 @@ def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Weighted reservoir sample (A-Res): 32 documents drawn without
+    replacement with probability ∝ n_chars — the "sample ∝ quality"
+    curation shape. Mergeable sketch in one aggregate pass; the oracle
+    recomputes the SplitMix64 u-values in mod-2^64 SQL and the
+    ln(u)/w key ranking, so the sample matches exactly."""
+    from ddsketch_ray.agg import WRSAgg, sketch_from_result
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    res = ds.aggregate(WRSAgg("doc_id", "n_chars", k=32, seed=0, alias_name="s"))
+    ids, ws = sketch_from_result(res["s"]).sample()
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(ids) + 1, dtype=np.int64),
+            "doc_id": ids.astype(np.int64),
+            "n_chars": ws.astype(np.int64),
+        }
+    )
+
+
 def q_asof_prev_event_value(sf_dir: str) -> pd.DataFrame:
     """BIG-BIG as-of join (no broadcastable side): every event matched
     to the same user's most recent STRICTLY-earlier event. One tagged
@@ -1407,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_lang": q_top_docs_by_lang,
         "docs_above_median_tokens": q_docs_above_median_tokens,
         "chunk_documents": q_chunk_documents,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1540,6 +1561,7 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
     kmv_doc_hash = _splitmix_sql(
         f"xor(CAST(doc_id AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
+    wrs_doc_hash = kmv_doc_hash  # same hash_ints(doc_id, seed=0) family
     gexpr = f"CAST({_G} AS DOUBLE)"
 
     _key_of = _dds_key_sql  # single source for the bucket-key math
@@ -1592,6 +1614,25 @@ SELECT o.o_orderpriority,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
+""",
+        "weighted_sample_docs": f"""
+-- exact recompute of the A-Res weighted sample: SplitMix64 u-values in
+-- mod-2^64 SQL arithmetic, key = ln((u+0.5)/2^64)/w, top-32 by key
+WITH h AS (
+  SELECT doc_id::BIGINT AS doc_id, n_chars,
+         {wrs_doc_hash} AS hv
+  FROM documents WHERE n_chars > 0),
+keyed AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(hv AS DOUBLE) + 0.5) / 18446744073709551616.0)
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM h),
+ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id)::BIGINT AS rank
+  FROM keyed)
+SELECT rank, doc_id, n_chars::BIGINT AS n_chars
+FROM ranked WHERE rank <= 32 ORDER BY rank
 """,
         "chunk_documents": r"""
 WITH toks AS (

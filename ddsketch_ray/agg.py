@@ -37,6 +37,7 @@ from ddsketch_ray.sketches import (
     KMV,
     MinHashSketch,
     TDigest,
+    WeightedReservoir,
 )
 
 
@@ -232,6 +233,43 @@ class KMVAgg(_SketchAggBase):
         col = drop_nulls(col, is_arrow)
         values = col.to_numpy(zero_copy_only=False) if is_arrow else np.asarray(col)
         sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed), values)
+
+
+class WRSAgg(_SketchAggBase):
+    """Weighted reservoir sample (A-Res): k items drawn without
+    replacement with probability proportional to ``weight_col``, item
+    identity from ``id_col``. finalize -> serialized sketch (use
+    ``sketch_from_result``); sample exactly reproducible by a SQL
+    oracle (SplitMix64 u-values recomputed in mod-2^64 arithmetic,
+    key = ln(u)/w ranking)."""
+
+    def __init__(self, id_col: str, weight_col: str, k: int = 64, seed: int = 0, alias_name=None):
+        self._id_col = id_col
+        self._weight_col = weight_col
+        super().__init__(
+            factory=lambda: WeightedReservoir(k=k, seed=seed),
+            name=alias_name or f"wrs({id_col},{weight_col})",
+            on=None,
+        )
+
+    def _accumulate(self, sk, block):
+        ids_col, ia = _column_values(block, self._id_col)
+        w_col, _ = _column_values(block, self._weight_col)
+        if ia:  # drop null ids/weights BEFORE to_numpy (no float64
+            # round-trip that would corrupt int64 ids above 2^53)
+            valid = pa.compute.and_(
+                pa.compute.is_valid(ids_col), pa.compute.is_valid(w_col)
+            )
+            ids = ids_col.filter(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+            ws = w_col.filter(valid).to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            ids = np.asarray(ids_col)
+            ws = np.asarray(w_col, dtype=np.float64)
+            ok = ~np.isnan(ws)
+            if ids.dtype.kind == "f":
+                ok &= ~np.isnan(ids)
+            ids, ws = ids[ok].astype(np.int64), ws[ok]
+        sk.accumulate(ids, ws)
 
 
 class HeavyHittersAgg(_SketchAggBase):

@@ -25,9 +25,11 @@ from ddsketch_ray.sketches.minhash import (
     simhash64,
 )
 from ddsketch_ray.sketches.tdigest import TDigest
+from ddsketch_ray.sketches.wrs import WeightedReservoir
 
 __all__ = [
     "MergeableSketch",
+    "WeightedReservoir",
     "to_bytes",
     "from_bytes",
     "DDSketch",

@@ -441,3 +441,59 @@ class TestOPHSignatures:
 
         with pytest.raises(ValueError):
             minhash_signatures_oph(np.empty(0, np.uint64), np.empty(0, np.int64), 100)
+
+
+# ------------------------------------------------------- WeightedReservoir
+
+
+def test_wrs_merge_equals_monolithic():
+    from ddsketch_ray.sketches.wrs import WeightedReservoir
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(5000).astype(np.int64)
+    ws = rng.gamma(2, 2, 5000)
+    mono = WeightedReservoir(k=50, seed=1)
+    mono.accumulate(ids, ws)
+
+    parts = [WeightedReservoir(k=50, seed=1) for _ in range(7)]
+    for i, p in enumerate(parts):
+        sl = slice(i * 720, min((i + 1) * 720, 5000))
+        p.accumulate(ids[sl], ws[sl])
+    merged = parts[3]
+    for i in (6, 0, 5, 1, 4, 2):  # arbitrary merge order
+        merged = merged.merge(parts[i])
+    a_ids, a_ws = mono.sample()
+    b_ids, b_ws = merged.sample()
+    assert a_ids.tolist() == b_ids.tolist()
+    assert a_ws.tolist() == b_ws.tolist()
+    assert len(a_ids) == 50 and merged.n_seen == 5000
+
+
+def test_wrs_weight_bias_and_dedup():
+    from ddsketch_ray.sketches.wrs import WeightedReservoir
+
+    # items 0..99 with weight 1, items 100..109 with weight 50: heavy
+    # items should dominate the sample across seeds
+    ids = np.arange(110, dtype=np.int64)
+    ws = np.r_[np.ones(100), np.full(10, 50.0)]
+    heavy_rate = []
+    for seed in range(30):
+        sk = WeightedReservoir(k=10, seed=seed)
+        sk.accumulate(ids, ws)
+        s_ids, _ = sk.sample()
+        heavy_rate.append(np.mean(s_ids >= 100))
+    assert np.mean(heavy_rate) > 0.5  # ~77% expected, 9% if unweighted
+
+    # duplicate ids collapse to one occurrence (best key wins)
+    sk = WeightedReservoir(k=5, seed=0)
+    sk.accumulate(np.array([7, 7, 7], dtype=np.int64), np.array([1.0, 3.0, 2.0]))
+    s_ids, s_ws = sk.sample()
+    assert s_ids.tolist() == [7]
+    assert s_ws.tolist() == [3.0]  # largest weight has the largest key
+
+    # non-positive / non-finite weights excluded; round-trip
+    sk.accumulate(np.array([1, 2, 3], dtype=np.int64), np.array([0.0, -1.0, np.inf]))
+    assert sk.sample()[0].tolist() == [7]
+    from ddsketch_ray.sketches.wrs import WeightedReservoir as W
+    rt = W.from_row(sk.to_row())
+    assert rt.sample()[0].tolist() == [7] and rt.n_seen == sk.n_seen
