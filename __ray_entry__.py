@@ -820,6 +820,27 @@ def q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_weighted_sample_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Grouped weighted reservoir: 8 docs per language, probability ∝
+    n_chars — any MergeableSketch composes with groupby.aggregate
+    unchanged (same property the KMV grouped query demonstrates)."""
+    from ddsketch_ray.agg import WRSAgg, sketch_from_result
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    res = (
+        ds.groupby("lang")
+        .aggregate(WRSAgg("doc_id", "n_chars", k=8, seed=0, alias_name="s"))
+        .to_pandas()
+    )
+    rows = []
+    for _, r in res.iterrows():
+        ids, ws = sketch_from_result(r["s"]).sample()
+        for rank, (i, w) in enumerate(zip(ids, ws), 1):
+            rows.append((r["lang"], np.int64(rank), np.int64(i), np.int64(w)))
+    out = pd.DataFrame(rows, columns=["lang", "rank", "doc_id", "n_chars"])
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def q_asof_prev_event_value(sf_dir: str) -> pd.DataFrame:
     """BIG-BIG as-of join (no broadcastable side): every event matched
     to the same user's most recent STRICTLY-earlier event. One tagged
@@ -1428,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_median_tokens": q_docs_above_median_tokens,
         "chunk_documents": q_chunk_documents,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1633,6 +1655,23 @@ ranked AS (
   FROM keyed)
 SELECT rank, doc_id, n_chars::BIGINT AS n_chars
 FROM ranked WHERE rank <= 32 ORDER BY rank
+""",
+        "weighted_sample_by_lang": f"""
+WITH h AS (
+  SELECT lang, doc_id::BIGINT AS doc_id, n_chars,
+         {wrs_doc_hash} AS hv
+  FROM documents WHERE n_chars > 0),
+keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ln((CAST(hv AS DOUBLE) + 0.5) / 18446744073709551616.0)
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM h),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)::BIGINT AS rank
+  FROM keyed)
+SELECT lang, rank, doc_id, n_chars::BIGINT AS n_chars
+FROM ranked WHERE rank <= 8 ORDER BY lang, rank
 """,
         "chunk_documents": r"""
 WITH toks AS (
