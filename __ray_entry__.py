@@ -800,6 +800,23 @@ def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def q_repetition_ratio_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signal: per-document duplicate
+    trigram ratio. Oracle recomputes distinct trigram STRINGS via
+    lead() windows in SQL (the Ray side uses hash-chain identity —
+    equal up to 64-bit collisions)."""
+    from ddsketch_ray.functions.text import repetition_ratio_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: repetition_ratio_batch(b), batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_ngrams"] = out["n_ngrams"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Weighted reservoir sample (A-Res): 32 documents drawn without
     replacement with probability ∝ n_chars — the "sample ∝ quality"
@@ -1450,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "weighted_sample_docs": q_weighted_sample_docs,
         "weighted_sample_by_lang": q_weighted_sample_by_lang,
+        "repetition_ratio_docs": q_repetition_ratio_docs,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1636,6 +1654,28 @@ SELECT o.o_orderpriority,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
+""",
+        "repetition_ratio_docs": r"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, ts[g.i] AS t, g.i AS pos
+        FROM toks JOIN generate_series(1, 512) g(i) ON g.i <= len(ts)),
+g3 AS (SELECT doc_id,
+              t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS gram
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+stats AS (SELECT doc_id, COUNT(*)::BIGINT AS n_ngrams,
+                 COUNT(DISTINCT gram)::BIGINT AS n_distinct
+          FROM g3 WHERE gram IS NOT NULL GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(s.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(s.n_distinct, 0)::BIGINT AS n_distinct,
+       CASE WHEN coalesce(s.n_ngrams, 0) > 0
+            THEN ROUND(1.0 - CAST(s.n_distinct AS DOUBLE)/s.n_ngrams, 6)
+            ELSE 0.0 END AS dup_ratio
+FROM toks t LEFT JOIN stats s USING (doc_id) ORDER BY t.doc_id
 """,
         "weighted_sample_docs": f"""
 -- exact recompute of the A-Res weighted sample: SplitMix64 u-values in

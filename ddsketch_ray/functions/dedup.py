@@ -251,7 +251,12 @@ def shingle_hashes(texts: pl.Series, k: int = 5, seed: int = 0):
             np.cumsum(counts) - counts, counts
         )
         starts = np.repeat(tok_off[full], counts) + ar
-        acc = th[starts].copy()
+        # pre-mix the first token: a plain chain's first step
+        # sm(h_t0 ^ h_t1) is XOR-commutative, systematically colliding
+        # token-swapped shingles (a,b,…) with (b,a,…) — which inflated
+        # Jaccard similarity between word-swapped documents (found via
+        # the repetition-ratio SQL oracle, round 3)
+        acc = splitmix64(th[starts])
         for j in range(1, k):
             acc = splitmix64(acc ^ th[starts + j])
         out[np.repeat(offsets[full], counts) + ar] = acc
@@ -262,7 +267,7 @@ def shingle_hashes(texts: pl.Series, k: int = 5, seed: int = 0):
         if ln == 0:
             out[offsets[d]] = empty_hash
         else:
-            a = th[t0]
+            a = splitmix64(np.asarray(th[t0]))  # same pre-mix as above
             for j in range(1, ln):
                 a = splitmix64(a ^ th[t0 + j])
             out[offsets[d]] = a

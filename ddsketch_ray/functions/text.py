@@ -276,3 +276,66 @@ def chunk_documents_batch(
             "n_tokens": pa.array(agg["n_tokens"].to_numpy()),
         }
     )
+
+
+def repetition_ratio_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> pa.Table:
+    """Per-document duplicate n-gram ratio — the Gopher-style
+    repetition quality signal (templated/spammy text repeats n-grams).
+    dup_ratio = 1 − n_distinct/n_ngrams, 0 for documents with fewer
+    than ``n`` tokens. n-grams are exact token windows (case-sensitive,
+    ASCII-whitespace TOKEN_PATTERN) identified by a SplitMix64 chain
+    over the token hashes; tokens contain no whitespace, so the chain
+    is injective up to 64-bit collisions (~m²/2⁶⁵ per doc — would
+    undercount distinct by 1; the SQL oracle compares distinct STRINGS
+    and has matched bit-for-bit on every test corpus).
+
+    Vectorized: one Rust tokenize + hash pass, windowed chain combine,
+    one lexsort over (doc, gram) for the distinct counts — no
+    per-document Python. Output: (id_col, n_ngrams, n_distinct,
+    dup_ratio ROUND6).
+    """
+    s = _text_series(batch, text_col)
+    toks = s.str.extract_all(TOKEN_PATTERN)
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    ndocs = len(lens)
+    n_grams = np.maximum(lens - n + 1, 0)
+    n_distinct = np.zeros(ndocs, dtype=np.int64)
+    total = int(n_grams.sum())
+    if total:
+        flat = toks.explode().drop_nulls()
+        th = hash_strings(flat.to_arrow(), seed=0)
+        tok_off = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=tok_off[1:])
+        has = n_grams > 0
+        counts = n_grams[has]
+        ar = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        starts = np.repeat(tok_off[has], counts) + ar
+        # pre-mix the first token: a plain chain's first step
+        # sm(h_a ^ h_b) is XOR-commutative, colliding (a,b,…) with
+        # (b,a,…) — systematically, not at 2^-64 rates
+        gram = splitmix64(th[starts])
+        for j in range(1, n):
+            gram = splitmix64(gram ^ th[starts + j])
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64)[has], counts)
+        order = np.lexsort((gram, doc_of))
+        g, d = gram[order], doc_of[order]
+        new = np.r_[True, (d[1:] != d[:-1]) | (g[1:] != g[:-1])]
+        dstarts = np.nonzero(np.r_[True, d[1:] != d[:-1]])[0]
+        n_distinct[d[dstarts]] = np.add.reduceat(new.astype(np.int64), dstarts)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(n_grams > 0, 1.0 - n_distinct / n_grams, 0.0)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_ngrams": pa.array(n_grams),
+            "n_distinct": pa.array(n_distinct),
+            "dup_ratio": pa.array(np.round(ratio, 6)),
+        }
+    )

@@ -1007,3 +1007,35 @@ def test_chunk_documents_batch():
     import pytest
     with pytest.raises(ValueError):
         chunk_documents_batch(batch, chunk_tokens=4, overlap=4)
+
+
+def test_shingle_hashes_order_sensitive():
+    """Round-3 fix: the shingle chain's first combine must not be
+    XOR-commutative — token-swapped shingles are different shingles."""
+    import polars as pl
+    from ddsketch_ray.functions.dedup import shingle_hashes
+
+    a, _ = shingle_hashes(pl.Series(["alpha beta gamma"]), k=3)
+    b, _ = shingle_hashes(pl.Series(["beta alpha gamma"]), k=3)
+    assert a[0] != b[0]
+    # short-doc fallback too
+    c, _ = shingle_hashes(pl.Series(["alpha beta"]), k=3)
+    d, _ = shingle_hashes(pl.Series(["beta alpha"]), k=3)
+    assert c[0] != d[0]
+
+
+def test_repetition_ratio_batch():
+    from ddsketch_ray.functions.text import repetition_ratio_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["a b a b a", "x y", "p q r p q r p q r", ""]),
+        }
+    )
+    out = repetition_ratio_batch(b).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_ngrams"] == 3 and out.loc[1, "n_distinct"] == 2
+    assert out.loc[2, "n_ngrams"] == 0 and out.loc[2, "dup_ratio"] == 0.0
+    assert out.loc[3, "n_ngrams"] == 7 and out.loc[3, "n_distinct"] == 3
+    assert abs(out.loc[3, "dup_ratio"] - round(1 - 3 / 7, 6)) < 1e-12
+    assert out.loc[4, "n_ngrams"] == 0
