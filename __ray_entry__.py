@@ -817,6 +817,71 @@ def q_repetition_ratio_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_graph_components(sf_dir: str) -> pd.DataFrame:
+    """Distributed connected components (functions/graph.py — alternating
+    large-star/small-star contraction, Kiveris et al. SoCC'14) over a
+    two-relation document similarity graph: star edges within each
+    (lang, n_chars//8) group UNION star edges within each
+    (source, n_chars//8) group. Components chain across the relations, so
+    the oracle needs true transitive closure (recursive CTE), not a
+    GROUP BY. Group keys are 64-bit hashes (same collision assumption as
+    the exact-dedup gate queries); the ≥2-member group dim is broadcast
+    (cardinality ≤ distinct (lang|source) × char-buckets — tiny)."""
+    from ddsketch_ray.functions.dedup import sorted_group_rollup
+    from ddsketch_ray.functions.graph import connected_components
+    from ddsketch_ray.functions.joins import equi_join_broadcast
+    from ddsketch_ray.hashing import hash_strings, splitmix64
+
+    def keyed(col: str, seed: int):
+        def add_key(t: pa.Table) -> pa.Table:
+            b = (t.column("n_chars").to_numpy(zero_copy_only=False) // 8).astype(
+                np.int64
+            )
+            kh = splitmix64(
+                hash_strings(t.column(col), seed=seed) ^ splitmix64(b.view(np.uint64))
+            )
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "k": pa.array(kh.astype(np.int64)),
+                }
+            )
+
+        return add_key
+
+    edge_sets = []
+    for seed, col in enumerate(("lang", "source")):
+        kd = _read(sf_dir, "documents", ["doc_id", col, "n_chars"]).map_batches(
+            keyed(col, seed), batch_format="pyarrow", batch_size=None
+        )
+        groups = sorted_group_rollup(kd, key_col="k", id_col="doc_id").to_pandas()
+        groups = groups[groups["n"] >= 2]
+        dim = pa.table(
+            {
+                "k": pa.array(groups["k"].to_numpy().astype(np.int64)),
+                "gmin": pa.array(groups["doc_id"].to_numpy().astype(np.int64)),
+            }
+        )
+
+        def star_edges(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            g = t.column("gmin").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = ids != g
+            return pa.table({"a": pa.array(g[m]), "b": pa.array(ids[m])})
+
+        edge_sets.append(
+            equi_join_broadcast(kd, dim, key_col="k", value_cols=["gmin"]).map_batches(
+                star_edges, batch_format="pyarrow", batch_size=None
+            )
+        )
+
+    cc = connected_components(edge_sets[0].union(edge_sets[1]), src="a", dst="b")
+    out = cc.to_pandas()
+    out["node"] = out["node"].astype(np.int64)
+    out["component"] = out["component"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Weighted reservoir sample (A-Res): 32 documents drawn without
     replacement with probability ∝ n_chars — the "sample ∝ quality"
@@ -1468,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "repetition_ratio_docs": q_repetition_ratio_docs,
+        "doc_graph_components": q_doc_graph_components,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1654,6 +1720,35 @@ SELECT o.o_orderpriority,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
+""",
+        "doc_graph_components": r"""
+-- transitive closure of the two-relation doc graph (star edges per
+-- (lang, n_chars//8) group UNION per (source, n_chars//8) group);
+-- label = MIN reachable node — exactly connected_components' contract
+WITH RECURSIVE
+d AS (SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars // 8 AS bk
+      FROM documents),
+g1 AS (SELECT lang, bk, MIN(doc_id) AS mn, COUNT(*) AS c
+       FROM d GROUP BY lang, bk),
+g2 AS (SELECT source, bk, MIN(doc_id) AS mn, COUNT(*) AS c
+       FROM d GROUP BY source, bk),
+e AS (
+  SELECT g1.mn AS a, d.doc_id AS b FROM d
+  JOIN g1 ON d.lang = g1.lang AND d.bk = g1.bk
+  WHERE g1.c >= 2 AND d.doc_id <> g1.mn
+  UNION
+  SELECT g2.mn AS a, d.doc_id AS b FROM d
+  JOIN g2 ON d.source = g2.source AND d.bk = g2.bk
+  WHERE g2.c >= 2 AND d.doc_id <> g2.mn
+),
+ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(s, n) AS (
+  SELECT DISTINCT a, a FROM ed
+  UNION
+  SELECT r.s, ed.b FROM reach r JOIN ed ON r.n = ed.a
+)
+SELECT s AS node, MIN(n) AS component
+FROM reach GROUP BY s ORDER BY node
 """,
         "repetition_ratio_docs": r"""
 WITH toks AS (

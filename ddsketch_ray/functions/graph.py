@@ -1,0 +1,270 @@
+"""Distributed graph connectivity on Ray Data.
+
+``connected_components`` implements alternating large-star / small-star
+contraction — Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+"Connected Components in MapReduce and Beyond" (ACM SoCC 2014), a
+public shuffle-round-efficient algorithm. It is the distributed
+replacement for the driver-side union-find in
+``functions/dedup.py:cluster_pairs`` (which that docstring promises for
+adversarial corpora whose near-dup pair set does NOT fit one machine).
+
+Ray-Data plan per round (no per-key ``map_groups`` anywhere — the
+singleton-bucket trap documented in CLAUDE.md):
+
+1. the canonical edge list is expanded to directed rows ``(v, w)`` (both
+   directions) and SORTED by ``v`` — the round's only all-to-all
+   exchange, carrying exactly two int64 columns;
+2. a stats pass over the sorted blocks computes, per now-contiguous
+   neighbor group, the local min / size / rows-at-min with
+   ``np.minimum.reduceat`` — block-spanning groups (a star center's
+   group can span MANY blocks) emit ≤ 2 tiny partial rows per block,
+   which the driver stitches into global mins (driver payload
+   O(blocks), never O(degree));
+3. if the stats show the graph is already a star forest the loop stops —
+   otherwise a rewrite pass (global boundary mins broadcast via
+   ``ray.put``) emits the star-operation's rewired edges, vectorized,
+   deduped per block.
+
+Rounds are O(log² n) worst case (paper) and 2-5 in practice for
+near-dup graphs. Every round materializes the 2|E|-row directed list;
+the object store spills as needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_EMPTY_EDGES = pa.table(
+    {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+)
+
+
+def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Block-local exact dedup of (a, b) pairs (global dups may remain —
+    they are harmless to every min-based step and removed at the end)."""
+    if len(a) == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return a[keep], b[keep]
+
+
+def _canonicalize_batch(t: pa.Table, src: str, dst: str) -> pa.Table:
+    """(src, dst) rows -> canonical (a=min, b=max) int64 pairs, self
+    loops and null endpoints dropped, block-deduped."""
+    import pyarrow.compute as pc
+
+    t = t.filter(pc.and_(pc.is_valid(t.column(src)), pc.is_valid(t.column(dst))))
+    u = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    m = a != b
+    a, b = _dedup_pairs(a[m], b[m])
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+
+def _directed_batch(t: pa.Table) -> pa.Table:
+    a = t.column("a").to_numpy()
+    b = t.column("b").to_numpy()
+    return pa.table(
+        {"v": pa.array(np.concatenate([a, b])), "w": pa.array(np.concatenate([b, a]))}
+    )
+
+
+def _group_layout(v: np.ndarray):
+    starts = np.nonzero(np.r_[True, v[1:] != v[:-1]])[0]
+    sizes = np.diff(np.r_[starts, len(v)])
+    return starts, sizes
+
+
+def _stats_pass(t: pa.Table) -> pa.Table:
+    """Per sorted block: boundary-group partials (first/last group — the
+    only ones that can span blocks) + this block's internal-group
+    violation count. A group violates the star-forest condition when
+    its min neighbor is below the node AND any neighbor differs from
+    that min (i.e. the node still has mixed attachments)."""
+    empty = pa.table(
+        {
+            "v": pa.array([], type=pa.int64()),
+            "lmin": pa.array([], type=pa.int64()),
+            "size": pa.array([], type=pa.int64()),
+            "n_at_min": pa.array([], type=pa.int64()),
+            "internal_viol": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    v = t.column("v").to_numpy()
+    w = t.column("w").to_numpy()
+    starts, sizes = _group_layout(v)
+    lmin = np.minimum.reduceat(w, starts)
+    n_at_min = np.add.reduceat(
+        (w == lmin[np.repeat(np.arange(len(starts)), sizes)]).astype(np.int64), starts
+    )
+    vg = v[starts]
+    boundary = np.zeros(len(starts), dtype=bool)
+    boundary[0] = boundary[-1] = True
+    viol = (lmin < vg) & (sizes > n_at_min) & ~boundary
+    bsel = np.nonzero(boundary)[0]
+    return pa.table(
+        {
+            "v": pa.array(vg[bsel]),
+            "lmin": pa.array(lmin[bsel]),
+            "size": pa.array(sizes[bsel].astype(np.int64)),
+            "n_at_min": pa.array(n_at_min[bsel]),
+            "internal_viol": pa.array(
+                np.full(len(bsel), 0, dtype=np.int64)
+                if len(bsel) == 0
+                else np.r_[int(viol.sum()), np.zeros(len(bsel) - 1, dtype=np.int64)]
+            ),
+        }
+    )
+
+
+def _resolve_boundaries(stats_df):
+    """Driver-side stitch of the O(2-per-block) boundary partials →
+    (total violations, {v: global min over Γ⁺(v)} for boundary nodes)."""
+    if len(stats_df) == 0:  # empty graph: no columns survive to_pandas
+        return 0, {}
+    viol = int(stats_df["internal_viol"].sum())
+    g = stats_df.groupby("v")
+    gmin_w = g["lmin"].min()
+    size = g["size"].sum()
+    at_min = stats_df[
+        stats_df["lmin"].to_numpy() == gmin_w.reindex(stats_df["v"]).to_numpy()
+    ].groupby("v")["n_at_min"].sum().reindex(gmin_w.index, fill_value=0)
+    nodes = gmin_w.index.to_numpy().astype(np.int64)
+    viol += int(((gmin_w.to_numpy() < nodes) & (size.to_numpy() > at_min.to_numpy())).sum())
+    gm = {int(n): int(min(mw, n)) for n, mw in zip(nodes, gmin_w.to_numpy())}
+    return viol, gm
+
+
+def _star_rewrite(large: bool, bkeys: np.ndarray, bvals: np.ndarray):
+    """Vectorized large-star / small-star over one sorted block.
+    ``bkeys/bvals``: sorted boundary-node → global-min map (broadcast);
+    groups present in it use the global min, others their local min."""
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_EDGES
+        v = t.column("v").to_numpy()
+        w = t.column("w").to_numpy()
+        starts, sizes = _group_layout(v)
+        vg = v[starts]
+        m_g = np.minimum(np.minimum.reduceat(w, starts), vg)
+        if len(bkeys):
+            idx = np.minimum(np.searchsorted(bkeys, vg), len(bkeys) - 1)
+            hit = bkeys[idx] == vg
+            m_g[hit] = np.minimum(m_g[hit], bvals[idx[hit]])
+        m_row = m_g[np.repeat(np.arange(len(starts)), sizes)]
+        if large:
+            # connect every strictly-larger neighbor to min(Γ⁺(v))
+            mask = w > v
+            out_a, out_b = m_row[mask], w[mask]
+        else:
+            # connect the smaller neighbors and v itself to min(Γ⁺(v))
+            mask = (w < v) & (w != m_row)
+            out_a, out_b = m_row[mask], w[mask]
+            has_neg = np.add.reduceat((w < v).astype(np.int64), starts) > 0
+            out_a = np.concatenate([out_a, m_g[has_neg]])
+            out_b = np.concatenate([out_b, vg[has_neg]])
+        out_a, out_b = _dedup_pairs(out_a, out_b)
+        return pa.table({"a": pa.array(out_a), "b": pa.array(out_b)})
+
+    return rewrite
+
+
+def connected_components(
+    edges_ds,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 40,
+):
+    """Connected components of the undirected graph given as a Dataset
+    of (src, dst) int64 edge rows. Returns a Dataset ``(node,
+    component)`` with one row per node incident to ≥1 edge, where
+    ``component`` is the component's minimum node id (isolated nodes
+    never appear — union them in if needed). Hash non-integer node keys
+    first (``agg.hash_any_column``).
+
+    Duplicate edges and self loops are tolerated. Raises RuntimeError if
+    ``max_iter`` alternating star rounds don't converge (the bound is
+    O(log² n) — 40 rounds covers any real graph; hitting it means a bug,
+    not a big input).
+
+    Scale contract: per round one distributed sort of the 2|E|-row
+    (int64, int64) directed list; driver sees O(blocks) boundary
+    partials; output dedup reuses the sort-plan rollup. Nothing
+    O(nodes) or O(edges) ever sits on the driver.
+    """
+    from ddsketch_ray.functions.dedup import sorted_group_rollup
+
+    import ray
+
+    edges = edges_ds.map_batches(
+        lambda t: _canonicalize_batch(t, src, dst),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    for it in range(max_iter):
+        directed = edges.map_batches(
+            _directed_batch, batch_format="pyarrow", batch_size=None
+        )
+        s = directed.sort("v").materialize()
+        stats = s.map_batches(
+            _stats_pass, batch_format="pyarrow", batch_size=None
+        ).to_pandas()  # ≤ 2 boundary partials + 1 count per block
+        viol, gm = _resolve_boundaries(stats)
+        if viol == 0:
+            if it == 0 and len(stats) == 0:
+                import ray.data as rd
+
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array([], type=pa.int64()),
+                            "component": pa.array([], type=pa.int64()),
+                        }
+                    )
+                )
+            break
+        bkeys = np.array(sorted(gm), dtype=np.int64)
+        bvals = np.array([gm[int(k)] for k in bkeys], dtype=np.int64)
+        ref = ray.put((bkeys, bvals))
+
+        def rewrite_with_broadcast(t: pa.Table, _large=(it % 2 == 0), _ref=ref):
+            k, vv = ray.get(_ref)  # zero-copy from plasma per task
+            return _star_rewrite(_large, k, vv)(t)
+
+        edges = s.map_batches(
+            rewrite_with_broadcast, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # terminal state: one star per component, centered at the component
+    # min (contraction preserves connectivity; the center is below every
+    # leaf, and the global min can't be a leaf). Label rows may repeat
+    # across blocks -> exact dedup via the sort-plan rollup (min of
+    # identical values).
+    def label_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        node = np.concatenate([b, a])
+        comp = np.concatenate([a, a])
+        node, comp = _dedup_pairs(node, comp)
+        return pa.table({"node": pa.array(node), "component": pa.array(comp)})
+
+    labels = edges.map_batches(label_rows, batch_format="pyarrow", batch_size=None)
+    rolled = sorted_group_rollup(labels, key_col="node", id_col="component")
+    return rolled.map_batches(
+        lambda t: t.select(["node", "component"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
