@@ -817,6 +817,54 @@ def q_repetition_ratio_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_orders_left_segment(sf_dir: str) -> pd.DataFrame:
+    """LEFT broadcast lookup join (functions/joins.py:equi_join_broadcast
+    how="left"): orders joined to a PARTIAL customer→segment dim
+    (only positive-balance customers), unmatched orders kept with null
+    segment. Nulls are coalesced to 'UNMATCHED' on BOTH sides before
+    grouping so the value-hash compare never depends on None-vs-NaN
+    representation. Sums in int cents."""
+    from ray.data.aggregate import Count, Sum
+
+    from ddsketch_ray.functions.joins import equi_join_broadcast
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    dim = cust.filter(pc.greater(cust.column("c_acctbal"), 0.0)).select(
+        ["c_custkey", "c_mktsegment"]
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = equi_join_broadcast(
+        orders,
+        dim,
+        key_col="o_custkey",
+        value_cols=["c_mktsegment"],
+        dim_key_col="c_custkey",
+        how="left",
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "seg": pc.fill_null(t.column("c_mktsegment"), "UNMATCHED"),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    out = (
+        joined.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+        .groupby("seg")
+        .aggregate(Sum("price_c", alias_name="sp"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out.pop("sp") / 100.0
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("seg").reset_index(drop=True)
+
+
 def q_doc_graph_components(sf_dir: str) -> pd.DataFrame:
     """Distributed connected components (functions/graph.py — alternating
     large-star/small-star contraction, Kiveris et al. SoCC'14) over a
@@ -1534,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "repetition_ratio_docs": q_repetition_ratio_docs,
         "doc_graph_components": q_doc_graph_components,
+        "orders_left_segment": q_orders_left_segment,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
         "webpages_report": q_webpages_report,
@@ -1719,6 +1768,15 @@ SELECT o.o_orderpriority,
        COUNT(*)::BIGINT AS n_items,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+        "orders_left_segment": r"""
+SELECT COALESCE(d.c_mktsegment, 'UNMATCHED') AS seg,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0) d
+  ON o.o_custkey = d.c_custkey
 GROUP BY 1 ORDER BY 1
 """,
         "doc_graph_components": r"""

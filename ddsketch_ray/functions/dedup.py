@@ -511,8 +511,10 @@ def minhash_lsh_candidates(ds_sigs, id_col: str = "doc_id", bands: int = 16):
 def cluster_pairs(pairs_df, all_ids: np.ndarray) -> dict[int, int]:
     """Union-find over candidate pairs → {id: representative(min id)}.
     Driver-side: the pair set is tiny relative to the corpus (only
-    near-dup groups). For adversarial corpora run label propagation
-    rounds in Ray instead (documented alternative)."""
+    near-dup groups). For adversarial corpora whose pair set exceeds
+    driver memory, use the distributed equivalent
+    ``functions.graph.connected_components`` (alternating star
+    contraction — same min-id labels, pairs stay a Dataset)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
