@@ -417,6 +417,23 @@ def q_minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return minhash_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_minhash_dedup_distributed_documents(sf_dir: str) -> pd.DataFrame:
+    """Fully distributed dedup flavor (no O(pairs) driver state):
+    Dataset candidate pairs + bloom-pruned shuffle-join verify +
+    connected_components + shuffle left-join emit. Same fixed-seed
+    output as minhash_dedup_documents — the frozen oracle doubles as a
+    cross-implementation check between the two pipelines."""
+    from ddsketch_ray.functions.dedup import minhash_dedup_distributed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        minhash_dedup_distributed(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_simhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
     from ddsketch_ray.functions.dedup import simhash_dedup
 
@@ -1560,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_price": q_kll_quantiles_price,
         "bloom_customer_membership": q_bloom_customer_membership,
         "minhash_dedup_documents": q_minhash_dedup_documents,
+        "minhash_dedup_distributed_documents": q_minhash_dedup_distributed_documents,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_scores_documents": q_quality_scores_documents,

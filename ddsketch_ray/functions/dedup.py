@@ -708,6 +708,364 @@ def minhash_dedup_checkpointed(
     return out, job
 
 
+# ----------------------------------- fully distributed (no O(pairs) driver)
+
+
+def lsh_candidate_pairs_distributed(
+    band_rows, id_col: str = "doc_id", max_bucket_pairs: int = 64
+):
+    """Candidate (a, b) pairs as a DATASET — the variant of
+    ``hot_bucket_pairs`` for corpora whose candidate-pair set itself may
+    not fit driver memory (boilerplate-heavy web crawls with huge LSH
+    buckets).
+
+    1. (band, band_hash) → one combined int64 key ``ck`` (same mix as
+       hot_bucket_pairs — ck collisions only ADD verified-later
+       candidates, never lose them); ONE distributed sort on (ck, id)
+       makes buckets globally contiguous in deterministic order. This
+       is the only O(corpus×bands) exchange.
+    2. Each sorted block emits pairs for its INTERNAL runs inline with
+       the ``_chain_pairs`` cap semantics (all-pairs for ≤
+       max_bucket_pairs unique members, sorted chain above, capped
+       buckets logged). Runs touching a block edge ship to the driver
+       instead: full membership when ≤ max_bucket_pairs, else inline
+       chain pairs plus the run's two edge members (chains from
+       adjacent blocks connect through the shared edge members).
+    3. The driver stitches the boundary buckets — ≤ 2 runs ×
+       max_bucket_pairs rows per block, so O(blocks), never O(pairs) —
+       and the stitched pairs union back in as a tiny Dataset.
+
+    Self/duplicate pairs can appear near block edges; downstream
+    verification drops self pairs and ``connected_components``
+    tolerates duplicates, so no global dedup pass is spent on them.
+    """
+    import logging
+
+    import pandas as pd
+    import ray.data as rd
+
+    def to_ck_id(t: pa.Table) -> pa.Table:
+        ck = splitmix64(
+            t.column("band_hash").to_numpy().astype(np.int64).view(np.uint64)
+            ^ splitmix64(t.column("band").to_numpy().astype(np.int64).view(np.uint64))
+        )
+        return pa.table({"ck": pa.array(ck.astype(np.int64)), "id": t.column(id_col)})
+
+    s = band_rows.map_batches(
+        to_ck_id, batch_format="pyarrow", batch_size=None
+    ).sort(["ck", "id"])
+
+    def _emit(kind: np.ndarray, x: np.ndarray, y: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(kind.astype(np.int8)),
+                "x": pa.array(x.astype(np.int64)),
+                "y": pa.array(y.astype(np.int64)),
+            }
+        )
+
+    def block_emit(t: pa.Table) -> pa.Table:
+        ck = t.column("ck").to_numpy()
+        ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        if n == 0:
+            z = np.empty(0, np.int64)
+            return _emit(z, z, z)
+        gchg = np.r_[True, ck[1:] != ck[:-1]]
+        starts = np.nonzero(gchg)[0]
+        sizes = np.diff(np.r_[starts, n])
+        nruns = len(starts)
+        boundary = np.zeros(nruns, dtype=bool)
+        boundary[[0, -1]] = True  # may continue in an adjacent block
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        bx: list[np.ndarray] = []
+        by: list[np.ndarray] = []
+        # internal size-2 fast path (the overwhelming majority of runs)
+        s2 = starts[(~boundary) & (sizes == 2)]
+        if len(s2):
+            a2, b2 = ids[s2], ids[s2 + 1]
+            keep = a2 != b2  # same (ck, id) twice — self pair, drop
+            a_parts.append(a2[keep])
+            b_parts.append(b2[keep])
+        capped = 0
+        for s0, sz in zip(
+            starts[(~boundary) & (sizes > 2)], sizes[(~boundary) & (sizes > 2)]
+        ):
+            members = np.unique(ids[s0 : s0 + sz])
+            if len(members) < 2:
+                continue
+            if len(members) <= max_bucket_pairs:
+                iu, ju = np.triu_indices(len(members), k=1)
+                a_parts.append(members[iu])
+                b_parts.append(members[ju])
+            else:  # giant collision bucket: chain only (documented cap)
+                capped += 1
+                a_parts.append(members[:-1])
+                b_parts.append(members[1:])
+        for r in sorted({0, nruns - 1}):
+            s0, sz = starts[r], sizes[r]
+            members = np.unique(ids[s0 : s0 + sz])
+            if len(members) <= max_bucket_pairs:
+                bx.append(members)
+                by.append(np.full(len(members), ck[s0], dtype=np.int64))
+            else:
+                capped += 1
+                a_parts.append(members[:-1])
+                b_parts.append(members[1:])
+                bx.append(members[[0, -1]])  # chains bridge via edge members
+                by.append(np.full(2, ck[s0], dtype=np.int64))
+        if capped:
+            logging.getLogger(__name__).warning(
+                "distributed lsh candidates: %d buckets over %d members used "
+                "chain pairs only (possible recall loss in those buckets)",
+                capped,
+                max_bucket_pairs,
+            )
+        a = np.concatenate(a_parts) if a_parts else np.empty(0, np.int64)
+        b = np.concatenate(b_parts) if b_parts else np.empty(0, np.int64)
+        mx = np.concatenate(bx) if bx else np.empty(0, np.int64)
+        my = np.concatenate(by) if by else np.empty(0, np.int64)
+        return _emit(
+            np.r_[np.zeros(len(a), np.int8), np.ones(len(mx), np.int8)],
+            np.concatenate([a, mx]),
+            np.concatenate([b, my]),
+        )
+
+    # materialized: consumed twice (pair split + boundary gather) and is
+    # O(pairs) rows in the OBJECT STORE — that's the point of this variant
+    emitted = s.map_batches(
+        block_emit, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def keep_pairs(t: pa.Table) -> pa.Table:
+        p = t.filter(pa.compute.equal(t.column("kind"), 0))
+        return pa.table({"a": p.column("x"), "b": p.column("y")})
+
+    pairs_ds = emitted.map_batches(keep_pairs, batch_format="pyarrow", batch_size=None)
+
+    bdf = (
+        emitted.map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("kind"), 1)).select(["x", "y"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).to_pandas()  # ≤ 2 runs × max_bucket_pairs rows per block
+    )
+    if len(bdf):
+        stitched = _chain_pairs(
+            pd.DataFrame(
+                {"band": 0, "band_hash": bdf["y"].to_numpy(), "id": bdf["x"].to_numpy()}
+            ),
+            "id",
+            max_bucket_pairs=max_bucket_pairs,
+        )
+        if len(stitched):
+            pairs_ds = pairs_ds.union(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "a": pa.array(stitched["a"].to_numpy(), type=pa.int64()),
+                            "b": pa.array(stitched["b"].to_numpy(), type=pa.int64()),
+                        }
+                    )
+                )
+            )
+    return pairs_ds
+
+
+def _unpack_fsb(col, width_items: int) -> np.ndarray:
+    """fixed_size_binary column → (n, width_items) int64 view, zero-copy,
+    slice-offset safe."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, width_items), np.int64)
+    flat = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    lo = arr.offset * width_items
+    return flat[lo : lo + len(arr) * width_items].reshape(len(arr), width_items)
+
+
+def minhash_dedup_distributed(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    seed: int = 0,
+    num_buckets: int = 64,
+    max_bucket_pairs: int = 64,
+    bloom_fp_rate: float = 0.001,
+):
+    """Fully distributed MinHash-LSH dedup: same contract and output as
+    ``minhash_dedup`` (one (id_col, rep, is_survivor) row per doc, rep =
+    min id of the near-dup cluster) but NOTHING O(pairs) ever sits on
+    the driver — use it when the candidate-pair set itself may exceed
+    driver memory (adversarial / boilerplate-heavy corpora).
+
+    Differences from the driver-assisted path:
+
+    - candidates: ``lsh_candidate_pairs_distributed`` (pairs stay a
+      Dataset; driver sees O(blocks) boundary rows);
+    - verify: signatures pack to fixed_size_binary(num_perm×8), a
+      distributed ``BloomAgg`` of the candidate ids prunes the shuffle
+      to candidate signatures (broadcast bitmap — false positives only
+      carry extra rows, never wrong results), then two
+      ``equi_join_shuffle`` passes attach sig_a/sig_b to each pair and
+      the agreement compare runs vectorized per batch;
+    - cluster: ``functions.graph.connected_components`` (alternating
+      star contraction — same min-id labels as the union-find);
+    - emit: shuffle left-join of all doc ids against component labels.
+
+    Cost vs ``minhash_dedup``: ~2 extra shuffles of O(candidates)
+    signature rows plus CC's per-round sorts — prefer the driver path
+    until pairs approach driver memory (~10⁸)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.agg import BloomAgg, hash_any_column, sketch_from_result
+    from ddsketch_ray.functions.graph import connected_components
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    sigs = ds.map_batches(
+        lambda b: minhash_signature_batch(
+            b, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed
+        ).select([id_col, "minhash_sig"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # id + num_perm×8 B per row; reused 3× below
+
+    band_rows = sigs.map_batches(
+        lambda b: lsh_band_rows(b, id_col=id_col, bands=bands),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    pairs = lsh_candidate_pairs_distributed(
+        band_rows, id_col=id_col, max_bucket_pairs=max_bucket_pairs
+    ).materialize()  # object-store resident; reused (bloom build + join)
+    n_pairs = pairs.count()
+
+    def all_survivors(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        return pa.table(
+            {
+                id_col: ids,
+                "rep": ids,
+                "is_survivor": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    if n_pairs == 0:
+        return sigs.map_batches(all_survivors, batch_format="pyarrow", batch_size=None)
+
+    width = num_perm * 8
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        mat = np.ascontiguousarray(
+            np.asarray(
+                t.column("minhash_sig").combine_chunks().flatten().to_numpy()
+            ).reshape(n, num_perm),
+            dtype=np.int64,
+        )
+        arr = pa.Array.from_buffers(
+            pa.binary(width), n, [None, pa.py_buffer(mat.tobytes())]
+        )
+        return pa.table({id_col: t.column(id_col), "sigbin": arr})
+
+    # Bloom of candidate ids: distributed tree-merge (bytes accumulator),
+    # driver holds ONE bitmap sized for 2·pairs ids
+    cid = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "cid": pa.concat_arrays(
+                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    bloom = sketch_from_result(
+        cid.aggregate(
+            BloomAgg(
+                on="cid",
+                capacity=max(1024, 2 * n_pairs),
+                fp_rate=bloom_fp_rate,
+                seed=seed,
+                alias_name="bf",
+            )
+        )["bf"]
+    )
+    bloom_ref = ray.put(bloom)
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)  # zero-copy bitmap per stateless task
+        h = hash_any_column(t.column(id_col), is_arrow=True, seed=seed)
+        return t.filter(pa.array(bf.contains_hashed(h)))
+
+    cand_sigs = (
+        sigs.map_batches(pack, batch_format="pyarrow", batch_size=None)
+        .map_batches(cand_filter, batch_format="pyarrow", batch_size=None)
+        .materialize()  # O(candidate ids) rows; scanned by both joins
+    )
+    sig_a = cand_sigs.map_batches(
+        lambda t: t.rename_columns([id_col, "sig_a"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    sig_b = cand_sigs.map_batches(
+        lambda t: t.rename_columns([id_col, "sig_b"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j1 = equi_join_shuffle(
+        pairs, sig_a, "a", id_col, ["b"], ["sig_a"], num_buckets=num_buckets
+    )
+    j2 = equi_join_shuffle(
+        j1, sig_b, "b", id_col, ["a", "sig_a"], ["sig_b"], num_buckets=num_buckets
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = _unpack_fsb(t.column("sig_a"), num_perm)
+        sb = _unpack_fsb(t.column("sig_b"), num_perm)
+        agree = (sa == sb).mean(axis=1) if len(a) else np.empty(0)
+        keep = (agree >= jaccard_threshold) & (a != b)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    verified = j2.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    comps = connected_components(verified, src="a", dst="b")
+
+    ids_ds = sigs.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow", batch_size=None
+    )
+    lab = equi_join_shuffle(
+        ids_ds,
+        comps,
+        id_col,
+        "node",
+        [],
+        ["component"],
+        num_buckets=num_buckets,
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        rep = pc.coalesce(t.column("component"), ids)
+        return pa.table(
+            {
+                id_col: ids,
+                "rep": rep,
+                "is_survivor": pc.equal(ids, rep),
+            }
+        )
+
+    return lab.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 # ------------------------------------------------------------------ SimHash
 
 

@@ -71,6 +71,12 @@ def _default_array(typ: pa.DataType, n: int) -> pa.Array:
         return pa.array(np.zeros(n, dtype=bool))
     if pa.types.is_timestamp(typ):
         return pa.array(np.zeros(n, dtype=np.int64).view("datetime64[us]"), type=typ)
+    if pa.types.is_fixed_size_binary(typ):
+        return pa.Array.from_buffers(
+            typ, n, [None, pa.py_buffer(bytes(n * typ.byte_width))]
+        )
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.array([b""] * n, type=typ)
     return pa.array([""] * n, type=typ)  # string-like
 
 

@@ -288,6 +288,110 @@ def test_minhash_dedup_streams_output(ray_session):
     assert df.loc[4, "is_survivor"]
 
 
+def _cluster_corpus(n_clusters=12, dups_per=3, n_unique=30, seed=7):
+    """Near-dup clusters + unique docs, ids shuffled so cluster members
+    land in different blocks after repartition."""
+    rng = np.random.default_rng(seed)
+    texts = []
+    for c in range(n_clusters):
+        words = [f"c{c}w{i}" for i in rng.integers(0, 4000, size=150)]
+        for d in range(dups_per):
+            w = list(words)
+            w[10 + d] = f"mut{c}_{d}"  # ~1 of ~146 shingles differs
+            texts.append(" ".join(w))
+    for u in range(n_unique):
+        texts.append(" ".join(f"u{u}x{i}" for i in rng.integers(0, 4000, size=80)))
+    ids = rng.permutation(len(texts)).astype(np.int64)
+    return _docs_table(texts, ids=ids.tolist())
+
+
+def test_minhash_dedup_distributed_matches_driver_path(ray_session):
+    """The no-O(pairs)-on-driver pipeline (distributed candidates +
+    bloom-pruned shuffle-join verify + connected_components + left-join
+    emit) must produce the SAME assignment table as minhash_dedup, with
+    many small blocks forcing bucket runs to span block edges."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import minhash_dedup_distributed
+
+    tbl = _cluster_corpus()
+    ds = rd.from_arrow(tbl).repartition(16)
+    want = (
+        minhash_dedup(ds, jaccard_threshold=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        minhash_dedup_distributed(ds, jaccard_threshold=0.5, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["rep"].tolist() == want["rep"].tolist()
+    assert got["is_survivor"].tolist() == want["is_survivor"].tolist()
+    # sanity: dedup actually found clusters (not vacuous equality)
+    assert (~want["is_survivor"]).sum() >= 12
+
+
+def test_lsh_candidate_pairs_distributed_matches_hot_bucket_pairs(ray_session):
+    """With no giant buckets both candidate generators implement
+    all-pairs-per-bucket — the normalized pair sets must be identical."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import (
+        lsh_band_rows,
+        lsh_candidate_pairs_distributed,
+        minhash_signature_batch,
+    )
+
+    tbl = _cluster_corpus(n_clusters=8, dups_per=4, n_unique=20, seed=11)
+    ds = rd.from_arrow(tbl).repartition(12)
+    sigs = ds.map_batches(
+        lambda b: minhash_signature_batch(b).select(["doc_id", "minhash_sig"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    band_rows = sigs.map_batches(
+        lambda b: lsh_band_rows(b), batch_format="pyarrow", batch_size=None
+    ).materialize()
+    from ddsketch_ray.functions.dedup import hot_bucket_pairs
+
+    want_df = hot_bucket_pairs(band_rows, "doc_id")
+    got_df = lsh_candidate_pairs_distributed(band_rows, id_col="doc_id").to_pandas()
+
+    def norm(df):
+        if not len(df):
+            return set()
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return set(zip(np.minimum(a, b).tolist(), np.maximum(a, b).tolist()))
+
+    want, got = norm(want_df), norm(got_df)
+    assert want, "corpus produced no candidate pairs — test is vacuous"
+    assert got == want
+
+
+def test_minhash_dedup_distributed_no_dups(ray_session):
+    """All-unique corpus → every doc survives as its own rep (exercises
+    the zero-pair early return)."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import minhash_dedup_distributed
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(f"q{u}t{i}" for i in rng.integers(0, 9000, size=60)) for u in range(15)
+    ]
+    ds = rd.from_arrow(_docs_table(texts)).repartition(4)
+    out = minhash_dedup_distributed(ds).to_pandas().set_index("doc_id")
+    assert bool(out["is_survivor"].all())
+    assert (out["rep"] == out.index).all()
+
+
 def test_ivf_topk_recall_vs_brute_force(ray_session):
     import ray.data as rd
     from ddsketch_ray.functions.ann import brute_force_topk, ivf_topk

@@ -42,6 +42,7 @@ FREEZE = [
     "cms_top_event_types",
     "bloom_customer_membership",
     "minhash_dedup_documents",
+    "minhash_dedup_distributed_documents",
     "simhash_dedup_documents",
     "lang_id_documents",
     "doc_fingerprints",
