@@ -441,6 +441,21 @@ def q_simhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return simhash_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_simhash_dedup_distributed_documents(sf_dir: str) -> pd.DataFrame:
+    """SimHash flavor of the fully distributed dedup (Dataset pairs,
+    bloom-pruned fingerprint joins, connected components); frozen
+    oracle doubles as a cross-check vs simhash_dedup_documents."""
+    from ddsketch_ray.functions.dedup import simhash_dedup_distributed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        simhash_dedup_distributed(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
     """Fit profiles on a labeled driver-side sample, broadcast, predict
     in an actor pool — the canonical model-scoring stage shape."""
@@ -1579,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_distributed_documents": q_minhash_dedup_distributed_documents,
         "simhash_dedup_documents": q_simhash_dedup_documents,
+        "simhash_dedup_distributed_documents": q_simhash_dedup_distributed_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "doc_fingerprints": q_doc_fingerprints,

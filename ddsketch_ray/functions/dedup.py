@@ -884,6 +884,123 @@ def _unpack_fsb(col, width_items: int) -> np.ndarray:
     return flat[lo : lo + len(arr) * width_items].reshape(len(arr), width_items)
 
 
+def _attach_pair_payloads(
+    pairs,
+    payload_ds,
+    id_col: str,
+    payload_col: str,
+    n_pairs: int,
+    num_buckets: int = 64,
+    seed: int = 0,
+    bloom_fp_rate: float = 0.001,
+):
+    """(a, b) pairs + (id_col, payload_col) → Dataset with columns
+    (a, b, <payload_col>_a, <payload_col>_b) — the distributed verify
+    substrate shared by the no-driver-pairs dedup flavors.
+
+    A distributed ``BloomAgg`` over the candidate ids prunes the payload
+    shuffle to ~candidate rows (false positives only carry extra rows —
+    never wrong results, since the subsequent joins are exact), then two
+    ``equi_join_shuffle`` passes attach the a-side and b-side payloads.
+    Driver holds ONE bloom bitmap sized for 2·n_pairs ids."""
+    import ray
+
+    from ddsketch_ray.agg import BloomAgg, hash_any_column, sketch_from_result
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    cid = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "cid": pa.concat_arrays(
+                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    bloom = sketch_from_result(
+        cid.aggregate(
+            BloomAgg(
+                on="cid",
+                capacity=max(1024, 2 * n_pairs),
+                fp_rate=bloom_fp_rate,
+                seed=seed,
+                alias_name="bf",
+            )
+        )["bf"]
+    )
+    bloom_ref = ray.put(bloom)
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)  # zero-copy bitmap per stateless task
+        h = hash_any_column(t.column(id_col), is_arrow=True, seed=seed)
+        return t.filter(pa.array(bf.contains_hashed(h)))
+
+    cand = payload_ds.map_batches(
+        cand_filter, batch_format="pyarrow", batch_size=None
+    ).materialize()  # O(candidate ids) rows; scanned by both joins
+    pa_col, pb_col = f"{payload_col}_a", f"{payload_col}_b"
+    side_a = cand.map_batches(
+        lambda t: t.rename_columns([id_col, pa_col]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    side_b = cand.map_batches(
+        lambda t: t.rename_columns([id_col, pb_col]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j1 = equi_join_shuffle(
+        pairs, side_a, "a", id_col, ["b"], [pa_col], num_buckets=num_buckets
+    )
+    return equi_join_shuffle(
+        j1, side_b, "b", id_col, ["a", pa_col], [pb_col], num_buckets=num_buckets
+    )
+
+
+def _emit_assignments_distributed(ids_ds, verified_pairs, id_col: str, num_buckets: int):
+    """(id rows) + verified (a, b) edges → (id_col, rep, is_survivor)
+    via connected_components + a shuffle left join — the distributed
+    replacement for cluster_pairs + emit_cluster_assignments."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.functions.graph import connected_components
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    comps = connected_components(verified_pairs, src="a", dst="b")
+    lab = equi_join_shuffle(
+        ids_ds,
+        comps,
+        id_col,
+        "node",
+        [],
+        ["component"],
+        num_buckets=num_buckets,
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        rep = pc.coalesce(t.column("component"), ids)
+        return pa.table(
+            {id_col: ids, "rep": rep, "is_survivor": pc.equal(ids, rep)}
+        )
+
+    return lab.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _all_survivors_table(t: pa.Table, id_col: str) -> pa.Table:
+    ids = t.column(id_col)
+    return pa.table(
+        {
+            id_col: ids,
+            "rep": ids,
+            "is_survivor": pa.array(np.ones(t.num_rows, dtype=bool)),
+        }
+    )
+
+
 def minhash_dedup_distributed(
     ds,
     text_col: str = "text",
@@ -920,13 +1037,6 @@ def minhash_dedup_distributed(
     Cost vs ``minhash_dedup``: ~2 extra shuffles of O(candidates)
     signature rows plus CC's per-round sorts — prefer the driver path
     until pairs approach driver memory (~10⁸)."""
-    import ray
-    import pyarrow.compute as pc
-
-    from ddsketch_ray.agg import BloomAgg, hash_any_column, sketch_from_result
-    from ddsketch_ray.functions.graph import connected_components
-    from ddsketch_ray.functions.joins import equi_join_shuffle
-
     sigs = ds.map_batches(
         lambda b: minhash_signature_batch(
             b, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed
@@ -944,19 +1054,12 @@ def minhash_dedup_distributed(
         band_rows, id_col=id_col, max_bucket_pairs=max_bucket_pairs
     ).materialize()  # object-store resident; reused (bloom build + join)
     n_pairs = pairs.count()
-
-    def all_survivors(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col)
-        return pa.table(
-            {
-                id_col: ids,
-                "rep": ids,
-                "is_survivor": pa.array(np.ones(t.num_rows, dtype=bool)),
-            }
-        )
-
     if n_pairs == 0:
-        return sigs.map_batches(all_survivors, batch_format="pyarrow", batch_size=None)
+        return sigs.map_batches(
+            lambda t: _all_survivors_table(t, id_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
 
     width = num_perm * 8
 
@@ -973,57 +1076,15 @@ def minhash_dedup_distributed(
         )
         return pa.table({id_col: t.column(id_col), "sigbin": arr})
 
-    # Bloom of candidate ids: distributed tree-merge (bytes accumulator),
-    # driver holds ONE bitmap sized for 2·pairs ids
-    cid = pairs.map_batches(
-        lambda t: pa.table(
-            {
-                "cid": pa.concat_arrays(
-                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
-                )
-            }
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    bloom = sketch_from_result(
-        cid.aggregate(
-            BloomAgg(
-                on="cid",
-                capacity=max(1024, 2 * n_pairs),
-                fp_rate=bloom_fp_rate,
-                seed=seed,
-                alias_name="bf",
-            )
-        )["bf"]
-    )
-    bloom_ref = ray.put(bloom)
-
-    def cand_filter(t: pa.Table) -> pa.Table:
-        bf = ray.get(bloom_ref)  # zero-copy bitmap per stateless task
-        h = hash_any_column(t.column(id_col), is_arrow=True, seed=seed)
-        return t.filter(pa.array(bf.contains_hashed(h)))
-
-    cand_sigs = (
-        sigs.map_batches(pack, batch_format="pyarrow", batch_size=None)
-        .map_batches(cand_filter, batch_format="pyarrow", batch_size=None)
-        .materialize()  # O(candidate ids) rows; scanned by both joins
-    )
-    sig_a = cand_sigs.map_batches(
-        lambda t: t.rename_columns([id_col, "sig_a"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    sig_b = cand_sigs.map_batches(
-        lambda t: t.rename_columns([id_col, "sig_b"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    j1 = equi_join_shuffle(
-        pairs, sig_a, "a", id_col, ["b"], ["sig_a"], num_buckets=num_buckets
-    )
-    j2 = equi_join_shuffle(
-        j1, sig_b, "b", id_col, ["a", "sig_a"], ["sig_b"], num_buckets=num_buckets
+    with_sigs = _attach_pair_payloads(
+        pairs,
+        sigs.map_batches(pack, batch_format="pyarrow", batch_size=None),
+        id_col,
+        "sig",
+        n_pairs,
+        num_buckets=num_buckets,
+        seed=seed,
+        bloom_fp_rate=bloom_fp_rate,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -1035,35 +1096,79 @@ def minhash_dedup_distributed(
         keep = (agree >= jaccard_threshold) & (a != b)
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    verified = j2.map_batches(verify, batch_format="pyarrow", batch_size=None)
-    comps = connected_components(verified, src="a", dst="b")
-
+    verified = with_sigs.map_batches(verify, batch_format="pyarrow", batch_size=None)
     ids_ds = sigs.map_batches(
         lambda t: t.select([id_col]), batch_format="pyarrow", batch_size=None
     )
-    lab = equi_join_shuffle(
-        ids_ds,
-        comps,
-        id_col,
-        "node",
-        [],
-        ["component"],
-        num_buckets=num_buckets,
-        how="left",
-    )
+    return _emit_assignments_distributed(ids_ds, verified, id_col, num_buckets)
 
-    def finish(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col)
-        rep = pc.coalesce(t.column("component"), ids)
-        return pa.table(
-            {
-                id_col: ids,
-                "rep": rep,
-                "is_survivor": pc.equal(ids, rep),
-            }
+
+def simhash_dedup_distributed(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 0,
+    num_buckets: int = 64,
+    max_bucket_pairs: int = 64,
+    bloom_fp_rate: float = 0.001,
+):
+    """Fully distributed SimHash dedup — same contract and output as
+    ``simhash_dedup`` but with NOTHING O(pairs) on the driver: Dataset
+    candidate pairs from the shared band machinery
+    (``lsh_candidate_pairs_distributed`` over the 4×16-bit pigeonhole
+    bands), bloom-pruned shuffle joins attaching the two int64
+    fingerprints, vectorized Hamming verify, connected-components
+    clustering, shuffle left-join emit. Cheaper than the minhash
+    variant (8-byte payloads instead of num_perm×8)."""
+    fps = ds.map_batches(
+        lambda b: simhash_batch(b, text_col=text_col, seed=seed).select(
+            [id_col, "simhash"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # 16 B per row; reused 3× below
+
+    banded = fps.map_batches(
+        lambda b: _simhash_band_rows(b, id_col), batch_format="pyarrow", batch_size=None
+    )
+    pairs = lsh_candidate_pairs_distributed(
+        banded, id_col=id_col, max_bucket_pairs=max_bucket_pairs
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return fps.map_batches(
+            lambda t: _all_survivors_table(t, id_col),
+            batch_format="pyarrow",
+            batch_size=None,
         )
 
-    return lab.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    with_fps = _attach_pair_payloads(
+        pairs,
+        fps,
+        id_col,
+        "fp",
+        n_pairs,
+        num_buckets=num_buckets,
+        seed=seed,
+        bloom_fp_rate=bloom_fp_rate,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        fa = t.column("fp_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        fb = t.column("fp_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (hamming64(fa.view(np.uint64), fb.view(np.uint64)) <= max_hamming) & (
+            a != b
+        )
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    verified = with_fps.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    ids_ds = fps.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow", batch_size=None
+    )
+    return _emit_assignments_distributed(ids_ds, verified, id_col, num_buckets)
 
 
 # ------------------------------------------------------------------ SimHash
@@ -1087,6 +1192,27 @@ def simhash_batch(
     return batch.append_column(out_col, pa.array(fps.astype(np.int64), type=pa.int64()))
 
 
+def _simhash_band_rows(batch: pa.Table, id_col: str) -> pa.Table:
+    """Explode 64-bit fingerprints to 4×16-bit (band, band_hash, id)
+    rows (pigeonhole: any pair with Hamming ≤ 3 over 64 bits agrees
+    exactly on ≥ 1 band)."""
+    fp = batch.column("simhash").to_numpy().view(np.uint64)
+    ids = batch.column(id_col)
+    n = len(fp)
+    bands_out, vals_out = [], []
+    for b in range(4):
+        bits = (fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        bands_out.append(np.full(n, b, dtype=np.int64))
+        vals_out.append(bits.astype(np.int64))
+    return pa.table(
+        {
+            "band": pa.array(np.concatenate(bands_out)),
+            "band_hash": pa.array(np.concatenate(vals_out)),
+            id_col: pa.concat_arrays([ids.combine_chunks()] * 4),
+        }
+    )
+
+
 def simhash_dedup(
     ds,
     text_col: str = "text",
@@ -1107,25 +1233,10 @@ def simhash_dedup(
         batch_format="pyarrow", batch_size=None,
     )
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        fp = batch.column("simhash").to_numpy().view(np.uint64)
-        ids = batch.column(id_col)
-        n = len(fp)
-        bands_out, vals_out = [], []
-        for b in range(4):
-            bits = (fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            bands_out.append(np.full(n, b, dtype=np.int64))
-            vals_out.append(bits.astype(np.int64))
-        return pa.table(
-            {
-                "band": pa.array(np.concatenate(bands_out)),
-                "band_hash": pa.array(np.concatenate(vals_out)),
-                id_col: pa.concat_arrays([ids.combine_chunks()] * 4),
-            }
-        )
-
     fps_ds = fps_ds.materialize()  # reused: banding pass + verify semi-join
-    banded = fps_ds.map_batches(band_rows, batch_format="pyarrow", batch_size=None).materialize()
+    banded = fps_ds.map_batches(
+        lambda b: _simhash_band_rows(b, id_col), batch_format="pyarrow", batch_size=None
+    ).materialize()
     pairs = hot_bucket_pairs(banded, id_col)
     if len(pairs):
         # Distributed verify: semi-join fingerprints to candidate ids

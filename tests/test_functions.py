@@ -375,6 +375,33 @@ def test_lsh_candidate_pairs_distributed_matches_hot_bucket_pairs(ray_session):
     assert got == want
 
 
+def test_simhash_dedup_distributed_matches_driver_path(ray_session):
+    """SimHash flavor of the no-O(pairs)-driver pipeline must equal the
+    driver-assisted simhash_dedup across a multi-block layout."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import simhash_dedup_distributed
+
+    tbl = _cluster_corpus(n_clusters=10, dups_per=3, n_unique=25, seed=23)
+    ds = rd.from_arrow(tbl).repartition(16)
+    want = (
+        simhash_dedup(ds, max_hamming=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        simhash_dedup_distributed(ds, max_hamming=6, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["rep"].tolist() == want["rep"].tolist()
+    assert got["is_survivor"].tolist() == want["is_survivor"].tolist()
+    assert (~want["is_survivor"]).sum() >= 10
+
+
 def test_minhash_dedup_distributed_no_dups(ray_session):
     """All-unique corpus → every doc survives as its own rep (exercises
     the zero-pair early return)."""

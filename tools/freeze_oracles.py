@@ -44,6 +44,7 @@ FREEZE = [
     "minhash_dedup_documents",
     "minhash_dedup_distributed_documents",
     "simhash_dedup_documents",
+    "simhash_dedup_distributed_documents",
     "lang_id_documents",
     "doc_fingerprints",
     "lsh_topk_embeddings",
