@@ -456,6 +456,24 @@ def q_simhash_dedup_distributed_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ngram_jaccard_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """EXACT n-gram Jaccard dedup (functions/dedup.py:
+    ngram_jaccard_dedup_distributed): rare-trigram blocking
+    (2 <= df <= 8), exact set-Jaccard >= 0.7 via integer
+    cross-multiplication, distributed connected components. The only
+    dedup flavor with a REAL DuckDB oracle (distinct trigram strings +
+    recursive-CTE transitive closure) — no frozen values, no sketch."""
+    from ddsketch_ray.functions.dedup import ngram_jaccard_dedup_distributed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ngram_jaccard_dedup_distributed(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
     """Fit profiles on a labeled driver-side sample, broadcast, predict
     in an actor pool — the canonical model-scoring stage shape."""
@@ -1595,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_distributed_documents": q_minhash_dedup_distributed_documents,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "simhash_dedup_distributed_documents": q_simhash_dedup_distributed_documents,
+        "ngram_jaccard_dedup_documents": q_ngram_jaccard_dedup_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1812,6 +1831,49 @@ FROM orders o
 LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0) d
   ON o.o_custkey = d.c_custkey
 GROUP BY 1 ORDER BY 1
+""",
+        "ngram_jaccard_dedup_documents": r"""
+-- exact recompute of the n-gram Jaccard dedup: distinct trigram STRING
+-- sets (vs the engine's 64-bit hash identity — equal up to collisions),
+-- rare-gram blocking df in [2, 8], J >= 7/10 as integer cross-multiply,
+-- transitive closure (recursive CTE), rep = MIN reachable doc
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, ts[g.i] AS t, g.i AS pos
+        FROM toks JOIN generate_series(1, 512) g(i) ON g.i <= len(ts)),
+g3 AS (SELECT doc_id,
+              t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS gram
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, gram FROM g3 WHERE gram IS NOT NULL),
+sz AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 8),
+cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+         FROM sh s1 JOIN rare USING (gram) JOIN sh s2 USING (gram)
+         WHERE s1.doc_id < s2.doc_id),
+inter AS (SELECT c.a, c.b, COUNT(*)::BIGINT AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b AND y.gram = x.gram
+          GROUP BY c.a, c.b),
+e AS (SELECT i.a, i.b
+      FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
+      WHERE 10 * i.i >= 7 * (za.sz + zb.sz - i.i)),
+ed AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(s, nd) AS (
+  SELECT DISTINCT a, a FROM ed
+  UNION
+  SELECT r.s, ed.b FROM reach r JOIN ed ON r.nd = ed.a
+),
+comp AS (SELECT s AS doc_id, MIN(nd) AS component FROM reach GROUP BY s)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id)::BIGINT AS rep,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_survivor
+FROM (SELECT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id
 """,
         "doc_graph_components": r"""
 -- transitive closure of the two-relation doc graph (star edges per

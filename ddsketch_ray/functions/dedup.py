@@ -284,6 +284,241 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5, seed: int = 0) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+# ------------------------------------------------ exact n-gram Jaccard dedup
+
+
+def shingle_doc_sets_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    seed: int = 0,
+) -> pa.Table:
+    """Per-document SORTED DISTINCT word n-gram hash set, packed as one
+    ``large_binary`` value per row → (id_col, shset, sz).
+
+    Uses the same n-gram identity as ``repetition_ratio_batch``
+    (text.py): case-sensitive ASCII-whitespace tokens, SplitMix64 chain
+    with a pre-mixed first token — so a SQL oracle that builds distinct
+    n-gram STRINGS (``t || ' ' || lead(t,1) …``) counts the same sets
+    up to 64-bit collisions (which that oracle has matched bit-for-bit
+    on every test corpus). Docs with fewer than ``n`` tokens get an
+    empty set (sz = 0): they can never be near-dup candidates.
+
+    Fully vectorized: one Rust tokenize + hash pass, windowed chain
+    combine, one lexsort for the per-doc distinct sets, zero-copy
+    buffer assembly of the packed column.
+    """
+    from ddsketch_ray.functions.text import _text_series
+
+    s = _text_series(batch, text_col)
+    toks = s.str.extract_all(TOKEN_PATTERN)
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    ndocs = len(lens)
+    n_grams = np.maximum(lens - n + 1, 0)
+    sizes = np.zeros(ndocs, dtype=np.int64)
+    g = np.empty(0, np.uint64)
+    total = int(n_grams.sum())
+    if total:
+        flat = toks.explode().drop_nulls()
+        th = hash_strings(flat.to_arrow(), seed=seed)
+        tok_off = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=tok_off[1:])
+        has = n_grams > 0
+        counts = n_grams[has]
+        ar = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        starts = np.repeat(tok_off[has], counts) + ar
+        # pre-mix the first token (XOR-commutativity fix, see
+        # repetition_ratio_batch / shingle_hashes)
+        gram = splitmix64(th[starts])
+        for j in range(1, n):
+            gram = splitmix64(gram ^ th[starts + j])
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64)[has], counts)
+        order = np.lexsort((gram, doc_of))
+        gs, d = gram[order], doc_of[order]
+        new = np.r_[True, (d[1:] != d[:-1]) | (gs[1:] != gs[:-1])]
+        g, d = gs[new], d[new]
+        sizes = np.bincount(d, minlength=ndocs).astype(np.int64)
+    off = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(sizes * 8, out=off[1:])
+    shset = pa.Array.from_buffers(
+        pa.large_binary(),
+        ndocs,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(g.tobytes())],
+    )
+    return pa.table(
+        {id_col: batch.column(id_col), "shset": shset, "sz": pa.array(sizes)}
+    )
+
+
+def _unpack_large_binary_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """large_binary column of packed uint64 items → (flat values in row
+    order, item count per row). Zero-copy reads of the offsets/data
+    buffers (handles sliced/offset arrays)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = np.frombuffer(
+        col.buffers()[1], dtype=np.int64, count=len(col) + 1 + col.offset
+    )[col.offset :]
+    lo, hi = int(off[0]), int(off[-1])
+    values = np.frombuffer(
+        col.buffers()[2], dtype=np.uint64, offset=lo, count=(hi - lo) // 8
+    )
+    counts = ((off[1:] - off[:-1]) // 8).astype(np.int64)
+    return values, counts
+
+
+def _shset_band_rows(t: pa.Table, id_col: str) -> pa.Table:
+    """Packed shingle sets → (band, band_hash, id) rows for the shared
+    candidate-pair machinery (band is constant 0: the 'bands' here are
+    the n-grams themselves). Never shuffled in this shape — the caller
+    fuses it into the pre-sort projection."""
+    vals, counts = _unpack_large_binary_u64(t.column("shset"))
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "band": pa.array(np.zeros(len(vals), np.int64)),
+            "band_hash": pa.array(vals.view(np.int64)),
+            id_col: pa.array(np.repeat(ids, counts)),
+        }
+    )
+
+
+def _distinct_sorted_pairs(pairs):
+    """Mass-dedup of duplicate (a, b) rows (rare-gram blocking emits one
+    copy per shared rare gram): one narrow 16-byte-row sort + per-block
+    consecutive dedup. A pair whose copies straddle a block edge can
+    keep ≤ 2 copies; those co-locate again at the verify stage, which
+    finishes with an in-batch unique."""
+    s = pairs.sort(["a", "b"])
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return t.filter(pa.array(keep))
+
+    return s.map_batches(block_dedup, batch_format="pyarrow", batch_size=None)
+
+
+def ngram_jaccard_dedup_distributed(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 8,
+    tau_num: int = 7,
+    tau_den: int = 10,
+    seed: int = 0,
+    num_buckets: int = 64,
+    bloom_fp_rate: float = 0.001,
+):
+    """EXACT n-gram Jaccard near-dedup → (id_col, rep, is_survivor).
+
+    The non-sketch member of the dedup family (reference scope: driver
+    brief; cf. minhash_dedup_distributed): candidate pairs are documents
+    sharing at least one RARE n-gram (document frequency in
+    [2, max_df] — hot boilerplate n-grams generate no pairs, the
+    standard rare-shingle blocking), verification computes the exact
+    Jaccard over the FULL distinct n-gram sets, the threshold
+    ``J ≥ tau_num/tau_den`` is evaluated as an integer
+    cross-multiplication (``tau_den·|A∩B| ≥ tau_num·(|A|+|B|−|A∩B|)``
+    — no float compare for the oracle to chase), and clustering is
+    distributed connected components. Because nothing here is a sketch,
+    the output is checked by a REAL DuckDB oracle (distinct n-gram
+    strings + recursive-CTE closure), equal up to 64-bit n-gram hash
+    collisions.
+
+    Scale shape (nothing O(pairs) on the driver): one sort of the
+    (gram_hash, id) rows for blocking, one narrow sort for pair dedup,
+    bloom-pruned shuffle joins attach the two packed shingle sets, the
+    verify kernel intersects sorted sets with one lexsort per batch.
+    Requires non-negative integer ids (-1 is the overflow sentinel in
+    the blocking pass).
+    """
+    packed = ds.map_batches(
+        lambda b: shingle_doc_sets_batch(
+            b, text_col=text_col, id_col=id_col, n=n, seed=seed
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # tokenize once; reused (banding + payload attach + ids)
+
+    banded = packed.map_batches(
+        lambda t: _shset_band_rows(t, id_col), batch_format="pyarrow", batch_size=None
+    )
+    pairs = _distinct_sorted_pairs(
+        lsh_candidate_pairs_distributed(
+            banded, id_col=id_col, max_bucket_pairs=max_df, overflow="drop"
+        )
+    ).materialize()  # reused: bloom build + join probe
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return packed.map_batches(
+            lambda t: _all_survivors_table(t, id_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    with_sets = _attach_pair_payloads(
+        pairs,
+        packed.map_batches(
+            lambda t: t.select([id_col, "shset"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        id_col,
+        "shset",
+        n_pairs,
+        num_buckets=num_buckets,
+        seed=seed,
+        bloom_fp_rate=bloom_fp_rate,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # finish the pair dedup (block-edge survivors land together here)
+        order = np.lexsort((b, a))
+        first = np.r_[
+            True, (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        ]
+        t = t.take(pa.array(order[first]))
+        a, b = a[order[first]], b[order[first]]
+        va, ca = _unpack_large_binary_u64(t.column("shset_a"))
+        vb, cb = _unpack_large_binary_u64(t.column("shset_b"))
+        npairs = len(a)
+        pidx = np.concatenate(
+            [
+                np.repeat(np.arange(npairs, dtype=np.int64), ca),
+                np.repeat(np.arange(npairs, dtype=np.int64), cb),
+            ]
+        )
+        vals = np.concatenate([va, vb])
+        o = np.lexsort((vals, pidx))
+        v, p = vals[o], pidx[o]
+        # each side is distinct within a pair → an adjacent equal value
+        # inside one pair is exactly one cross-side match
+        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[1:][dup], minlength=npairs).astype(np.int64)
+        keep = (
+            (tau_den * inter >= tau_num * (ca + cb - inter))
+            & (a != b)
+            & (ca + cb > 0)
+        )
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    verified = with_sets.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    ids_ds = packed.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow", batch_size=None
+    )
+    return _emit_assignments_distributed(ids_ds, verified, id_col, num_buckets)
+
+
 # --------------------------------------------------------------- MinHash-LSH
 
 
@@ -712,7 +947,8 @@ def minhash_dedup_checkpointed(
 
 
 def lsh_candidate_pairs_distributed(
-    band_rows, id_col: str = "doc_id", max_bucket_pairs: int = 64
+    band_rows, id_col: str = "doc_id", max_bucket_pairs: int = 64,
+    overflow: str = "chain",
 ):
     """Candidate (a, b) pairs as a DATASET — the variant of
     ``hot_bucket_pairs`` for corpora whose candidate-pair set itself may
@@ -738,11 +974,23 @@ def lsh_candidate_pairs_distributed(
     Self/duplicate pairs can appear near block edges; downstream
     verification drops self pairs and ``connected_components``
     tolerates duplicates, so no global dedup pass is spent on them.
+
+    ``overflow`` controls buckets larger than ``max_bucket_pairs``
+    members: ``"chain"`` (default, LSH semantics — sorted chain keeps
+    recall through giant collision buckets at O(members) pairs) or
+    ``"drop"`` (rare-key blocking semantics — the bucket emits NOTHING,
+    exactly mirroring a SQL ``HAVING COUNT(*) <= max`` document-
+    frequency filter; requires ids ≥ 0, -1 is the overflow sentinel a
+    block ships when its PORTION of an edge-spanning run already
+    exceeds the cap).
     """
     import logging
 
     import pandas as pd
     import ray.data as rd
+
+    if overflow not in ("chain", "drop"):
+        raise ValueError("overflow must be 'chain' or 'drop'")
 
     def to_ck_id(t: pa.Table) -> pa.Table:
         ck = splitmix64(
@@ -799,28 +1047,36 @@ def lsh_candidate_pairs_distributed(
                 iu, ju = np.triu_indices(len(members), k=1)
                 a_parts.append(members[iu])
                 b_parts.append(members[ju])
-            else:  # giant collision bucket: chain only (documented cap)
+            elif overflow == "chain":  # giant collision bucket (documented cap)
                 capped += 1
                 a_parts.append(members[:-1])
                 b_parts.append(members[1:])
+            else:  # drop: over-frequent key emits nothing (df blocking)
+                capped += 1
         for r in sorted({0, nruns - 1}):
             s0, sz = starts[r], sizes[r]
             members = np.unique(ids[s0 : s0 + sz])
             if len(members) <= max_bucket_pairs:
                 bx.append(members)
                 by.append(np.full(len(members), ck[s0], dtype=np.int64))
-            else:
+            elif overflow == "chain":
                 capped += 1
                 a_parts.append(members[:-1])
                 b_parts.append(members[1:])
                 bx.append(members[[0, -1]])  # chains bridge via edge members
                 by.append(np.full(2, ck[s0], dtype=np.int64))
+            else:  # drop: poison the bucket — the driver discards it whole
+                capped += 1
+                bx.append(np.full(1, -1, dtype=np.int64))
+                by.append(np.full(1, ck[s0], dtype=np.int64))
         if capped:
             logging.getLogger(__name__).warning(
-                "distributed lsh candidates: %d buckets over %d members used "
-                "chain pairs only (possible recall loss in those buckets)",
+                "distributed lsh candidates: %d buckets over %d members %s",
                 capped,
                 max_bucket_pairs,
+                "used chain pairs only (possible recall loss in those buckets)"
+                if overflow == "chain"
+                else "dropped (rare-key blocking)",
             )
         a = np.concatenate(a_parts) if a_parts else np.empty(0, np.int64)
         b = np.concatenate(b_parts) if b_parts else np.empty(0, np.int64)
@@ -852,13 +1108,41 @@ def lsh_candidate_pairs_distributed(
         ).to_pandas()  # ≤ 2 runs × max_bucket_pairs rows per block
     )
     if len(bdf):
-        stitched = _chain_pairs(
-            pd.DataFrame(
-                {"band": 0, "band_hash": bdf["y"].to_numpy(), "id": bdf["x"].to_numpy()}
-            ),
-            "id",
-            max_bucket_pairs=max_bucket_pairs,
-        )
+        if overflow == "drop":
+            x = bdf["x"].to_numpy().astype(np.int64)
+            y = bdf["y"].to_numpy().astype(np.int64)
+            o = np.lexsort((x, y))
+            x, y = x[o], y[o]
+            bstarts = np.nonzero(np.r_[True, y[1:] != y[:-1]])[0]
+            bsizes = np.diff(np.r_[bstarts, len(y)])
+            ap: list[np.ndarray] = []
+            bp: list[np.ndarray] = []
+            for s0, sz in zip(bstarts, bsizes):
+                members = np.unique(x[s0 : s0 + sz])
+                if members[0] == -1:  # poisoned: some portion exceeded the cap
+                    continue
+                if 2 <= len(members) <= max_bucket_pairs:
+                    iu, ju = np.triu_indices(len(members), k=1)
+                    ap.append(members[iu])
+                    bp.append(members[ju])
+            stitched = pd.DataFrame(
+                {
+                    "a": np.concatenate(ap) if ap else np.empty(0, np.int64),
+                    "b": np.concatenate(bp) if bp else np.empty(0, np.int64),
+                }
+            )
+        else:
+            stitched = _chain_pairs(
+                pd.DataFrame(
+                    {
+                        "band": 0,
+                        "band_hash": bdf["y"].to_numpy(),
+                        "id": bdf["x"].to_numpy(),
+                    }
+                ),
+                "id",
+                max_bucket_pairs=max_bucket_pairs,
+            )
         if len(stitched):
             pairs_ds = pairs_ds.union(
                 rd.from_arrow(

@@ -375,6 +375,152 @@ def test_lsh_candidate_pairs_distributed_matches_hot_bucket_pairs(ray_session):
     assert got == want
 
 
+def _brute_ngram_jaccard_dedup(tbl, n=3, max_df=8, tau=(7, 10)):
+    """Reference semantics in plain Python over n-gram STRINGS: rare-gram
+    blocking (2 <= df <= max_df), exact Jaccard with the integer
+    threshold rule, union-find with min-id representative."""
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    sets = {}
+    for i, txt in zip(ids, texts):
+        toks = (txt or "").split()
+        sets[i] = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+    df: dict[str, list] = {}
+    for i, s in sets.items():
+        for g in s:
+            df.setdefault(g, []).append(i)
+    pairs = set()
+    for g, docs in df.items():
+        if 2 <= len(docs) <= max_df:
+            docs = sorted(docs)
+            for x in range(len(docs)):
+                for y in range(x + 1, len(docs)):
+                    pairs.add((docs[x], docs[y]))
+    p, q = tau
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        inter = len(sets[a] & sets[b])
+        if q * inter >= p * (len(sets[a]) + len(sets[b]) - inter) and (
+            len(sets[a]) + len(sets[b]) > 0
+        ):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    import pandas as pd
+
+    rep = {i: find(i) for i in ids}
+    out = pd.DataFrame(
+        {
+            "doc_id": sorted(ids),
+            "rep": [rep[i] for i in sorted(ids)],
+            "is_survivor": [rep[i] == i for i in sorted(ids)],
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def test_shingle_doc_sets_batch_matches_string_sets():
+    """Packed per-doc hash sets must be the same SIZE as distinct n-gram
+    string sets, sorted, and round-trip through the unpack helper
+    (including a sliced column)."""
+    from ddsketch_ray.functions.dedup import (
+        _unpack_large_binary_u64,
+        shingle_doc_sets_batch,
+    )
+
+    texts = ["a b c d a b c d", "x y", "", "one two three two one two three"]
+    t = _docs_table(texts)
+    out = shingle_doc_sets_batch(t, n=3)
+    sizes = out.column("sz").to_pylist()
+    for txt, sz in zip(texts, sizes):
+        toks = txt.split()
+        want = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        assert sz == len(want)
+    vals, counts = _unpack_large_binary_u64(out.column("shset"))
+    assert counts.tolist() == sizes
+    off = np.r_[0, np.cumsum(counts)]
+    for i in range(len(texts)):
+        row = vals[off[i] : off[i + 1]]
+        assert len(np.unique(row)) == len(row)  # distinct
+        assert np.all(np.sort(row) == row)  # sorted ascending
+    sl = out.slice(1, 2)
+    v2, c2 = _unpack_large_binary_u64(sl.column("shset"))
+    assert c2.tolist() == sizes[1:3]
+    assert np.array_equal(v2, vals[off[1] : off[3]])
+
+
+def test_ngram_jaccard_dedup_distributed_matches_bruteforce(ray_session):
+    """The exact Jaccard dedup pipeline must equal the plain-Python
+    string-set reference (same blocking, threshold, clustering) on a
+    multi-block layout with near-dup clusters."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import ngram_jaccard_dedup_distributed
+
+    tbl = _cluster_corpus(n_clusters=8, dups_per=3, n_unique=20, seed=31)
+    want = _brute_ngram_jaccard_dedup(tbl, n=3, max_df=8, tau=(7, 10))
+    got = (
+        ngram_jaccard_dedup_distributed(
+            rd.from_arrow(tbl).repartition(16), n=3, max_df=8, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["rep"].tolist() == want["rep"].tolist()
+    assert got["is_survivor"].tolist() == want["is_survivor"].tolist()
+    assert (~want["is_survivor"]).sum() >= 8
+
+
+def test_ngram_jaccard_dedup_hot_gram_blocking(ray_session):
+    """Over-frequent grams (df > max_df) must emit NO pairs — a
+    12-copy cluster stays un-deduped while a 3-copy cluster collapses;
+    matches the brute-force reference either way. Forces the drop-mode
+    boundary/poison path with many tiny blocks."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import ngram_jaccard_dedup_distributed
+
+    rng = np.random.default_rng(5)
+    texts = []
+    hot = " ".join(f"h{i}" for i in rng.integers(0, 500, size=120))
+    for d in range(12):  # 12 near-identical copies: every shared gram df >= 12
+        w = hot.split()
+        w[30 + d] = f"hm{d}"
+        texts.append(" ".join(w))
+    cold = " ".join(f"k{i}" for i in rng.integers(0, 500, size=120))
+    for d in range(3):
+        w = cold.split()
+        w[40 + d] = f"km{d}"
+        texts.append(" ".join(w))
+    for u in range(10):
+        texts.append(" ".join(f"u{u}z{i}" for i in rng.integers(0, 4000, size=60)))
+    ids = rng.permutation(len(texts)).astype(np.int64).tolist()
+    tbl = _docs_table(texts, ids=ids)
+    want = _brute_ngram_jaccard_dedup(tbl, n=3, max_df=8, tau=(7, 10))
+    got = (
+        ngram_jaccard_dedup_distributed(
+            rd.from_arrow(tbl).repartition(16), n=3, max_df=8, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["rep"].tolist() == want["rep"].tolist()
+    assert got["is_survivor"].tolist() == want["is_survivor"].tolist()
+    hot_ids = set(ids[:12])
+    assert all(want.loc[want.doc_id.isin(hot_ids), "is_survivor"])  # blocked
+    assert (~want["is_survivor"]).sum() == 2  # only the cold cluster collapsed
+
+
 def test_simhash_dedup_distributed_matches_driver_path(ray_session):
     """SimHash flavor of the no-O(pairs)-driver pipeline must equal the
     driver-assisted simhash_dedup across a multi-block layout."""
