@@ -715,12 +715,15 @@ def q_asof_prev_value_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 def q_bigjoin_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
-    """BIG-BIG shuffle equi-join (Ray Data has no native join): lineitem
-    ⋈ orders on orderkey via hash-bucket co-partitioning + per-bucket
-    Arrow hash join (functions/joins.py:equi_join_shuffle), then revenue
-    per order priority in integer cents."""
-    from ray.data.aggregate import Count, Sum
-
+    """BIG-BIG shuffle equi-join: lineitem ⋈ orders on orderkey via
+    hash-bucket co-partitioning + per-bucket Arrow hash join
+    (functions/joins.py:equi_join_shuffle; measured faster than Ray
+    2.49's experimental native ``Dataset.join`` — 5.1 s vs 6.6 s warm at
+    sf0.1/32cpu — and it supports salting), then revenue per order
+    priority in integer cents via the two-level partial rollup
+    (functions/analytics.py:small_key_rollup — Ray's Aggregate operator
+    burned 14s of CPU on this 5-group rollup)."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
     from ddsketch_ray.functions.joins import equi_join_shuffle
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
@@ -740,11 +743,12 @@ def q_bigjoin_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
         li_c, orders, "l_orderkey", "o_orderkey",
         ["price_c"], ["o_orderpriority"], num_buckets=32,
     )
-    out = (
-        joined.groupby("o_orderpriority")
-        .aggregate(Sum("price_c", alias_name="rev_c"), Count(alias_name="n_items"))
-        .to_pandas()
-    )
+    out = small_key_rollup(
+        joined,
+        ["o_orderpriority"],
+        sums=[("rev_c", "price_c")],
+        count_alias="n_items",
+    ).to_pandas()
     out["revenue"] = out.pop("rev_c") / 100.0
     out["n_items"] = out["n_items"].astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -183,8 +183,8 @@ def bench_bigjoin() -> float:
     hash-bucket co-partition + per-bucket Arrow hash join, then a
     grouped rollup."""
     import ray.data as rd
-    from ray.data.aggregate import Count
 
+    from ddsketch_ray.functions.analytics import small_key_rollup
     from ddsketch_ray.functions.joins import equi_join_shuffle
 
     t0 = time.perf_counter()
@@ -194,7 +194,7 @@ def bench_bigjoin() -> float:
         li, orders, "l_orderkey", "o_orderkey",
         ["l_extendedprice"], ["o_orderpriority"], num_buckets=32,
     )
-    j.groupby("o_orderpriority").aggregate(Count(alias_name="n")).to_pandas()
+    small_key_rollup(j, ["o_orderpriority"], count_alias="n")
     return time.perf_counter() - t0
 
 

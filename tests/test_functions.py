@@ -1316,3 +1316,63 @@ def test_repetition_ratio_batch():
     assert out.loc[3, "n_ngrams"] == 7 and out.loc[3, "n_distinct"] == 3
     assert abs(out.loc[3, "dup_ratio"] - round(1 - 3 / 7, 6)) < 1e-12
     assert out.loc[4, "n_ngrams"] == 0
+
+
+def test_small_key_rollup(ray_session):
+    """Two-level partial rollup vs a pandas oracle: multi-key groups,
+    null keys forming their own group (SQL GROUP BY), min/max/sum/count,
+    and the schema-less-empty pathology raising cleanly."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from ddsketch_ray.functions.analytics import small_key_rollup
+
+    rng = np.random.default_rng(47)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 4, n).astype(np.int64),
+            "b": pd.array(
+                [None if x == 0 else f"s{x}" for x in rng.integers(0, 3, n)],
+                dtype="string",
+            ),
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        }
+    )
+    out = small_key_rollup(
+        rd.from_pandas(df).repartition(13),
+        ["a", "b"],
+        sums=[("s", "v")],
+        count_alias="n",
+        mins=[("mn", "v")],
+        maxs=[("mx", "v")],
+    ).to_pandas()
+    exp = (
+        df.groupby(["a", "b"], dropna=False)["v"]
+        .agg(s="sum", n="count", mn="min", mx="max")
+        .reset_index()
+        .sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    got = out.sort_values(["a", "b"], na_position="last").reset_index(drop=True)
+    assert got["s"].tolist() == exp["s"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["mn"].tolist() == exp["mn"].tolist()
+    assert got["mx"].tolist() == exp["mx"].tolist()
+    assert got["a"].tolist() == exp["a"].tolist()
+    assert got["b"].fillna("␀").tolist() == exp["b"].fillna("␀").tolist()
+
+    # typed-but-empty input: empty result with the right columns
+    e = small_key_rollup(
+        rd.from_arrow(pa.table({"a": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})),
+        ["a"],
+        sums=[("s", "v")],
+        count_alias="n",
+    )
+    assert e.num_rows == 0 and e.column_names == ["a", "s", "n"]
+
+    # schema-less empty (Ray filter pathology) raises the documented error
+    gone = rd.from_pandas(df.head(5)).filter(lambda r: False).materialize()
+    if gone.schema() is None:
+        with pytest.raises(ValueError, match="no schema"):
+            small_key_rollup(gone, ["a"], sums=[("s", "v")])
