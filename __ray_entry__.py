@@ -1590,6 +1590,120 @@ def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["metric", "value"])
 
 
+def q_redact_documents(sf_dir: str) -> pd.DataFrame:
+    """PII-shaped regex redaction (functions/text.py:redact_batch —
+    email/URL/digit-run rules applied in order, all inside polars' Rust
+    regex engine). Oracle nests the same rules via DuckDB
+    regexp_replace; full redacted text is value-hashed, so the two
+    regex engines must agree byte-for-byte."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.functions.text import redact_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant_pii(t: pa.Table) -> pa.Table:
+        # deterministic PII-shaped suffix (the synthetic corpus is
+        # digit-free word soup; the oracle concatenates the same
+        # expression) so every rule demonstrably fires
+        did = pc.cast(t.column("doc_id"), pa.string())
+        txt = pc.binary_join_element_wise(
+            t.column("text"), " contact user", did, "@example.com or call 555-000-", did, ""
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    out = (
+        ds.map_batches(plant_pii, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: redact_batch(t).select(["doc_id", "redacted", "n_redactions"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+def q_split_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash train/val/test split (functions/sampling.py:
+    hash_split — SplitMix64 bucket = h % 100, integer cumulative-weight
+    intervals) audited per split with small_key_rollup: n_docs + total
+    char length. Oracle recomputes the identical hash in mod-2^64 SQL."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    split = hash_split(
+        ds, "doc_id", [("train", 90), ("val", 5), ("test", 5)], seed=0
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "split": t.column("split"),
+                "chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = small_key_rollup(
+        split, ["split"], sums=[("total_chars", "chars")], count_alias="n_docs"
+    ).to_pandas()
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def q_sampled_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 20% Bernoulli sample (functions/sampling.py:
+    hash_sample, membership = SplitMix64(doc_id) % 1e6 < 200000) —
+    stable across cluster sizes/block layouts; oracle recomputes the
+    hash in SQL and selects the same ids."""
+    from ddsketch_ray.functions.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = hash_sample(ds, "doc_id", rate_ppm=200_000, seed=0).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rolling_user_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user rolling 3-row window sum/count + LAG over the event log
+    (functions/windows.py:rolling_by_key — one sort, per-block cumsum
+    windows, O(blocks×W) driver stitch) vs real SQL window functions."""
+    from ddsketch_ray.functions.windows import rolling_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "v_c": pa.array(np.round(v * 100).astype(np.int64)),
+            }
+        )
+
+    out = rolling_by_key(
+        ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None),
+        "user_id",
+        "ts",
+        "event_id",
+        "v_c",
+        window_rows=3,
+        roll_alias="roll_sum_c",
+        count_alias="n_in_window",
+        lag_alias="lag_c",
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["lag_c"] = out["lag_c"].astype("float64")  # null → NaN (oracle casts DOUBLE)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1662,6 +1776,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dds_quantiles_price_firstmode": q_dds_quantiles_price_firstmode,
         "dds_quantiles_price_pushdown": q_dds_quantiles_price_pushdown,
         "top_orders_by_price": q_top_orders_by_price,
+        "split_documents": q_split_documents,
+        "sampled_docs": q_sampled_docs,
+        "rolling_user_value": q_rolling_user_value,
+        "redact_documents": q_redact_documents,
     }
 
 
@@ -1722,9 +1840,34 @@ SELECT g AS {group}, q, ROUND({est}, 6) AS est FROM sel ORDER BY g, q
 """
 
 
+def _redact_oracle() -> str:
+    """Chained regexp_replace oracle generated from the SAME rule table
+    the Ray kernel uses (single source — the shared-helper convention of
+    _dds_key_sql): counts are taken on each stage's INPUT, matching
+    redact_batch's sequential count-then-replace."""
+    from ddsketch_ray.functions.text import REDACT_RULES
+
+    sql = (
+        "WITH s0 AS (SELECT doc_id, text || ' contact user' || doc_id"
+        " || '@example.com or call 555-000-' || doc_id AS t, 0 AS c FROM documents)"
+    )
+    for i, (pat, repl) in enumerate(REDACT_RULES, 1):
+        sql += (
+            f""",
+s{i} AS (SELECT doc_id, regexp_replace(t, '{pat}', '{repl}', 'g') AS t,
+         c + len(regexp_extract_all(t, '{pat}')) AS c FROM s{i - 1})"""
+        )
+    return (
+        sql
+        + f"\nSELECT doc_id::BIGINT AS doc_id, t AS redacted,"
+        f" c::BIGINT AS n_redactions FROM s{len(REDACT_RULES)} ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"({q})" for q in QS)
     out = _recomputed_oracles(qs_values)
+    out["redact_documents"] = _redact_oracle()
     # Approximate sketches (HLL/CMS/Bloom/LSH/...) cannot be recomputed by
     # an independent SQL query; their fixed-seed distributed output is
     # deterministic, so the expected values are computed once and frozen
@@ -1789,6 +1932,31 @@ pk AS (SELECT p, {_key_of('p')} AS kp FROM probes)
 SELECT p AS probe,
        ROUND((SELECT COUNT(*) FROM keys WHERE k <= kp)::DOUBLE / n, 6) AS cdf_est
 FROM pk, tot ORDER BY probe
+""",
+        "split_documents": f"""
+-- same SplitMix64 hash, bucket = h % 100, intervals train[0,90) val[90,95) test[95,100)
+WITH h AS (SELECT doc_id, length(text) AS chars, {kmv_doc_hash} % 100 AS b FROM documents)
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       SUM(chars)::BIGINT AS total_chars,
+       COUNT(*)::BIGINT AS n_docs
+FROM h GROUP BY 1 ORDER BY 1
+""",
+        "sampled_docs": f"""
+-- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
+SELECT doc_id::BIGINT AS doc_id, lang FROM documents
+WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "rolling_user_value": """
+-- real SQL window functions: 3-row rolling sum/count + LAG per user
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS v_c FROM events)
+SELECT event_id::BIGINT AS event_id,
+       CAST(SUM(v_c) OVER w AS BIGINT) AS roll_sum_c,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+       CAST(LAG(v_c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS lag_c
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
 """,
         "kmv_sample_by_lang": f"""
 -- grouped KMV bottom-16: SplitMix64 bottom-k recomputed per language

@@ -1,0 +1,103 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need splits and samples that are (a) stable
+across runs, cluster sizes, and block layouts, (b) computable per batch
+with no coordination, and (c) reproducible by an external oracle. Both
+operators here derive everything from ``hashing.hash_ints`` /
+``hash_strings`` (SplitMix64 family — the same hash the KMV/WRS SQL
+oracles recompute in mod-2^64 arithmetic), so membership is a pure
+function of (id, seed): re-running on 1 CPU or 256 nodes yields the
+identical split.
+
+- ``assign_split_batch`` / ``hash_split`` — integer-weighted
+  train/val/test assignment: ``bucket = h % sum(weights)`` and a
+  cumulative-weight lookup. Integer math end-to-end; no float
+  thresholds, so the SQL oracle (CASE over the same modulus) matches
+  bit-for-bit.
+- ``hash_sample`` — deterministic Bernoulli-style sample: keep iff
+  ``h % 1_000_000 < rate_ppm``. Rate is parts-per-million (exact).
+
+Scale: both are embarrassingly parallel map stages — no shuffle, no
+driver state; composing with ``small_key_rollup`` keeps split audits at
+O(blocks × splits) driver rows.
+
+Reference scope note: gmorleo/DDSketch has no sampling surface
+(SURVEY.md §2.3 "Sorts/limits/top-k/sampling: none"); this is
+north-rule / training-pipeline coverage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ddsketch_ray.hashing import hash_ints, hash_strings
+
+
+def _id_hashes(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
+    """uint64 hash of an id column (integer or string)."""
+    if col.null_count:
+        raise ValueError("id column must be non-null for hash split/sample")
+    if pa.types.is_integer(col.type):
+        arr = col.to_numpy(zero_copy_only=False)
+        return hash_ints(arr.astype(np.int64), seed)
+    return hash_strings(col, seed)
+
+
+def assign_split_batch(
+    batch: pa.Table,
+    id_col: str,
+    weights: list[tuple[str, int]],
+    seed: int = 0,
+    out_col: str = "split",
+) -> pa.Table:
+    """Append ``out_col``: the split label for each row.
+
+    ``weights`` is an ordered list of (label, integer_weight); a row
+    lands in label i iff ``h % total`` falls in i's cumulative-weight
+    interval. Order matters (it defines the intervals) — keep it fixed
+    across runs.
+    """
+    labels = [l for l, _ in weights]
+    w = np.array([int(n) for _, n in weights], dtype=np.int64)
+    if (w <= 0).any():
+        raise ValueError("weights must be positive integers")
+    cum = np.cumsum(w)
+    h = _id_hashes(batch.column(id_col), seed)
+    bucket = (h % np.uint64(cum[-1])).astype(np.int64)
+    idx = np.searchsorted(cum, bucket, side="right")
+    lab = pa.DictionaryArray.from_arrays(
+        pa.array(idx, type=pa.int32()), pa.array(labels, type=pa.string())
+    ).cast(pa.string())
+    return batch.append_column(out_col, lab)
+
+
+def hash_split(ds, id_col: str, weights: list[tuple[str, int]], seed: int = 0, out_col: str = "split"):
+    """Dataset-level split assignment: adds ``out_col`` via one
+    narrow map stage. Filter on it downstream (predicate pushdown keeps
+    each split a streaming view of the same read)."""
+    return ds.map_batches(
+        lambda t: assign_split_batch(t, id_col, weights, seed, out_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def sample_mask_batch(
+    batch: pa.Table, id_col: str, rate_ppm: int, seed: int = 0
+) -> np.ndarray:
+    """Boolean keep-mask for a deterministic ``rate_ppm``/1e6 sample."""
+    if not (0 <= rate_ppm <= 1_000_000):
+        raise ValueError("rate_ppm must be in [0, 1_000_000]")
+    h = _id_hashes(batch.column(id_col), seed)
+    return (h % np.uint64(1_000_000)).astype(np.int64) < rate_ppm
+
+
+def hash_sample(ds, id_col: str, rate_ppm: int, seed: int = 0):
+    """Deterministic sample of ≈ rate_ppm/1e6 of the rows (exact
+    membership function, approximate fraction). Pure filter — streams."""
+    return ds.map_batches(
+        lambda t: t.filter(pa.array(sample_mask_batch(t, id_col, rate_ppm, seed))),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -339,3 +339,46 @@ def repetition_ratio_batch(
             "dup_ratio": pa.array(np.round(ratio, 6)),
         }
     )
+
+
+# Default PII-shaped redaction rules. Both engines of record here —
+# polars (Rust regex crate) and the DuckDB RE2 oracle — use
+# leftmost-first, non-backtracking matching, so these patterns (no
+# backreferences, no lookaround, never empty-width) replace
+# identically; the unit/gate oracles hold that bit-for-bit.
+REDACT_RULES: tuple[tuple[str, str], ...] = (
+    # emails before digit runs (an email can contain digits)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^ \t\n\r\f\v]+", "<URL>"),
+    (r"[0-9][0-9 .-]{6,}[0-9]", "<NUM>"),  # phone/card-shaped digit runs
+    (r"[0-9]+", "<D>"),  # residual digit runs
+)
+
+
+def redact_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str], ...] = REDACT_RULES,
+    out_col: str = "redacted",
+    count_col: str | None = "n_redactions",
+) -> pa.Table:
+    """Sequential regex redaction (PII scrubbing shape): applies each
+    (pattern, replacement) rule in order with replace-all semantics,
+    entirely inside polars' Rust regex engine — no per-row Python.
+    ``count_col`` (optional) counts total matches replaced, summed
+    over rules as they apply (later rules see earlier rules' output,
+    exactly like the SQL ``regexp_replace(regexp_replace(...))``
+    nesting the oracle uses)."""
+    s = _text_series(batch, text_col)
+    total = None
+    for pat, repl in rules:
+        if count_col is not None:
+            c = s.str.count_matches(pat)
+            total = c if total is None else total + c
+        s = s.str.replace_all(pat, repl)
+    out = batch.append_column(out_col, s.to_arrow().cast(pa.string()))
+    if count_col is not None:
+        out = out.append_column(
+            count_col, pa.array(total.cast(pl.Int64).to_numpy(), type=pa.int64())
+        )
+    return out

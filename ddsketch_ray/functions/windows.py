@@ -145,3 +145,181 @@ def session_counts(
         out["n_sessions"] = out["n_sessions"].astype(np.int64)
         return internal.union(rd.from_pandas(out[[key_col, "n_sessions"]]))
     return internal
+
+
+def rolling_by_key(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_rows: int = 3,
+    roll_alias: str = "roll_sum",
+    count_alias: str = "n_in_window",
+    lag_alias: str = "lag_value",
+):
+    """Per-key rolling-row-window aggregate + LAG — the SQL shape
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` plus
+    ``LAG(v)`` — as a sort plan. → Dataset of one row per input row:
+    (id_col, roll_alias, count_alias, lag_alias[nullable]).
+
+    Plan: project to (k, t, i, v), one distributed sort on (k, t, i)
+    (id is the deterministic tiebreaker — REQUIRED unique), then each
+    block computes rolling sums vectorized from a cumulative sum with
+    per-key-group window clamping. Only a block's FIRST key group can
+    need rows from earlier blocks, and only its first ``window_rows - 1``
+    rows; each block therefore emits (a) finished rows, (b) ≤ W-1
+    "uncertain" head rows, and (c) the ≤ W-1 tail context rows of its
+    LAST key group. The driver re-derives the uncertain rows from the
+    chained context — O(blocks × window_rows) rows, the same stitching
+    budget as ``session_counts`` — and unions them back as one small
+    block. No per-key Python anywhere; keys must be non-null (SQL
+    PARTITION BY would group nulls — raise instead of guessing).
+
+    ``value_col`` must be an integer column (exact rolling sums — use
+    cents for money per the oracle rules). Keep ``window_rows`` modest
+    (≤ ~64): it bounds both the driver stitch and nothing else.
+    """
+    import ray.data as rd
+
+    W = int(window_rows)
+    if W < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.column(key_col).null_count:
+            raise ValueError("rolling_by_key: null keys not supported")
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        v = t.column(value_col)
+        if not pa.types.is_integer(v.type):
+            raise TypeError("rolling_by_key needs an integer value column (use cents)")
+        return pa.table(
+            {
+                "k": t.column(key_col),
+                "t": ts.cast(pa.int64()),
+                "i": t.column(id_col).cast(pa.int64()),
+                "v": v.cast(pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(project, batch_format="pyarrow", batch_size=None).sort(["k", "t", "i"])
+
+    def block_roll(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field("k").type
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    roll_alias: pa.array([], pa.int64()),
+                    count_alias: pa.array([], pa.int64()),
+                    lag_alias: pa.array([], pa.int64()),
+                    "_uncertain": pa.array([], pa.bool_()),
+                    "_ctx": pa.array([], pa.bool_()),
+                    "_k": pa.array([], ktype),
+                    "_t": pa.array([], pa.int64()),
+                    "_v": pa.array([], pa.int64()),
+                }
+            )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy()
+        ids = t.column("i").to_numpy()
+        v = t.column("v").to_numpy()
+        n = len(k)
+        kchg = np.r_[True, k[1:] != k[:-1]]
+        # index of each row's key-group start
+        gstart = np.maximum.accumulate(np.where(kchg, np.arange(n), 0))
+        idx = np.arange(n)
+        lo = np.maximum(idx - (W - 1), gstart)
+        c = np.concatenate([[0], np.cumsum(v)])  # c[j] = sum(v[:j])
+        roll = c[idx + 1] - c[lo]
+        cnt = idx - lo + 1
+        lag = np.r_[0, v[:-1]]
+        has_lag = idx > gstart  # first row of its group: no lag (in-block)
+        # rows of the FIRST key group whose window/lag could reach back
+        # into a previous block: position-in-group < W-1 for the window,
+        # position 0 for lag — both only matter for the first group
+        first_group = gstart == 0
+        uncertain = first_group & ((idx - gstart) < max(W - 1, 1))
+        # tail context: last ≤ max(W-1, 1) rows of the LAST key group
+        # (even W == 1 exports the final row — the next block's LAG
+        # needs it)
+        last_start = gstart[-1]
+        ctx_lo = max(last_start, n - max(W - 1, 1))
+        is_ctx = idx >= ctx_lo
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                roll_alias: pa.array(roll.astype(np.int64)),
+                count_alias: pa.array(cnt.astype(np.int64)),
+                lag_alias: pa.array(
+                    np.where(has_lag, lag, 0), mask=~has_lag
+                ),
+                "_uncertain": pa.array(uncertain),
+                "_ctx": pa.array(is_ctx),
+                "_k": t.column("k"),
+                "_t": pa.array(ts),
+                "_v": pa.array(v),
+            }
+        )
+
+    rep = s.map_batches(block_roll, batch_format="pyarrow", batch_size=None).materialize()
+    final_cols = [id_col, roll_alias, count_alias, lag_alias]
+    internal = rep.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("_uncertain"))).select(final_cols),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    # Driver stitch: uncertain heads + tail contexts, in global sort
+    # order (≤ 2(W-1) rows per block). Recompute each uncertain row from
+    # the ≤ W-1 context rows of the same key that precede it.
+    edge = rep.map_batches(
+        lambda t: t.filter(
+            pa.compute.or_(t.column("_uncertain"), t.column("_ctx"))
+        ).select(final_cols + ["_uncertain", "_ctx", "_k", "_t", "_v"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()
+    if not len(edge) or not edge["_uncertain"].any():
+        return internal
+    # any total order that groups equal keys and sorts (t, id) within a
+    # key reproduces the walk-back adjacency the fixups need
+    edge = edge.sort_values(["_k", "_t", id_col], kind="stable").reset_index(drop=True)
+    ek = edge["_k"].to_numpy()
+    ev = edge["_v"].to_numpy()
+    is_unc = edge["_uncertain"].to_numpy()
+    # per uncertain row: walk back over edge rows of the same key. The
+    # edge set contains every row that can fall in its window — its own
+    # block's preceding head rows are themselves uncertain, and each
+    # earlier block exported the tail of its last key group (or, for a
+    # short spanning group, ALL its rows as uncertain+context).
+    pos = np.nonzero(is_unc)[0]
+    roll_fix = np.empty(len(pos), dtype=np.int64)
+    cnt_fix = np.empty(len(pos), dtype=np.int64)
+    lag_fix: list[int | None] = []
+    for out_i, p in enumerate(pos):  # O(blocks × W²) driver-side, tiny
+        j = p - 1
+        acc, m = int(ev[p]), 1
+        lagv = None
+        while j >= 0 and ek[j] == ek[p] and m < W:
+            if lagv is None:
+                lagv = int(ev[j])
+            acc += int(ev[j])
+            m += 1
+            j -= 1
+        if lagv is None and p - 1 >= 0 and ek[p - 1] == ek[p]:
+            lagv = int(ev[p - 1])  # W == 1: window excludes it, LAG doesn't
+        roll_fix[out_i] = acc
+        cnt_fix[out_i] = m
+        lag_fix.append(lagv)
+    fix_tbl = pa.table(
+        {
+            id_col: pa.array(edge.loc[is_unc, id_col].to_numpy(), pa.int64()),
+            roll_alias: pa.array(roll_fix),
+            count_alias: pa.array(cnt_fix),
+            lag_alias: pa.array(lag_fix, pa.int64()),
+        }
+    )
+    return internal.union(rd.from_arrow(fix_tbl))

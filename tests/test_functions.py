@@ -1376,3 +1376,152 @@ def test_small_key_rollup(ray_session):
     if gone.schema() is None:
         with pytest.raises(ValueError, match="no schema"):
             small_key_rollup(gone, ["a"], sums=[("s", "v")])
+
+
+def test_hash_split_and_sample(ray_session):
+    """Deterministic split/sample: layout-invariant, disjoint+complete
+    split, exact membership function reproducible outside Ray."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.sampling import (
+        assign_split_batch,
+        hash_sample,
+        hash_split,
+        sample_mask_batch,
+    )
+    from ddsketch_ray.hashing import hash_ints
+
+    n = 5_000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    w = [("train", 90), ("val", 5), ("test", 5)]
+    a = hash_split(rd.from_pandas(df).repartition(7), "doc_id", w).to_pandas()
+    b = hash_split(rd.from_pandas(df).repartition(1), "doc_id", w).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a["split"].tolist() == b["split"].tolist()  # layout-invariant
+    # external recompute: bucket = hash % 100
+    bucket = (hash_ints(df["doc_id"].to_numpy(), 0) % np.uint64(100)).astype(int)
+    exp = np.where(bucket < 90, "train", np.where(bucket < 95, "val", "test"))
+    assert a["split"].tolist() == exp.tolist()
+    counts = a["split"].value_counts()
+    assert 0.85 < counts["train"] / n < 0.95  # ≈ the weights
+
+    # sample: subset semantics + rate, same membership at any layout
+    s = hash_sample(rd.from_pandas(df).repartition(9), "doc_id", 250_000).to_pandas()
+    mask = sample_mask_batch(pa.table({"doc_id": df["doc_id"]}), "doc_id", 250_000)
+    assert sorted(s["doc_id"].tolist()) == df["doc_id"][mask].tolist()
+    assert 0.2 < len(s) / n < 0.3
+
+    # string ids work; different seeds decorrelate
+    sdf = pd.DataFrame({"u": [f"url-{i}" for i in range(1000)]})
+    t1 = assign_split_batch(pa.Table.from_pandas(sdf), "u", w, seed=1)["split"]
+    t2 = assign_split_batch(pa.Table.from_pandas(sdf), "u", w, seed=2)["split"]
+    assert t1.to_pylist() != t2.to_pylist()
+
+    # null ids refuse (membership would be undefined)
+    bad = pa.table({"doc_id": pa.array([1, None], pa.int64())})
+    with pytest.raises(ValueError, match="non-null"):
+        assign_split_batch(bad, "doc_id", w)
+
+
+def test_rolling_by_key(ray_session):
+    """Sort-plan rolling window vs DuckDB window functions: groups
+    spanning many blocks, duplicate (key, ts) broken by id, W=1 LAG
+    across block edges, string keys."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.windows import rolling_by_key
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 50, n).astype(np.int64),  # long runs
+            "ts": rng.integers(0, 200, n).astype(np.int64),  # many (k,ts) dups
+            "v_c": rng.integers(-500, 500, n).astype(np.int64),
+        }
+    )
+    for W, key in ((1, "user_id"), (4, "user_id"), (3, "ukey")):
+        d = df if key == "user_id" else df.assign(ukey=df.user_id.map("u{:02d}".format))
+        out = (
+            rolling_by_key(
+                rd.from_pandas(d).repartition(11), key, "ts", "event_id", "v_c",
+                window_rows=W, roll_alias="rs", count_alias="nw", lag_alias="lg",
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""SELECT event_id, CAST(SUM(v_c) OVER w AS BIGINT) AS rs,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS nw,
+                 LAG(v_c) OVER (PARTITION BY {key} ORDER BY ts, event_id) AS lg
+               FROM d WINDOW w AS (PARTITION BY {key} ORDER BY ts, event_id
+                 ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW)
+               ORDER BY event_id"""
+        ).df()
+        assert len(out) == n
+        assert out["rs"].to_numpy().tolist() == want["rs"].to_numpy().tolist()
+        assert out["nw"].to_numpy().tolist() == want["nw"].to_numpy().tolist()
+        assert np.array_equal(
+            out["lg"].astype("float64").to_numpy(),
+            want["lg"].astype("float64").to_numpy(),
+            equal_nan=True,
+        )
+
+    # guards: null keys and non-integer values refuse
+    with pytest.raises(Exception, match="null keys"):
+        rolling_by_key(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "k": pa.array([1, None], pa.int64()),
+                        "ts": pa.array([1, 2], pa.int64()),
+                        "i": pa.array([1, 2], pa.int64()),
+                        "v": pa.array([1, 2], pa.int64()),
+                    }
+                )
+            ),
+            "k", "ts", "i", "v",
+        ).to_pandas()
+
+
+def test_redact_batch():
+    """Regex redaction kernel vs DuckDB's RE2 regexp_replace nesting —
+    the two engines must agree byte-for-byte on rule order, greediness,
+    and unicode text; counts are per-stage-input sums."""
+    import duckdb
+    from ddsketch_ray.functions.text import REDACT_RULES, redact_batch
+
+    texts = [
+        "mail a.b+c@ex.org and x@y.io, card 4111 1111 1111 1111.",
+        "go to https://ex.com/p?q=1#f now",
+        "plain words only",
+        "",
+        "naïve café 42 — ünïcode 7",
+        "dots 1.2.3.4.5.6.7.8 mixed-55-66-77-88-9",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = redact_batch(t)
+    expr = "text"
+    cnt = "0"
+    for pat, repl in REDACT_RULES:
+        cnt = f"{cnt} + len(regexp_extract_all({expr}, '{pat}'))"
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    want = duckdb.sql(
+        f"SELECT {expr} AS r, ({cnt})::BIGINT AS c FROM t ORDER BY doc_id"
+    ).df()
+    assert out.column("redacted").to_pylist() == want["r"].tolist()
+    assert out.column("n_redactions").to_pylist() == want["c"].tolist()
+    # sanity: rules actually fired
+    assert "<EMAIL>" in out.column("redacted")[0].as_py()
+    assert "<URL>" in out.column("redacted")[1].as_py()
+    assert sum(out.column("n_redactions").to_pylist()) >= 6
+    # null text treated as empty (library-wide _text_series convention)
+    tn = pa.table({"text": pa.array([None, "a 12 b"], pa.string())})
+    on = redact_batch(tn)
+    assert on.column("redacted").to_pylist() == ["", "a <D> b"]
