@@ -1590,6 +1590,20 @@ def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["metric", "value"])
 
 
+def q_vocab_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary / document-frequency table (functions/text.py:
+    vocab_stats — per-block polars pre-agg, high-cardinality sort-plan
+    rollup, deterministic (n_occ DESC, tok) top-50). The IDF-table
+    shape; oracle recomputes via unnest(regexp_extract_all(...))."""
+    from ddsketch_ray.functions.text import vocab_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = vocab_stats(ds, top_k=50).to_pandas()
+    out["n_occ"] = out["n_occ"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["n_occ", "tok"], ascending=[False, True]).reset_index(drop=True)
+
+
 def q_redact_documents(sf_dir: str) -> pd.DataFrame:
     """PII-shaped regex redaction (functions/text.py:redact_batch —
     email/URL/digit-run rules applied in order, all inside polars' Rust
@@ -1780,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": q_sampled_docs,
         "rolling_user_value": q_rolling_user_value,
         "redact_documents": q_redact_documents,
+        "vocab_top_tokens": q_vocab_top_tokens,
     }
 
 
@@ -2325,6 +2340,14 @@ SELECT doc_id, n_tokens, n_punct, n_digit, n_stopwords,
       - (CASE WHEN mtl < 2.0 OR mtl > 12.0 THEN 0.2 ELSE 0.0 END)
       - (CASE WHEN n_tokens < 5 THEN 0.3 ELSE 0.0 END) AS quality_score
 FROM g ORDER BY doc_id
+""",
+        "vocab_top_tokens": r"""
+-- same token definition as token_counts (ASCII-whitespace maximal runs)
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+  FROM documents)
+SELECT tok, COUNT(*)::BIGINT AS n_occ, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM toks GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 50
 """,
         "token_counts_documents": r"""
 SELECT doc_id,

@@ -182,3 +182,68 @@ def grouped_topk(
         edge["rank"] = edge["rank"].astype(np.int64)
         return internal.union(rd.from_pandas(edge.reset_index(drop=True)))
     return internal
+
+
+def sorted_sum_rollup(ds, key_col: str, sum_cols: list[str]):
+    """Per-key integer sums via the sort plan — the HIGH-cardinality
+    counterpart of ``small_key_rollup`` (same family as
+    ``sorted_group_rollup``, functions/dedup.py, measured 7-60× over
+    ``groupby().aggregate`` at 9.6M rows): one distributed sort on the
+    key, each sorted block reduces adjacent key runs with
+    ``np.add.reduceat``, and only the block's first/last key groups
+    (≤ 2 partial rows per block) are re-summed on the driver. Returns a
+    Dataset (key_col, *sum_cols). Sums must be overflow-safe int64."""
+    import ray.data as rd
+
+    sum_cols = list(sum_cols)
+    s = ds.sort(key_col)
+
+    def block_rollup(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=ktype),
+                    **{c: pa.array([], type=pa.int64()) for c in sum_cols},
+                    "boundary": pa.array([], type=pa.bool_()),
+                }
+            )
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        boundary = np.zeros(len(starts), dtype=bool)
+        boundary[0] = boundary[-1] = True
+        out = {key_col: t.column(key_col).take(pa.array(starts))}
+        for c in sum_cols:
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            out[c] = pa.array(np.add.reduceat(v, starts).astype(np.int64))
+        out["boundary"] = pa.array(boundary)
+        return pa.table(out)
+
+    rep = s.map_batches(block_rollup, batch_format="pyarrow", batch_size=None).materialize()
+    keep = [key_col] + sum_cols
+    internal = rep.map_batches(
+        lambda t: t.filter(pc.invert(t.column("boundary"))).select(keep),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edge = rep.map_batches(
+        lambda t: t.filter(t.column("boundary")).select(keep),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()  # ≤ 2 partial rows per block
+    if len(edge):
+        edge = edge.groupby(key_col, as_index=False)[sum_cols].sum()
+        ktype = getattr(rep.schema(), "base_schema", rep.schema()).field(key_col).type
+        # union as an ARROW block: a pandas block here would poison a
+        # downstream sort (Ray's boundary sampler requires one block type)
+        fix = pa.table(
+            {
+                key_col: pa.array(edge[key_col].to_numpy(), type=ktype),
+                **{
+                    c: pa.array(edge[c].to_numpy().astype(np.int64), pa.int64())
+                    for c in sum_cols
+                },
+            }
+        )
+        return internal.union(rd.from_arrow(fix))
+    return internal

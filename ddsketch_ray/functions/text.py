@@ -382,3 +382,56 @@ def redact_batch(
             count_col, pa.array(total.cast(pl.Int64).to_numpy(), type=pa.int64())
         )
     return out
+
+
+def token_stats_batch(
+    batch: pa.Table, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-block vocabulary partial: one row per distinct token seen in
+    the block with (n_occ = occurrences, n_docs = documents containing
+    it). Token definition = TOKEN_PATTERN (the oracle-aligned ASCII
+    whitespace split). All explode/group work happens in polars (Rust);
+    the emitted partial is ≤ block's distinct-token count — the
+    pre-aggregation that keeps the downstream rollup shuffle small."""
+    s = _text_series(batch, text_col)
+    df = pl.DataFrame(
+        {
+            "doc": pl.from_arrow(batch.column(doc_id_col)),
+            "tok": s.str.extract_all(TOKEN_PATTERN),
+        }
+    ).explode("tok")
+    df = df.filter(pl.col("tok").is_not_null())
+    g = df.group_by("tok").agg(
+        n_occ=pl.len().cast(pl.Int64),
+        n_docs=pl.col("doc").n_unique().cast(pl.Int64),
+    )
+    return pa.table(
+        {
+            "tok": g["tok"].to_arrow().cast(pa.string()),
+            "n_occ": pa.array(g["n_occ"].to_numpy(), pa.int64()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def vocab_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id", top_k: int | None = None):
+    """Corpus vocabulary table: (tok, n_occ, n_docs) per distinct token
+    — the term/document-frequency table an IDF or tokenizer-training
+    stage consumes. Plan: per-block polars pre-aggregation
+    (``token_stats_batch`` — each doc lives in exactly one block, so
+    per-block distinct-doc counts sum exactly), then the
+    high-cardinality sort-plan rollup (``sorted_sum_rollup``) over
+    tokens. With ``top_k``, returns the k most frequent tokens ordered
+    by (n_occ DESC, tok ASC) — deterministic tie-break — via one more
+    sort+limit; without it, the full vocabulary as a Dataset."""
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+
+    partials = ds.map_batches(
+        lambda t: token_stats_batch(t, text_col, doc_id_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    vocab = sorted_sum_rollup(partials, "tok", ["n_occ", "n_docs"])
+    if top_k is None:
+        return vocab
+    return vocab.sort(["n_occ", "tok"], descending=[True, False]).limit(top_k)

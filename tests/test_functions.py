@@ -1525,3 +1525,58 @@ def test_redact_batch():
     tn = pa.table({"text": pa.array([None, "a 12 b"], pa.string())})
     on = redact_batch(tn)
     assert on.column("redacted").to_pylist() == ["", "a <D> b"]
+
+
+def test_sorted_sum_rollup_and_vocab(ray_session):
+    """High-cardinality sort-plan sum rollup vs pandas, with key groups
+    spanning blocks, then the vocab pipeline (pre-agg partials sum
+    exactly) — including a downstream sort over the stitched union (the
+    mixed-block-type regression)."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+    from ddsketch_ray.functions.text import vocab_stats
+
+    rng = np.random.default_rng(23)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 500, n).astype(np.int64),
+            "a": rng.integers(0, 100, n).astype(np.int64),
+            "b": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    out = (
+        sorted_sum_rollup(rd.from_pandas(df).repartition(13), "k", ["a", "b"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = df.groupby("k", as_index=False)[["a", "b"]].sum().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == exp["k"].tolist()
+    assert out["a"].tolist() == exp["a"].tolist()
+    assert out["b"].tolist() == exp["b"].tolist()
+
+    # vocab over a small corpus vs a hand count; downstream sort works
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "a b b c",
+                "b c c\td",
+                "a  a a",
+                "",
+                "d",
+                "c a",
+            ],
+        }
+    )
+    v = (
+        vocab_stats(rd.from_pandas(docs).repartition(4), top_k=3)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # counts: a=5(3 docs), b=3(2), c=4(3), d=2(2) → top3 by occ desc, tok asc
+    assert v["tok"].tolist() == ["a", "c", "b"]
+    assert v["n_occ"].tolist() == [5, 4, 3]
+    assert v["n_docs"].tolist() == [3, 3, 2]
