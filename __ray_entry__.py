@@ -741,7 +741,7 @@ def q_bigjoin_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = equi_join_shuffle(
         li_c, orders, "l_orderkey", "o_orderkey",
-        ["price_c"], ["o_orderpriority"], num_buckets=32,
+        ["price_c"], ["o_orderpriority"], num_buckets=128,
     )
     out = small_key_rollup(
         joined,
@@ -1590,6 +1590,54 @@ def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["metric", "value"])
 
 
+def q_train_corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END training-corpus preparation — the composition the
+    engine exists for, as ONE streaming pipeline: deterministic hash
+    split (keep train) → PII redaction (constant planted suffix so the
+    rules fire without breaking duplicate groups) → token gate on the
+    REDACTED text → exact dedup (sort plan) → per-language rollup.
+    Narrow until the dedup sort; the rollup is two-level partials."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.dedup import content_hash_batch, sorted_group_rollup
+    from ddsketch_ray.functions.sampling import assign_split_batch
+    from ddsketch_ray.functions.text import redact_batch, token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = assign_split_batch(t, "doc_id", [("train", 90), ("val", 5), ("test", 5)])
+        t = t.filter(pc.equal(t.column("split"), "train"))
+        txt = pc.binary_join_element_wise(
+            pc.coalesce(t.column("text"), pa.scalar("", pa.string())),
+            " contact admin@example.com or call 555-000-1234",
+            "",
+        )
+        t = pa.table(
+            {"doc_id": t.column("doc_id"), "lang": t.column("lang"), "text": txt}
+        )
+        t = redact_batch(t, count_col=None)
+        t = token_count_batch(t, text_col="redacted")
+        t = t.filter(pc.greater_equal(t.column("n_tokens"), 10))
+        # dedup key = hash of REDACTED text (post-redaction duplicates
+        # collapse even if raw PII differed — the realistic semantics)
+        return content_hash_batch(t, text_col="redacted").select(
+            ["content_hash", "doc_id", "lang", "n_tokens"]
+        )
+
+    deduped = sorted_group_rollup(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        key_col="content_hash",
+        id_col="doc_id",
+        carry_cols=("lang", "n_tokens"),
+    )
+    out = small_key_rollup(
+        deduped, ["lang"], sums=[("sum_tokens", "n_tokens")], count_alias="n_docs"
+    ).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_vocab_top_tokens(sf_dir: str) -> pd.DataFrame:
     """Corpus vocabulary / document-frequency table (functions/text.py:
     vocab_stats — per-block polars pre-agg, high-cardinality sort-plan
@@ -1795,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": q_rolling_user_value,
         "redact_documents": q_redact_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
+        "train_corpus_prep": q_train_corpus_prep,
     }
 
 
@@ -1855,6 +1904,16 @@ SELECT g AS {group}, q, ROUND({est}, 6) AS est FROM sel ORDER BY g, q
 """
 
 
+def _redact_chain_sql(expr: str) -> str:
+    """Nested regexp_replace applying REDACT_RULES in order to ``expr``
+    (counts not needed — see _redact_oracle for the counted variant)."""
+    from ddsketch_ray.functions.text import REDACT_RULES
+
+    for pat, repl in REDACT_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
 def _redact_oracle() -> str:
     """Chained regexp_replace oracle generated from the SAME rule table
     the Ray kernel uses (single source — the shared-helper convention of
@@ -1879,10 +1938,34 @@ s{i} AS (SELECT doc_id, regexp_replace(t, '{pat}', '{repl}', 'g') AS t,
     )
 
 
+def _train_corpus_prep_oracle() -> str:
+    doc_hash = _splitmix_sql(
+        f"xor(CAST(doc_id AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
+    )
+    return f"""
+-- split (same SplitMix64 % 100) -> redaction chain -> token gate on the
+-- REDACTED text -> dedup by redacted text -> per-language rollup
+WITH h AS (SELECT doc_id, lang, {doc_hash} % 100 AS b,
+                  coalesce(text, '') || ' contact admin@example.com or call 555-000-1234' AS t0
+           FROM documents),
+tr AS (SELECT doc_id, lang, {_redact_chain_sql('t0')} AS tx FROM h WHERE b < 90),
+tok AS (SELECT doc_id, lang, tx,
+        len(list_filter(regexp_split_to_array(tx, '[ \t\n\r\f\v]+'), x -> x <> ''))::BIGINT AS n_tokens
+        FROM tr),
+kept AS (SELECT * FROM tok WHERE n_tokens >= 10),
+dedup AS (SELECT min(doc_id) AS sid, any_value(lang) AS lang,
+                 any_value(n_tokens) AS n_tokens
+          FROM kept GROUP BY tx)
+SELECT lang, SUM(n_tokens)::BIGINT AS sum_tokens, COUNT(*)::BIGINT AS n_docs
+FROM dedup GROUP BY lang ORDER BY lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"({q})" for q in QS)
     out = _recomputed_oracles(qs_values)
     out["redact_documents"] = _redact_oracle()
+    out["train_corpus_prep"] = _train_corpus_prep_oracle()
     # Approximate sketches (HLL/CMS/Bloom/LSH/...) cannot be recomputed by
     # an independent SQL query; their fixed-seed distributed output is
     # deterministic, so the expected values are computed once and frozen

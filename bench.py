@@ -192,9 +192,25 @@ def bench_bigjoin() -> float:
     orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
     j = equi_join_shuffle(
         li, orders, "l_orderkey", "o_orderkey",
-        ["l_extendedprice"], ["o_orderpriority"], num_buckets=32,
+        ["l_extendedprice"], ["o_orderpriority"], num_buckets=128,
     )
     small_key_rollup(j, ["o_orderpriority"], count_alias="n")
+    return time.perf_counter() - t0
+
+
+def bench_vocab() -> float:
+    """Corpus vocabulary/IDF table (round 3): per-block polars token
+    pre-agg → sort-plan rollup over tokens → top-k, over the 600k-page
+    disk corpus (only the text column leaves storage)."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.text import vocab_stats
+
+    path = ensure_corpus(READ_N)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(path, columns=["url", "text"])
+    # url stands in for doc_id (unique per page)
+    vocab_stats(ds, text_col="text", doc_id_col="url", top_k=100).to_pandas()
     return time.perf_counter() - t0
 
 
@@ -267,6 +283,7 @@ def run_bench() -> dict:
         ("token_quality_documents", bench_token_quality),
         ("session_counts_events", bench_session_counts),
         ("bigjoin_lineitem_orders", bench_bigjoin),
+        ("vocab_600k_pages", bench_vocab),
     ]:
         fn()  # warm pass
         queries[name] = round(min(fn() for _ in range(2)), 3)

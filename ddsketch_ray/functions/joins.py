@@ -690,6 +690,10 @@ def equi_join_shuffle(
     only co-bucket keys, never mis-join them. ``how``: "inner" or
     "left" (unmatched left rows null-filled).
 
+    ``num_buckets`` is the join's parallelism: each bucket is one task
+    running one single-threaded Arrow hash join, so use ≈ 4× cluster
+    CPUs (the block-count rule) — measured at sf0.1/32 CPUs: 16 buckets
+    15.0 s, 32 → 6.9 s, 128 → 4.4 s (same window; best observed 2.6 s).
     Skew: one hot key lands in one bucket, so num_buckets bounds a
     worker's share only under spread keys. ``salt > 1`` splits every
     bucket into ``salt`` sub-buckets — LEFT rows round-robin across
