@@ -1538,3 +1538,63 @@ def simhash_dedup(
     ) if len(pairs) else np.empty(0, np.int64)
     rep = cluster_pairs(pairs, pair_ids)
     return emit_cluster_assignments(fps_ds, rep, id_col)
+
+
+def exact_dedup_emit(ds, key_col: str, id_col: str):
+    """Exact dedup that EMITS the surviving row — for each ``key_col``
+    group, the full row with the minimum ``id_col`` (deterministic:
+    ties impossible for a unique id). Unlike ``sorted_group_rollup``
+    (whose carries must be constant within a group), every output
+    column belongs to the survivor row itself, so columns that vary
+    within a duplicate group (e.g. a doc_id-keyed split assignment)
+    are carried correctly.
+
+    Plan: one distributed sort on (key, id) — group-first rows are then
+    min-id rows — each block emits its group-first rows; only the
+    block's FIRST and LAST groups can span an edge, so those candidates
+    (≤ 2 rows per block) are re-minimized on the driver. The sort moves
+    full rows: for very wide rows prefer ``exact_dedup`` (ids only) +
+    an id join. Keys must be non-null."""
+    import pandas as pd
+    import ray.data as rd
+
+    s = ds.sort([key_col, id_col])
+    names = None
+
+    def block_first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_edge", pa.array([], pa.bool_()))
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        out = t.take(pa.array(starts.astype(np.int64)))
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = edge[-1] = True
+        return out.append_column("_edge", pa.array(edge))
+
+    rep = s.map_batches(block_first, batch_format="pyarrow", batch_size=None).materialize()
+    internal = rep.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("_edge"))).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edge = rep.map_batches(
+        lambda t: t.filter(t.column("_edge")).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()  # ≤ 2 candidate rows per block
+    if not len(edge):
+        return internal
+    # min-id row per key among the candidates (the global min-id row of
+    # any block-spanning group is a group-first row in SOME block)
+    win = edge.sort_values([key_col, id_col], kind="stable").groupby(
+        key_col, as_index=False, sort=False
+    ).first()
+    sch = getattr(rep.schema(), "base_schema", rep.schema())
+    fix = pa.table(
+        {
+            f.name: pa.array(win[f.name].to_numpy(), type=f.type)
+            for f in sch
+            if f.name != "_edge"
+        }
+    )
+    return internal.union(rd.from_arrow(fix))

@@ -372,3 +372,103 @@ def test_checkpointed_map_job_empty_partition(ray_session, tmp_path):
     import ray.data as rd
     out = rd.read_parquet(files).to_pandas()
     assert len(out) == 2 and sorted(out.columns) == ["doc_id", "n"]
+
+
+def test_exact_dedup_emit(ray_session):
+    """Survivor-row dedup: the min-id row's OWN values win for columns
+    that vary within a duplicate group (the split-carry trap), across
+    block-spanning groups and any layout."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import exact_dedup_emit
+
+    rng = np.random.default_rng(5)
+    n = 9_000
+    df = pd.DataFrame(
+        {
+            "h": rng.integers(0, 900, n).astype(np.int64),  # ~10 rows/group
+            "doc_id": rng.permutation(n).astype(np.int64),
+            # varies WITHIN a group (keyed on doc_id, not h):
+            "split": np.where(rng.integers(0, 2, n) == 0, "train", "val"),
+        }
+    )
+    for parts in (1, 7, 23):
+        out = (
+            exact_dedup_emit(rd.from_pandas(df).repartition(parts), "h", "doc_id")
+            .to_pandas()
+            .sort_values("h")
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["h", "doc_id"], kind="stable")
+            .groupby("h", as_index=False)
+            .first()
+            .sort_values("h")
+            .reset_index(drop=True)
+        )
+        assert out["h"].tolist() == exp["h"].tolist()
+        assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert out["split"].tolist() == exp["split"].tolist()  # survivor's own
+
+
+def test_corpus_prep_job_resume(ray_session, tmp_path):
+    """End-to-end resumable corpus prep: cold run == resumed run after a
+    lost part; output is split-partitioned and dedup keeps min-id
+    survivors with their own split."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import duckdb
+
+    from ddsketch_ray.pipelines.corpus_prep import corpus_prep_job
+
+    # tiny corpus with planted exact duplicates ACROSS shards (letter
+    # ids — digits would be redacted to <D>, collapsing every doc!)
+    base = [f"doc {'x' * (i + 1)} " + "word " * 30 for i in range(40)]
+    texts = base + base[:10]  # ids 40..49 duplicate ids 0..9
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+        }
+    )
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i in range(2):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[i * 25 : (i + 1) * 25]),
+            shard_dir / f"s{i}.parquet",
+        )
+    files = sorted(str(p) for p in shard_dir.glob("*.parquet"))
+
+    out1 = tmp_path / "out1"
+    s1, job = corpus_prep_job(
+        files, ckpt_dir=str(tmp_path / "ckpt"), out_dir=str(out1), run_id="t1",
+        concurrency=2,
+    )
+    assert s1["partitions"] == 2 and s1["prep_rows"] == 50
+    assert s1["survivor_rows"] == 40  # 10 duplicate texts collapsed
+    # survivors of duplicated texts are the low ids (min-id wins)
+    got = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out1}/*/*.parquet', hive_partitioning=1) ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].max() < 40
+
+    # lose a part -> resume recomputes exactly one partition, same output
+    os.remove(job.output_files()[1])
+    out2 = tmp_path / "out2"
+    s2, _ = corpus_prep_job(
+        files, ckpt_dir=str(tmp_path / "ckpt"), out_dir=str(out2), run_id="t1",
+        concurrency=2,
+    )
+    assert s2["recomputed_partitions"] == 1
+    a = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out1}/*/*.parquet', hive_partitioning=1) ORDER BY doc_id"
+    ).df()
+    b = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out2}/*/*.parquet', hive_partitioning=1) ORDER BY doc_id"
+    ).df()
+    assert a.equals(b)
