@@ -1590,6 +1590,58 @@ def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["metric", "value"])
 
 
+def q_brand_revenue_europe(sf_dir: str) -> pd.DataFrame:
+    """Multi-way star join covering the remaining dims: lineitem
+    semi-filtered to EUROPE suppliers (supplier⋈nation⋈region resolved
+    driver-side — tiny dims — then ONE broadcast key set), broadcast
+    part dim for the brand, discounted revenue in exact integer units
+    (cents × basis points — no float accumulation), 5-brand rollup via
+    small_key_rollup. Zero shuffles except the tiny final combine."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.joins import equi_join_broadcast, semi_join_broadcast
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    eu_rk = region.filter(pc.equal(region.column("r_name"), "EUROPE")).column("r_regionkey")
+    eu_nk = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=eu_rk.combine_chunks())
+    ).column("n_nationkey")
+    eu_supp = supp.filter(
+        pc.is_in(supp.column("s_nationkey"), value_set=eu_nk.combine_chunks())
+    ).column("s_suppkey")
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    li = semi_join_broadcast(li, eu_supp, "l_suppkey")
+    joined = equi_join_broadcast(
+        li, part, key_col="l_partkey", value_cols=["p_brand"], dim_key_col="p_partkey"
+    )
+
+    def to_units(t: pa.Table) -> pa.Table:
+        # exact integer discounted revenue: cents × (10000 - bp)
+        ext_c = np.round(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_bp = np.round(t.column("l_discount").to_numpy(zero_copy_only=False) * 10000).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "rev_u": pa.array(ext_c * (10000 - disc_bp)),
+            }
+        )
+
+    out = small_key_rollup(
+        joined.map_batches(to_units, batch_format="pyarrow", batch_size=None),
+        ["p_brand"],
+        sums=[("rev_u", "rev_u")],
+        count_alias="n_items",
+    ).to_pandas()
+    out["revenue"] = out.pop("rev_u") / 1_000_000.0
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
 def q_train_corpus_prep(sf_dir: str) -> pd.DataFrame:
     """END-TO-END training-corpus preparation — the composition the
     engine exists for, as ONE streaming pipeline: deterministic hash
@@ -1844,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_documents": q_redact_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_corpus_prep": q_train_corpus_prep,
+        "brand_revenue_europe": q_brand_revenue_europe,
     }
 
 
@@ -2423,6 +2476,22 @@ SELECT doc_id, n_tokens, n_punct, n_digit, n_stopwords,
       - (CASE WHEN mtl < 2.0 OR mtl > 12.0 THEN 0.2 ELSE 0.0 END)
       - (CASE WHEN n_tokens < 5 THEN 0.3 ELSE 0.0 END) AS quality_score
 FROM g ORDER BY doc_id
+""",
+        "brand_revenue_europe": """
+-- star join: lineitem x part (brand) filtered to EUROPE suppliers;
+-- discounted revenue in exact integer units (cents x basis points)
+SELECT p.p_brand,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))) / 1000000.0 AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey IN (
+  SELECT s_suppkey FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE')
+GROUP BY 1 ORDER BY 1
 """,
         "vocab_top_tokens": r"""
 -- same token definition as token_counts (ASCII-whitespace maximal runs)

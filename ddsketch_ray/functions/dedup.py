@@ -1558,8 +1558,10 @@ def exact_dedup_emit(ds, key_col: str, id_col: str):
     import pandas as pd
     import ray.data as rd
 
+    sch = getattr(ds.schema(), "base_schema", ds.schema())
+    if sch is not None and "_edge" in getattr(sch, "names", []):
+        raise ValueError("exact_dedup_emit reserves the column name '_edge'")
     s = ds.sort([key_col, id_col])
-    names = None
 
     def block_first(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1585,15 +1587,18 @@ def exact_dedup_emit(ds, key_col: str, id_col: str):
     if not len(edge):
         return internal
     # min-id row per key among the candidates (the global min-id row of
-    # any block-spanning group is a group-first row in SOME block)
-    win = edge.sort_values([key_col, id_col], kind="stable").groupby(
-        key_col, as_index=False, sort=False
-    ).first()
-    sch = getattr(rep.schema(), "base_schema", rep.schema())
+    # any block-spanning group is a group-first row in SOME block).
+    # drop_duplicates keeps WHOLE rows — groupby().first() would take
+    # each column's first NON-NULL value, mixing rows when the survivor
+    # holds nulls.
+    win = edge.sort_values([key_col, id_col], kind="stable").drop_duplicates(
+        subset=[key_col], keep="first"
+    )
+    rsch = getattr(rep.schema(), "base_schema", rep.schema())
     fix = pa.table(
         {
-            f.name: pa.array(win[f.name].to_numpy(), type=f.type)
-            for f in sch
+            f.name: pa.Array.from_pandas(win[f.name], type=f.type)  # NaN→null
+            for f in rsch
             if f.name != "_edge"
         }
     )

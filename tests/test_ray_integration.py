@@ -411,6 +411,20 @@ def test_exact_dedup_emit(ray_session):
         assert out["doc_id"].tolist() == exp["doc_id"].tolist()
         assert out["split"].tolist() == exp["split"].tolist()  # survivor's own
 
+    # null-mixing regression: when the MIN-ID row holds a null, the
+    # output must keep the null — not backfill from a later duplicate
+    t = pa.table(
+        {
+            "h": pa.array([7, 7, 7], pa.int64()),
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "val": pa.array([None, "later", "latest"], pa.string()),
+        }
+    )
+    o = exact_dedup_emit(
+        rd.from_arrow(t).repartition(2), "h", "doc_id"
+    ).to_pandas()
+    assert len(o) == 1 and o["doc_id"].iloc[0] == 1 and pd.isna(o["val"].iloc[0])
+
 
 def test_corpus_prep_job_resume(ray_session, tmp_path):
     """End-to-end resumable corpus prep: cold run == resumed run after a
