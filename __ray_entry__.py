@@ -1590,6 +1590,46 @@ def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["metric", "value"])
 
 
+def q_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Test-set decontamination (functions/dedup.py:decontaminate):
+    eval = the hash split's test bucket (b >= 95), train = the rest;
+    flag train docs with exact trigram Jaccard >= 1/2 against any eval
+    doc. Zero-shuffle broadcast plan; REAL SQL oracle (distinct trigram
+    strings, train x eval gram join, integer threshold)."""
+    from ddsketch_ray.functions.dedup import decontaminate
+    from ddsketch_ray.functions.sampling import sample_mask_batch
+
+    full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # eval bucket = SplitMix64(doc_id) % 100 >= 95 (the test split)
+    from ddsketch_ray.hashing import hash_ints
+
+    b = hash_ints(full.column("doc_id").to_numpy(), 0) % np.uint64(100)
+    eval_tbl = full.filter(pa.array(b >= 95))
+
+    import ray.data as rd
+
+    train = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pa.array(
+                hash_ints(
+                    t.column("doc_id").to_numpy(zero_copy_only=False), 0
+                ) % np.uint64(100) < 95
+            )
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        decontaminate(train, eval_tbl, n=3, tau_num=1, tau_den=2)
+        .to_pandas()
+        .sort_values(["doc_id", "eval_id"])
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "eval_id", "inter", "union"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_brand_revenue_europe(sf_dir: str) -> pd.DataFrame:
     """Multi-way star join covering the remaining dims: lineitem
     semi-filtered to EUROPE suppliers (supplier⋈nation⋈region resolved
@@ -1897,6 +1937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_corpus_prep": q_train_corpus_prep,
         "brand_revenue_europe": q_brand_revenue_europe,
+        "decontaminate_docs": q_decontaminate_docs,
     }
 
 
@@ -2096,6 +2137,32 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "decontaminate_docs": f"""
+-- exact recompute: distinct trigram STRINGS per doc (same identity as
+-- the ngram dedup oracle), eval = SplitMix64 bucket >= 95, train x
+-- eval gram join -> intersection counts, J >= 1/2 as integer
+-- cross-multiply
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, {kmv_doc_hash} % 100 AS b,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, b, ts[g.i] AS t, g.i AS pos
+        FROM toks JOIN generate_series(1, 512) g(i) ON g.i <= len(ts)),
+g3 AS (SELECT doc_id, b, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS gram
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, b, gram FROM g3 WHERE gram IS NOT NULL),
+sz AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+tr AS (SELECT doc_id, gram FROM sh WHERE b < 95),
+ev AS (SELECT doc_id, gram FROM sh WHERE b >= 95),
+inter AS (SELECT t.doc_id AS tid, e.doc_id AS eid, COUNT(*)::BIGINT AS i
+          FROM tr t JOIN ev e ON t.gram = e.gram GROUP BY 1, 2)
+SELECT i.tid AS doc_id, i.eid AS eval_id, i.i AS inter,
+       (za.sz + zb.sz - i.i)::BIGINT AS "union"
+FROM inter i JOIN sz za ON za.doc_id = i.tid JOIN sz zb ON zb.doc_id = i.eid
+WHERE 2 * i.i >= 1 * (za.sz + zb.sz - i.i)
+ORDER BY doc_id, eval_id
 """,
         "rolling_user_value": """
 -- real SQL window functions: 3-row rolling sum/count + LAG per user

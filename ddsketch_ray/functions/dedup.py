@@ -1603,3 +1603,95 @@ def exact_dedup_emit(ds, key_col: str, id_col: str):
         }
     )
     return internal.union(rd.from_arrow(fix))
+
+
+def decontaminate(
+    train_ds,
+    eval_batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    seed: int = 0,
+):
+    """Test-set decontamination: flag train documents whose EXACT
+    n-gram Jaccard against ANY eval document reaches
+    ``tau_num/tau_den``. → Dataset (id_col, eval_id, inter, union) —
+    one row per contaminated (train, eval) pair.
+
+    The eval side is the small one (benchmarks/test sets), so this is a
+    ZERO-shuffle broadcast plan: the eval corpus's per-doc distinct
+    n-gram hash sets (``shingle_doc_sets_batch`` — the same n-gram
+    identity the dedup SQL oracles recompute as strings) are flattened
+    into one globally sorted (gram → eval row) multi-map, ``ray.put``
+    once, and every train batch intersects against it with two
+    searchsorted passes + one lexsort — no per-doc Python, nothing
+    O(pairs) anywhere, train text never leaves its block. The threshold
+    is the integer cross-multiplication (no float compare).
+
+    Docs with fewer than ``n`` tokens have empty sets and are never
+    flagged (both sides — mirrors the dedup convention). Eval footprint
+    on each worker = its distinct-gram count × 16 bytes + row arrays;
+    for eval corpora beyond ~10⁷ distinct grams, split the eval side
+    and run passes per chunk (results are independent unions).
+    """
+    import ray
+
+    ev = shingle_doc_sets_batch(eval_batch, text_col=text_col, id_col=id_col, n=n, seed=seed)
+    evals, ecounts = _unpack_large_binary_u64(ev.column("shset"))
+    eids = ev.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    e_row = np.repeat(np.arange(len(eids), dtype=np.int64), ecounts)
+    order = np.argsort(evals, kind="stable")
+    payload = ray.put(
+        (evals[order], e_row[order], eids, ecounts.astype(np.int64))
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        eg, erow, eids_, esz_ = ray.get(payload)  # plasma-local, zero-copy
+        p = shingle_doc_sets_batch(t, text_col=text_col, id_col=id_col, n=n, seed=seed)
+        vals, counts = _unpack_large_binary_u64(p.column("shset"))
+        tids = p.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "eval_id": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "union": pa.array([], pa.int64()),
+            }
+        )
+        if not len(vals) or not len(eg):
+            return empty
+        t_row = np.repeat(np.arange(len(tids), dtype=np.int64), counts)
+        lo = np.searchsorted(eg, vals, side="left")
+        hi = np.searchsorted(eg, vals, side="right")
+        m = hi > lo
+        if not m.any():
+            return empty
+        reps = (hi[m] - lo[m]).astype(np.int64)
+        total = int(reps.sum())
+        # eval positions of every (train gram, eval occurrence) match
+        ar = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
+        pos = np.repeat(lo[m], reps) + ar
+        pt = np.repeat(t_row[m], reps)  # train row per match
+        pe = erow[pos]  # eval row per match
+        # grams are distinct within each doc's set, so per-(pt, pe)
+        # match counts ARE intersection sizes
+        key = pt * np.int64(len(eids_)) + pe
+        ks = np.sort(key, kind="stable")
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        inter = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
+        upt = (ks[starts] // len(eids_)).astype(np.int64)
+        upe = (ks[starts] % len(eids_)).astype(np.int64)
+        union = counts[upt] + esz_[upe] - inter
+        keep = np.int64(tau_den) * inter >= np.int64(tau_num) * union
+        return pa.table(
+            {
+                id_col: pa.array(tids[upt[keep]]),
+                "eval_id": pa.array(eids_[upe[keep]]),
+                "inter": pa.array(inter[keep]),
+                "union": pa.array(union[keep]),
+            }
+        )
+
+    return train_ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)

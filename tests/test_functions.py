@@ -1580,3 +1580,47 @@ def test_sorted_sum_rollup_and_vocab(ray_session):
     assert v["tok"].tolist() == ["a", "c", "b"]
     assert v["n_occ"].tolist() == [5, 4, 3]
     assert v["n_docs"].tolist() == [3, 3, 2]
+
+
+def test_decontaminate(ray_session):
+    """Broadcast exact-Jaccard decontamination vs a brute-force oracle:
+    multi-eval matches, shared grams across eval docs, short docs
+    (empty sets) never flagged, threshold edge exact."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.dedup import decontaminate, ngram_jaccard
+
+    ev_texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "shared words here across evals alpha beta gamma",
+    ]
+    tr_texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",      # exact dup of ev0
+        "alpha beta gamma delta epsilon zeta eta thetaX",     # near dup of ev0
+        "one two three four five different tail here now",    # partial of ev1
+        "completely unrelated text with other words inside",  # no match
+        "tiny doc",                                           # < n tokens: never flagged
+    ]
+    ev = pa.table({"doc_id": pa.array(range(100, 103), pa.int64()),
+                   "text": pa.array(ev_texts)})
+    tr = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                   "text": pa.array(tr_texts)})
+    out = (
+        decontaminate(rd.from_arrow(tr).repartition(3), ev, n=3, tau_num=1, tau_den=2)
+        .to_pandas().sort_values(["doc_id", "eval_id"]).reset_index(drop=True)
+    )
+    # brute-force expectation from the scalar kernel
+    exp = []
+    for ti, tt in enumerate(tr_texts):
+        for ei, et in enumerate(ev_texts):
+            if len(tt.split()) < 3 or len(et.split()) < 3:
+                continue
+            j = ngram_jaccard(tt, et, k=3)
+            if j >= 0.5:
+                exp.append((ti, 100 + ei))
+    assert list(zip(out["doc_id"], out["eval_id"])) == sorted(exp)
+    # exact dup pair: inter == union
+    row0 = out[out["doc_id"] == 0].iloc[0]
+    assert row0["inter"] == row0["union"]
+    assert 4 not in out["doc_id"].tolist()  # short doc never flagged
