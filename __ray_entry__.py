@@ -2156,8 +2156,18 @@ sh AS (SELECT DISTINCT doc_id, b, gram FROM g3 WHERE gram IS NOT NULL),
 sz AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
 tr AS (SELECT doc_id, gram FROM sh WHERE b < 95),
 ev AS (SELECT doc_id, gram FROM sh WHERE b >= 95),
-inter AS (SELECT t.doc_id AS tid, e.doc_id AS eid, COUNT(*)::BIGINT AS i
-          FROM tr t JOIN ev e ON t.gram = e.gram GROUP BY 1, 2)
+-- candidate blocking mirrors the engine: pairs sharing >= 2
+-- distinctive grams (eval document frequency <= 8); verify is exact
+-- over the full sets
+rare AS (SELECT gram FROM ev GROUP BY gram HAVING COUNT(*) <= 8),
+cand AS (SELECT t.doc_id AS tid, e.doc_id AS eid
+         FROM tr t JOIN rare USING (gram) JOIN ev e USING (gram)
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+inter AS (SELECT c.tid, c.eid, COUNT(*)::BIGINT AS i
+          FROM cand c
+          JOIN tr x ON x.doc_id = c.tid
+          JOIN ev y ON y.doc_id = c.eid AND y.gram = x.gram
+          GROUP BY 1, 2)
 SELECT i.tid AS doc_id, i.eid AS eval_id, i.i AS inter,
        (za.sz + zb.sz - i.i)::BIGINT AS "union"
 FROM inter i JOIN sz za ON za.doc_id = i.tid JOIN sz zb ON zb.doc_id = i.eid

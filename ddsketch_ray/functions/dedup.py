@@ -1613,7 +1613,10 @@ def decontaminate(
     n: int = 3,
     tau_num: int = 1,
     tau_den: int = 2,
+    max_eval_df: int = 8,
+    min_rare_shared: int = 2,
     seed: int = 0,
+    batch_size: int | None = 4096,
 ):
     """Test-set decontamination: flag train documents whose EXACT
     n-gram Jaccard against ANY eval document reaches
@@ -1621,20 +1624,35 @@ def decontaminate(
     one row per contaminated (train, eval) pair.
 
     The eval side is the small one (benchmarks/test sets), so this is a
-    ZERO-shuffle broadcast plan: the eval corpus's per-doc distinct
-    n-gram hash sets (``shingle_doc_sets_batch`` — the same n-gram
-    identity the dedup SQL oracles recompute as strings) are flattened
-    into one globally sorted (gram → eval row) multi-map, ``ray.put``
-    once, and every train batch intersects against it with two
-    searchsorted passes + one lexsort — no per-doc Python, nothing
-    O(pairs) anywhere, train text never leaves its block. The threshold
-    is the integer cross-multiplication (no float compare).
+    ZERO-shuffle broadcast plan, two-phase like the repo's n-gram dedup:
+
+    - **Candidates** = pairs sharing ≥ ``min_rare_shared`` DISTINCTIVE
+      grams (eval document frequency ≤ ``max_eval_df``), then pruned by
+      the size-compatibility bound ``tau_den·min(|A|,|B|) ≥
+      tau_num·max(|A|,|B|)`` (a necessary condition of the threshold —
+      no recall loss). The df cap bounds the match expansion at
+      ``max_eval_df`` per matched train gram; without it a hot
+      boilerplate gram (eval df in the hundreds) that also appears in
+      most train docs yields an O(|train| × df) blow-up — measured
+      581M match rows for ONE 37.5k-doc block on a shared-template
+      corpus, with every train×eval pair sharing ≥ 1 gram. The recall
+      contract (same family as ``ngram_jaccard_dedup_distributed``'s
+      rare-gram blocking): a pair sharing fewer than ``min_rare_shared``
+      distinctive grams is missed — at sane thresholds (τ ≥ ~0.3) a
+      true near-dup shares far more.
+    - **Verification is exact**: each surviving candidate intersects
+      the train doc's FULL sorted gram set against that eval doc's
+      FULL set (one lexsort over concatenated pair payloads — no
+      per-pair Python), processed in fixed-size element chunks so peak
+      memory is bounded regardless of candidate count. Reported
+      inter/union are true values; the threshold is the integer
+      cross-multiplication.
 
     Docs with fewer than ``n`` tokens have empty sets and are never
-    flagged (both sides — mirrors the dedup convention). Eval footprint
-    on each worker = its distinct-gram count × 16 bytes + row arrays;
-    for eval corpora beyond ~10⁷ distinct grams, split the eval side
-    and run passes per chunk (results are independent unions).
+    flagged (both sides). ``batch_size`` bounds per-task work (docs per
+    kernel call); worker footprint = eval grams × 16 B + one verify
+    chunk. For eval corpora beyond ~10⁷ grams, chunk the eval side
+    (runs are independent unions).
     """
     import ray
 
@@ -1642,13 +1660,20 @@ def decontaminate(
     evals, ecounts = _unpack_large_binary_u64(ev.column("shset"))
     eids = ev.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     e_row = np.repeat(np.arange(len(eids), dtype=np.int64), ecounts)
+    e_off = np.zeros(len(eids) + 1, dtype=np.int64)
+    np.cumsum(ecounts, out=e_off[1:])
     order = np.argsort(evals, kind="stable")
+    eg_s, erow_s = evals[order], e_row[order]
+    starts = np.nonzero(np.r_[True, eg_s[1:] != eg_s[:-1]])[0]
+    df = np.diff(np.r_[starts, len(eg_s)])
+    rare = np.repeat(df <= max_eval_df, df)
     payload = ray.put(
-        (evals[order], e_row[order], eids, ecounts.astype(np.int64))
+        (eg_s[rare], erow_s[rare], evals, e_off, eids, ecounts.astype(np.int64))
     )
+    VERIFY_CHUNK_ELEMS = 32_000_000  # ~0.5 GB peak in the verify lexsort
 
     def kernel(t: pa.Table) -> pa.Table:
-        eg, erow, eids_, esz_ = ray.get(payload)  # plasma-local, zero-copy
+        eg, erow, eflat, eoff, eids_, esz_ = ray.get(payload)  # plasma-local
         p = shingle_doc_sets_batch(t, text_col=text_col, id_col=id_col, n=n, seed=seed)
         vals, counts = _unpack_large_binary_u64(p.column("shset"))
         tids = p.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1662,7 +1687,10 @@ def decontaminate(
         )
         if not len(vals) or not len(eg):
             return empty
+        t_off = np.zeros(len(tids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=t_off[1:])
         t_row = np.repeat(np.arange(len(tids), dtype=np.int64), counts)
+        # ---- phase 1: candidates via distinctive grams
         lo = np.searchsorted(eg, vals, side="left")
         hi = np.searchsorted(eg, vals, side="right")
         m = hi > lo
@@ -1670,28 +1698,61 @@ def decontaminate(
             return empty
         reps = (hi[m] - lo[m]).astype(np.int64)
         total = int(reps.sum())
-        # eval positions of every (train gram, eval occurrence) match
         ar = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
-        pos = np.repeat(lo[m], reps) + ar
-        pt = np.repeat(t_row[m], reps)  # train row per match
-        pe = erow[pos]  # eval row per match
-        # grams are distinct within each doc's set, so per-(pt, pe)
-        # match counts ARE intersection sizes
+        pe = erow[np.repeat(lo[m], reps) + ar]
+        pt = np.repeat(t_row[m], reps)
         key = pt * np.int64(len(eids_)) + pe
-        ks = np.sort(key, kind="stable")
-        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
-        inter = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
-        upt = (ks[starts] // len(eids_)).astype(np.int64)
-        upe = (ks[starts] % len(eids_)).astype(np.int64)
-        union = counts[upt] + esz_[upe] - inter
-        keep = np.int64(tau_den) * inter >= np.int64(tau_num) * union
-        return pa.table(
-            {
-                id_col: pa.array(tids[upt[keep]]),
-                "eval_id": pa.array(eids_[upe[keep]]),
-                "inter": pa.array(inter[keep]),
-                "union": pa.array(union[keep]),
-            }
-        )
+        uk, shared = np.unique(key, return_counts=True)
+        sel = shared >= min_rare_shared
+        cpt = (uk[sel] // len(eids_)).astype(np.int64)
+        cpe = (uk[sel] % len(eids_)).astype(np.int64)
+        # size-compatibility prune (necessary for J >= tau; no recall loss)
+        la, lb = counts[cpt], esz_[cpe]
+        ok = np.int64(tau_den) * np.minimum(la, lb) >= np.int64(tau_num) * np.maximum(la, lb)
+        cpt, cpe, la, lb = cpt[ok], cpe[ok], la[ok], lb[ok]
+        if not len(cpt):
+            return empty
+        # ---- phase 2: exact verify in bounded-memory chunks
+        elems = la + lb
+        cum = np.cumsum(elems)
+        outs = []
+        c0 = 0
+        while c0 < len(cpt):
+            base = cum[c0 - 1] if c0 else 0
+            c1 = int(np.searchsorted(cum, base + VERIFY_CHUNK_ELEMS)) + 1
+            c1 = max(c0 + 1, min(c1, len(cpt)))
+            kpt, kpe = cpt[c0:c1], cpe[c0:c1]
+            kla, klb = la[c0:c1], lb[c0:c1]
+            npair = len(kpt)
+            tota, totb = int(kla.sum()), int(klb.sum())
+            ara = np.arange(tota, dtype=np.int64) - np.repeat(np.cumsum(kla) - kla, kla)
+            a_grams = vals[np.repeat(t_off[kpt], kla) + ara]
+            a_pair = np.repeat(np.arange(npair, dtype=np.int64), kla)
+            arb = np.arange(totb, dtype=np.int64) - np.repeat(np.cumsum(klb) - klb, klb)
+            b_grams = eflat[np.repeat(eoff[kpe], klb) + arb]
+            b_pair = np.repeat(np.arange(npair, dtype=np.int64), klb)
+            gall = np.concatenate([a_grams, b_grams])
+            pall = np.concatenate([a_pair, b_pair])
+            o = np.lexsort((gall, pall))
+            gs, ps = gall[o], pall[o]
+            dup = (ps[1:] == ps[:-1]) & (gs[1:] == gs[:-1])  # each side distinct
+            inter = np.bincount(ps[1:][dup], minlength=npair).astype(np.int64)
+            union = kla + klb - inter
+            keep = np.int64(tau_den) * inter >= np.int64(tau_num) * union
+            if keep.any():
+                outs.append(
+                    pa.table(
+                        {
+                            id_col: pa.array(tids[kpt[keep]]),
+                            "eval_id": pa.array(eids_[kpe[keep]]),
+                            "inter": pa.array(inter[keep]),
+                            "union": pa.array(union[keep]),
+                        }
+                    )
+                )
+            c0 = c1
+        return pa.concat_tables(outs) if outs else empty
 
-    return train_ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+    return train_ds.map_batches(
+        kernel, batch_format="pyarrow", batch_size=batch_size
+    )
