@@ -1590,6 +1590,20 @@ def q_webpages_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["metric", "value"])
 
 
+def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Distributed column profiler (functions/analytics.py:
+    profile_numeric_columns — one streaming pass of per-block pyarrow
+    aggregates + O(blocks×cols) driver combine; exact distinct via the
+    sort plan for the requested column)."""
+    from ddsketch_ray.functions.analytics import profile_numeric_columns
+
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", cols)
+    out = profile_numeric_columns(ds, cols, distinct_cols=["l_orderkey"]).to_pandas()
+    out["n_distinct"] = out["n_distinct"].astype("float64")  # null → NaN
+    return out.sort_values("column").reset_index(drop=True)
+
+
 def q_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Test-set decontamination (functions/dedup.py:decontaminate):
     eval = the hash split's test bucket (b >= 95), train = the rest;
@@ -1938,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_corpus_prep": q_train_corpus_prep,
         "brand_revenue_europe": q_brand_revenue_europe,
         "decontaminate_docs": q_decontaminate_docs,
+        "profile_lineitem": q_profile_lineitem,
     }
 
 
@@ -2553,6 +2568,30 @@ SELECT doc_id, n_tokens, n_punct, n_digit, n_stopwords,
       - (CASE WHEN mtl < 2.0 OR mtl > 12.0 THEN 0.2 ELSE 0.0 END)
       - (CASE WHEN n_tokens < 5 THEN 0.3 ELSE 0.0 END) AS quality_score
 FROM g ORDER BY doc_id
+""",
+        "profile_lineitem": """
+-- per-column stats, one row per column (min/max as DOUBLE: the
+-- profile surface); exact distinct only for l_orderkey
+SELECT 'l_discount' AS column, COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       CAST(MIN(l_discount) AS DOUBLE) AS min, CAST(MAX(l_discount) AS DOUBLE) AS max,
+       CAST(NULL AS DOUBLE) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*)::BIGINT,
+       SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+       CAST(NULL AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', COUNT(*)::BIGINT,
+       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       CAST(MIN(l_orderkey) AS DOUBLE), CAST(MAX(l_orderkey) AS DOUBLE),
+       CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', COUNT(*)::BIGINT,
+       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+       CAST(NULL AS DOUBLE) FROM lineitem
+ORDER BY 1
 """,
         "brand_revenue_europe": """
 -- star join: lineitem x part (brand) filtered to EUROPE suppliers;

@@ -247,3 +247,75 @@ def sorted_sum_rollup(ds, key_col: str, sum_cols: list[str]):
         )
         return internal.union(rd.from_arrow(fix))
     return internal
+
+
+def profile_numeric_columns(ds, columns, distinct_cols=()):
+    """Distributed ``describe``: one streaming pass computing per-column
+    (n_rows, n_nulls, min, max) — per-block pyarrow C++ aggregates,
+    driver combines O(blocks × columns) partial rows — plus exact
+    COUNT(DISTINCT) via the sort plan (``dedup.distinct_count``, one
+    narrow sort per requested column — opt-in because it is the only
+    non-map cost). → pyarrow Table
+    (column, n_rows, n_nulls, min, max, n_distinct[nullable]).
+
+    min/max are emitted as float64 (the profile surface, not an
+    arithmetic path); int64 columns beyond 2^53 would round — profile
+    such ids with ``distinct_cols``/count instead of min/max.
+    """
+    import ray
+
+    columns = list(columns)
+    distinct_cols = set(distinct_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "nulls": [], "mn": [], "mx": []}
+        for c in columns:
+            col = t.column(c)
+            rows["column"].append(c)
+            rows["n"].append(len(col))
+            rows["nulls"].append(col.null_count)
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            rows["mn"].append(None if mn is None else float(mn))
+            rows["mx"].append(None if mx is None else float(mx))
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "nulls": pa.array(rows["nulls"], pa.int64()),
+                "mn": pa.array(rows["mn"], pa.float64()),
+                "mx": pa.array(rows["mx"], pa.float64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    allp = pa.concat_tables(parts).combine_chunks()
+    g = allp.group_by(["column"], use_threads=False).aggregate(
+        [("n", "sum"), ("nulls", "sum"), ("mn", "min"), ("mx", "max")]
+    )
+    stats = {
+        r["column"]: (r["n_sum"], r["nulls_sum"], r["mn_min"], r["mx_max"])
+        for r in g.to_pylist()
+    }
+    nd = {}
+    if distinct_cols:
+        from ddsketch_ray.functions.dedup import distinct_count
+
+        for c in sorted(distinct_cols):
+            nd[c] = int(distinct_count(ds.select_columns([c]), c))
+    return pa.table(
+        {
+            "column": pa.array(columns, pa.string()),
+            "n_rows": pa.array([stats[c][0] for c in columns], pa.int64()),
+            "n_nulls": pa.array([stats[c][1] for c in columns], pa.int64()),
+            "min": pa.array([stats[c][2] for c in columns], pa.float64()),
+            "max": pa.array([stats[c][3] for c in columns], pa.float64()),
+            "n_distinct": pa.array([nd.get(c) for c in columns], pa.int64()),
+        }
+    )

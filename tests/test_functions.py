@@ -1624,3 +1624,31 @@ def test_decontaminate(ray_session):
     row0 = out[out["doc_id"] == 0].iloc[0]
     assert row0["inter"] == row0["union"]
     assert 4 not in out["doc_id"].tolist()  # short doc never flagged
+
+
+def test_profile_numeric_columns(ray_session):
+    """One-pass column profiler vs pandas, including an all-null column
+    and null-count accounting."""
+    import pandas as pd
+    import ray.data as rd
+    from ddsketch_ray.functions.analytics import profile_numeric_columns
+
+    df = pd.DataFrame(
+        {
+            "a": [1.5, None, 3.0, -2.0, None],
+            "b": pd.array([10, 20, 20, None, 30], dtype="Int64"),
+            "c": pd.array([None] * 5, dtype="Int64"),
+        }
+    )
+    out = (
+        profile_numeric_columns(
+            rd.from_pandas(df).repartition(3), ["a", "b", "c"], distinct_cols=["b"]
+        )
+        .to_pandas()
+        .set_index("column")
+    )
+    assert out.loc["a", "n_rows"] == 5 and out.loc["a", "n_nulls"] == 2
+    assert out.loc["a", "min"] == -2.0 and out.loc["a", "max"] == 3.0
+    assert out.loc["b", "n_nulls"] == 1 and out.loc["b", "n_distinct"] == 3
+    assert out.loc["c", "n_nulls"] == 5
+    assert np.isnan(out.loc["c", "min"]) and np.isnan(out.loc["c", "max"])
