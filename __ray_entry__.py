@@ -1872,6 +1872,41 @@ def q_rolling_user_value(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+_BM25_QUERIES = {
+    "q1": "hash join",
+    "q2": "customer order value",
+    "q3": "vector scan",
+}
+
+
+def _bm25_terms_values() -> str:
+    """(query_id, term) VALUES rows for the BM25 oracle, generated from
+    the SAME query table the Ray side searches (single source)."""
+    from ddsketch_ray.functions.search import tokenize_query
+
+    rows = []
+    for qid in sorted(_BM25_QUERIES):
+        for t in tokenize_query(_BM25_QUERIES[qid]):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def q_bm25_search_docs(sf_dir: str) -> pd.DataFrame:
+    """BM25 keyword search (functions/search.py:bm25_search — two
+    zero-shuffle passes: broadcast df/avgdl stats, block-local scoring
+    + per-block top-k, O(blocks×queries×k) driver merge). Oracle
+    recomputes tf/df/avgdl and the exact BM25 expression in SQL;
+    ordering on ROUND(score,6) on BOTH sides so float last-bits can
+    never flip a rank."""
+    from ddsketch_ray.functions.search import bm25_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_search(ds, _BM25_QUERIES, k=5).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1953,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue_europe": q_brand_revenue_europe,
         "decontaminate_docs": q_decontaminate_docs,
         "profile_lineitem": q_profile_lineitem,
+        "bm25_search_docs": q_bm25_search_docs,
     }
 
 
@@ -2592,6 +2628,41 @@ SELECT 'l_quantity', COUNT(*)::BIGINT,
        CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
        CAST(NULL AS DOUBLE) FROM lineitem
 ORDER BY 1
+""",
+        "bm25_search_docs": rf"""
+-- full BM25 recompute: tf/df/avgdl from the shared token definition,
+-- score expression mirrored operation-for-operation against
+-- functions/search.py (ln(1+x) not log1p; same associativity), ranking
+-- on ROUND(score,6) on both sides
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+  FROM documents),
+q(query_id, term) AS (VALUES {_bm25_terms_values()}),
+stats AS (SELECT COUNT(*)::BIGINT AS n,
+                 CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM documents),
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT tok, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+       WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY tok),
+tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks
+       WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, tok),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) ) AS score
+  FROM q JOIN tf ON tf.tok = q.term
+         JOIN df ON df.tok = q.term
+         JOIN dl ON dl.doc_id = tf.doc_id
+         CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, ROUND(score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
+  FROM scores WHERE ROUND(score, 6) > 0)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
         "brand_revenue_europe": """
 -- star join: lineitem x part (brand) filtered to EUROPE suppliers;
