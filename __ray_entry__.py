@@ -1891,6 +1891,26 @@ def _bm25_terms_values() -> str:
     return ", ".join(rows)
 
 
+def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Deterministic distributed k-means (functions/cluster.py:
+    kmeans_fit — broadcast centroids, per-block fixed-point integer
+    partials, exact Python-int driver combine; bit-identical across
+    block layouts and cluster sizes, which is what the frozen oracle
+    checks). k=8, 5 Lloyd iterations over the embeddings table."""
+    from ddsketch_ray.functions.cluster import kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = kmeans_fit(ds, k=8, iters=5, seed=0)
+    norms = _round6(np.sqrt(np.einsum("ij,ij->i", fit["centroids"], fit["centroids"])))
+    return pd.DataFrame(
+        {
+            "cluster": np.arange(8, dtype=np.int64),
+            "n_points": fit["counts"].astype(np.int64),
+            "centroid_norm": norms,
+        }
+    )
+
+
 def q_bm25_search_docs(sf_dir: str) -> pd.DataFrame:
     """BM25 keyword search (functions/search.py:bm25_search — two
     zero-shuffle passes: broadcast df/avgdl stats, block-local scoring
@@ -1989,6 +2009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "profile_lineitem": q_profile_lineitem,
         "bm25_search_docs": q_bm25_search_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
     }
 
 

@@ -54,6 +54,7 @@ FREEZE = [
     "tdigest_quantiles_price",
     "kll_quantiles_price",
     "tdigest_quantiles_by_event_type",
+    "kmeans_embeddings",
 ]
 
 _RUNNER = r"""
