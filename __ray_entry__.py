@@ -1891,6 +1891,63 @@ def _bm25_terms_values() -> str:
     return ", ".join(rows)
 
 
+def q_ks_value_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Two-sample KS distance between click and purchase event values
+    (functions/distribution.py:ks_distance — grouped sketch aggregate,
+    sup over union bucket keys of |CDF_a - CDF_b|). The oracle
+    recomputes the identical statistic from the shared bucket-key
+    expression: int cumsums, one float division per key, ABS, MAX."""
+    from ddsketch_ray.functions.distribution import ks_distance
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ks_distance(
+        ds, "value", "event_type", "click", "purchase", alpha=ALPHA, bin_limit=BIN_LIMIT
+    )
+    return pd.DataFrame(
+        {
+            "group_a": ["click"],
+            "group_b": ["purchase"],
+            "n_a": np.array([out["n_a"]], dtype=np.int64),
+            "n_b": np.array([out["n_b"]], dtype=np.int64),
+            "ks": _round6([out["ks"]]),
+        }
+    )
+
+
+def q_range_partition_price(sf_dir: str) -> pd.DataFrame:
+    """Sketch-driven equal-frequency range partitioning
+    (functions/distribution.py:range_partition_by_quantiles — one
+    sketch pass for 7 cut points at i/8, rounded to 6dp on both sides,
+    pid = #{cut <= value}) audited with a per-partition rollup of row
+    count + exact integer price cents. The balanced-output-shards
+    primitive; the oracle rebuilds the cuts from the same bucket math."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.distribution import range_partition_by_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    with_pid, _cuts = range_partition_by_quantiles(
+        ds, "l_extendedprice", 8, alpha=ALPHA, bin_limit=BIN_LIMIT
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pid": t.column("pid"),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    out = small_key_rollup(
+        with_pid.map_batches(to_cents, batch_format="pyarrow", batch_size=None),
+        ["pid"],
+        sums=[("price_c", "price_c")],
+        count_alias="n_rows",
+    ).to_pandas()
+    out["pid"] = out["pid"].astype(np.int64)
+    return out.sort_values("pid").reset_index(drop=True)
+
+
 def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Deterministic distributed k-means (functions/cluster.py:
     kmeans_fit — broadcast centroids, per-block fixed-point integer
@@ -2010,6 +2067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": q_profile_lineitem,
         "bm25_search_docs": q_bm25_search_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "ks_value_click_purchase": q_ks_value_click_purchase,
+        "range_partition_price": q_range_partition_price,
     }
 
 
@@ -2196,6 +2255,45 @@ pk AS (SELECT p, {_key_of('p')} AS kp FROM probes)
 SELECT p AS probe,
        ROUND((SELECT COUNT(*) FROM keys WHERE k <= kp)::DOUBLE / n, 6) AS cdf_est
 FROM pk, tot ORDER BY probe
+""",
+        "ks_value_click_purchase": f"""
+-- two-sample KS from the shared bucket-key math: per-group cumulative
+-- bucket counts over the UNION of keys, one float division per key
+-- (identical expression to functions/distribution.py:ks_distance)
+WITH vals AS (SELECT event_type AS g, {_key_of('value')} AS k FROM events
+              WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+b AS (SELECT g, k, COUNT(*)::BIGINT AS c FROM vals GROUP BY g, k),
+tot AS (SELECT g, COUNT(*)::BIGINT AS n FROM vals GROUP BY g),
+allk AS (SELECT DISTINCT k FROM b),
+cdf AS (SELECT allk.k AS k,
+        (SELECT COALESCE(SUM(c), 0) FROM b WHERE g = 'click' AND b.k <= allk.k)::DOUBLE
+          / (SELECT n FROM tot WHERE g = 'click') AS ca,
+        (SELECT COALESCE(SUM(c), 0) FROM b WHERE g = 'purchase' AND b.k <= allk.k)::DOUBLE
+          / (SELECT n FROM tot WHERE g = 'purchase') AS cb
+        FROM allk)
+SELECT 'click' AS group_a, 'purchase' AS group_b,
+       (SELECT n FROM tot WHERE g = 'click') AS n_a,
+       (SELECT n FROM tot WHERE g = 'purchase') AS n_b,
+       ROUND(MAX(ABS(ca - cb)), 6) AS ks
+FROM cdf
+""",
+        "range_partition_price": f"""
+-- rebuild the 7 sketch cut points (same quantile-selection rule as the
+-- six oracled quantile queries), round to 6dp exactly as the Ray side
+-- does, then pid = count of cuts <= value
+WITH keys AS (SELECT {_key_of('l_extendedprice')} AS k FROM lineitem),
+bins AS (SELECT k, COUNT(*)::BIGINT AS c FROM keys GROUP BY k),
+scan AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM bins),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM keys),
+qs(q) AS (VALUES (0.125), (0.25), (0.375), (0.5), (0.625), (0.75), (0.875)),
+sel AS (SELECT q, MIN(k) AS kq FROM qs, scan, tot WHERE cum > q*(n-1) GROUP BY q),
+cuts AS (SELECT ROUND({_dds_est_sql('kq')}, 6) AS cut FROM sel),
+assigned AS (SELECT
+    (SELECT COUNT(*) FROM cuts WHERE cut <= l_extendedprice)::BIGINT AS pid,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem)
+SELECT pid, COUNT(*)::BIGINT AS n_rows, SUM(pc)::BIGINT AS price_c
+FROM assigned GROUP BY pid ORDER BY pid
 """,
         "split_documents": f"""
 -- same SplitMix64 hash, bucket = h % 100, intervals train[0,90) val[90,95) test[95,100)

@@ -1,0 +1,134 @@
+"""Sketch-driven distribution analytics: two-sample comparison and
+balanced range partitioning.
+
+Both operators consume the SAME mergeable DDSketch aggregate the
+quantile queries use (`agg.DDSketchAgg` — per-block partial sketches,
+KB-sized shuffle), then answer a different question from the bucket
+table. They demonstrate the "sketch as planning input" pattern: one
+cheap streaming pass yields a distribution summary that then drives a
+second distributed stage (a filter, a partition assignment) — the only
+way to do distribution-aware work on 10^12 rows without a sort.
+
+- `ks_distance`:  Kolmogorov–Smirnov statistic between two groups'
+  value distributions, computed as sup_k |CDF_a(k) - CDF_b(k)| over the
+  union of the two sketches' bucket keys. Since both CDFs are exact
+  cumulative bucket counts (deterministic integer math + one float
+  division), the statistic is recomputed exactly by a SQL oracle with
+  the shared bucket-key expression — an *oracled* approximate operator,
+  like `dds_cdf_price`. Resolution is one γ-bucket (relative α), the
+  sketch's guarantee.
+
+- `range_partition_by_quantiles`: split points = the sketch's
+  (1/P .. (P-1)/P) quantile estimates, rounded to 6 decimals on BOTH
+  sides (Ray and oracle) so the two `pow` implementations can never
+  disagree on a boundary value; partition id = number of cut points
+  <= value (numpy `searchsorted(side="right")`). Equal-frequency
+  partitions from one streaming pass — the balanced-output-shards /
+  skew-free-range-shuffle primitive. Nulls/NaN get pid -1.
+
+Reference scope: gmorleo/DDSketch answers only quantile queries from
+its sketch (ddsketch.cc:519); these are north-rule additions built on
+the same bucket table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["grouped_sketches", "ks_distance", "range_partition_by_quantiles"]
+
+
+def grouped_sketches(ds, value_col: str, group_col: str, alpha: float = 0.008, bin_limit: int = 2048) -> dict:
+    """One grouped sketch aggregate -> {group: DDSketch}. The shuffle
+    carries only per-block partial sketches (map-side combined); the
+    driver holds O(groups) KB-sized sketches."""
+    from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
+
+    rows = (
+        ds.groupby(group_col)
+        .aggregate(DDSketchAgg(on=value_col, alpha=alpha, bin_limit=bin_limit, alias_name="_sk"))
+        .to_pandas()
+    )
+    return {g: sketch_from_result(b) for g, b in zip(rows[group_col], rows["_sk"])}
+
+
+def ks_distance(
+    ds,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    alpha: float = 0.008,
+    bin_limit: int = 2048,
+) -> dict:
+    """Two-sample KS statistic between ``group_a`` and ``group_b``.
+
+    Returns {"ks": float, "n_a": int, "n_b": int}. ks is
+    max over union bucket keys of |cum_a/n_a - cum_b/n_b| — the exact
+    expression the SQL oracle evaluates (int cumsums, one float64
+    division per key, abs, max), so the float results are identical.
+    """
+    import pyarrow.compute as pc
+
+    wanted = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column(group_col), value_set=pa.array([group_a, group_b]))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    sks = grouped_sketches(wanted, value_col, group_col, alpha=alpha, bin_limit=bin_limit)
+    if group_a not in sks or group_b not in sks:
+        missing = [g for g in (group_a, group_b) if g not in sks]
+        raise ValueError(f"ks_distance: group(s) with no rows: {missing}")
+    sa, sb = sks[group_a], sks[group_b]
+    keys = np.array(sorted(set(sa.bins) | set(sb.bins)), dtype=np.int64)
+
+    def cum(sk) -> np.ndarray:
+        ks = np.array(sorted(sk.bins), dtype=np.int64)
+        cs = np.cumsum(np.array([sk.bins[k] for k in ks.tolist()], dtype=np.int64))
+        idx = np.searchsorted(ks, keys, side="right") - 1
+        return np.where(idx >= 0, cs[np.maximum(idx, 0)], 0).astype(np.float64)
+
+    diff = np.abs(cum(sa) / float(sa.n) - cum(sb) / float(sb.n))
+    return {"ks": float(diff.max()), "n_a": int(sa.n), "n_b": int(sb.n)}
+
+
+def range_partition_by_quantiles(
+    ds,
+    col: str,
+    num_partitions: int,
+    alpha: float = 0.008,
+    bin_limit: int = 2048,
+    out_col: str = "pid",
+):
+    """Append an equal-frequency partition id (0..num_partitions-1)
+    derived from one sketch pass: pid = #{cut <= value} with cuts =
+    quantile estimates at i/P, rounded to 6 decimals (boundary
+    determinism vs the oracle's pow). Nulls/NaN -> pid -1.
+
+    Returns (dataset_with_pid, cuts). At cluster scale the pid column
+    feeds `write_parquet(partition_cols=[out_col])` or a hash-free
+    range shuffle — balanced by construction (within α)."""
+    from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
+
+    if num_partitions < 2:
+        raise ValueError("num_partitions must be >= 2")
+    res = ds.aggregate(
+        DDSketchAgg(on=col, alpha=alpha, bin_limit=bin_limit, alias_name="_sk")
+    )
+    sk = sketch_from_result(res["_sk"])
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    cuts = np.round(np.asarray(sk.quantiles(qs), dtype=np.float64), 6)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pid = np.searchsorted(cuts, v, side="right").astype(np.int64)
+        pid[np.isnan(v)] = -1
+        return t.append_column(out_col, pa.array(pid))
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None),
+        cuts,
+    )

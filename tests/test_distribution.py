@@ -1,0 +1,116 @@
+"""Sketch-driven distribution analytics tests (functions/distribution.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ddsketch_ray.functions.distribution import (
+    grouped_sketches,
+    ks_distance,
+    range_partition_by_quantiles,
+)
+
+
+def _tbl(values, groups):
+    return pa.table(
+        {
+            "g": pa.array(groups, type=pa.string()),
+            "v": pa.array(np.asarray(values, dtype=np.float64)),
+        }
+    )
+
+
+def test_ks_identical_distributions_is_zero(ray_session):
+    import ray.data as rd
+
+    vals = np.linspace(1.0, 100.0, 500)
+    ds = rd.from_arrow(
+        _tbl(np.concatenate([vals, vals]), ["a"] * 500 + ["b"] * 500)
+    ).repartition(4)
+    out = ks_distance(ds, "v", "g", "a", "b")
+    assert out["ks"] == 0.0
+    assert out["n_a"] == out["n_b"] == 500
+
+
+def test_ks_disjoint_distributions_is_one(ray_session):
+    import ray.data as rd
+
+    a = np.linspace(1.0, 2.0, 300)
+    b = np.linspace(1000.0, 2000.0, 200)
+    ds = rd.from_arrow(
+        _tbl(np.concatenate([a, b]), ["a"] * 300 + ["b"] * 200)
+    ).repartition(5)
+    out = ks_distance(ds, "v", "g", "a", "b")
+    assert out["ks"] == 1.0
+
+
+def test_ks_matches_bucket_reference_and_layouts(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(50, 10, 800)
+    b = rng.normal(60, 15, 600)
+    tbl = _tbl(np.concatenate([a, b]), ["a"] * 800 + ["b"] * 600)
+
+    got = []
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got.append(ks_distance(ds, "v", "g", "a", "b"))
+    assert got[0] == got[1]  # layout invariance (sketch merge assoc.)
+
+    # driver reference over the same sketches' bucket tables
+    ds = rd.from_arrow(tbl).repartition(3)
+    sks = grouped_sketches(ds, "v", "g")
+    keys = sorted(set(sks["a"].bins) | set(sks["b"].bins))
+    ca = cb = 0
+    best = 0.0
+    for k in keys:
+        ca += sks["a"].bins.get(k, 0)
+        cb += sks["b"].bins.get(k, 0)
+        best = max(best, abs(ca / sks["a"].n - cb / sks["b"].n))
+    assert got[0]["ks"] == pytest.approx(best, abs=0)
+
+    # KS of N(50,10) vs N(60,15) at these sizes is substantial
+    assert 0.15 < got[0]["ks"] < 0.6
+
+
+def test_ks_missing_group_raises(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_tbl([1.0, 2.0], ["a", "a"]))
+    with pytest.raises(ValueError):
+        ks_distance(ds, "v", "g", "a", "zzz")
+
+
+def test_range_partition_balanced_and_invariant(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    vals = rng.lognormal(3.0, 1.0, 4000)
+    tbl = pa.table({"v": pa.array(vals)})
+    outs = []
+    for parts in (1, 8):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        with_pid, cuts = range_partition_by_quantiles(ds, "v", 8)
+        df = with_pid.to_pandas()
+        outs.append((sorted(df.groupby("pid").size().items()), cuts.tolist()))
+        assert list(cuts) == sorted(cuts)
+        assert set(df["pid"].unique()) <= set(range(8))
+        sizes = df.groupby("pid").size()
+        # equal-frequency within sketch accuracy + duplicate-value slack
+        assert sizes.min() > 4000 / 8 * 0.7
+        assert sizes.max() < 4000 / 8 * 1.3
+    assert outs[0] == outs[1]
+
+
+def test_range_partition_nulls_get_minus_one(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"v": pa.array([1.0, None, 5.0, float("nan"), 9.0, 2.0])})
+    ds = rd.from_arrow(tbl)
+    with_pid, _ = range_partition_by_quantiles(ds, "v", 2)
+    pids = with_pid.to_pandas()["pid"].tolist()
+    assert pids[1] == -1 and pids[3] == -1
+    assert all(p >= 0 for i, p in enumerate(pids) if i not in (1, 3))
