@@ -1948,6 +1948,25 @@ def q_range_partition_price(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("pid").reset_index(drop=True)
 
 
+def q_dds_rank_price(sf_dir: str) -> pd.DataFrame:
+    """Per-row percentile rank from the distributed sketch
+    (functions/distribution.py:percentile_rank — one sketch pass, then
+    a broadcast pure map applying DDSketch.cdf to every row). Exact
+    bucket-cumulative math, so the oracle recomputes each row's rank
+    from the shared key expression."""
+    from ddsketch_ray.functions.distribution import percentile_rank
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = (
+        percentile_rank(ds, "l_extendedprice", alpha=ALPHA, bin_limit=BIN_LIMIT)
+        .select_columns(["l_orderkey", "l_linenumber", "pct_rank"])
+        .to_pandas()
+    )
+    out["l_linenumber"] = out["l_linenumber"].astype(np.int64)
+    out["pct_rank"] = _round6(out["pct_rank"])
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
 def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Deterministic distributed k-means (functions/cluster.py:
     kmeans_fit — broadcast centroids, per-block fixed-point integer
@@ -2069,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "ks_value_click_purchase": q_ks_value_click_purchase,
         "range_partition_price": q_range_partition_price,
+        "dds_rank_price": q_dds_rank_price,
     }
 
 
@@ -2255,6 +2275,17 @@ pk AS (SELECT p, {_key_of('p')} AS kp FROM probes)
 SELECT p AS probe,
        ROUND((SELECT COUNT(*) FROM keys WHERE k <= kp)::DOUBLE / n, 6) AS cdf_est
 FROM pk, tot ORDER BY probe
+""",
+        "dds_rank_price": f"""
+-- per-row rank = cumulative bucket count at the row's own key / n
+WITH keys AS (SELECT {_key_of('l_extendedprice')} AS k FROM lineitem),
+b AS (SELECT k, COUNT(*)::BIGINT AS c FROM keys GROUP BY k),
+scan AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM b),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM keys)
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       ROUND(cum::DOUBLE / n, 6) AS pct_rank
+FROM lineitem JOIN scan ON scan.k = ({_key_of('l_extendedprice')}), tot
+ORDER BY l_orderkey, l_linenumber
 """,
         "ks_value_click_purchase": f"""
 -- two-sample KS from the shared bucket-key math: per-group cumulative

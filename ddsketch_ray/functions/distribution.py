@@ -36,7 +36,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["grouped_sketches", "ks_distance", "range_partition_by_quantiles"]
+__all__ = [
+    "grouped_sketches",
+    "ks_distance",
+    "percentile_rank",
+    "range_partition_by_quantiles",
+]
 
 
 def grouped_sketches(ds, value_col: str, group_col: str, alpha: float = 0.008, bin_limit: int = 2048) -> dict:
@@ -93,6 +98,39 @@ def ks_distance(
 
     diff = np.abs(cum(sa) / float(sa.n) - cum(sb) / float(sb.n))
     return {"ks": float(diff.max()), "n_a": int(sa.n), "n_b": int(sb.n)}
+
+
+def percentile_rank(
+    ds,
+    col: str,
+    alpha: float = 0.008,
+    bin_limit: int = 2048,
+    out_col: str = "pct_rank",
+):
+    """Append each row's estimated percentile rank of ``col`` — the
+    sketch CDF applied per row (rank(v) = #{values with bucket key <=
+    key(v)} / n, exactly `DDSketch.cdf`). One sketch pass, then a
+    broadcast pure map: the per-row "sketch as transform" shape
+    (feature normalization / outlier flagging at corpus scale without
+    a sort). Nulls/NaN get null rank. Rank is exact bucket-cumulative
+    math, so a SQL oracle recomputes it bit-for-bit."""
+    import ray
+
+    from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
+
+    res = ds.aggregate(
+        DDSketchAgg(on=col, alpha=alpha, bin_limit=bin_limit, alias_name="_sk")
+    )
+    skref = ray.put(sketch_from_result(res["_sk"]))
+
+    def rank_batch(t: pa.Table) -> pa.Table:
+        sk = ray.get(skref)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        r = sk.cdf(v)
+        r[np.isnan(v)] = np.nan
+        return t.append_column(out_col, pa.array(r, pa.float64()))
+
+    return ds.map_batches(rank_batch, batch_format="pyarrow", batch_size=None)
 
 
 def range_partition_by_quantiles(

@@ -236,7 +236,10 @@ def bm25_search(
         denom = tf_m + kk1 * (1.0 - bb + bb * (dl / st["avgdl"]))[:, None]
         contrib = np.where(tf_m > 0, st["idf"] * tf_m * (kk1 + 1.0) / denom, 0.0)
         scores = contrib @ st["member"]  # (docs x queries)
-        doc_ids = t.column(doc_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        id_type = t.schema.field(doc_id_col).type
+        # native-typed ids (int64 doc ids, string urls, ...) — object
+        # ndarray only as the lexsort tie-break carrier
+        doc_ids = np.asarray(t.column(doc_id_col).to_pylist(), dtype=object)
         out_q, out_d, out_s = [], [], []
         r6 = np.round(scores, 6)
         for j in range(n_q):
@@ -253,15 +256,15 @@ def bm25_search(
             return pa.table(
                 {
                     "query_id": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], type=id_type),
                     "score": pa.array([], pa.float64()),
                 }
             )
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.string()),
-                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
-                "score": pa.array(np.concatenate(out_s), pa.float64()),
+                "doc_id": pa.array(np.concatenate(out_d).tolist(), type=id_type),
+                "score": pa.array(np.concatenate(out_s).astype(np.float64), pa.float64()),
             }
         )
 
@@ -284,8 +287,9 @@ def bm25_search(
             }
         )
     allc = pa.concat_tables(cands).combine_chunks()
+    id_type = allc.schema.field("doc_id").type
     qs = np.asarray(allc.column("query_id").to_pylist(), dtype=object)
-    dids = allc.column("doc_id").to_numpy(zero_copy_only=False)
+    dids = np.asarray(allc.column("doc_id").to_pylist(), dtype=object)
     scs = allc.column("score").to_numpy(zero_copy_only=False)
     out_q, out_r, out_d, out_s = [], [], [], []
     for qid in q_ids:
@@ -302,7 +306,7 @@ def bm25_search(
         {
             "query_id": pa.array(out_q, pa.string()),
             "rank": pa.array(out_r, pa.int64()),
-            "doc_id": pa.array(out_d, pa.int64()),
+            "doc_id": pa.array(out_d, type=id_type),
             "score": pa.array(out_s, pa.float64()),
         }
     )

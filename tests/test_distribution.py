@@ -9,6 +9,7 @@ import pytest
 from ddsketch_ray.functions.distribution import (
     grouped_sketches,
     ks_distance,
+    percentile_rank,
     range_partition_by_quantiles,
 )
 
@@ -103,6 +104,41 @@ def test_range_partition_balanced_and_invariant(ray_session):
         assert sizes.min() > 4000 / 8 * 0.7
         assert sizes.max() < 4000 / 8 * 1.3
     assert outs[0] == outs[1]
+
+
+def test_percentile_rank_matches_driver_cdf(ray_session):
+    import ray.data as rd
+
+    from ddsketch_ray.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(4)
+    vals = rng.lognormal(2.0, 1.5, 1500)
+    tbl = pa.table({"v": pa.array(vals)})
+    outs = []
+    for parts in (1, 6):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        df = percentile_rank(ds, "v").to_pandas()
+        outs.append(df.sort_values("v").reset_index(drop=True))
+    # layout invariance
+    assert outs[0].equals(outs[1])
+    # matches a driver-side sketch of the same values
+    sk = DDSketch(alpha=0.008, bin_limit=2048)
+    sk.add_array(vals)
+    want = sk.cdf(outs[0]["v"].to_numpy())
+    assert np.array_equal(outs[0]["pct_rank"].to_numpy(), want)
+    # ranks are sane: monotone in value, ends near 0 and 1
+    r = outs[0]["pct_rank"].to_numpy()
+    assert (np.diff(r) >= 0).all()
+    assert r[0] <= 0.01 and r[-1] == 1.0
+
+
+def test_percentile_rank_null_and_nan(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"v": pa.array([1.0, None, float("nan"), 100.0])})
+    df = percentile_rank(rd.from_arrow(tbl), "v").to_pandas()
+    assert np.isnan(df["pct_rank"][1]) and np.isnan(df["pct_rank"][2])
+    assert df["pct_rank"][3] == 1.0
 
 
 def test_range_partition_nulls_get_minus_one(ray_session):

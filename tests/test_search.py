@@ -109,6 +109,20 @@ def test_bm25_rank_ties_break_by_doc_id(ray_session):
     assert out.column("rank").to_pylist() == [1, 2, 3]
 
 
+def test_bm25_string_doc_ids(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["u/c", "u/a", "u/b"], pa.string()),
+            "text": pa.array(["x y", "x y", "z"]),
+        }
+    )
+    out = bm25_search(rd.from_arrow(t).repartition(2), {"q": "x"}, k=5)
+    assert out.column("doc_id").to_pylist() == ["u/a", "u/c"]  # tie -> id order
+    assert out.schema.field("doc_id").type == pa.string()
+
+
 def test_bm25_empty_corpus_and_empty_query(ray_session):
     import ray.data as rd
 
