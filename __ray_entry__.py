@@ -1948,6 +1948,27 @@ def q_range_partition_price(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("pid").reset_index(drop=True)
 
 
+def q_dds_weighted_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """Importance-weighted quantiles: l_extendedprice weighted by
+    l_quantity (bucket count += weight — agg.DDSketchWeightedAgg /
+    DDSketch.add_weighted). The per-UNIT price distribution; oracle
+    recomputes with SUM(weight) per bucket and n = total weight."""
+    from ddsketch_ray.agg import DDSketchWeightedAgg
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    res = ds.aggregate(
+        DDSketchWeightedAgg(
+            on="l_extendedprice",
+            weight_col="l_quantity",
+            qs=QS,
+            alpha=ALPHA,
+            bin_limit=BIN_LIMIT,
+            alias_name="_q",
+        )
+    )
+    return pd.DataFrame({"q": QS, "est": _round6(res["_q"])})
+
+
 def q_dds_rank_price(sf_dir: str) -> pd.DataFrame:
     """Per-row percentile rank from the distributed sketch
     (functions/distribution.py:percentile_rank — one sketch pass, then
@@ -2089,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_value_click_purchase": q_ks_value_click_purchase,
         "range_partition_price": q_range_partition_price,
         "dds_rank_price": q_dds_rank_price,
+        "dds_weighted_quantiles_price": q_dds_weighted_quantiles_price,
     }
 
 
@@ -2275,6 +2297,18 @@ pk AS (SELECT p, {_key_of('p')} AS kp FROM probes)
 SELECT p AS probe,
        ROUND((SELECT COUNT(*) FROM keys WHERE k <= kp)::DOUBLE / n, 6) AS cdf_est
 FROM pk, tot ORDER BY probe
+""",
+        "dds_weighted_quantiles_price": f"""
+-- weighted bucket counts (c = SUM(weight)), n = total weight; same
+-- selection rule and estimator as the unit-count quantile oracles
+WITH keys AS (SELECT {_key_of('l_extendedprice')} AS k,
+                     CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem),
+bins AS (SELECT k, SUM(w)::BIGINT AS c FROM keys GROUP BY k),
+scan AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM bins),
+tot AS (SELECT SUM(w)::BIGINT AS n FROM keys),
+qs(q) AS (VALUES {qs_values}),
+sel AS (SELECT q, MIN(k) AS kq FROM qs, scan, tot WHERE cum > q*(n-1) GROUP BY q)
+SELECT q, ROUND({_dds_est_sql('kq')}, 6) AS est FROM sel ORDER BY q
 """,
         "dds_rank_price": f"""
 -- per-row rank = cumulative bucket count at the row's own key / n

@@ -158,6 +158,55 @@ class DDSketchAgg(_SketchAggBase):
         return [float(v) for v in sk.quantiles(self._qs)]
 
 
+class DDSketchWeightedAgg(_SketchAggBase):
+    """DDSketch over ``on`` with integer weights from ``weight_col``
+    (bucket count += weight — a weight-w value is w unit inserts, so
+    merge/quantile/oracle math is unchanged). Rows with null value or
+    null weight are dropped; weights must be integral and >= 0."""
+
+    def __init__(
+        self,
+        on: str,
+        weight_col: str,
+        qs: Optional[Sequence[float]] = None,
+        alpha: float = 0.008,
+        bin_limit: int = 2048,
+        mode: str = "collapse",
+        alias_name: Optional[str] = None,
+    ):
+        self._qs = list(qs) if qs is not None else None
+        self._value_col = on
+        self._weight_col = weight_col
+        super().__init__(
+            factory=lambda: DDSketch(alpha=alpha, bin_limit=bin_limit, mode=mode),
+            name=alias_name or f"ddsketch_w({on},{weight_col})",
+            on=None,
+        )
+
+    def _accumulate(self, sk, block):
+        v_col, ia = _column_values(block, self._value_col)
+        w_col, _ = _column_values(block, self._weight_col)
+        if ia:
+            valid = pa.compute.and_(
+                pa.compute.is_valid(v_col), pa.compute.is_valid(w_col)
+            )
+            vs = v_col.filter(valid).to_numpy(zero_copy_only=False).astype(np.float64)
+            ws = w_col.filter(valid).to_numpy(zero_copy_only=False)
+        else:
+            vs = np.asarray(v_col, dtype=np.float64)
+            ws = np.asarray(w_col)
+            ok = ~np.isnan(vs)
+            if ws.dtype.kind == "f":
+                ok &= ~np.isnan(ws)
+            vs, ws = vs[ok], ws[ok]
+        sk.add_weighted(vs, ws)
+
+    def finalize(self, accumulator: bytes):
+        if self._qs is None:
+            return accumulator
+        return [float(v) for v in pickle.loads(accumulator).quantiles(self._qs)]
+
+
 class TDigestAgg(_SketchAggBase):
     def __init__(self, on: str, qs=None, delta: int = 200, alias_name=None):
         self._qs = list(qs) if qs is not None else None

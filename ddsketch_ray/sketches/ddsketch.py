@@ -193,6 +193,45 @@ class DDSketch:
         """Single insert with the reference's per-item limit check."""
         self.add_array(np.array([value], dtype=np.float64))
 
+    def add_weighted(self, values, weights) -> None:
+        """Weighted insert: bucket count += weight — a weight-w value is
+        exactly w unit inserts of that value, so every downstream query
+        (quantile/cdf/merge) is unchanged. Integer weights >= 0 (zero
+        weights are no-ops); the importance-weighted-distribution shape
+        (e.g. price quantiles weighted by quantity). North-rule
+        addition — the reference API is unit-count only
+        (ddsketch.cc:212-340)."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        w = np.asarray(weights).ravel()
+        if v.shape != w.shape:
+            raise ValueError("values and weights must have equal length")
+        if not np.issubdtype(w.dtype, np.integer):
+            wi = np.asarray(w, dtype=np.float64)
+            if not np.isfinite(wi).all() or (wi != np.round(wi)).any():
+                raise ValueError("weights must be integral")
+            w = wi.astype(np.int64)
+        else:
+            w = w.astype(np.int64, copy=False)
+        if (w < 0).any():
+            raise ValueError("weights must be >= 0")
+        finite = np.isfinite(v)
+        self.nan_dropped += int((~finite).sum())
+        keep = finite & (w > 0)
+        v, w = v[keep], w[keep]
+        if v.size == 0:
+            return
+        keys = self.keys_for(v)
+        order = np.argsort(keys, kind="stable")
+        sk, sw = keys[order], w[order]
+        starts = np.r_[True, sk[1:] != sk[:-1]]
+        uk = sk[starts]
+        sums = np.add.reduceat(sw, np.nonzero(starts)[0])
+        bins = self.bins
+        for k, c in zip(uk.tolist(), sums.tolist()):
+            bins[k] = bins.get(k, 0) + int(c)
+        self.n += int(w.sum())
+        self._enforce_limit()
+
     # --------------------------------------------------------------- delete
 
     def delete_array(self, values) -> None:

@@ -355,3 +355,53 @@ def test_cdf_matches_exact_rank():
     # inverse relationship: quantile(cdf(v)) ~ v within relative alpha-ish
     mid = sk.quantile(float(got[2]))
     assert abs(mid - 2000.0) / 2000.0 < 0.05
+
+
+class TestWeightedInsert:
+    def test_add_weighted_equals_repeated_unit_inserts(self):
+        from ddsketch_ray.sketches import DDSketch
+
+        rng = np.random.default_rng(13)
+        vals = rng.lognormal(4.0, 1.0, 400)
+        w = rng.integers(0, 7, 400)
+        a = DDSketch(alpha=0.008, bin_limit=2048)
+        a.add_weighted(vals, w)
+        b = DDSketch(alpha=0.008, bin_limit=2048)
+        b.add_array(np.repeat(vals, w))
+        assert a.bins == b.bins
+        assert a.n == b.n
+        qs = [0.01, 0.5, 0.95, 0.99]
+        assert a.quantiles(qs).tolist() == b.quantiles(qs).tolist()
+
+    def test_add_weighted_validation(self):
+        from ddsketch_ray.sketches import DDSketch
+
+        sk = DDSketch(alpha=0.008)
+        with pytest.raises(ValueError):
+            sk.add_weighted([1.0, 2.0], [1])  # length mismatch
+        with pytest.raises(ValueError):
+            sk.add_weighted([1.0], [-1])  # negative
+        with pytest.raises(ValueError):
+            sk.add_weighted([1.0], [1.5])  # non-integral float
+        sk.add_weighted([1.0, float("nan")], [2.0, 5.0])  # integral floats ok
+        assert sk.n == 2 and sk.nan_dropped == 1
+
+    def test_weighted_agg_matches_driver(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ray.agg import DDSketchWeightedAgg, sketch_from_result
+        from ddsketch_ray.sketches import DDSketch
+
+        rng = np.random.default_rng(21)
+        vals = rng.lognormal(3.0, 1.0, 1000)
+        w = rng.integers(1, 9, 1000)
+        t = pa.table({"v": pa.array(vals), "w": pa.array(w.astype(np.int64))})
+        ds = rd.from_arrow(t).repartition(6)
+        res = ds.aggregate(
+            DDSketchWeightedAgg(on="v", weight_col="w", alias_name="sk")
+        )
+        got = sketch_from_result(res["sk"])
+        want = DDSketch(alpha=0.008, bin_limit=2048)
+        want.add_weighted(vals, w)
+        assert got.bins == want.bins and got.n == want.n
