@@ -1948,6 +1948,27 @@ def q_range_partition_price(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("pid").reset_index(drop=True)
 
 
+def q_dds_rank_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group quantile normalization: each event's percentile rank of
+    value WITHIN its event_type (functions/distribution.py:
+    percentile_rank(group_col=...) — grouped sketch aggregate broadcast
+    as an O(groups) dict, pure map). Oracle recomputes per-group
+    cumulative bucket counts with PARTITION BY."""
+    from ddsketch_ray.functions.distribution import percentile_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = (
+        percentile_rank(
+            ds, "value", alpha=ALPHA, bin_limit=BIN_LIMIT, group_col="event_type"
+        )
+        .select_columns(["event_id", "event_type", "pct_rank"])
+        .to_pandas()
+    )
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["pct_rank"] = _round6(out["pct_rank"])
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_dds_weighted_quantiles_price(sf_dir: str) -> pd.DataFrame:
     """Importance-weighted quantiles: l_extendedprice weighted by
     l_quantity (bucket count += weight — agg.DDSketchWeightedAgg /
@@ -2111,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_price": q_range_partition_price,
         "dds_rank_price": q_dds_rank_price,
         "dds_weighted_quantiles_price": q_dds_weighted_quantiles_price,
+        "dds_rank_value_by_type": q_dds_rank_value_by_type,
     }
 
 
@@ -2297,6 +2319,20 @@ pk AS (SELECT p, {_key_of('p')} AS kp FROM probes)
 SELECT p AS probe,
        ROUND((SELECT COUNT(*) FROM keys WHERE k <= kp)::DOUBLE / n, 6) AS cdf_est
 FROM pk, tot ORDER BY probe
+""",
+        "dds_rank_value_by_type": f"""
+-- per-group cumulative bucket counts (PARTITION BY), rank at the
+-- row's own key within its event_type
+WITH keys AS (SELECT event_type AS g, {_key_of('value')} AS k FROM events),
+b AS (SELECT g, k, COUNT(*)::BIGINT AS c FROM keys GROUP BY g, k),
+scan AS (SELECT g, k, SUM(c) OVER (PARTITION BY g ORDER BY k) AS cum FROM b),
+tot AS (SELECT g, COUNT(*)::BIGINT AS n FROM keys GROUP BY g)
+SELECT e.event_id, e.event_type,
+       ROUND(scan.cum::DOUBLE / tot.n, 6) AS pct_rank
+FROM events e
+JOIN scan ON scan.g = e.event_type AND scan.k = ({_key_of('e.value')})
+JOIN tot ON tot.g = e.event_type
+ORDER BY e.event_id
 """,
         "dds_weighted_quantiles_price": f"""
 -- weighted bucket counts (c = SUM(weight)), n = total weight; same

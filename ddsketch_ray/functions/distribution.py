@@ -106,6 +106,7 @@ def percentile_rank(
     alpha: float = 0.008,
     bin_limit: int = 2048,
     out_col: str = "pct_rank",
+    group_col: str | None = None,
 ):
     """Append each row's estimated percentile rank of ``col`` — the
     sketch CDF applied per row (rank(v) = #{values with bucket key <=
@@ -113,24 +114,49 @@ def percentile_rank(
     broadcast pure map: the per-row "sketch as transform" shape
     (feature normalization / outlier flagging at corpus scale without
     a sort). Nulls/NaN get null rank. Rank is exact bucket-cumulative
-    math, so a SQL oracle recomputes it bit-for-bit."""
+    math, so a SQL oracle recomputes it bit-for-bit.
+
+    With ``group_col``, the rank is WITHIN the row's group (per-group
+    quantile normalization): one grouped sketch aggregate, then the
+    broadcast map looks up the row's group sketch. The per-batch cost
+    is O(groups_present x rows), and the broadcast dict is O(groups) —
+    the same low-cardinality contract as any grouped sketch held
+    driver-side (event types / languages, not user ids)."""
     import ray
 
     from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
 
-    res = ds.aggregate(
-        DDSketchAgg(on=col, alpha=alpha, bin_limit=bin_limit, alias_name="_sk")
-    )
-    skref = ray.put(sketch_from_result(res["_sk"]))
+    if group_col is None:
+        res = ds.aggregate(
+            DDSketchAgg(on=col, alpha=alpha, bin_limit=bin_limit, alias_name="_sk")
+        )
+        skref = ray.put(sketch_from_result(res["_sk"]))
 
-    def rank_batch(t: pa.Table) -> pa.Table:
-        sk = ray.get(skref)
+        def rank_batch(t: pa.Table) -> pa.Table:
+            sk = ray.get(skref)
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            r = sk.cdf(v)
+            r[np.isnan(v)] = np.nan
+            return t.append_column(out_col, pa.array(r, pa.float64()))
+
+        return ds.map_batches(rank_batch, batch_format="pyarrow", batch_size=None)
+
+    sks = grouped_sketches(ds, col, group_col, alpha=alpha, bin_limit=bin_limit)
+    gref = ray.put(sks)
+
+    def rank_batch_grouped(t: pa.Table) -> pa.Table:
+        table = ray.get(gref)
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        r = sk.cdf(v)
+        g = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        r = np.full(len(v), np.nan)
+        for grp, sk in table.items():
+            m = g == grp
+            if m.any():
+                r[m] = sk.cdf(v[m])
         r[np.isnan(v)] = np.nan
         return t.append_column(out_col, pa.array(r, pa.float64()))
 
-    return ds.map_batches(rank_batch, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(rank_batch_grouped, batch_format="pyarrow", batch_size=None)
 
 
 def range_partition_by_quantiles(

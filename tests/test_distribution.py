@@ -141,6 +141,32 @@ def test_percentile_rank_null_and_nan(ray_session):
     assert df["pct_rank"][3] == 1.0
 
 
+def test_percentile_rank_grouped(ray_session):
+    import ray.data as rd
+
+    from ddsketch_ray.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(8)
+    va = rng.lognormal(2.0, 1.0, 400)
+    vb = rng.lognormal(5.0, 0.5, 300)
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 400 + ["b"] * 300),
+            "v": pa.array(np.concatenate([va, vb])),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    df = percentile_rank(ds, "v", group_col="g").to_pandas()
+    for grp, vals in (("a", va), ("b", vb)):
+        sk = DDSketch(alpha=0.008, bin_limit=2048)
+        sk.add_array(vals)
+        sub = df[df["g"] == grp]
+        want = sk.cdf(sub["v"].to_numpy())
+        assert np.array_equal(sub["pct_rank"].to_numpy(), want)
+    # group-local normalization: each group's max value ranks 1.0
+    assert df.groupby("g")["pct_rank"].max().tolist() == [1.0, 1.0]
+
+
 def test_range_partition_nulls_get_minus_one(ray_session):
     import ray.data as rd
 
