@@ -1948,6 +1948,58 @@ def q_range_partition_price(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("pid").reset_index(drop=True)
 
 
+def q_funnel_view_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel view→click→purchase over the event log
+    (functions/windows.py:funnel_counts — filter to stage types, ONE
+    sort on (user, ts), per-block masked-min funnel kernel, edge keys
+    recomputed driver-side; first-touch strictly-after semantics).
+    Oracle chains MIN(ts)-anchored self-joins."""
+    from ddsketch_ray.functions.windows import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_counts(
+        ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).to_pandas()
+    out["stage_idx"] = out["stage_idx"].astype(np.int64)
+    out["n_keys"] = out["n_keys"].astype(np.int64)
+    return out.sort_values("stage_idx").reset_index(drop=True)
+
+
+def q_corr_price_quantity(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed Pearson correlation on pre-scaled integers
+    (functions/analytics.py:integer_corr — chunked overflow-free
+    per-block moment partials, Python-int driver combine; every
+    operand converted to float64 exactly once, so bit-identical to the
+    SQL recompute). price cents × quantity units over lineitem."""
+    from ddsketch_ray.functions.analytics import integer_corr
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+                "qty": pa.array(np.round(q).astype(np.int64)),
+            }
+        )
+
+    out = integer_corr(
+        ds.map_batches(scale, batch_format="pyarrow", batch_size=None),
+        "price_c",
+        "qty",
+    )
+    return pd.DataFrame(
+        {
+            "n": np.array([out["n"]], dtype=np.int64),
+            "corr": _round6([out["corr"]]),
+            "mean_price_c": _round6([out["mean_x"]]),
+            "mean_qty": _round6([out["mean_y"]]),
+        }
+    )
+
+
 def q_dds_rank_value_by_type(sf_dir: str) -> pd.DataFrame:
     """Per-group quantile normalization: each event's percentile rank of
     value WITHIN its event_type (functions/distribution.py:
@@ -2133,6 +2185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dds_rank_price": q_dds_rank_price,
         "dds_weighted_quantiles_price": q_dds_weighted_quantiles_price,
         "dds_rank_value_by_type": q_dds_rank_value_by_type,
+        "corr_price_quantity": q_corr_price_quantity,
+        "funnel_view_click_purchase": q_funnel_view_click_purchase,
     }
 
 
@@ -2319,6 +2373,42 @@ pk AS (SELECT p, {_key_of('p')} AS kp FROM probes)
 SELECT p AS probe,
        ROUND((SELECT COUNT(*) FROM keys WHERE k <= kp)::DOUBLE / n, 6) AS cdf_est
 FROM pk, tot ORDER BY probe
+""",
+        "funnel_view_click_purchase": """
+-- first-touch funnel: each stage anchors at MIN(ts) strictly after the
+-- previous stage's anchor
+WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT 0::BIGINT AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1)::BIGINT AS n_keys
+UNION ALL
+SELECT 1::BIGINT, 'click', (SELECT COUNT(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 2::BIGINT, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT
+ORDER BY stage_idx
+""",
+        "corr_price_quantity": """
+-- exact integer moments (DuckDB SUM(BIGINT) -> HUGEINT, no overflow),
+-- then the identical float64 expression as integer_corr
+WITH s AS (SELECT COUNT(*)::BIGINT AS n,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sx,
+  SUM(CAST(round(l_quantity) AS BIGINT)) AS sy,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxx,
+  SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS syy,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxy
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+SELECT n,
+  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+        / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr,
+  ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_price_c,
+  ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_qty
+FROM s
 """,
         "dds_rank_value_by_type": f"""
 -- per-group cumulative bucket counts (PARTITION BY), rank at the

@@ -214,6 +214,86 @@ def bench_vocab() -> float:
     return time.perf_counter() - t0
 
 
+def bench_bm25() -> float:
+    """BM25 keyword search (round 3): two zero-shuffle passes (df/avgdl
+    stats + block-local score/top-k) over the 600k-page disk corpus."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.search import bm25_search
+
+    path = ensure_corpus(READ_N)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(path, columns=["url", "text"])
+    bm25_search(
+        ds,
+        {"q1": "baba loroh", "q2": "vekep hucu sisig", "q3": "falan podo"},
+        text_col="text",
+        doc_id_col="url",
+        k=10,
+    )
+    return time.perf_counter() - t0
+
+
+_EMB_DIR = os.environ.get("GRAFT_EMB_DIR", "/tmp/ddsr_bench_emb1m")
+
+
+def ensure_embeddings(n: int = 1_000_000, d: int = 64, shards: int = 16) -> str:
+    """Deterministic 1M x 64 float32 embedding corpus, written once."""
+    marker = os.path.join(_EMB_DIR, f".complete-{n}")
+    if os.path.exists(marker):
+        return _EMB_DIR
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ddsketch_ray.hashing import splitmix64
+
+    shutil.rmtree(_EMB_DIR, ignore_errors=True)
+    os.makedirs(_EMB_DIR, exist_ok=True)
+    per = n // shards
+    for s in range(shards):
+        ids = np.arange(s * per, (s + 1) * per, dtype=np.int64)
+        base = (ids[:, None].astype(np.uint64) * np.uint64(d)) + np.arange(
+            d, dtype=np.uint64
+        )[None, :]
+        h = splitmix64(base.ravel())
+        vecs = (
+            ((h >> np.uint64(11)).astype(np.float64) / float(1 << 53))
+            .astype(np.float32)
+            .reshape(per, d)
+        )
+        vecs = vecs + (ids % 8).astype(np.float32)[:, None] * 2.0  # 8 blobs
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel(), pa.float32()), d
+                ).cast(pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(t, os.path.join(_EMB_DIR, f"part-{s:03d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return _EMB_DIR
+
+
+def bench_kmeans() -> float:
+    """Deterministic distributed k-means (round 3): k=16, 5 Lloyd
+    iterations over 1M x 64 embeddings — broadcast centroids +
+    fixed-point integer partials each pass."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.cluster import kmeans_fit
+
+    path = ensure_embeddings()
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    kmeans_fit(ds, k=16, iters=5, seed=0)
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
     import ray
 
@@ -284,6 +364,8 @@ def run_bench() -> dict:
         ("session_counts_events", bench_session_counts),
         ("bigjoin_lineitem_orders", bench_bigjoin),
         ("vocab_600k_pages", bench_vocab),
+        ("bm25_600k_pages", bench_bm25),
+        ("kmeans_1m_embeddings", bench_kmeans),
     ]:
         fn()  # warm pass
         queries[name] = round(min(fn() for _ in range(2)), 3)

@@ -79,7 +79,7 @@ def small_key_rollup(
         for t in ray.get(
             ds.map_batches(
                 partial, batch_format="pyarrow", batch_size=None
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -291,7 +291,7 @@ def profile_numeric_columns(ds, columns, distinct_cols=()):
     parts = [
         t
         for t in ray.get(
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_arrow_refs()
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -319,3 +319,81 @@ def profile_numeric_columns(ds, columns, distinct_cols=()):
             "n_distinct": pa.array([nd.get(c) for c in columns], pa.int64()),
         }
     )
+
+
+def integer_moments(ds, x_col: str, y_col: str) -> dict:
+    """Exact one-pass bivariate moments of two INTEGER columns:
+    {n, sx, sy, sxx, syy, sxy} as exact (arbitrary-precision) ints.
+
+    Scale contract: callers pre-scale floats to integers (cents, basis
+    points — the repo's exact-sums convention) such that each
+    ELEMENTWISE product |x·y|, x², y² fits int64 (money×quantity does
+    by 9 orders of magnitude). Per-block sums are chunked so they stay
+    exact past int64 (partials ship as strings, combined as Python
+    ints), making the result deterministic across block layouts and
+    cluster sizes, unlike float sums. Rows with a null in either column
+    are dropped (SQL two-column aggregate semantics). Driver payload:
+    one row per block."""
+    import ray
+
+    def _exact_sum(a: np.ndarray) -> int:
+        """Exact sum of an int64 array whose TOTAL may exceed int64:
+        chunk so each partial provably fits, combine as Python ints."""
+        if a.size == 0:
+            return 0
+        m = int(np.abs(a).max())
+        if m == 0:
+            return 0
+        step = max(1, (1 << 62) // m)
+        if step >= a.size:
+            return int(a.sum())
+        return sum(int(a[i : i + step].sum()) for i in range(0, a.size, step))
+
+    def block_moments(t: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(t.column(x_col)), pc.is_valid(t.column(y_col)))
+        x = t.column(x_col).filter(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).filter(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = {
+            "n": len(x),
+            "sx": _exact_sum(x),
+            "sy": _exact_sum(y),
+            "sxx": _exact_sum(x * x),
+            "syy": _exact_sum(y * y),
+            "sxy": _exact_sum(x * y),
+        }
+        # strings: exact regardless of magnitude (int64 would wrap)
+        return pa.table({k: pa.array([str(v)], pa.string()) for k, v in vals.items()})
+
+    out = {"n": 0, "sx": 0, "sy": 0, "sxx": 0, "syy": 0, "sxy": 0}
+    for tb in ray.get(
+        ds.map_batches(
+            block_moments, batch_format="pyarrow", batch_size=None
+        ).materialize().to_arrow_refs()
+    ):
+        for k in out:
+            out[k] += sum(int(v) for v in tb.column(k).to_pylist())
+    return out
+
+
+def integer_corr(ds, x_col: str, y_col: str) -> dict:
+    """Pearson correlation of two pre-scaled integer columns from
+    `integer_moments` — corr = (n·sxy − sx·sy) / (sqrt(n·sxx − sx²) ·
+    sqrt(n·syy − sy²)), each operand an EXACT integer converted to
+    float64 once, so the float result is bit-identical to a SQL oracle
+    computing the same expression (and to any block layout). Returns
+    {"n": int, "corr": float, "mean_x": float, "mean_y": float};
+    corr is NaN for degenerate (constant) columns."""
+    m = integer_moments(ds, x_col, y_col)
+    n = m["n"]
+    if n == 0:
+        return {"n": 0, "corr": float("nan"), "mean_x": float("nan"), "mean_y": float("nan")}
+    num = float(n * m["sxy"] - m["sx"] * m["sy"])
+    dx = float(n * m["sxx"] - m["sx"] * m["sx"])
+    dy = float(n * m["syy"] - m["sy"] * m["sy"])
+    corr = num / (np.sqrt(dx) * np.sqrt(dy)) if dx > 0 and dy > 0 else float("nan")
+    return {
+        "n": n,
+        "corr": float(corr),
+        "mean_x": float(m["sx"]) / float(n),
+        "mean_y": float(m["sy"]) / float(n),
+    }

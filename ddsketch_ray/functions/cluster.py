@@ -72,7 +72,7 @@ def _bottomk_init(ds, vec_col: str, id_col: str, k: int, seed: int) -> np.ndarra
         for tb in ray.get(
             ds.map_batches(
                 block_bottomk, batch_format="pyarrow", batch_size=None
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if tb.num_rows
     ]
@@ -152,7 +152,7 @@ def kmeans_fit(
             for tb in ray.get(
                 ds.map_batches(
                     block_partials, batch_format="pyarrow", batch_size=None
-                ).to_arrow_refs()
+                ).materialize().to_arrow_refs()
             )
             if tb.num_rows
         ]

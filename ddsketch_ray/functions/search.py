@@ -113,7 +113,7 @@ def bm25_corpus_stats(ds, terms: list[str], text_col: str = "text") -> dict:
         for tb in ray.get(
             ds.map_batches(
                 block_stats, batch_format="pyarrow", batch_size=None
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if tb.num_rows
     ]
@@ -273,7 +273,7 @@ def bm25_search(
         for tb in ray.get(
             ds.map_batches(
                 block_topk, batch_format="pyarrow", batch_size=None
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if tb.num_rows
     ]

@@ -453,7 +453,7 @@ def vocab_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id", top_k: i
         for t in ray.get(
             vocab.map_batches(
                 block_topk, batch_format="pyarrow", batch_size=None
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]

@@ -323,3 +323,148 @@ def rolling_by_key(
         }
     )
     return internal.union(rd.from_arrow(fix_tbl))
+
+
+def _funnel_reached(k: np.ndarray, ts: np.ndarray, sid: np.ndarray, n_stages: int):
+    """Shared funnel kernel over arrays SORTED by (key, ts): per key
+    group, stage i is reached at t_i = min ts of a stage-i row STRICTLY
+    after t_{i-1} (t_0 = min stage-0 ts). Returns (group_start_indices,
+    reached bool matrix groups x stages). Vectorized: one masked
+    minimum.reduceat per stage."""
+    kchg = np.r_[True, k[1:] != k[:-1]]
+    starts = np.nonzero(kchg)[0]
+    gid = np.cumsum(kchg) - 1
+    inf = np.iinfo(np.int64).max
+    t_prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
+    reached = np.zeros((len(starts), n_stages), dtype=bool)
+    for i in range(n_stages):
+        mask = (sid == i) & (ts > t_prev[gid])
+        mts = np.where(mask, ts, inf)
+        t_i = np.minimum.reduceat(mts, starts)
+        reached[:, i] = t_i < inf
+        t_prev = t_i
+    return starts, reached
+
+
+def funnel_counts(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    stages,
+) -> pa.Table:
+    """Ordered multi-stage funnel: how many keys (users) performed
+    stage 0, then stage 1 STRICTLY after it, then stage 2 after that, …
+    (first-touch semantics: each stage anchors at its EARLIEST
+    qualifying timestamp). Returns an Arrow table
+    (stage_idx, stage, n_keys), n_keys non-increasing by construction.
+
+    Sort plan, same machinery as ``session_counts``: filter rows to the
+    stage types (prunes the sort input), project to (key, ts:int64,
+    stage_idx:int8), ONE distributed sort on (key, ts), per-block
+    vectorized masked-min funnel over interior key groups, and the
+    block-edge groups' raw rows (≤ 2 keys per block) escape to the
+    driver, which runs the identical kernel on them. Driver payload:
+    one counts row per block + the edge rows. Partitioning assumption:
+    keys ≫ blocks. Timestamp ties across stages don't qualify (strict
+    >), so the result is independent of sort tie-breaking."""
+    import ray
+
+    stages = list(stages)
+    n_stages = len(stages)
+    if n_stages < 1:
+        raise ValueError("stages must be non-empty")
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pa.compute.is_in(t.column(type_col), value_set=pa.array(stages))
+        t = t.filter(keep)
+        col = t.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        sid = np.array(
+            [stage_idx[v] for v in t.column(type_col).to_pylist()], dtype=np.int8
+        )
+        return pa.table(
+            {
+                "k": t.column(key_col),
+                "t": col.cast(pa.int64()),
+                "s": pa.array(sid),
+            }
+        )
+
+    s = ds.map_batches(project, batch_format="pyarrow", batch_size=None).sort(["k", "t"])
+
+    def block_funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "counts": pa.array([], pa.list_(pa.int64())),
+                    "k": pa.array([], t.schema.field("k").type),
+                    "t": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int8()),
+                }
+            )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy()
+        sid = t.column("s").to_numpy()
+        starts, reached = _funnel_reached(k, ts, sid, n_stages)
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        interior = np.ones(len(starts), dtype=bool)
+        interior[0] = interior[-1] = False
+        counts = reached[interior].sum(axis=0).astype(np.int64)
+        edge_rows = np.nonzero((gid == 0) | (gid == gid[-1]))[0]
+        take = pa.array(edge_rows.astype(np.int64))
+        ktype = t.schema.field("k").type
+        return pa.table(
+            {
+                "kind": pa.array(["counts"] + ["edge"] * len(edge_rows), pa.string()),
+                "counts": pa.array([counts.tolist()] + [None] * len(edge_rows), pa.list_(pa.int64())),
+                "k": pa.concat_arrays(
+                    [pa.nulls(1, ktype), t.column("k").take(take).combine_chunks()]
+                ),
+                "t": pa.concat_arrays(
+                    [pa.nulls(1, pa.int64()), t.column("t").take(take).combine_chunks()]
+                ),
+                "s": pa.concat_arrays(
+                    [pa.nulls(1, pa.int8()), t.column("s").take(take).combine_chunks()]
+                ),
+            }
+        )
+
+    parts = [
+        tb
+        for tb in ray.get(
+            s.map_batches(block_funnel, batch_format="pyarrow", batch_size=None)
+            .materialize()
+            .to_arrow_refs()
+        )
+        if tb.num_rows
+    ]
+    total = np.zeros(n_stages, dtype=np.int64)
+    edge_tables = []
+    for tb in parts:
+        kinds = tb.column("kind").to_pylist()
+        for i, kind in enumerate(kinds):
+            if kind == "counts":
+                total += np.array(tb.column("counts")[i].as_py(), dtype=np.int64)
+        mask = pa.compute.equal(tb.column("kind"), "edge")
+        e = tb.filter(mask)
+        if e.num_rows:
+            edge_tables.append(e.select(["k", "t", "s"]))
+    if edge_tables:
+        et = pa.concat_tables(edge_tables).combine_chunks()
+        ek = np.asarray(et.column("k").to_pylist(), dtype=object)
+        ets = et.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        es = et.column("s").to_numpy(zero_copy_only=False).astype(np.int8)
+        order = np.lexsort((ets, ek))
+        _, reached = _funnel_reached(ek[order], ets[order], es[order], n_stages)
+        total += reached.sum(axis=0).astype(np.int64)
+    return pa.table(
+        {
+            "stage_idx": pa.array(np.arange(n_stages, dtype=np.int64)),
+            "stage": pa.array(stages, pa.string()),
+            "n_keys": pa.array(total),
+        }
+    )

@@ -1652,3 +1652,105 @@ def test_profile_numeric_columns(ray_session):
     assert out.loc["b", "n_nulls"] == 1 and out.loc["b", "n_distinct"] == 3
     assert out.loc["c", "n_nulls"] == 5
     assert np.isnan(out.loc["c", "min"]) and np.isnan(out.loc["c", "max"])
+
+
+def test_integer_corr_exact_and_layout_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import integer_corr, integer_moments
+
+    rng = np.random.default_rng(17)
+    x = rng.integers(100, 10_000_000, 5000)
+    y = (x // 100 + rng.integers(-50, 50, 5000)).astype(np.int64)
+    t = pa.table({"x": pa.array(x.astype(np.int64)), "y": pa.array(y)})
+
+    outs = []
+    for parts in (1, 9):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(integer_corr(ds, "x", "y"))
+    assert outs[0] == outs[1]  # bit-identical across layouts (exact ints)
+    got = outs[0]
+    # numpy reference on the same exact formula
+    n = 5000
+    num = float(n * int((x * y).sum()) - int(x.sum()) * int(y.sum()))
+    dx = float(n * int((x * x).sum()) - int(x.sum()) ** 2)
+    dy = float(n * int((y * y).sum()) - int(y.sum()) ** 2)
+    assert got["corr"] == num / (np.sqrt(dx) * np.sqrt(dy))
+    assert got["corr"] > 0.99  # strongly correlated by construction
+    assert got["n"] == n
+
+    # null rows dropped from BOTH columns; constant column -> NaN corr
+    t2 = pa.table(
+        {"x": pa.array([1, None, 3, 4], pa.int64()), "y": pa.array([7, 8, None, 7], pa.int64())}
+    )
+    m = integer_moments(rd.from_arrow(t2), "x", "y")
+    assert m["n"] == 2 and m["sx"] == 5 and m["sy"] == 14
+    c = integer_corr(rd.from_arrow(t2), "x", "y")
+    assert np.isnan(c["corr"])  # y constant on valid rows
+
+
+def test_funnel_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.windows import funnel_counts
+
+    stages = ["view", "click", "purchase"]
+    rng = np.random.default_rng(23)
+    n = 4000
+    users = rng.integers(0, 300, n)
+    ts = rng.integers(0, 100_000, n)
+    types = rng.choice(stages + ["noise"], n, p=[0.4, 0.25, 0.1, 0.25])
+    t = pa.table(
+        {
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64)),
+            "event_type": pa.array(types.tolist(), pa.string()),
+        }
+    )
+
+    # brute-force reference: first-touch strictly-after chain per user
+    import collections
+
+    byuser = collections.defaultdict(list)
+    for u, s, e in zip(users, ts, types):
+        if e != "noise":
+            byuser[u].append((int(s), e))
+    want = np.zeros(3, dtype=np.int64)
+    for rows in byuser.values():
+        t_prev = -(1 << 62)
+        for i, st in enumerate(stages):
+            cand = [s for s, e in rows if e == st and s > t_prev]
+            if not cand:
+                break
+            t_prev = min(cand)
+            want[i] += 1
+
+    for parts in (1, 7, 19):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = funnel_counts(ds, "user_id", "ts", "event_type", stages)
+        assert out.column("n_keys").to_pylist() == want.tolist(), parts
+        assert out.column("stage").to_pylist() == stages
+    # monotone funnel
+    nk = want.tolist()
+    assert nk[0] >= nk[1] >= nk[2]
+
+
+def test_funnel_strictly_after_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.windows import funnel_counts
+
+    # same-ts click does NOT qualify (strict >); reversed order doesn't count
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array([10, 10, 10, 20, 20, 10], pa.int64()),
+            "e": pa.array(["view", "click", "view", "click", "view", "click"]),
+        }
+    )
+    out = funnel_counts(rd.from_arrow(t).repartition(3), "u", "ts", "e", ["view", "click"])
+    # u1: click at same ts -> no; u2: click after -> yes; u3: click BEFORE view -> no
+    assert out.column("n_keys").to_pylist() == [3, 1]
