@@ -13,16 +13,25 @@ shuffle. The plan exploits two facts that hold at any scale:
    global top-k (the same candidates-then-driver-merge argument as
    `vocab_stats`' top-k and `grouped_topk`).
 
-Two streaming passes over the corpus, no shuffle in either:
+The corpus text is tokenized exactly ONCE (the expensive part —
+measured ~2.5 s per pass over 600k pages). Streaming plan, no shuffle
+anywhere:
 
-    pass 1  map_batches -> per-block (n_docs, sum_dl) totals + df per
-            query term present in the block; driver combines
-            O(blocks x terms) rows into global stats.
-    pass 2  broadcast {terms, idf, avgdl, per-query term membership};
-            map_batches computes tf for query terms only (polars
-            explode/filter/group), scores via one dense
-            (block_docs x terms) matrix, emits each block's top-k rows
-            per query; driver merges O(blocks x queries x k) candidates.
+    pass A  map_batches -> per-(doc, query-term) tf rows + the doc's
+            token length dl, emitted ONLY for docs containing >= 1
+            query term; MATERIALIZED as a block-aligned intermediate
+            (each doc's rows stay in its source block, so per-block
+            top-k remains exact). This is the only tokenization.
+    pass B  map_batches over the original corpus -> per-block
+            (n_docs, sum_dl) totals via count_matches (no explode,
+            much cheaper than tokenization); driver sums O(blocks) rows.
+    df      per-term document frequency = per-block row counts of the
+            pass-A intermediate (a (doc, term) row appears exactly
+            once, and docs never split across blocks); driver sums.
+    pass C  broadcast {terms, idf, avgdl, membership}; score each
+            pass-A block via the dense (matched_docs x terms) matrix,
+            emit its top-k rows per query; driver merges
+            O(blocks x queries x k) candidates.
 
 BM25 formula (Robertson/Sparck-Jones idf as used by Lucene, always
 positive):
@@ -149,7 +158,7 @@ def bm25_search(
     (query_id, rank). Documents scoring 0 (no query term) never rank.
 
     Driver footprint: O(blocks x queries x k) candidate rows from pass
-    2 plus the O(terms) stats from pass 1 — never the corpus.
+    C plus O(blocks + terms) stats rows — never the corpus.
     """
     import ray
 
@@ -167,8 +176,69 @@ def bm25_search(
                 "score": pa.array([], pa.float64()),
             }
         )
-    stats = bm25_corpus_stats(ds, terms, text_col=text_col)
-    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+
+    # ---- pass A: tokenize once -> matched (doc, term, tf, dl) rows ----
+    def tf_rows_batch(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(doc_id_col).type
+        s = _text_series(t, text_col)
+        dl = s.str.count_matches(TOKEN_PATTERN).cast(pl.Int64).to_numpy()
+        tf_rows = (
+            pl.DataFrame(
+                {
+                    "row": pl.arange(0, len(s), dtype=pl.Int64, eager=True),
+                    "tok": s.str.extract_all(TOKEN_PATTERN),
+                }
+            )
+            .explode("tok")
+            .filter(pl.col("tok").is_in(terms))
+            .group_by(["row", "tok"])
+            .agg(tf=pl.len().cast(pl.Int64))
+        )
+        if not tf_rows.height:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=id_type),
+                    "tok": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        rows = tf_rows["row"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t.column(doc_id_col).take(pa.array(rows)),
+                "tok": tf_rows["tok"].to_arrow().cast(pa.string()),
+                "tf": pa.array(tf_rows["tf"].to_numpy(), pa.int64()),
+                "dl": pa.array(np.asarray(dl)[rows].astype(np.int64)),
+            }
+        )
+
+    tfds = ds.map_batches(
+        tf_rows_batch, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # ---- pass B: corpus totals (cheap count_matches, no explode) ----
+    def totals_batch(t: pa.Table) -> pa.Table:
+        s = _text_series(t, text_col)
+        dl_sum = int(s.str.count_matches(TOKEN_PATTERN).cast(pl.Int64).sum() or 0)
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "sum_dl": pa.array([dl_sum], pa.int64()),
+            }
+        )
+
+    n_docs = 0
+    sum_dl = 0
+    for tb in ray.get(
+        ds.map_batches(totals_batch, batch_format="pyarrow", batch_size=None)
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if tb.num_rows == 0:  # empty input skips the UDF, keeps input schema
+            continue
+        n_docs += sum(tb.column("n_docs").to_pylist())
+        sum_dl += sum(tb.column("sum_dl").to_pylist())
     if n_docs == 0:
         return pa.table(
             {
@@ -178,8 +248,29 @@ def bm25_search(
                 "score": pa.array([], pa.float64()),
             }
         )
+
+    # ---- df per term from the pass-A rows (one row per (doc, term)) ----
+    def df_batch(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["tok"])
+            .group_by("tok", use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["tok", "df"])
+        )
+
+    df: dict[str, int] = {t: 0 for t in terms}
+    for tb in ray.get(
+        tfds.map_batches(df_batch, batch_format="pyarrow", batch_size=None)
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if tb.num_rows == 0:
+            continue
+        for tok, d in zip(tb.column("tok").to_pylist(), tb.column("df").to_pylist()):
+            df[tok] += d
+
     avgdl = sum_dl / n_docs if sum_dl else 1.0
-    dfv = np.array([stats["df"][t] for t in terms], dtype=np.float64)
+    dfv = np.array([df[t] for t in terms], dtype=np.float64)
     # ln(1 + x) spelled exactly as the SQL oracle computes it (NOT
     # log1p — the intermediate 1+x rounding must match bit-for-bit)
     idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
@@ -204,42 +295,30 @@ def bm25_search(
 
     def block_topk(t: pa.Table) -> pa.Table:
         st = ray.get(bcast)
-        s = _text_series(t, text_col)
-        dl = s.str.count_matches(TOKEN_PATTERN).cast(pl.Int64).to_numpy().astype(np.float64)
-        tf_rows = (
-            pl.DataFrame(
-                {
-                    "row": pl.arange(0, len(s), dtype=pl.Int64, eager=True),
-                    "tok": s.str.extract_all(TOKEN_PATTERN),
-                }
-            )
-            .explode("tok")
-            .filter(pl.col("tok").is_in(st["terms"]))
-            .group_by(["row", "tok"])
-            .agg(tf=pl.len().cast(pl.Int64))
-        )
-        if not tf_rows.height:
+        id_type = t.schema.field("doc_id").type
+        if t.num_rows == 0:
             return pa.table(
                 {
                     "query_id": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], type=id_type),
                     "score": pa.array([], pa.float64()),
                 }
             )
-        rows = tf_rows["row"].to_numpy()
-        tidx = np.array([st["term_idx"][tok] for tok in tf_rows["tok"].to_list()], dtype=np.int64)
-        tf = tf_rows["tf"].to_numpy().astype(np.float64)
-        # dense (block_docs x terms) tf matrix — terms is the QUERY
+        # native-typed ids (int64 doc ids, string urls, ...) — object
+        # ndarray only for unique/lexsort carriers
+        ids_all = np.asarray(t.column("doc_id").to_pylist(), dtype=object)
+        uniq, first_idx, inv = np.unique(ids_all, return_index=True, return_inverse=True)
+        dl = t.column("dl").to_numpy(zero_copy_only=False)[first_idx].astype(np.float64)
+        tidx = np.array([st["term_idx"][tok] for tok in t.column("tok").to_pylist()], dtype=np.int64)
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        # dense (matched_docs x terms) tf matrix — terms is the QUERY
         # vocabulary (tiny), not the corpus vocabulary
-        tf_m = np.zeros((t.num_rows, len(st["terms"])), dtype=np.float64)
-        tf_m[rows, tidx] = tf
+        tf_m = np.zeros((len(uniq), len(st["terms"])), dtype=np.float64)
+        tf_m[inv, tidx] = tf
         denom = tf_m + kk1 * (1.0 - bb + bb * (dl / st["avgdl"]))[:, None]
         contrib = np.where(tf_m > 0, st["idf"] * tf_m * (kk1 + 1.0) / denom, 0.0)
-        scores = contrib @ st["member"]  # (docs x queries)
-        id_type = t.schema.field(doc_id_col).type
-        # native-typed ids (int64 doc ids, string urls, ...) — object
-        # ndarray only as the lexsort tie-break carrier
-        doc_ids = np.asarray(t.column(doc_id_col).to_pylist(), dtype=object)
+        scores = contrib @ st["member"]  # (matched_docs x queries)
+        doc_ids = uniq
         out_q, out_d, out_s = [], [], []
         r6 = np.round(scores, 6)
         for j in range(n_q):
@@ -271,7 +350,7 @@ def bm25_search(
     cands = [
         tb
         for tb in ray.get(
-            ds.map_batches(
+            tfds.map_batches(
                 block_topk, batch_format="pyarrow", batch_size=None
             ).materialize().to_arrow_refs()
         )
