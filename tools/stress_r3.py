@@ -242,6 +242,68 @@ def stress_asof() -> dict:
     }
 
 
+FUNNEL_DIR = "/tmp/ddsr_stress_funnel5m"
+
+
+def ensure_funnel_events() -> str:
+    """5M deterministic events over 1M users with an event_type column
+    (view 40% / click 25% / purchase 10% / noise 25%)."""
+    marker = os.path.join(FUNNEL_DIR, ".complete")
+    if os.path.exists(marker):
+        return FUNNEL_DIR
+    import ray.data as rd
+
+    from ddsketch_ray.hashing import splitmix64
+
+    shutil.rmtree(FUNNEL_DIR, ignore_errors=True)
+    os.makedirs(FUNNEL_DIR)
+    types = np.array(["view", "click", "purchase", "noise"], dtype=object)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy().astype(np.uint64)
+        uid = (splitmix64(ids) % np.uint64(N_USERS)).astype(np.int64)
+        ts = (splitmix64(ids ^ np.uint64(0x517C)) % np.uint64(30 * 86400 * 1_000_000)).astype(
+            np.int64
+        )
+        r = (splitmix64(ids ^ np.uint64(0xF0F0)) % np.uint64(100)).astype(np.int64)
+        tid = np.select([r < 40, r < 65, r < 75], [0, 1, 2], default=3)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "ts": pa.array(ts.view("datetime64[us]"), type=pa.timestamp("us")),
+                "event_type": pa.array(types[tid].tolist(), pa.string()),
+            }
+        )
+
+    rd.range(N_EVENTS, override_num_blocks=CPUS * 4).map_batches(
+        lambda b: gen(b), batch_format="pyarrow", batch_size=None
+    ).write_parquet(FUNNEL_DIR, min_rows_per_file=N_EVENTS // 32)
+    open(marker, "w").write("ok")
+    return FUNNEL_DIR
+
+
+def stress_funnel5m() -> dict:
+    import ray.data as rd
+
+    from ddsketch_ray.functions.windows import funnel_counts
+
+    path = ensure_funnel_events()
+    best = None
+    out = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(path, columns=["user_id", "ts", "event_type"])
+        out = funnel_counts(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        log(f"funnel5m: {dt:.2f}s ({N_EVENTS/dt:,.0f} events/s)")
+    return {
+        "wall_s_best": round(best, 2),
+        "events_per_s": round(N_EVENTS / best),
+        "n_keys": out.column("n_keys").to_pylist(),
+    }
+
+
 def main() -> None:
     import ray
 
@@ -268,6 +330,8 @@ def main() -> None:
         results["sessions1m"] = stress_sessions1m(compare)
     if not which or "asof" in which:
         results["asof_highcard"] = stress_asof()
+    if "funnel5m" in which:
+        results["funnel5m"] = stress_funnel5m()
     print(json.dumps(results))
     ray.shutdown()
 
