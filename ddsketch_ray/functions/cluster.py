@@ -47,7 +47,12 @@ import pyarrow as pa
 from ddsketch_ray.functions.ann import _embedding_matrix
 from ddsketch_ray.hashing import mix_seed
 
-__all__ = ["kmeans_fit", "kmeans_assign"]
+__all__ = [
+    "kmeans_assign",
+    "kmeans_fit",
+    "kmeans_fit_checkpointed",
+    "kmeans_iteration",
+]
 
 
 def _bottomk_init(ds, vec_col: str, id_col: str, k: int, seed: int) -> np.ndarray:
@@ -102,93 +107,99 @@ def kmeans_fit(
     Driver footprint: O(blocks x k x d) integer partial rows per
     iteration — never the corpus.
     """
-    import ray
-
     centroids = _bottomk_init(ds, vec_col, id_col, k, seed)
-    kk, d = centroids.shape
-    scale = float(2**frac_bits)
     history: list[float] = []
-    counts = np.zeros(kk, dtype=np.int64)
-    inertia_int = 0
-
+    counts = np.zeros(centroids.shape[0], dtype=np.int64)
+    inertia = 0.0
     for _ in range(max(1, int(iters))):
-        cref = ray.put(centroids)
-
-        def block_partials(t: pa.Table, _cref=cref) -> pa.Table:
-            c = ray.get(_cref)
-            x = _embedding_matrix(t, vec_col)
-            if x.shape[0] == 0:
-                return pa.table(
-                    {
-                        "cluster": pa.array([], pa.int64()),
-                        "n": pa.array([], pa.int64()),
-                        "inertia_fp": pa.array([], pa.int64()),
-                        "sum_fp": pa.array([], pa.list_(pa.int64())),
-                    }
-                )
-            x2 = np.einsum("ij,ij->i", x, x)
-            c2 = np.einsum("ij,ij->i", c, c)
-            d2 = x2[:, None] - 2.0 * (x @ c.T) + c2[None, :]
-            assign = np.argmin(d2, axis=1)  # ties -> lowest cluster id
-            dmin = np.maximum(d2[np.arange(len(assign)), assign], 0.0)
-            xq = np.round(x * scale).astype(np.int64)
-            sums = np.zeros((c.shape[0], x.shape[1]), dtype=np.int64)
-            np.add.at(sums, assign, xq)
-            n = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
-            iq = np.round(dmin * scale).astype(np.int64)
-            inert = np.zeros(c.shape[0], dtype=np.int64)
-            np.add.at(inert, assign, iq)
-            return pa.table(
-                {
-                    "cluster": pa.array(np.arange(c.shape[0], dtype=np.int64)),
-                    "n": pa.array(n),
-                    "inertia_fp": pa.array(inert),
-                    "sum_fp": pa.array(sums.tolist(), type=pa.list_(pa.int64())),
-                }
-            )
-
-        parts = [
-            tb
-            for tb in ray.get(
-                ds.map_batches(
-                    block_partials, batch_format="pyarrow", batch_size=None
-                ).materialize().to_arrow_refs()
-            )
-            if tb.num_rows
-        ]
-        # exact integer combine: Python ints -> no overflow at any scale
-        g_n = [0] * kk
-        g_inert = [0] * kk
-        g_sum = [[0] * d for _ in range(kk)]
-        for tb in parts:
-            cl = tb.column("cluster").to_pylist()
-            nn = tb.column("n").to_pylist()
-            ii = tb.column("inertia_fp").to_pylist()
-            ss = tb.column("sum_fp").to_pylist()
-            for c_i, n_i, i_i, s_i in zip(cl, nn, ii, ss):
-                g_n[c_i] += n_i
-                g_inert[c_i] += i_i
-                row = g_sum[c_i]
-                for j, v in enumerate(s_i):
-                    row[j] += v
-        counts = np.array(g_n, dtype=np.int64)
-        inertia_int = sum(g_inert)
-        history.append(float(inertia_int) / scale)
-        new_c = centroids.copy()
-        for ci in range(kk):
-            if g_n[ci] > 0:
-                new_c[ci] = np.array(
-                    [(float(v) / scale) / float(g_n[ci]) for v in g_sum[ci]],
-                    dtype=np.float64,
-                )
-        centroids = new_c
-
+        centroids, counts, inertia = kmeans_iteration(ds, centroids, vec_col, frac_bits)
+        history.append(inertia)
     return {
         "centroids": centroids,
         "counts": counts,
-        "inertia": float(inertia_int) / scale,
+        "inertia": inertia,
         "history": history,
     }
+
+
+def kmeans_iteration(ds, centroids: np.ndarray, vec_col: str = "embedding", frac_bits: int = 20):
+    """One Lloyd iteration: assignment under ``centroids`` + exact
+    fixed-point partial combine. Returns (new_centroids, counts,
+    inertia) describing the assignment under the INPUT centroids.
+    Deterministic given (input multiset, centroids) — the unit of work
+    the checkpointed job resumes at."""
+    import ray
+
+    centroids = np.asarray(centroids, dtype=np.float64)
+    kk, d = centroids.shape
+    scale = float(2**frac_bits)
+    cref = ray.put(centroids)
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _embedding_matrix(t, vec_col)
+        if x.shape[0] == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "inertia_fp": pa.array([], pa.int64()),
+                    "sum_fp": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        x2 = np.einsum("ij,ij->i", x, x)
+        c2 = np.einsum("ij,ij->i", c, c)
+        d2 = x2[:, None] - 2.0 * (x @ c.T) + c2[None, :]
+        assign = np.argmin(d2, axis=1)  # ties -> lowest cluster id
+        dmin = np.maximum(d2[np.arange(len(assign)), assign], 0.0)
+        xq = np.round(x * scale).astype(np.int64)
+        sums = np.zeros((c.shape[0], x.shape[1]), dtype=np.int64)
+        np.add.at(sums, assign, xq)
+        n = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
+        iq = np.round(dmin * scale).astype(np.int64)
+        inert = np.zeros(c.shape[0], dtype=np.int64)
+        np.add.at(inert, assign, iq)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                "n": pa.array(n),
+                "inertia_fp": pa.array(inert),
+                "sum_fp": pa.array(sums.tolist(), type=pa.list_(pa.int64())),
+            }
+        )
+
+    parts = [
+        tb
+        for tb in ray.get(
+            ds.map_batches(
+                block_partials, batch_format="pyarrow", batch_size=None
+            ).materialize().to_arrow_refs()
+        )
+        if tb.num_rows
+    ]
+    # exact integer combine: Python ints -> no overflow at any scale
+    g_n = [0] * kk
+    g_inert = [0] * kk
+    g_sum = [[0] * d for _ in range(kk)]
+    for tb in parts:
+        cl = tb.column("cluster").to_pylist()
+        nn = tb.column("n").to_pylist()
+        ii = tb.column("inertia_fp").to_pylist()
+        ss = tb.column("sum_fp").to_pylist()
+        for c_i, n_i, i_i, s_i in zip(cl, nn, ii, ss):
+            g_n[c_i] += n_i
+            g_inert[c_i] += i_i
+            row = g_sum[c_i]
+            for j, v in enumerate(s_i):
+                row[j] += v
+    new_c = centroids.copy()
+    for ci in range(kk):
+        if g_n[ci] > 0:
+            new_c[ci] = np.array(
+                [(float(v) / scale) / float(g_n[ci]) for v in g_sum[ci]],
+                dtype=np.float64,
+            )
+    return new_c, np.array(g_n, dtype=np.int64), float(sum(g_inert)) / scale
 
 
 def kmeans_assign(
@@ -217,3 +228,111 @@ def kmeans_assign(
         return t.append_column(out_col, pa.array(assign))
 
     return ds.map_batches(assign_batch, batch_format="pyarrow", batch_size=None)
+
+
+def kmeans_fit_checkpointed(
+    ds,
+    ckpt_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 0,
+    frac_bits: int = 20,
+    input_desc: str = "",
+) -> dict:
+    """`kmeans_fit` with per-ITERATION checkpoints — the resumable shape
+    for iterative algorithms (the map-style jobs checkpoint per
+    partition; an iterative fit checkpoints its state vector instead).
+
+    After every Lloyd iteration the centroids land atomically in
+    ``{ckpt_dir}/centroids-{i:04d}.parquet`` (i=0 is the deterministic
+    hash init) with lineage metadata (k, d, seed, frac_bits, vec_col,
+    input_desc, inertia, wall_s). A re-run loads the highest complete
+    iteration ≤ ``iters`` and continues; because every iteration is a
+    pure function of (input multiset, centroids), a resumed run is
+    BIT-IDENTICAL to a cold one — parameter mismatches against the
+    stored metadata raise instead of silently diverging.
+
+    Returns the `kmeans_fit` dict plus ``resumed_from_iteration`` and
+    ``iterations_run``."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    _os.makedirs(ckpt_dir, exist_ok=True)
+    params = {
+        "k": int(k),
+        "seed": int(seed),
+        "frac_bits": int(frac_bits),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "input_desc": input_desc,
+    }
+
+    def _path(i: int) -> str:
+        return _os.path.join(ckpt_dir, f"centroids-{i:04d}.parquet")
+
+    def _write(i: int, centroids: np.ndarray, counts, inertia, wall_s: float) -> None:
+        t = pa.table(
+            {
+                "cluster": pa.array(np.arange(centroids.shape[0], dtype=np.int64)),
+                "centroid": pa.array(centroids.tolist(), pa.list_(pa.float64())),
+                "n": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+        meta = dict(params, iteration=i, inertia=inertia, wall_s=round(wall_s, 3))
+        t = t.replace_schema_metadata({b"ddsr_kmeans": _json.dumps(meta).encode()})
+        tmp = _path(i) + ".tmp"
+        _pq.write_table(t, tmp)
+        _os.replace(tmp, _path(i))  # atomic: readers never see partials
+
+    def _load(i: int):
+        t = _pq.read_table(_path(i))
+        meta = _json.loads(t.schema.metadata[b"ddsr_kmeans"].decode())
+        for key, want in params.items():
+            if key == "input_desc":
+                continue  # descriptive only
+            if meta.get(key) != want:
+                raise ValueError(
+                    f"checkpoint {_path(i)} was written with {key}={meta.get(key)!r}, "
+                    f"this run uses {want!r} — refusing to resume"
+                )
+        cent = np.array(t.column("centroid").to_pylist(), dtype=np.float64)
+        counts = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return cent, counts, meta
+
+    done = sorted(
+        int(f[len("centroids-"):-len(".parquet")])
+        for f in _os.listdir(ckpt_dir)
+        if f.startswith("centroids-") and f.endswith(".parquet")
+    )
+    start = max((i for i in done if i <= iters), default=-1)
+    history: list[float] = []
+    if start >= 0:
+        centroids, counts, meta = _load(start)
+        inertia = float(meta.get("inertia") or 0.0)
+    else:
+        t0 = _time.perf_counter()
+        centroids = _bottomk_init(ds, vec_col, id_col, k, seed)
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        _write(0, centroids, counts, None, _time.perf_counter() - t0)
+        start = 0
+    ran = 0
+    for i in range(start + 1, int(iters) + 1):
+        t0 = _time.perf_counter()
+        centroids, counts, inertia = kmeans_iteration(ds, centroids, vec_col, frac_bits)
+        _write(i, centroids, counts, inertia, _time.perf_counter() - t0)
+        history.append(inertia)
+        ran += 1
+    return {
+        "centroids": centroids,
+        "counts": counts,
+        "inertia": inertia,
+        "history": history,
+        "resumed_from_iteration": start,
+        "iterations_run": ran,
+    }

@@ -124,3 +124,33 @@ def test_kmeans_empty_dataset_raises(ray_session):
     ds = rd.from_arrow(_emb_table(np.zeros((0, 4))))
     with pytest.raises(ValueError):
         kmeans_fit(ds, k=2, iters=1)
+
+
+def test_kmeans_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ddsketch_ray.functions.cluster import kmeans_fit, kmeans_fit_checkpointed
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(150, 8))
+    ds = rd.from_arrow(_emb_table(vecs)).repartition(5)
+    cold = kmeans_fit(ds, k=4, iters=4, seed=2)
+
+    ck = str(tmp_path / "km")
+    first = kmeans_fit_checkpointed(ds, ck, k=4, iters=2, seed=2)
+    assert first["resumed_from_iteration"] == 0 and first["iterations_run"] == 2
+    resumed = kmeans_fit_checkpointed(ds, ck, k=4, iters=4, seed=2)
+    assert resumed["resumed_from_iteration"] == 2
+    assert resumed["iterations_run"] == 2
+    assert np.array_equal(resumed["centroids"], cold["centroids"])
+    assert np.array_equal(resumed["counts"], cold["counts"])
+    assert resumed["inertia"] == cold["inertia"]
+
+    # fully-complete checkpoint: zero work on re-run
+    again = kmeans_fit_checkpointed(ds, ck, k=4, iters=4, seed=2)
+    assert again["iterations_run"] == 0
+    assert np.array_equal(again["centroids"], cold["centroids"])
+
+    # parameter mismatch refuses to resume
+    with pytest.raises(ValueError):
+        kmeans_fit_checkpointed(ds, ck, k=4, iters=4, seed=99)
