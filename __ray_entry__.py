@@ -2042,6 +2042,41 @@ def q_dds_weighted_quantiles_price(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": QS, "est": _round6(res["_q"])})
 
 
+def q_weighted_quantiles_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Composition check: the weighted sketch drops into grouped
+    aggregation unchanged (any MergeableSketch does) — per-returnflag
+    price quantiles weighted by quantity. One grouped aggregate; the
+    shuffle carries KB sketch partials only."""
+    from ddsketch_ray.agg import DDSketchWeightedAgg
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    rows = (
+        ds.groupby("l_returnflag")
+        .aggregate(
+            DDSketchWeightedAgg(
+                on="l_extendedprice",
+                weight_col="l_quantity",
+                qs=QS,
+                alpha=ALPHA,
+                bin_limit=BIN_LIMIT,
+                alias_name="_q",
+            )
+        )
+        .to_pandas()
+    )
+    out_flag, out_q, out_est = [], [], []
+    for _, r in rows.iterrows():
+        for q, est in zip(QS, r["_q"]):
+            out_flag.append(r["l_returnflag"])
+            out_q.append(q)
+            out_est.append(est)
+    return (
+        pd.DataFrame({"l_returnflag": out_flag, "q": out_q, "est": _round6(out_est)})
+        .sort_values(["l_returnflag", "q"])
+        .reset_index(drop=True)
+    )
+
+
 def q_dds_rank_price(sf_dir: str) -> pd.DataFrame:
     """Per-row percentile rank from the distributed sketch
     (functions/distribution.py:percentile_rank — one sketch pass, then
@@ -2187,6 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dds_rank_value_by_type": q_dds_rank_value_by_type,
         "corr_price_quantity": q_corr_price_quantity,
         "funnel_view_click_purchase": q_funnel_view_click_purchase,
+        "weighted_quantiles_by_flag": q_weighted_quantiles_by_flag,
     }
 
 
@@ -2423,6 +2459,20 @@ FROM events e
 JOIN scan ON scan.g = e.event_type AND scan.k = ({_key_of('e.value')})
 JOIN tot ON tot.g = e.event_type
 ORDER BY e.event_id
+""",
+        "weighted_quantiles_by_flag": f"""
+-- grouped weighted quantiles: SUM(weight) buckets PARTITION BY flag
+WITH keys AS (SELECT l_returnflag AS g, {_key_of('l_extendedprice')} AS k,
+                     CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem),
+bins AS (SELECT g, k, SUM(w)::BIGINT AS c FROM keys GROUP BY g, k),
+scan AS (SELECT g, k, SUM(c) OVER (PARTITION BY g ORDER BY k) AS cum FROM bins),
+tot AS (SELECT g, SUM(w)::BIGINT AS n FROM keys GROUP BY g),
+qs(q) AS (VALUES {qs_values}),
+sel AS (SELECT s.g, q, MIN(k) AS kq
+        FROM qs, scan s JOIN tot t ON s.g = t.g
+        WHERE cum > q*(n-1) GROUP BY s.g, q)
+SELECT g AS l_returnflag, q, ROUND({_dds_est_sql('kq')}, 6) AS est
+FROM sel ORDER BY g, q
 """,
         "dds_weighted_quantiles_price": f"""
 -- weighted bucket counts (c = SUM(weight)), n = total weight; same
