@@ -2042,6 +2042,20 @@ def q_dds_weighted_quantiles_price(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": QS, "est": _round6(res["_q"])})
 
 
+def q_median_value_by_user(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-key median at unbounded key cardinality
+    (functions/analytics.py:grouped_quantile_exact — one sort, one
+    vectorized order-statistic take per interior group, ≤2 edge keys
+    per block driver-side). The shape sketch-per-group cannot reach at
+    1M+ keys. Oracle: ROW_NUMBER window at floor(q*(n-1))."""
+    from ddsketch_ray.functions.analytics import grouped_quantile_exact
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    out = grouped_quantile_exact(ds, "user_id", "value", 0.5, alias="median_value").to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_weighted_quantiles_by_flag(sf_dir: str) -> pd.DataFrame:
     """Composition check: the weighted sketch drops into grouped
     aggregation unchanged (any MergeableSketch does) — per-returnflag
@@ -2223,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_price_quantity": q_corr_price_quantity,
         "funnel_view_click_purchase": q_funnel_view_click_purchase,
         "weighted_quantiles_by_flag": q_weighted_quantiles_by_flag,
+        "median_value_by_user": q_median_value_by_user,
     }
 
 
@@ -2459,6 +2474,18 @@ FROM events e
 JOIN scan ON scan.g = e.event_type AND scan.k = ({_key_of('e.value')})
 JOIN tot ON tot.g = e.event_type
 ORDER BY e.event_id
+""",
+        "median_value_by_user": """
+-- exact per-key order statistic: sorted[floor(q*(n-1))], q=0.5
+WITH v AS (SELECT user_id, value FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL),
+r AS (SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM v)
+SELECT user_id, value AS median_value FROM r
+WHERE rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+ORDER BY user_id
 """,
         "weighted_quantiles_by_flag": f"""
 -- grouped weighted quantiles: SUM(weight) buckets PARTITION BY flag

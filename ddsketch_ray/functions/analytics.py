@@ -397,3 +397,103 @@ def integer_corr(ds, x_col: str, y_col: str) -> dict:
         "mean_x": float(m["sx"]) / float(n),
         "mean_y": float(m["sy"]) / float(n),
     }
+
+
+def grouped_quantile_exact(ds, key_col: str, value_col: str, q: float, alias: str = "q_value"):
+    """EXACT per-key order-statistic quantile at UNBOUNDED key
+    cardinality — the gap the sketch-based grouped quantiles
+    (driver-held sketch per group) cannot cover at 1M+ keys.
+
+    Definition: per key, sorted_values[floor(q * (n-1))] — the
+    reference's oracle indexing (main.cpp:971-976). Sort plan: ONE
+    distributed sort on (key, value); every INTERIOR key group of a
+    block is wholly contained (keys are contiguous after the sort), so
+    its order statistic is one vectorized take at
+    start + floor(q*(n-1)); only each block's first/last group's rows
+    escape to the driver (≤ 2 keys per block), which computes them the
+    same way. Returns a Dataset (key_col, alias). Nulls in value are
+    dropped per key (SQL semantics); keys with only nulls are absent.
+    Partitioning assumption: keys ≫ blocks (one dominant key degrades
+    to O(its rows) driver-side — use the sketch path for that shape).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("q must be in [0, 1]")
+
+    def project(t: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(t.column(key_col)), pc.is_valid(t.column(value_col)))
+        t = t.filter(valid)
+        return pa.table({"k": t.column(key_col), "v": t.column(value_col)})
+
+    s = ds.map_batches(project, batch_format="pyarrow", batch_size=None).sort(["k", "v"])
+
+    def block_quantile(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field("k").type
+        vtype = t.schema.field("v").type
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=ktype),
+                    alias: pa.array([], type=vtype),
+                    "boundary": pa.array([], pa.bool_()),
+                    "escape_v": pa.array([], type=vtype),
+                }
+            )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        kchg = np.r_[True, k[1:] != k[:-1]]
+        starts = np.nonzero(kchg)[0]
+        counts = np.diff(np.r_[starts, len(k)])
+        # exact order statistic per group, one vectorized take
+        target = starts + np.floor(q * (counts - 1)).astype(np.int64)
+        boundary = np.zeros(len(starts), dtype=bool)
+        boundary[0] = boundary[-1] = True
+        gid = np.cumsum(kchg) - 1
+        esc = np.nonzero((gid == 0) | (gid == gid[-1]))[0]
+        n_int = int((~boundary).sum())
+        return pa.table(
+            {
+                key_col: pa.concat_arrays(
+                    [
+                        t.column("k").take(pa.array(starts[~boundary])).combine_chunks(),
+                        t.column("k").take(pa.array(esc.astype(np.int64))).combine_chunks(),
+                    ]
+                ),
+                alias: pa.concat_arrays(
+                    [
+                        t.column("v").take(pa.array(target[~boundary])).combine_chunks(),
+                        pa.nulls(len(esc), vtype),
+                    ]
+                ),
+                "boundary": pa.array([False] * n_int + [True] * len(esc)),
+                "escape_v": pa.concat_arrays(
+                    [
+                        pa.nulls(n_int, vtype),
+                        t.column("v").take(pa.array(esc.astype(np.int64))).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    rep = s.map_batches(block_quantile, batch_format="pyarrow", batch_size=None).materialize()
+    internal = rep.map_batches(
+        lambda t: t.filter(pc.invert(t.column("boundary"))).select([key_col, alias]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edge = rep.map_batches(
+        lambda t: t.filter(t.column("boundary")).select([key_col, "escape_v"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()  # ≤ 2 keys' rows per block
+    if len(edge):
+        edge = edge.sort_values([key_col, "escape_v"], kind="stable")
+        g = edge.groupby(key_col, sort=True)["escape_v"]
+        rows = []
+        for key, vals in g:
+            arr = vals.to_numpy()
+            rows.append((key, arr[int(np.floor(q * (len(arr) - 1)))]))
+        out = pd.DataFrame(rows, columns=[key_col, alias])
+        return internal.union(rd.from_pandas(out))
+    return internal

@@ -1754,3 +1754,58 @@ def test_funnel_strictly_after_and_ties(ray_session):
     out = funnel_counts(rd.from_arrow(t).repartition(3), "u", "ts", "e", ["view", "click"])
     # u1: click at same ts -> no; u2: click after -> yes; u3: click BEFORE view -> no
     assert out.column("n_keys").to_pylist() == [3, 1]
+
+
+def test_grouped_quantile_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import grouped_quantile_exact
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    keys = rng.integers(0, 500, n)
+    vals = rng.normal(0, 100, n)
+    # null values dropped per key; null keys dropped entirely
+    t = pa.table(
+        {
+            "k": pa.array(keys.astype(np.int64)).cast(pa.int64()),
+            "v": pa.array(vals),
+        }
+    )
+
+    def ref(q):
+        import collections
+
+        by = collections.defaultdict(list)
+        for k, v in zip(keys, vals):
+            by[int(k)].append(v)
+        return {
+            k: sorted(vs)[int(np.floor(q * (len(vs) - 1)))] for k, vs in by.items()
+        }
+
+    for q in (0.0, 0.5, 0.9, 1.0):
+        want = ref(q)
+        for parts in (1, 11):
+            ds = rd.from_arrow(t).repartition(parts)
+            out = grouped_quantile_exact(ds, "k", "v", q).to_pandas()
+            got = dict(zip(out["k"], out["q_value"]))
+            assert len(got) == len(want), (q, parts)
+            assert got == want, (q, parts)
+
+
+def test_grouped_quantile_exact_nulls_and_single_key(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import grouped_quantile_exact
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, None, 2], pa.int64()),
+            "v": pa.array([5.0, None, 1.0, 9.0, 7.0]),
+        }
+    )
+    out = grouped_quantile_exact(rd.from_arrow(t).repartition(2), "k", "v", 0.5).to_pandas()
+    got = dict(zip(out["k"], out["q_value"]))
+    assert got == {1: 1.0, 2: 7.0}  # median of [1,5] = index floor(0.5*1)=0 -> 1.0

@@ -304,6 +304,39 @@ def stress_funnel5m() -> dict:
     }
 
 
+def stress_pkq5m() -> dict:
+    """Exact per-key median at 1M keys / 5M rows
+    (functions/analytics.py:grouped_quantile_exact — the sort plan the
+    sketch-per-group path cannot reach at this key cardinality)."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import grouped_quantile_exact
+    from ddsketch_ray.hashing import splitmix64
+
+    path = ensure_funnel_events()  # 5M rows / 1M users; derive a value col
+
+    def add_value(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        v = (splitmix64(ts.astype(np.uint64)) % np.uint64(1_000_000)).astype(
+            np.float64
+        ) / 100.0
+        return pa.table({"user_id": t.column("user_id"), "value": pa.array(v)})
+
+    best = None
+    n_keys = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(path, columns=["user_id", "ts"]).map_batches(
+            add_value, batch_format="pyarrow", batch_size=None
+        )
+        out = grouped_quantile_exact(ds, "user_id", "value", 0.5, alias="median")
+        n_keys = out.count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        log(f"pkq5m: {dt:.2f}s ({N_EVENTS/dt:,.0f} rows/s, {n_keys} keys)")
+    return {"wall_s_best": round(best, 2), "rows_per_s": round(N_EVENTS / best), "n_keys": int(n_keys)}
+
+
 def main() -> None:
     import ray
 
@@ -332,6 +365,8 @@ def main() -> None:
         results["asof_highcard"] = stress_asof()
     if "funnel5m" in which:
         results["funnel5m"] = stress_funnel5m()
+    if "pkq5m" in which:
+        results["pkq5m"] = stress_pkq5m()
     print(json.dumps(results))
     ray.shutdown()
 
