@@ -2042,6 +2042,25 @@ def q_dds_weighted_quantiles_price(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": QS, "est": _round6(res["_q"])})
 
 
+def q_bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (functions/text.py:train_bpe
+    — corpus-scale work is the distributed word count; the merge loop
+    runs on the compact (word,freq) dict driver-side, the standard
+    tokenizer-training architecture). Deterministic via exact counts +
+    lexicographic tie-break → frozen oracle."""
+    from ddsketch_ray.functions.text import train_bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = train_bpe(ds, num_merges=30)
+    return pd.DataFrame(
+        {
+            "merge_idx": np.arange(len(out["merges"]), dtype=np.int64),
+            "left": [a for a, _ in out["merges"]],
+            "right": [b for _, b in out["merges"]],
+        }
+    )
+
+
 def q_median_value_by_user(sf_dir: str) -> pd.DataFrame:
     """EXACT per-key median at unbounded key cardinality
     (functions/analytics.py:grouped_quantile_exact — one sort, one
@@ -2238,6 +2257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_click_purchase": q_funnel_view_click_purchase,
         "weighted_quantiles_by_flag": q_weighted_quantiles_by_flag,
         "median_value_by_user": q_median_value_by_user,
+        "bpe_merges_docs": q_bpe_merges_docs,
     }
 
 

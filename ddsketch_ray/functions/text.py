@@ -472,3 +472,82 @@ def vocab_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id", top_k: i
     allc = pa.concat_tables(cands).combine_chunks()
     final = allc.take(pa.compute.sort_indices(allc, sort_keys=keys)[:top_k])
     return rd.from_arrow(final)
+
+
+def train_bpe(
+    ds,
+    num_merges: int,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    max_word_vocab: int | None = None,
+):
+    """Distributed BPE tokenizer training (Sennrich-style).
+
+    Architecture (the standard one — HF/sentencepiece train the same
+    way): the CORPUS-sized work is the distributed word-frequency count
+    (`vocab_stats`: per-block polars pre-agg -> sort-plan rollup), and
+    the BPE merge loop then runs driver-side over the COMPACT
+    (word, freq) table — corpus-size-independent, O(distinct words)
+    driver footprint (web-scale ~10M rows; cap with ``max_word_vocab``
+    by (freq DESC, word) — the cap is logged via the returned
+    ``truncated_words``, never silent).
+
+    Words are split to characters with a trailing ``</w>`` end-of-word
+    symbol. Each round merges the globally most frequent adjacent
+    symbol pair; ties break on the lexicographically smallest pair, so
+    training is DETERMINISTIC given the input multiset (and therefore
+    layout/cluster-size invariant — the word count is exact).
+
+    Returns {"merges": [(left, right), ...], "vocab": sorted symbol
+    list, "n_words": int, "truncated_words": int}.
+    """
+    vocab_ds = vocab_stats(ds, text_col=text_col, doc_id_col=doc_id_col)
+    wf = vocab_ds.select_columns(["tok", "n_occ"]).to_pandas()
+    n_words = len(wf)
+    truncated = 0
+    if max_word_vocab is not None and n_words > max_word_vocab:
+        wf = wf.sort_values(["n_occ", "tok"], ascending=[False, True], kind="stable").head(
+            max_word_vocab
+        )
+        truncated = n_words - max_word_vocab
+
+    # driver-side merge loop over the compact word-freq dict
+    words = {}
+    for tok, freq in zip(wf["tok"], wf["n_occ"]):
+        words[tuple(tok) + ("</w>",)] = words.get(tuple(tok) + ("</w>",), 0) + int(freq)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, freq in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
+        if not pair_counts:
+            break
+        # deterministic tie-break: max count, then lexicographically
+        # smallest (left, right) pair
+        top = max(pair_counts.values())
+        cand = sorted(p for p, c in pair_counts.items() if c == top)
+        pair = cand[0]
+        merges.append(pair)
+        joined = pair[0] + pair[1]
+        new_words = {}
+        for sym, freq in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + freq
+        words = new_words
+    vocab = sorted({s for sym in words for s in sym} | {a + b for a, b in merges})
+    return {
+        "merges": merges,
+        "vocab": vocab,
+        "n_words": n_words,
+        "truncated_words": truncated,
+    }

@@ -1809,3 +1809,49 @@ def test_grouped_quantile_exact_nulls_and_single_key(ray_session):
     out = grouped_quantile_exact(rd.from_arrow(t).repartition(2), "k", "v", 0.5).to_pandas()
     got = dict(zip(out["k"], out["q_value"]))
     assert got == {1: 1.0, 2: 7.0}  # median of [1,5] = index floor(0.5*1)=0 -> 1.0
+
+
+def test_train_bpe_hand_checked_and_layout_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.text import train_bpe
+
+    # corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3  (the
+    # classic Sennrich example family)
+    texts = ["low " * 5, "lower " * 2, "newest " * 6, "widest " * 3]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+
+    outs = []
+    for parts in (1, 4):
+        out = train_bpe(rd.from_arrow(t).repartition(parts), num_merges=4)
+        outs.append(out)
+    assert outs[0]["merges"] == outs[1]["merges"]
+    m = outs[0]["merges"]
+    # most frequent pair: ('e','s') and ('s','t') and ('t','</w>') all
+    # appear 9x (newest+widest); tie-break picks lexicographically
+    # smallest: ('e','s'); then ('es','t') 9x ... verify the chain
+    assert m[0] == ("e", "s")
+    assert m[1] == ("es", "t")
+    assert m[2] == ("est", "</w>")
+    assert outs[0]["n_words"] == 4
+    assert outs[0]["truncated_words"] == 0
+
+
+def test_train_bpe_word_vocab_cap_logged(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.text import train_bpe
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1), pa.int64()),
+            "text": pa.array(["aa bb cc dd ee aa aa bb"]),
+        }
+    )
+    out = train_bpe(rd.from_arrow(t), num_merges=2, max_word_vocab=2)
+    assert out["truncated_words"] == 3  # 5 distinct words, kept 2
+    # kept: aa (3x), bb (2x); ('a','</w>') and ('a','a') tie at 3 and
+    # '<' sorts before 'a' -> lexicographic tie-break picks ('a','</w>')
+    assert out["merges"][0] == ("a", "</w>")

@@ -55,6 +55,7 @@ FREEZE = [
     "kll_quantiles_price",
     "tdigest_quantiles_by_event_type",
     "kmeans_embeddings",
+    "bpe_merges_docs",
 ]
 
 _RUNNER = r"""
