@@ -2061,6 +2061,33 @@ def q_bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_bpe_token_counts_docs(sf_dir: str) -> pd.DataFrame:
+    """Full tokenizer loop: train BPE merges on the corpus, then encode
+    every document with an ACTOR-POOL stage (functions/text.py:
+    BPEEncode — merge-rank table + word→length memo cache built once
+    per actor in __init__; per batch only DISTINCT words are encoded).
+    Deterministic → frozen oracle."""
+    from ddsketch_ray.functions.text import BPEEncode, train_bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fit = train_bpe(ds, num_merges=30)
+    out = (
+        ds.map_batches(
+            BPEEncode,
+            fn_constructor_args=(fit["merges"],),
+            concurrency=2,
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_bpe_tokens"] = out["n_bpe_tokens"].astype(np.int64)
+    return out
+
+
 def q_median_value_by_user(sf_dir: str) -> pd.DataFrame:
     """EXACT per-key median at unbounded key cardinality
     (functions/analytics.py:grouped_quantile_exact — one sort, one
@@ -2258,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_quantiles_by_flag": q_weighted_quantiles_by_flag,
         "median_value_by_user": q_median_value_by_user,
         "bpe_merges_docs": q_bpe_merges_docs,
+        "bpe_token_counts_docs": q_bpe_token_counts_docs,
     }
 
 

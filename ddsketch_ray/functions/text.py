@@ -551,3 +551,85 @@ def train_bpe(
         "n_words": n_words,
         "truncated_words": truncated,
     }
+
+
+class BPEEncode:
+    """Actor-pool BPE encoder: apply trained merges to documents and
+    emit per-doc BPE token counts. Stateful stage done the Ray-Data
+    way — the merge-rank table and the word->length memo cache live in
+    ``__init__`` (once per actor), `__call__` handles batches:
+
+        ds.map_batches(BPEEncode, fn_constructor_args=(merges,),
+                       concurrency=8, batch_size=None,
+                       batch_format="pyarrow")
+
+    Per batch, only the block's DISTINCT words are encoded (polars
+    value_counts), each at most once per actor lifetime (the cache) —
+    the web-scale cost driver is distinct-word count, not token count.
+    """
+
+    def __init__(self, merges, text_col: str = "text", doc_id_col: str = "doc_id"):
+        self._rank = {tuple(p): i for i, p in enumerate(merges)}
+        self._cache: dict[str, int] = {}
+        self._text_col = text_col
+        self._id_col = doc_id_col
+
+    def _encode_len(self, word: str) -> int:
+        got = self._cache.get(word)
+        if got is not None:
+            return got
+        sym = list(word) + ["</w>"]
+        rank = self._rank
+        while len(sym) > 1:
+            best_i = -1
+            best_r = None
+            for i in range(len(sym) - 1):
+                r = rank.get((sym[i], sym[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_r, best_i = r, i
+            if best_i < 0:
+                break
+            # merge ALL occurrences of the chosen pair (standard BPE)
+            pair = (sym[best_i], sym[best_i + 1])
+            joined = pair[0] + pair[1]
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        n = len(sym)
+        self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = _text_series(batch, self._text_col)
+        df = (
+            pl.DataFrame(
+                {
+                    "row": pl.arange(0, len(s), dtype=pl.Int64, eager=True),
+                    "tok": s.str.extract_all(TOKEN_PATTERN),
+                }
+            )
+            .explode("tok")
+            .filter(pl.col("tok").is_not_null())
+        )
+        n_bpe = np.zeros(len(s), dtype=np.int64)
+        if df.height:
+            g = df.group_by(["row", "tok"]).agg(c=pl.len().cast(pl.Int64))
+            rows = g["row"].to_numpy()
+            counts = g["c"].to_numpy()
+            toks = g["tok"].to_list()
+            # encode each DISTINCT word once (cache), then scatter-add
+            lens = np.array([self._encode_len(w) for w in toks], dtype=np.int64)
+            np.add.at(n_bpe, rows, lens * counts)
+        return pa.table(
+            {
+                self._id_col: batch.column(self._id_col),
+                "n_bpe_tokens": pa.array(n_bpe),
+            }
+        )

@@ -1855,3 +1855,49 @@ def test_train_bpe_word_vocab_cap_logged(ray_session):
     # kept: aa (3x), bb (2x); ('a','</w>') and ('a','a') tie at 3 and
     # '<' sorts before 'a' -> lexicographic tie-break picks ('a','</w>')
     assert out["merges"][0] == ("a", "</w>")
+
+
+def test_bpe_encode(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.text import BPEEncode, train_bpe
+
+    # hand-checked: merge ('a','b') turns "abab" into [ab, ab, </w>] = 3
+    enc = BPEEncode([("a", "b")])
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array(["abab", "ba"])})
+    out = enc(t)
+    assert out.column("n_bpe_tokens").to_pylist() == [3, 3]  # ba -> b,a,</w>
+
+    # zero merges: every word costs len(word)+1 symbols
+    enc0 = BPEEncode([])
+    t2 = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["ab cde"])})
+    assert enc0(t2).column("n_bpe_tokens").to_pylist() == [3 + 4]
+
+    # end-to-end through the actor pool: train on the corpus, encode it;
+    # more merges can only shrink (or keep) the token count
+    texts = ["low low low", "newest widest newest", "", "low newest"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(2)
+    fit = train_bpe(ds, num_merges=6)
+    out = (
+        ds.map_batches(
+            BPEEncode,
+            fn_constructor_args=(fit["merges"],),
+            concurrency=2,
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    base = (
+        ds.map_batches(
+            BPEEncode, fn_constructor_args=([],), concurrency=2,
+            batch_format="pyarrow", batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (out["n_bpe_tokens"].to_numpy() <= base["n_bpe_tokens"].to_numpy()).all()
+    assert out["n_bpe_tokens"].to_numpy()[2] == 0  # empty doc

@@ -56,6 +56,7 @@ FREEZE = [
     "tdigest_quantiles_by_event_type",
     "kmeans_embeddings",
     "bpe_merges_docs",
+    "bpe_token_counts_docs",
 ]
 
 _RUNNER = r"""
