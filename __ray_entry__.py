@@ -2042,6 +2042,42 @@ def q_dds_weighted_quantiles_price(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": QS, "est": _round6(res["_q"])})
 
 
+def q_host_stats_webpages(sf_dir: str) -> pd.DataFrame:
+    """Per-host analytics over the Common-Crawl-style synthetic table:
+    host extraction (extract.py:host_batch, Rust-regex) + two-level
+    rollup (n_pages, total text bytes) + deterministic top-20 by
+    (n_pages DESC, host). The per-domain quota/filter shape.
+    Deterministic synth input → frozen oracle."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.extract import host_batch
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.synth import generate_webpages
+
+    ds = generate_webpages(2000, seed=42, override_num_blocks=8)
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = host_batch(t)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "text_bytes": pc.cast(pc.binary_length(t.column("text")), pa.int64()),
+            }
+        )
+
+    rolled = small_key_rollup(
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None),
+        ["host"],
+        sums=[("text_bytes", "text_bytes")],
+        count_alias="n_pages",
+    )
+    df = rolled.to_pandas()
+    df = df.sort_values(["n_pages", "host"], ascending=[False, True], kind="stable").head(20)
+    df["n_pages"] = df["n_pages"].astype(np.int64)
+    df["text_bytes"] = df["text_bytes"].astype(np.int64)
+    return df.reset_index(drop=True)
+
+
 def q_bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE tokenizer training (functions/text.py:train_bpe
     — corpus-scale work is the distributed word count; the merge loop
@@ -2286,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_user": q_median_value_by_user,
         "bpe_merges_docs": q_bpe_merges_docs,
         "bpe_token_counts_docs": q_bpe_token_counts_docs,
+        "host_stats_webpages": q_host_stats_webpages,
     }
 
 

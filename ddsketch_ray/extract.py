@@ -131,3 +131,22 @@ def text_lengths_batch(
             "html_len", pc.cast(pc.binary_length(out.column(html_col)), pa.int64())
         )
     return out
+
+
+def host_batch(batch: "pa.Table", url_col: str = "url", out_col: str = "host") -> "pa.Table":
+    """Extract the registrable host from a URL column — the
+    Common-Crawl-style group key (per-host page counts, per-domain
+    filtering/quotas). Pure polars Rust regex: scheme://HOST[/...],
+    lowercased; rows without a parseable host get null. Vectorized,
+    zero-copy in/out."""
+    import polars as pl
+    import pyarrow as pa_
+
+    s = pl.from_arrow(batch.column(url_col)).fill_null("")
+    host = (
+        s.str.extract(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+        .str.to_lowercase()
+        # strip userinfo and port: host = last @-part, before first :
+        .str.extract(r"^(?:[^@]*@)?([^:]+)", 1)
+    )
+    return batch.append_column(out_col, host.to_arrow().cast(pa_.string()))

@@ -415,3 +415,26 @@ def test_streaming_ingest_retry_idempotent(ray_session):
     vals2 = np.array([11.0, 21.0, 31.0])
     ray.get(shard.add.remote(keys, vals2, token=_batch_token(keys, vals2)))
     assert DDSketch.from_row(ray.get(shard.snapshot.remote(1))).n == 4
+
+
+def test_host_batch_edge_cases():
+    import pyarrow as pa
+
+    from ddsketch_ray.extract import host_batch
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://Host0340.example.com/p/1",
+                    "http://a.b:8080/x?q=1#f",
+                    "ftp://user:pw@H.io:21/z",
+                    "not a url",
+                    None,
+                    "https://plain",
+                ]
+            )
+        }
+    )
+    got = host_batch(t).column("host").to_pylist()
+    assert got == ["host0340.example.com", "a.b", "h.io", None, None, "plain"]

@@ -57,6 +57,7 @@ FREEZE = [
     "kmeans_embeddings",
     "bpe_merges_docs",
     "bpe_token_counts_docs",
+    "host_stats_webpages",
 ]
 
 _RUNNER = r"""
