@@ -2078,6 +2078,126 @@ def q_host_stats_webpages(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_chunk_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style segment dedup at token-window granularity
+    (functions/segdedup.py:segment_dedup — per-doc-unique 64-bit
+    segment hashes → sort-plan doc-frequency rollup → broadcast common
+    set → one-pass filter/reassembly). Segments = non-overlapping
+    8-token windows (documents carry no line structure); min_docs=2.
+    REAL SQL oracle: window explode + COUNT(DISTINCT doc) + ordered
+    string_agg reassembly."""
+    from functools import partial
+
+    from ddsketch_ray.functions.segdedup import segment_dedup, token_window_segments
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out, _ = segment_dedup(
+        ds,
+        partial(token_window_segments, chunk_tokens=8),
+        id_col="doc_id",
+        min_docs=2,
+        join_sep=" ",
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df
+
+
+def q_paragraph_dedup_webpages(sf_dir: str) -> pd.DataFrame:
+    """Paragraph-level boilerplate dedup over the Common-Crawl-style
+    synthetic table (segdedup.py:html_paragraph_segments — block-tag
+    boundaries define paragraphs; the nav/footer boilerplate repeats
+    across pages and is stripped). Per-lang rollup keeps the frozen
+    oracle small. Deterministic synth + exact integer counts → frozen
+    oracle."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.segdedup import html_paragraph_segments, segment_dedup
+    from ddsketch_ray.synth import generate_webpages
+
+    ds = generate_webpages(2000, seed=42, override_num_blocks=8)
+    out, _ = segment_dedup(
+        ds,
+        html_paragraph_segments,
+        id_col="url",
+        min_docs=2,
+        join_sep="\n",
+        carry_cols=("lang",),
+    )
+    feat = out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_segs": t.column("n_segs"),
+                "n_common": t.column("n_common"),
+                "kept_bytes": pc.cast(pc.binary_length(t.column("kept_text")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    rolled = small_key_rollup(
+        feat,
+        ["lang"],
+        sums=[("n_segs", "n_segs"), ("n_common", "n_common"), ("kept_bytes", "kept_bytes")],
+        count_alias="n_pages",
+    )
+    df = rolled.to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("n_pages", "n_segs", "n_common", "kept_bytes"):
+        df[c] = df[c].astype(np.int64)
+    return df[["lang", "n_pages", "n_segs", "n_common", "kept_bytes"]]
+
+
+def q_boilerplate_paras_webpages(sf_dir: str) -> pd.DataFrame:
+    """Top-10 boilerplate paragraphs by document frequency
+    (segdedup.py:common_segments_report — sort-plan rollup keyed on the
+    paragraph string, per-block top-k + O(blocks×k) driver merge; no
+    second all-to-all). Deterministic → frozen oracle."""
+    from ddsketch_ray.functions.segdedup import (
+        common_segments_report,
+        html_paragraph_segments,
+    )
+    from ddsketch_ray.synth import generate_webpages
+
+    ds = generate_webpages(2000, seed=42, override_num_blocks=8)
+    df = common_segments_report(ds, html_paragraph_segments, top_k=10).to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df[["rank", "seg", "n_docs"]]
+
+
+def q_distinct_users_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-key COUNT(DISTINCT) (functions/analytics.py:
+    grouped_distinct_exact — sort plan on (key, value), per-block
+    adjacent-new pair counts, O(3 rows/block) driver stitching with
+    block-edge pair subtraction). The exact counterpart of
+    hll_users_by_event_type."""
+    from ddsketch_ray.functions.analytics import grouped_distinct_exact
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_distinct_exact(ds, "event_type", "user_id", alias="n_users")
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["n_users"] = df["n_users"].astype(np.int64)
+    return df
+
+
+def q_distinct_types_by_user(sf_dir: str) -> pd.DataFrame:
+    """Same operator at HIGH key cardinality (one output row per user —
+    the shape where any driver-held per-key state is impossible);
+    final per-count histogram keeps the gate result small: (n_types,
+    n_users)."""
+    from ddsketch_ray.functions.analytics import grouped_distinct_exact, small_key_rollup
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    per_user = grouped_distinct_exact(ds, "user_id", "event_type", alias="n_types")
+    hist = small_key_rollup(per_user, ["n_types"], sums=[], count_alias="n_users")
+    df = hist.to_pandas().sort_values("n_types").reset_index(drop=True)
+    df["n_types"] = df["n_types"].astype(np.int64)
+    df["n_users"] = df["n_users"].astype(np.int64)
+    return df
+
+
 def q_bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE tokenizer training (functions/text.py:train_bpe
     — corpus-scale work is the distributed word count; the merge loop
@@ -2323,6 +2443,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_docs": q_bpe_merges_docs,
         "bpe_token_counts_docs": q_bpe_token_counts_docs,
         "host_stats_webpages": q_host_stats_webpages,
+        "chunk_dedup_docs": q_chunk_dedup_docs,
+        "distinct_users_by_event_type": q_distinct_users_by_event_type,
+        "distinct_types_by_user": q_distinct_types_by_user,
+        "paragraph_dedup_webpages": q_paragraph_dedup_webpages,
+        "boilerplate_paras_webpages": q_boilerplate_paras_webpages,
     }
 
 
@@ -2901,6 +3026,40 @@ FROM stats s
 JOIN generate_series(0, 512) AS g(i)
   ON g.i <= greatest(0, CAST(ceil((s.n - 32)/24.0) AS BIGINT))
 ORDER BY s.doc_id, chunk_id
+""",
+        "distinct_users_by_event_type": """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "distinct_types_by_user": """
+WITH per_user AS (
+  SELECT user_id, COUNT(DISTINCT event_type)::BIGINT AS n_types
+  FROM events GROUP BY user_id)
+SELECT n_types, COUNT(*)::BIGINT AS n_users FROM per_user
+GROUP BY n_types ORDER BY n_types
+""",
+        "chunk_dedup_docs": r"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+stats AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM toks WHERE len(ts) > 0),
+-- non-overlapping 8-token windows: window i covers tokens [i*8, min(i*8+8, n))
+segs AS (
+  SELECT s.doc_id, g.i::BIGINT AS seg_idx,
+         array_to_string(s.ts[(g.i*8 + 1) : least(g.i*8 + 8, s.n)], ' ') AS seg
+  FROM stats s
+  JOIN generate_series(0, 4096) AS g(i) ON g.i*8 < s.n),
+df AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+flags AS (SELECT s.doc_id, s.seg_idx, s.seg, (d.nd >= 2) AS is_common
+          FROM segs s JOIN df d USING (seg))
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_segs,
+       SUM(CASE WHEN is_common THEN 1 ELSE 0 END)::BIGINT AS n_common,
+       coalesce(string_agg(CASE WHEN NOT is_common THEN seg END, ' ' ORDER BY seg_idx), '')
+         AS kept_text
+FROM flags GROUP BY doc_id ORDER BY doc_id
 """,
         "docs_above_median_tokens": rf"""
 WITH toks AS (

@@ -497,3 +497,117 @@ def grouped_quantile_exact(ds, key_col: str, value_col: str, q: float, alias: st
         out = pd.DataFrame(rows, columns=[key_col, alias])
         return internal.union(rd.from_pandas(out))
     return internal
+
+
+def grouped_distinct_exact(ds, key_col: str, value_col: str, alias: str = "n_distinct"):
+    """Exact per-key COUNT(DISTINCT value) at unbounded key cardinality
+    — the per-key generalization of ``distinct_count``
+    (functions/dedup.py) on the same sort plan: one distributed sort on
+    (key, value); each block counts adjacent-new (key, value) pairs per
+    key run; keys wholly inside a block are final. Per block, only the
+    first/last key runs (≤ 2 partial rows) plus one (first/last pair)
+    edge row go to the driver, which re-sums block-spanning keys and
+    subtracts one per equal adjacent block-edge PAIR (a (key, value)
+    pair spanning blocks was counted once per block — same subtraction
+    ``distinct_count`` does globally). Driver payload = O(3 rows per
+    block); no per-key state anywhere.
+
+    Null / NaN values are DROPPED first (SQL COUNT(DISTINCT)
+    semantics); keys whose values are all null are absent from the
+    output. Returns a Dataset (key_col, alias)."""
+    import pandas as pd
+    import ray.data as rd
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, value_col])
+        v = t.column(value_col)
+        mask = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            mask = pc.and_(mask, pc.invert(pc.coalesce(pc.is_nan(v), pa.scalar(False))))
+        return t.filter(mask)
+
+    s = ds.map_batches(drop_null, batch_format="pyarrow", batch_size=None).sort(
+        [key_col, value_col]
+    )
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        vtype = t.schema.field(value_col).type
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], ktype),
+                    alias: pa.array([], pa.int64()),
+                    "boundary": pa.array([], pa.bool_()),
+                    "edge_first_v": pa.array([], vtype),
+                    "edge_last_v": pa.array([], vtype),
+                }
+            )
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        new_pair = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+        starts = np.nonzero(new_key)[0]
+        nd = np.add.reduceat(new_pair.astype(np.int64), starts)
+        boundary = np.zeros(len(starts), dtype=bool)
+        boundary[0] = boundary[-1] = True
+        # edge pair values ride on the first/last boundary rows; the
+        # driver re-derives block order from them (pair ranges of
+        # sorted blocks are disjoint-or-touching)
+        ev_first = pa.nulls(len(starts), vtype).to_pylist()
+        ev_last = pa.nulls(len(starts), vtype).to_pylist()
+        first_v = t.column(value_col).take(pa.array([0])).to_pylist()[0]
+        last_v = t.column(value_col).take(pa.array([t.num_rows - 1])).to_pylist()[0]
+        ev_first[0] = first_v
+        ev_last[-1] = last_v
+        return pa.table(
+            {
+                key_col: t.column(key_col).take(pa.array(starts)),
+                alias: pa.array(nd, pa.int64()),
+                "boundary": pa.array(boundary),
+                "edge_first_v": pa.array(ev_first, vtype),
+                "edge_last_v": pa.array(ev_last, vtype),
+            }
+        )
+
+    rep = s.map_batches(block_counts, batch_format="pyarrow", batch_size=None).materialize()
+    internal = rep.map_batches(
+        lambda t: t.filter(pc.invert(t.column("boundary"))).select([key_col, alias]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edge = rep.map_batches(
+        lambda t: t.filter(t.column("boundary")).select(
+            [key_col, alias, "edge_first_v", "edge_last_v"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()  # ≤ 2 rows per block
+    if not len(edge):
+        return internal
+    firsts = edge[edge["edge_first_v"].notna()].sort_values(
+        [key_col, "edge_first_v"], kind="stable"
+    )
+    lasts = edge[edge["edge_last_v"].notna()].sort_values(
+        [key_col, "edge_last_v"], kind="stable"
+    )
+    # adjacent blocks sharing their edge (key, value) pair double-count it
+    sub = pd.Series(0, index=edge.index, dtype=np.int64)
+    if len(firsts) > 1:
+        fk = firsts[key_col].to_numpy()
+        fv = firsts["edge_first_v"].to_numpy()
+        lk = lasts[key_col].to_numpy()
+        lv = lasts["edge_last_v"].to_numpy()
+        dup = (lk[:-1] == fk[1:]) & (lv[:-1] == fv[1:])
+        for i in np.nonzero(dup)[0]:
+            sub[firsts.index[i + 1]] += 1
+    fixed = edge.assign(**{alias: edge[alias] - sub})
+    fixed = fixed.groupby(key_col, as_index=False)[alias].sum()
+    ktype = getattr(rep.schema(), "base_schema", rep.schema()).field(key_col).type
+    out = pa.table(
+        {
+            key_col: pa.array(fixed[key_col].to_numpy(), type=ktype),
+            alias: pa.array(fixed[alias].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+    return internal.union(rd.from_arrow(out))

@@ -58,6 +58,8 @@ FREEZE = [
     "bpe_merges_docs",
     "bpe_token_counts_docs",
     "host_stats_webpages",
+    "paragraph_dedup_webpages",
+    "boilerplate_paras_webpages",
 ]
 
 _RUNNER = r"""
