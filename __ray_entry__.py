@@ -1321,6 +1321,52 @@ def q_session_counts_users(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Per-ROW session assignment (functions/windows.py:sessionize —
+    one distributed sort on (user, ts, id), vectorized in-block
+    labeling, O(1 summary row/block) driver chain + broadcast remap for
+    block-spanning sessions). session_id = event_id of the session's
+    first event; REAL SQL oracle via FIRST_VALUE window."""
+    from ddsketch_ray.functions.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = sessionize(ds, "user_id", "ts", "event_id", gap_us=30 * 60 * 1_000_000)
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df["event_id"] = df["event_id"].astype(np.int64)
+    df["session_id"] = df["session_id"].astype(np.int64)
+    return df[["event_id", "session_id"]]
+
+
+def q_session_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Session-size histogram composed FROM the per-row assignment:
+    sessionize → sorted_sum_rollup keyed on session_id (events per
+    session; session ids are high-cardinality → sort plan, never
+    map_groups) → small_key_rollup histogram (n_events, n_sessions).
+    Exercises sessionize output as a downstream distributed key."""
+    from ddsketch_ray.functions.analytics import small_key_rollup, sorted_sum_rollup
+    from ddsketch_ray.functions.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    rows = sessionize(ds, "user_id", "ts", "event_id", gap_us=30 * 60 * 1_000_000)
+    ones = rows.map_batches(
+        lambda t: pa.table(
+            {"session_id": t.column("session_id"), "one": pa.array(np.ones(t.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    sized = sorted_sum_rollup(ones, "session_id", ["one"]).map_batches(
+        lambda t: pa.table({"n_events": t.column("one")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    hist = small_key_rollup(sized, ["n_events"], sums=[], count_alias="n_sessions")
+    df = hist.to_pandas().sort_values("n_events").reset_index(drop=True)
+    df["n_events"] = df["n_events"].astype(np.int64)
+    df["n_sessions"] = df["n_sessions"].astype(np.int64)
+    return df
+
+
 def q_sliding_window_counts(sf_dir: str) -> pd.DataFrame:
     """Sliding windows (1h size, 15min hop) — rows-only check."""
     from ddsketch_ray.functions.windows import US_PER_HOUR, explode_sliding_windows
@@ -2407,6 +2453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_type_counts": q_hourly_event_type_counts,
         "windowed_quantiles_events": q_windowed_quantiles_events,
         "session_counts_users": q_session_counts_users,
+        "sessionize_events": q_sessionize_events,
+        "session_size_hist": q_session_size_hist,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
         "dds_buckets_price": q_dds_buckets_price,
@@ -3401,6 +3449,38 @@ s AS (
   FROM o
 )
 SELECT user_id, SUM(brk)::BIGINT AS n_sessions FROM s GROUP BY user_id ORDER BY user_id
+""",
+        "sessionize_events": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM o
+)
+SELECT event_id::BIGINT AS event_id,
+  (FIRST_VALUE(event_id) OVER (PARTITION BY user_id, run ORDER BY ts, event_id))::BIGINT
+    AS session_id
+FROM s ORDER BY event_id
+""",
+        "session_size_hist": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM o
+), sized AS (
+  SELECT user_id, run, COUNT(*)::BIGINT AS n_events FROM s GROUP BY user_id, run
+)
+SELECT n_events, COUNT(*)::BIGINT AS n_sessions FROM sized
+GROUP BY n_events ORDER BY n_events
 """,
         "embedding_near_dup": """
 SELECT a.vec_id AS a, b.vec_id AS b

@@ -147,6 +147,154 @@ def session_counts(
     return internal
 
 
+def sessionize(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = 30 * 60 * US_PER_SECOND,
+    session_alias: str = "session_id",
+):
+    """Per-ROW session assignment — the SQL
+    ``FIRST_VALUE(id) OVER (PARTITION BY key, session_run ORDER BY ts, id)``
+    shape: every input row gets a ``session_alias`` equal to the
+    ``id_col`` of its session's first event (sessions split where the
+    gap between consecutive same-key events exceeds ``gap_us``).
+    → Dataset (id_col, session_alias), one row per input row.
+
+    Sort plan (``session_counts`` returns only per-key counts; this
+    materializes the assignment itself): project to (k, t:int64,
+    i:int64), ONE distributed sort on (k, t, i), then each block labels
+    rows vectorized — session id = id of the last row at-or-before it
+    where (key changed OR gap > gap_us). The only rows that can be
+    mislabeled are the block's FIRST session (a session continuing from
+    the previous block); their provisional label is the block's first
+    row id, which is globally unique, so the fix is a driver-built
+    remap {first_row_id -> true session id} of size ≤ blocks, chained
+    sequentially across blocks (a session spanning B blocks remaps
+    B−1 entries to the same true id) and broadcast into one relabel
+    pass. Driver payload: ONE summary row per block. No per-key Python
+    anywhere; keys must be non-null (SQL PARTITION BY groups nulls —
+    raise instead of guessing); ``id_col`` must be unique int64."""
+    import ray
+    import ray.data as rd
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.column(key_col).null_count:
+            raise ValueError("sessionize: null keys not supported")
+        col = t.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "k": t.column(key_col),
+                "t": col.cast(pa.int64()),
+                "i": t.column(id_col).cast(pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(project, batch_format="pyarrow", batch_size=None).sort(["k", "t", "i"])
+
+    def block_label(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field("k").type
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    session_alias: pa.array([], pa.int64()),
+                    "_sum": pa.array([], pa.bool_()),
+                    "_fk": pa.array([], ktype),
+                    "_ft": pa.array([], pa.int64()),
+                    "_lk": pa.array([], ktype),
+                    "_lt": pa.array([], pa.int64()),
+                    "_lsess": pa.array([], pa.int64()),
+                }
+            )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy()
+        ids = t.column("i").to_numpy()
+        n = len(k)
+        kchg = np.r_[True, k[1:] != k[:-1]]
+        brk = kchg | (np.r_[False, (ts[1:] - ts[:-1]) > gap_us] & ~kchg)
+        start_pos = np.maximum.accumulate(np.where(brk, np.arange(n), 0))
+        sess = ids[start_pos]
+        # summary row rides along with null row fields; row fields of
+        # the summary are (first_row_id, first_row_sess) so the driver
+        # can key the remap without an extra column
+        return pa.table(
+            {
+                id_col: pa.array(np.r_[ids, ids[:1]]),
+                session_alias: pa.array(np.r_[sess, sess[:1]]),
+                "_sum": pa.array(np.r_[np.zeros(n, bool), [True]]),
+                "_fk": pa.concat_arrays(
+                    [pa.nulls(n, ktype), t.column("k").take(pa.array([0])).combine_chunks()]
+                ),
+                "_ft": pa.array(np.r_[np.zeros(n, np.int64), ts[:1]], mask=np.r_[np.ones(n, bool), [False]]),
+                "_lk": pa.concat_arrays(
+                    [pa.nulls(n, ktype), t.column("k").take(pa.array([n - 1])).combine_chunks()]
+                ),
+                "_lt": pa.array(np.r_[np.zeros(n, np.int64), ts[-1:]], mask=np.r_[np.ones(n, bool), [False]]),
+                "_lsess": pa.array(np.r_[np.zeros(n, np.int64), sess[-1:]], mask=np.r_[np.ones(n, bool), [False]]),
+            }
+        )
+
+    rep = s.map_batches(block_label, batch_format="pyarrow", batch_size=None).materialize()
+    rows = rep.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("_sum"))).select(
+            [id_col, session_alias]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edge = rep.map_batches(
+        lambda t: t.filter(t.column("_sum")),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()  # exactly 1 summary row per non-empty block
+    if not len(edge):
+        return rows
+    # global sort order makes block (k, t, i) ranges disjoint — ordering
+    # blocks by their first-row tuple reconstructs block order
+    edge = edge.sort_values(["_fk", "_ft", id_col], kind="stable").reset_index(drop=True)
+    fks = edge["_fk"].to_numpy()
+    fts = edge["_ft"].to_numpy().astype(np.int64)
+    fis = edge[id_col].to_numpy().astype(np.int64)
+    fsess = edge[session_alias].to_numpy().astype(np.int64)
+    lks = edge["_lk"].to_numpy()
+    lts = edge["_lt"].to_numpy().astype(np.int64)
+    lsess = edge["_lsess"].to_numpy().astype(np.int64)
+    remap: dict[int, int] = {}
+    carry_k = carry_t = carry_sess = None
+    for j in range(len(edge)):
+        if (
+            carry_k is not None
+            and fks[j] == carry_k
+            and fts[j] - carry_t <= gap_us
+        ):
+            remap[int(fis[j])] = carry_sess
+            first_true = carry_sess
+        else:
+            first_true = int(fsess[j])
+        last_true = first_true if int(lsess[j]) == int(fsess[j]) else int(lsess[j])
+        carry_k, carry_t, carry_sess = lks[j], int(lts[j]), last_true
+    if not remap:
+        return rows
+    keys = np.array(sorted(remap), dtype=np.int64)
+    vals = np.array([remap[x] for x in keys], dtype=np.int64)
+    ref = ray.put((keys, vals))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        kk, vv = ray.get(ref)
+        sess = t.column(session_alias).to_numpy()
+        pos = np.searchsorted(kk, sess)
+        pos_c = np.clip(pos, 0, len(kk) - 1)
+        hit = kk[pos_c] == sess
+        out = np.where(hit, vv[pos_c], sess)
+        return pa.table({id_col: t.column(id_col), session_alias: pa.array(out)})
+
+    return rows.map_batches(relabel, batch_format="pyarrow", batch_size=None)
+
+
 def rolling_by_key(
     ds,
     key_col: str,

@@ -161,6 +161,58 @@ def test_session_counts(ray_session):
     assert out.loc[3, "n_sessions"] == 4  # every gap is 50min > 30min
 
 
+def test_sessionize_matches_pandas(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.windows import sessionize
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "ts": pd.to_datetime(np.sort(rng.integers(0, 400_000_000, n)), unit="us"),
+        }
+    )
+    gap = 10_000_000
+    out = (
+        sessionize(rd.from_pandas(df, override_num_blocks=11), "user_id", "ts", "event_id", gap_us=gap)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # pandas reference: FIRST_VALUE(event_id) per (user, session-run)
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ts_us = ref["ts"].astype("int64") // 1000  # ns -> us
+    brk = (ref["user_id"] != ref["user_id"].shift()) | (ts_us - ts_us.shift() > gap)
+    ref["run"] = brk.cumsum()
+    ref["session_id"] = ref.groupby("run")["event_id"].transform("first")
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (out["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+    assert (out["session_id"].to_numpy() == ref["session_id"].to_numpy()).all()
+
+
+def test_sessionize_block_spanning_session(ray_session):
+    import ray.data as rd
+    from ddsketch_ray.functions.windows import sessionize
+
+    # one key, gap never exceeded, many blocks: all rows one session
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(n, dtype=np.int64) * 1_000_000, unit="us"),
+        }
+    )
+    out = sessionize(
+        rd.from_pandas(df, override_num_blocks=8), "user_id", "ts", "event_id", gap_us=5_000_000
+    ).to_pandas()
+    assert len(out) == n
+    assert out["session_id"].nunique() == 1
+    assert out["session_id"].iloc[0] == 0
+
+
 def test_salted_equals_unsalted(ray_session):
     import ray.data as rd
     from ddsketch_ray.pipelines import quantiles_by_group
