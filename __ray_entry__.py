@@ -1321,6 +1321,82 @@ def q_session_counts_users(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_props_rollup_events(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction (functions/jsoncol.py — vectorized
+    polars json_path_match inside map_batches; no per-row json.loads):
+    project typed k:int64 + a deliberately missing path out of the
+    events.props JSON column, roll up per event_type. REAL SQL oracle
+    via DuckDB json_extract_string."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.jsoncol import flatten_json_column
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    flat = flatten_json_column(
+        ds, "props", {"k": ("$.k", "int64"), "m": ("$.missing", "string")}
+    )
+    feat = flat.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "k": t.column("k"),
+                "m_null": pa.compute.cast(
+                    pa.compute.is_null(t.column("m")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = small_key_rollup(
+        feat, ["event_type"], sums=[("sum_k", "k"), ("n_missing", "m_null")], count_alias="n"
+    )
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    for c in ("n", "sum_k", "n_missing"):
+        df[c] = df[c].astype(np.int64)
+    return df[["event_type", "n", "sum_k", "n_missing"]]
+
+
+def q_jsonl_token_stats(sf_dir: str) -> pd.DataFrame:
+    """JSONL source path (sources/readers.py:read_jsonl — Ray-native
+    block-parallel arrow JSON reader + schema conformance): documents
+    are round-tripped to line-delimited JSON shards under /tmp
+    (deterministic, driver-side, sf0.01-sized), read back through the
+    JSONL reader, and token-rolled per lang. Oracle reads the SAME rows
+    from parquet — proves the two source paths are interchangeable."""
+    import os
+
+    from ddsketch_ray.functions.text import token_count_batch
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.sources.readers import read_jsonl
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_jsonl_{tag}"
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        src = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).to_pandas()
+        src = src.sort_values("doc_id").reset_index(drop=True)
+        shards = np.array_split(src, 4)
+        for i, part in enumerate(shards):
+            part.to_json(f"{out_dir}/part-{i:02d}.jsonl", orient="records", lines=True)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
+    )
+    ds = read_jsonl([f"{out_dir}/part-{i:02d}.jsonl" for i in range(4)], schema=schema)
+    toks = ds.map_batches(token_count_batch, batch_format="pyarrow", batch_size=None)
+    keyed = toks.map_batches(
+        lambda t: pa.table({"lang": t.column("lang"), "n_tokens": t.column("n_tokens")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = small_key_rollup(
+        keyed, ["lang"], sums=[("sum_tokens", "n_tokens")], count_alias="n_docs"
+    )
+    df = out.to_pandas().sort_values("lang").reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["sum_tokens"] = df["sum_tokens"].astype(np.int64)
+    return df[["lang", "n_docs", "sum_tokens"]]
+
+
 def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
     """Per-ROW session assignment (functions/windows.py:sessionize —
     one distributed sort on (user, ts, id), vectorized in-block
@@ -2455,6 +2531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_counts_users": q_session_counts_users,
         "sessionize_events": q_sessionize_events,
         "session_size_hist": q_session_size_hist,
+        "props_rollup_events": q_props_rollup_events,
+        "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
         "dds_buckets_price": q_dds_buckets_price,
@@ -3449,6 +3527,19 @@ s AS (
   FROM o
 )
 SELECT user_id, SUM(brk)::BIGINT AS n_sessions FROM s GROUP BY user_id ORDER BY user_id
+""",
+        "props_rollup_events": """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+  SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END)::BIGINT
+    AS n_missing
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "jsonl_token_stats": r"""
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+  SUM(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                      x -> x <> '')))::BIGINT AS sum_tokens
+FROM documents GROUP BY lang ORDER BY lang
 """,
         "sessionize_events": """
 WITH o AS (

@@ -48,6 +48,31 @@ def read_values_csv(paths, column: str = "value"):
     return ds.map_batches(coerce, batch_format="pyarrow", batch_size=None)
 
 
+def read_jsonl(paths, schema: pa.Schema | None = None):
+    """JSONL source — the interchange format web-scale text corpora
+    actually arrive in (one JSON object per line). Ray-native
+    ``read_json`` (arrow JSON reader, block-parallel over files); when
+    ``schema`` is given each batch is column-projected and cast to it,
+    so downstream operators see the same schema as the parquet path
+    (absent keys → null columns, extra keys dropped)."""
+    import ray.data as rd
+
+    ds = rd.read_json(paths)
+    if schema is None:
+        return ds
+
+    def conform(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in schema:
+            if f.name in t.column_names:
+                cols.append(t.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(schema.names, cols)))
+
+    return ds.map_batches(conform, batch_format="pyarrow", batch_size=None)
+
+
 def read_webpages(paths, columns=None, **kwargs):
     """Pruned read of the Common-Crawl-style table (BASELINE input_hint).
     Always pass ``columns`` in production — reading 4 MiB html blobs for
