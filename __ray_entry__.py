@@ -1397,6 +1397,25 @@ def q_jsonl_token_stats(sf_dir: str) -> pd.DataFrame:
     return df[["lang", "n_docs", "sum_tokens"]]
 
 
+def q_pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
+    """Fixed-length sequence packing (functions/pack.py — distributed
+    exclusive prefix scan over doc_id order, O(blocks) driver payload):
+    every document's global token offset in the concatenated corpus
+    stream, its first 512-token sequence id, and how many sequences it
+    spans. REAL SQL oracle: SUM() OVER (ORDER BY doc_id ROWS UNBOUNDED
+    PRECEDING) + integer division."""
+    from ddsketch_ray.functions.pack import pack_sequences
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(token_count_batch, batch_format="pyarrow", batch_size=None)
+    out = pack_sequences(toks, "doc_id", "n_tokens", seq_len=512).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_tokens", "tok_start", "seq_first", "n_seqs"):
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "n_tokens", "tok_start", "seq_first", "n_seqs"]]
+
+
 def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
     """Per-ROW session assignment (functions/windows.py:sessionize —
     one distributed sort on (user, ts, id), vectorized in-block
@@ -2532,6 +2551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "session_size_hist": q_session_size_hist,
         "props_rollup_events": q_props_rollup_events,
+        "pack_sequences_docs": q_pack_sequences_docs,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3527,6 +3547,24 @@ s AS (
   FROM o
 )
 SELECT user_id, SUM(brk)::BIGINT AS n_sessions FROM s GROUP BY user_id ORDER BY user_id
+""",
+        "pack_sequences_docs": r"""
+WITH o AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                    x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM o
+)
+SELECT doc_id, n_tokens, tok_start,
+  (tok_start // 512)::BIGINT AS seq_first,
+  (CASE WHEN n_tokens = 0 THEN 0
+        ELSE (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 END)::BIGINT AS n_seqs
+FROM c ORDER BY doc_id
 """,
         "props_rollup_events": """
 SELECT event_type, COUNT(*)::BIGINT AS n,

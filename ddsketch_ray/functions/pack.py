@@ -1,0 +1,157 @@
+"""Distributed exclusive prefix scan + fixed-length sequence packing.
+
+The training-data op this serves: concatenate a corpus (in a stable
+document order) into one token stream and cut it into fixed-length
+sequences — every doc needs its GLOBAL token offset, i.e. an exact
+exclusive prefix sum over billions of rows. SQL shape:
+``SUM(n) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)``.
+
+Plan (the repo's sort-plan idiom, cf. functions/windows.py:sessionize):
+ONE distributed sort on the unique id, each sorted block computes its
+in-block exclusive cumsum vectorized and tags every row with the
+block's first id; the driver receives ONE summary row per block
+(first_id, block_total), orders blocks by first_id (disjoint id ranges
+after the sort), turns block totals into exclusive block offsets with
+Python-int accumulation (no overflow at any scale), and broadcasts the
+O(blocks) {first_id -> offset} map into one vectorized add pass.
+Driver payload: one row per block; broadcast: two int64 arrays of
+length = blocks (~16 MB at 10^6 blocks — noted, not materialized per
+task: ``ray.put`` once, ``ray.get`` cached per worker).
+
+No reference counterpart (gmorleo/DDSketch has no scan/window surface;
+SURVEY.md §2.3 "Sorts/limits" row) — this is a north-rule/webtext
+addition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def exclusive_offsets(ds, id_col: str, count_col: str, offset_alias: str = "offset"):
+    """Exact distributed exclusive prefix sum of ``count_col`` in
+    ``id_col`` order. Returns a Dataset
+    (id_col:int64, count_col:int64, offset_alias:int64), one row per
+    input row; row i's offset = sum of counts of all rows with smaller
+    id. ``id_col`` must be unique non-null int64 (raises on null;
+    uniqueness is the caller's contract — duplicate ids make "order by
+    id" ambiguous). Counts must be non-null int64 ≥ 0."""
+    import ray
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.column(id_col).null_count or t.column(count_col).null_count:
+            raise ValueError("exclusive_offsets: null ids/counts not supported")
+        return pa.table(
+            {
+                "i": t.column(id_col).cast(pa.int64()),
+                "c": t.column(count_col).cast(pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(project, batch_format="pyarrow", batch_size=None).sort("i")
+
+    def block_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {"i": z, "c": z, "off": z, "_fid": z, "_sum": pa.array([], pa.bool_())}
+            )
+        c = t.column("c").to_numpy()
+        if c.min() < 0:
+            raise ValueError("exclusive_offsets: negative counts")
+        ids = t.column("i").to_numpy()
+        n = len(c)
+        excl = np.concatenate(([0], np.cumsum(c[:-1], dtype=np.int64)))
+        # summary row rides along: (_sum=True, off=block total, _fid=first id)
+        return pa.table(
+            {
+                "i": pa.array(np.r_[ids, ids[:1]]),
+                "c": pa.array(np.r_[c, c[:1]]),
+                "off": pa.array(np.r_[excl, [excl[-1] + c[-1]]]),
+                "_fid": pa.array(np.r_[np.full(n, ids[0], np.int64), ids[:1]]),
+                "_sum": pa.array(np.r_[np.zeros(n, bool), [True]]),
+            }
+        )
+
+    rep = s.map_batches(block_scan, batch_format="pyarrow", batch_size=None).materialize()
+    edge = rep.map_batches(
+        lambda t: t.filter(t.column("_sum")).select(["_fid", "off"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()  # exactly 1 summary row per non-empty block
+    rows = rep.map_batches(
+        lambda t: t.filter(pc.invert(t.column("_sum"))),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    if not len(edge):
+        return rows.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column("i"),
+                    count_col: t.column("c"),
+                    offset_alias: t.column("off"),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    edge = edge.sort_values("_fid").reset_index(drop=True)
+    fids = edge["_fid"].to_numpy().astype(np.int64)
+    totals = edge["off"].to_numpy().astype(np.int64)
+    # exclusive block offsets; Python ints so a 10^14-token corpus can't
+    # overflow an intermediate (result still fits int64 by contract)
+    offs, acc = np.empty(len(totals), np.int64), 0
+    for j in range(len(totals)):
+        offs[j] = acc
+        acc += int(totals[j])
+    ref = ray.put((fids, offs))
+
+    def add_base(t: pa.Table) -> pa.Table:
+        kk, vv = ray.get(ref)
+        fid = t.column("_fid").to_numpy()
+        pos = np.searchsorted(kk, fid)
+        base = vv[pos]  # every _fid is a summary key by construction
+        return pa.table(
+            {
+                id_col: t.column("i"),
+                count_col: t.column("c"),
+                offset_alias: pa.array(t.column("off").to_numpy() + base),
+            }
+        )
+
+    return rows.map_batches(add_base, batch_format="pyarrow", batch_size=None)
+
+
+def pack_sequences(
+    ds,
+    id_col: str,
+    count_col: str,
+    seq_len: int,
+    offset_alias: str = "tok_start",
+    seq_alias: str = "seq_first",
+    nseq_alias: str = "n_seqs",
+):
+    """Fixed-length sequence packing by concatenation order: documents
+    are laid out end-to-end in ``id_col`` order and the token stream is
+    cut every ``seq_len`` tokens (docs may span sequence boundaries —
+    the standard pretraining pack). Per doc: its global token offset,
+    the first sequence id it lands in (offset // seq_len), and how many
+    sequences it touches. Zero-token docs touch 0 sequences. Returns a
+    Dataset (id_col, count_col, offset_alias, seq_alias, nseq_alias)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    offs = exclusive_offsets(ds, id_col, count_col, offset_alias=offset_alias)
+
+    def seqs(t: pa.Table) -> pa.Table:
+        start = t.column(offset_alias).to_numpy()
+        n = t.column(count_col).to_numpy()
+        first = start // seq_len
+        nseq = np.where(n == 0, 0, (start + np.maximum(n, 1) - 1) // seq_len - first + 1)
+        return t.append_column(seq_alias, pa.array(first)).append_column(
+            nseq_alias, pa.array(nseq.astype(np.int64))
+        )
+
+    return offs.map_batches(seqs, batch_format="pyarrow", batch_size=None)

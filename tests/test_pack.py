@@ -1,0 +1,109 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ddsketch_ray.functions.pack import exclusive_offsets, pack_sequences
+
+
+def _mk(df: pd.DataFrame, blocks: int):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def _ref(df: pd.DataFrame) -> pd.DataFrame:
+    o = df.sort_values("doc_id").reset_index(drop=True)
+    o["offset"] = o["n"].cumsum().shift(1, fill_value=0).astype(np.int64)
+    return o
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 7])
+def test_exclusive_offsets_matches_pandas(ray_session, blocks):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(200).astype(np.int64),
+            "n": rng.integers(0, 50, 200).astype(np.int64),
+        }
+    )
+    out = (
+        exclusive_offsets(_mk(df, blocks), "doc_id", "n")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _ref(df)[["doc_id", "n", "offset"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_exclusive_offsets_zero_and_blockwide_runs(ray_session):
+    # zero-count rows and a whole block of zeros must not shift offsets
+    df = pd.DataFrame(
+        {"doc_id": np.arange(30, dtype=np.int64), "n": np.r_[np.zeros(10, np.int64), np.arange(20)]}
+    )
+    out = (
+        exclusive_offsets(_mk(df, 5), "doc_id", "n")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _ref(df)[["doc_id", "n", "offset"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_exclusive_offsets_rejects_nulls_and_negatives(ray_session):
+    bad = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, None], pa.int64()), "n": pa.array([1, 2], pa.int64())})
+    )
+    with pytest.raises(Exception):
+        exclusive_offsets(bad, "doc_id", "n").to_pandas()
+    neg = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "n": pa.array([1, -2], pa.int64())})
+    )
+    with pytest.raises(Exception):
+        exclusive_offsets(neg, "doc_id", "n").to_pandas()
+
+
+def test_pack_sequences_boundaries(ray_session):
+    # L=10: doc sizes chosen to hit exact-boundary, spanning, and empty cases
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "n": np.array([10, 5, 0, 7, 20, 1], dtype=np.int64),
+        }
+    )
+    out = (
+        pack_sequences(_mk(df, 3), "doc_id", "n", seq_len=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # offsets: 0,10,15,15,22,42
+    assert out["tok_start"].tolist() == [0, 10, 15, 15, 22, 42]
+    assert out["seq_first"].tolist() == [0, 1, 1, 1, 2, 4]
+    # doc0 fills seq0 exactly; doc2 is empty (0 seqs); doc3 spans 1→2; doc4 spans 2..4
+    assert out["n_seqs"].tolist() == [1, 1, 0, 2, 3, 1]
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_pack_sequences_matches_sql_shape(ray_session, blocks):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(120).astype(np.int64),
+            "n": rng.integers(0, 40, 120).astype(np.int64),
+        }
+    )
+    L = 16
+    out = (
+        pack_sequences(_mk(df, blocks), "doc_id", "n", seq_len=L)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = _ref(df)
+    first = ref["offset"] // L
+    nseq = np.where(ref["n"] == 0, 0, (ref["offset"] + np.maximum(ref["n"], 1) - 1) // L - first + 1)
+    assert out["tok_start"].tolist() == ref["offset"].tolist()
+    assert out["seq_first"].tolist() == first.tolist()
+    assert out["n_seqs"].tolist() == nseq.tolist()
