@@ -1114,6 +1114,44 @@ def q_kmv_sample_custkeys(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_kmv_setops_custkeys(sf_dir: str) -> pd.DataFrame:
+    """KMV set algebra (sketches/kmv.py::kmv_set_ops — Beyer et al.
+    SIGMOD 2007): union / intersection / difference cardinality
+    estimates and Jaccard between two distinct-key sets ("customers
+    with F orders" vs "customers with O orders") from two mergeable
+    bottom-256 sketches built in ONE grouped pass. Exact SQL oracle:
+    bottom-k sets recomputed via SplitMix64 in mod-2^64 arithmetic,
+    estimator float math mirrored, ROUND(,6)."""
+    from ddsketch_ray.agg import KMVAgg, sketch_from_result
+    from ddsketch_ray.sketches.kmv import kmv_set_ops
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("o_orderstatus"), value_set=pa.array(["F", "O"]))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    rows = (
+        ds.groupby("o_orderstatus")
+        .aggregate(KMVAgg(on="o_custkey", k=256, alias_name="kmv"))
+        .to_pandas()
+    )
+    sk = {r["o_orderstatus"]: sketch_from_result(r["kmv"]) for _, r in rows.iterrows()}
+    r = kmv_set_ops(sk["F"], sk["O"])
+    return pd.DataFrame(
+        {
+            "k_used": np.array([r["k_used"]], dtype=np.int64),
+            "n_both": np.array([r["n_both"]], dtype=np.int64),
+            "est_union": [round(r["est_union"], 6)],
+            "est_intersection": [round(r["est_intersection"], 6)],
+            "est_diff_f": [round(r["est_diff_a"], 6)],
+            "est_diff_o": [round(r["est_diff_b"], 6)],
+            "jaccard": [round(r["jaccard"], 6)],
+        }
+    )
+
+
 def q_clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
     """Composite training-data cleaning pipeline (the C4-style shape):
     quality-score filter → exact near-zero-cost dedup → per-language
@@ -2524,6 +2562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "clean_corpus_stats": q_clean_corpus_stats,
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
+        "kmv_setops_custkeys": q_kmv_setops_custkeys,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
@@ -3275,6 +3314,37 @@ est AS (
   FROM kk)
 SELECT r::BIGINT AS rank, o_custkey::BIGINT AS o_custkey, e AS est_distinct
 FROM kk, est ORDER BY rank
+""",
+        "kmv_setops_custkeys": f"""
+-- exact recompute of kmv_set_ops (Beyer et al. 2007): bottom-256 of
+-- each distinct-key set via SplitMix64 in mod-2^64 SQL, union bottom-k,
+-- membership counts, then the SAME float expressions (one division,
+-- one multiply) ROUND(,6) on both sides
+WITH da AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+db AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+ka AS (SELECT {kmv_hash} AS hv FROM da ORDER BY 1 LIMIT 256),
+kb AS (SELECT {kmv_hash} AS hv FROM db ORDER BY 1 LIMIT 256),
+m AS (SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) ORDER BY hv LIMIT 256),
+st AS (
+  SELECT COUNT(*)::BIGINT AS kk,
+    SUM(CASE WHEN hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)
+             THEN 1 ELSE 0 END)::BIGINT AS n_both,
+    SUM(CASE WHEN hv IN (SELECT hv FROM ka) AND hv NOT IN (SELECT hv FROM kb)
+             THEN 1 ELSE 0 END)::BIGINT AS n_only_a,
+    SUM(CASE WHEN hv NOT IN (SELECT hv FROM ka) THEN 1 ELSE 0 END)::BIGINT AS n_only_b,
+    MAX(hv) AS hk
+  FROM m),
+e AS (
+  SELECT *, CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+                 ELSE (255.0 * 18446744073709551616.0) / CAST(hk AS DOUBLE) END AS eu
+  FROM st)
+SELECT kk AS k_used, n_both,
+  ROUND(eu, 6) AS est_union,
+  ROUND((CAST(n_both AS DOUBLE) / CAST(kk AS DOUBLE)) * eu, 6) AS est_intersection,
+  ROUND((CAST(n_only_a AS DOUBLE) / CAST(kk AS DOUBLE)) * eu, 6) AS est_diff_f,
+  ROUND((CAST(n_only_b AS DOUBLE) / CAST(kk AS DOUBLE)) * eu, 6) AS est_diff_o,
+  ROUND(CAST(n_both AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS jaccard
+FROM e
 """,
         "dds_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),
         "dds_quantiles_events_ckpt": _dds_sql("events", "value"),

@@ -98,3 +98,50 @@ class KMV:
         out.hashes = self.hashes.copy()
         out.values = self.values.copy()
         return out
+
+def kmv_set_ops(a: KMV, b: KMV) -> dict:
+    """Multiset-operation estimates from two same-k KMV sketches
+    (Beyer et al., SIGMOD 2007 §4): merge to the union bottom-k M, then
+    every estimate is (membership fraction within M) × |A∪B| estimate.
+
+    Returns a dict:
+      ``k_used``        — |M| (== k when saturated; below that every
+                          number is EXACT because the sketches are the
+                          full distinct sets),
+      ``n_both/n_only_a/n_only_b`` — membership counts within M,
+      ``est_union``     — (k-1)/U_(k) union estimate,
+      ``est_intersection/est_diff_a/est_diff_b`` — fraction × union,
+      ``jaccard``       — n_both / |M|.
+
+    Deterministic given the hash (SplitMix64 is a uint64 bijection, so
+    distinct values never tie) — every output is reproducible by a SQL
+    oracle that recomputes the bottom-k sets in mod-2^64 arithmetic and
+    mirrors the float expressions."""
+    if a.k != b.k:
+        raise ValueError(f"KMV k mismatch: {a.k} vs {b.k}")
+    m = a.copy().merge(b)
+    kk = m.size
+    if kk == 0:
+        return {
+            "k_used": 0, "n_both": 0, "n_only_a": 0, "n_only_b": 0,
+            "est_union": 0.0, "est_intersection": 0.0,
+            "est_diff_a": 0.0, "est_diff_b": 0.0, "jaccard": 0.0,
+        }
+    in_a = np.isin(m.hashes, a.hashes)
+    in_b = np.isin(m.hashes, b.hashes)
+    n_both = int((in_a & in_b).sum())
+    n_only_a = int((in_a & ~in_b).sum())
+    n_only_b = int((~in_a & in_b).sum())
+    est_union = m.estimate_distinct()
+    # one division then one multiply, mirrored exactly in the SQL oracle
+    return {
+        "k_used": kk,
+        "n_both": n_both,
+        "n_only_a": n_only_a,
+        "n_only_b": n_only_b,
+        "est_union": est_union,
+        "est_intersection": float(n_both) / kk * est_union,
+        "est_diff_a": float(n_only_a) / kk * est_union,
+        "est_diff_b": float(n_only_b) / kk * est_union,
+        "jaccard": float(n_both) / kk,
+    }
