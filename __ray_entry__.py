@@ -1435,6 +1435,26 @@ def q_jsonl_token_stats(sf_dir: str) -> pd.DataFrame:
     return df[["lang", "n_docs", "sum_tokens"]]
 
 
+def q_resample_mixture_docs(sf_dir: str) -> pd.DataFrame:
+    """Target-mixture resampling (functions/sampling.py::
+    resample_to_mixture — the corpus data-mixing op): down-sample so
+    the kept corpus is 2:1:1 en:de:fr (es/zh dropped), keeping the max
+    achievable total; membership = SplitMix64(doc_id) pure function, so
+    the kept row set is layout/cluster-size invariant. REAL SQL oracle
+    recomputes counts → integer rate_ppm → hash filter."""
+    from ddsketch_ray.functions.sampling import resample_to_mixture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = (
+        resample_to_mixture(ds, "doc_id", "lang", [("en", 2), ("de", 1), ("fr", 1)])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "lang"]]
+
+
 def q_pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
     """Fixed-length sequence packing (functions/pack.py — distributed
     exclusive prefix scan over doc_id order, O(blocks) driver payload):
@@ -2591,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_size_hist": q_session_size_hist,
         "props_rollup_events": q_props_rollup_events,
         "pack_sequences_docs": q_pack_sequences_docs,
+        "resample_mixture_docs": q_resample_mixture_docs,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -2970,6 +2991,20 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "resample_mixture_docs": f"""
+-- same integer math as mixture_rates: W=4, T = min(n*W//wt),
+-- rate_ppm = min(1e6, T*wt*1e6 // (W*n)); keep iff SplitMix64 % 1e6 < rate
+WITH n AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+w(lang, wt) AS (VALUES ('en', CAST(2 AS BIGINT)), ('de', 1), ('fr', 1)),
+j AS (SELECT n.lang, n.n, w.wt FROM n JOIN w USING (lang)),
+t AS (SELECT MIN(n * 4 // wt)::BIGINT AS T FROM j),
+r AS (SELECT lang, LEAST(1000000, T * wt * 1000000 // (4 * n))::BIGINT AS rate_ppm
+      FROM j, t)
+SELECT doc_id::BIGINT AS doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE ({kmv_doc_hash}) % 1000000 < r.rate_ppm
+ORDER BY doc_id
 """,
         "decontaminate_docs": f"""
 -- exact recompute: distinct trigram STRINGS per doc (same identity as

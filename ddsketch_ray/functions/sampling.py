@@ -101,3 +101,71 @@ def hash_sample(ds, id_col: str, rate_ppm: int, seed: int = 0):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+def mixture_rates(counts: dict, weights: list[tuple[str, int]]) -> tuple[int, dict]:
+    """Given per-group row counts and integer target-mixture weights,
+    compute the LARGEST total T achievable at proportions w_g/W without
+    up-sampling any group, and the per-group keep rate in ppm:
+
+        T          = min_g floor(N_g * W / w_g)
+        rate_ppm_g = floor(T * w_g * 1_000_000 / (W * N_g))
+
+    Pure Python-int math (no float, no overflow at any corpus size);
+    groups named in ``weights`` but absent (or empty) in the data raise
+    — the target mixture is unreachable. Returns (T, {group: ppm})."""
+    W = sum(int(w) for _, w in weights)
+    if W <= 0 or any(int(w) <= 0 for _, w in weights):
+        raise ValueError("mixture weights must be positive integers")
+    for g, _ in weights:
+        if int(counts.get(g, 0)) <= 0:
+            raise ValueError(f"mixture group {g!r} has no rows")
+    T = min(int(counts[g]) * W // int(w) for g, w in weights)
+    rates = {
+        g: min(1_000_000, T * int(w) * 1_000_000 // (W * int(counts[g])))
+        for g, w in weights
+    }
+    return T, rates
+
+
+def resample_to_mixture(ds, id_col: str, group_col: str, weights: list[tuple[str, int]], seed: int = 0):
+    """Deterministic down-sampling to a target group mixture (the
+    corpus data-mixing op: "make the kept corpus w_g/W parts group g,
+    keeping as much data as possible"). Two passes: one tiny counting
+    rollup (O(blocks × groups) driver rows via the two-level partial
+    plan), then a pure vectorized filter — keep iff
+    ``SplitMix64(id) % 1e6 < rate_ppm[group]``. Membership is a pure
+    function of (id, seed), so the result is identical across block
+    layouts and cluster sizes, and a SQL oracle can recompute it
+    bit-for-bit. Groups not named in ``weights`` are dropped. The input
+    is scanned twice — pass a materialized/cheaply-re-readable Dataset.
+    Returns the filtered Dataset (same schema)."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+
+    keyed = ds.map_batches(
+        lambda t: t.select([group_col]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    part = small_key_rollup(keyed, [group_col], count_alias="n")
+    counts = {
+        g: int(n)
+        for g, n in zip(
+            part.column(group_col).to_pylist(), part.column("n").to_pylist()
+        )
+    }
+    _, rates = mixture_rates(counts, weights)
+    labels = pa.array([g for g, _ in weights], type=pa.string())
+    ppm = np.array([rates[g] for g, _ in weights], dtype=np.int64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.column(group_col).null_count:
+            raise ValueError("resample_to_mixture: null group values")
+        idx = pa.compute.index_in(t.column(group_col), value_set=labels)
+        iv = idx.to_numpy(zero_copy_only=False)
+        known = ~np.isnan(iv) if iv.dtype.kind == "f" else np.ones(len(iv), bool)
+        rate = np.where(known, ppm[np.where(known, iv, 0).astype(np.int64)], 0)
+        h = _id_hashes(t.column(id_col), seed)
+        m = (h % np.uint64(1_000_000)).astype(np.int64) < rate
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)

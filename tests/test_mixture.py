@@ -1,0 +1,72 @@
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ddsketch_ray.functions.sampling import mixture_rates, resample_to_mixture
+from ddsketch_ray.hashing import hash_ints
+
+
+def test_mixture_rates_math():
+    # group b is the binding constraint: T = min(1000*3//2, 100*3//1) = 300
+    T, r = mixture_rates({"a": 1000, "b": 100}, [("a", 2), ("b", 1)])
+    assert T == 300
+    assert r == {"a": 300 * 2 * 1_000_000 // (3 * 1000), "b": 1_000_000}
+    # exact-fit corpus: every rate 1e6
+    T, r = mixture_rates({"a": 200, "b": 100}, [("a", 2), ("b", 1)])
+    assert T == 300 and r == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_mixture_rates_rejects_missing_group_and_bad_weights():
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 10}, [("a", 1), ("zz", 1)])
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 10}, [("a", 0)])
+
+
+def _df(n=3000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], n, p=[0.7, 0.2, 0.1]),
+        }
+    )
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_resample_matches_external_recompute(ray_session, blocks):
+    df = _df()
+    weights = [("en", 1), ("de", 1)]  # fr dropped entirely
+    out = (
+        resample_to_mixture(rd.from_pandas(df).repartition(blocks), "doc_id", "lang", weights)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    counts = df["lang"].value_counts().to_dict()
+    _, rates = mixture_rates(counts, weights)
+    h = hash_ints(df["doc_id"].to_numpy(), 0) % np.uint64(1_000_000)
+    keep = h.astype(np.int64) < df["lang"].map(lambda g: rates.get(g, 0)).to_numpy()
+    want = df[keep].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+    assert (out["lang"] != "fr").all()
+    # kept mixture is close to 50/50 (hash-Bernoulli noise at ~600/group)
+    vc = out["lang"].value_counts()
+    assert abs(vc["en"] - vc["de"]) / max(vc["en"], vc["de"]) < 0.2
+
+
+def test_resample_layout_invariance(ray_session):
+    df = _df(n=1200, seed=9)
+    weights = [("en", 3), ("de", 1), ("fr", 1)]
+    outs = []
+    for blocks in (1, 5):
+        outs.append(
+            resample_to_mixture(
+                rd.from_pandas(df).repartition(blocks), "doc_id", "lang", weights
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
