@@ -337,6 +337,74 @@ def stress_pkq5m() -> dict:
     return {"wall_s_best": round(best, 2), "rows_per_s": round(N_EVENTS / best), "n_keys": int(n_keys)}
 
 
+def stress_pack5m() -> dict:
+    """Sequence packing at 5M docs (functions/pack.py): one sort +
+    in-block cumsum + O(blocks) driver offsets; validates total rows."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.pack import pack_sequences
+    from ddsketch_ray.hashing import splitmix64
+
+    N = 5_000_000
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        n = (splitmix64(ids.astype(np.uint64)) % np.uint64(2000)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)), "n_tokens": pa.array(n)}
+        )
+
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = rd.range(N, override_num_blocks=4 * CPUS).map_batches(
+            gen, batch_format="pyarrow", batch_size=None
+        )
+        out = pack_sequences(ds, "doc_id", "n_tokens", seq_len=2048)
+        total = out.count()
+        dt = time.perf_counter() - t0
+        assert total == N, total
+        best = dt if best is None else min(best, dt)
+        log(f"pack5m: {dt:.2f}s ({N/dt:,.0f} docs/s)")
+    return {"wall_s_best": round(best, 2), "docs_per_s": round(N / best)}
+
+
+def stress_mixture5m() -> dict:
+    """Target-mixture resample at 5M docs / 5 skewed groups
+    (functions/sampling.py): counting rollup + pure hash filter."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.sampling import resample_to_mixture
+    from ddsketch_ray.hashing import splitmix64
+
+    N = 5_000_000
+    LABELS = np.array(["en", "de", "fr", "es", "zh"])
+    CUTS = np.array([60, 80, 90, 97, 100])
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        b = (splitmix64((ids + 17).astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+        g = LABELS[np.searchsorted(CUTS, b, side="right")]
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)), "lang": pa.array(g)}
+        )
+
+    best = None
+    kept = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = rd.range(N, override_num_blocks=4 * CPUS).map_batches(
+            gen, batch_format="pyarrow", batch_size=None
+        )
+        kept = resample_to_mixture(
+            ds, "doc_id", "lang", [("en", 2), ("de", 1), ("fr", 1)]
+        ).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        log(f"mixture5m: {dt:.2f}s ({N/dt:,.0f} docs/s, kept {kept})")
+    return {"wall_s_best": round(best, 2), "docs_per_s": round(N / best), "n_kept": int(kept)}
+
+
 def main() -> None:
     import ray
 
@@ -367,6 +435,10 @@ def main() -> None:
         results["funnel5m"] = stress_funnel5m()
     if "pkq5m" in which:
         results["pkq5m"] = stress_pkq5m()
+    if "pack5m" in which:
+        results["pack5m"] = stress_pack5m()
+    if "mixture5m" in which:
+        results["mixture5m"] = stress_mixture5m()
     print(json.dumps(results))
     ray.shutdown()
 
