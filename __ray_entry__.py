@@ -1114,6 +1114,35 @@ def q_kmv_sample_custkeys(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
+    """Big-big shuffle ANTI join (functions/joins.py::semi_join_shuffle
+    — right side ships deduped keys only, co-partitioned by key hash,
+    NOT EXISTS semantics): customers that never placed an F-status
+    order. REAL SQL oracle via NOT EXISTS."""
+    from ddsketch_ray.functions.joins import semi_join_shuffle
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        semi_join_shuffle(
+            cust, orders, "c_custkey", "o_custkey", ["c_nationkey"],
+            anti=True, num_buckets=32,
+        )
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int64)
+    return out[["c_custkey", "c_nationkey"]]
+
+
 def q_kmv_setops_custkeys(sf_dir: str) -> pd.DataFrame:
     """KMV set algebra (sketches/kmv.py::kmv_set_ops — Beyer et al.
     SIGMOD 2007): union / intersection / difference cardinality
@@ -2583,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_stats": q_clean_corpus_stats,
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
         "kmv_setops_custkeys": q_kmv_setops_custkeys,
+        "customers_no_orders": q_customers_no_orders,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
@@ -3349,6 +3379,13 @@ est AS (
   FROM kk)
 SELECT r::BIGINT AS rank, o_custkey::BIGINT AS o_custkey, e AS est_distinct
 FROM kk, est ORDER BY rank
+""",
+        "customers_no_orders": """
+SELECT c_custkey::BIGINT AS c_custkey, c_nationkey::BIGINT AS c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+ORDER BY c_custkey
 """,
         "kmv_setops_custkeys": f"""
 -- exact recompute of kmv_set_ops (Beyer et al. 2007): bottom-256 of

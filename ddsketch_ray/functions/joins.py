@@ -821,3 +821,84 @@ def semi_join_broadcast(big_ds, keys, key_col: str, anti: bool = False):
         return t.filter(pa.array(~member if anti else member))
 
     return big_ds.map_batches(filter_batch, batch_format="pyarrow", batch_size=None)
+
+def semi_join_shuffle(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols,
+    anti: bool = False,
+    num_buckets: int = 64,
+    seed: int = 0,
+):
+    """Big-big semi/anti join — keep left rows that have (semi) / lack
+    (anti) a matching key on the right, when the right side is TOO BIG
+    to broadcast (``semi_join_broadcast`` covers the small-side case).
+    EXISTS / NOT EXISTS semantics: a match requires a non-null equal
+    key, so null-key left rows are dropped by semi and kept by anti.
+
+    Plan (same co-partition substrate as ``equi_join_shuffle`` but the
+    right side ships KEYS ONLY, deduplicated per block before the
+    union — the shuffle carries no right payload): bucket = key_hash %
+    num_buckets on both sides, union, ``groupby(bucket).map_groups``
+    runs one vectorized ``is_in`` membership filter per bucket.
+    Membership tests the true typed key (hash only buckets). Returns a
+    Dataset of ``left_key`` + ``left_cols``.
+    """
+    from ddsketch_ray.agg import hash_any_column
+
+    left_cols = list(left_cols)
+    ltypes = _schema_types(left_ds, left_cols + [left_key])
+    rtypes = _schema_types(right_ds, [right_key])
+    if ltypes[left_key] != rtypes[right_key]:
+        raise ValueError(
+            f"key type mismatch: {ltypes[left_key]} vs {rtypes[right_key]}"
+        )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t.column(left_key)
+        b = (hash_any_column(k, is_arrow=True, seed=seed) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        cols = {
+            "_b": pa.array(b),
+            "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "_k": k,
+        }
+        for c in left_cols:
+            cols[f"l_{c}"] = t.column(c)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k = t.column(right_key).drop_null().unique()
+        b = (hash_any_column(k, is_arrow=True, seed=seed) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        n = len(k)
+        cols = {
+            "_b": pa.array(b),
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+            "_k": k,
+        }
+        for c in left_cols:
+            cols[f"l_{c}"] = _default_array(ltypes[c], n)
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow", batch_size=None).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    )
+
+    def bucket_filter(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        lt = g.filter(pa.array(side == 0))
+        keys = g.filter(pa.array(side == 1)).column("_k")
+        lk = lt.column("_k")
+        hit = pc.is_in(lk, value_set=keys.combine_chunks())
+        # is_in(null) -> null; EXISTS semantics: null never matches
+        hit = pc.fill_null(hit, False)
+        keep = pc.invert(hit) if anti else hit
+        out = lt.filter(keep).select(["_k"] + [f"l_{c}" for c in left_cols])
+        return out.rename_columns([left_key] + left_cols)
+
+    return tagged.groupby("_b").map_groups(bucket_filter, batch_format="pyarrow")
