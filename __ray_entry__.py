@@ -1464,6 +1464,25 @@ def q_jsonl_token_stats(sf_dir: str) -> pd.DataFrame:
     return df[["lang", "n_docs", "sum_tokens"]]
 
 
+def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact-quota stratified sample (functions/sampling.py::
+    stratified_sample — EXACTLY 10 docs per language, rank = SplitMix64
+    hash order within the stratum; one grouped-topk sort plan). REAL
+    SQL oracle via ROW_NUMBER over the recomputed hash."""
+    from ddsketch_ray.functions.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = (
+        stratified_sample(ds, "lang", "doc_id", 10)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["lang", "rank", "doc_id"]]
+
+
 def q_resample_mixture_docs(sf_dir: str) -> pd.DataFrame:
     """Target-mixture resampling (functions/sampling.py::
     resample_to_mixture — the corpus data-mixing op): down-sample so
@@ -2642,6 +2661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_rollup_events": q_props_rollup_events,
         "pack_sequences_docs": q_pack_sequences_docs,
         "resample_mixture_docs": q_resample_mixture_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3021,6 +3041,15 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "stratified_sample_docs": f"""
+-- bottom-10 per language by the recomputed SplitMix64 hash order
+WITH h AS (SELECT lang, doc_id, {kmv_doc_hash} AS hv FROM documents),
+r AS (SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rank
+      FROM h)
+SELECT lang, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id
+FROM r WHERE rank <= 10 ORDER BY lang, rank
 """,
         "resample_mixture_docs": f"""
 -- same integer math as mixture_rates: W=4, T = min(n*W//wt),

@@ -119,12 +119,13 @@ def grouped_topk(
     k: int,
     id_col: str,
     carry_cols=(),
+    ascending: bool = False,
 ):
-    """Top-k rows per group by ``value_col`` descending, ties broken by
-    ascending ``id_col`` (a unique column — makes the result
-    deterministic). Returns a Dataset with
-    (group_col, value_col, id_col, *carry_cols, rank) where rank is
-    1-based within the group.
+    """Top-k rows per group by ``value_col`` descending (or BOTTOM-k
+    with ``ascending=True``), ties broken by ascending ``id_col`` (a
+    unique column — makes the result deterministic). Returns a Dataset
+    with (group_col, value_col, id_col, *carry_cols, rank) where rank
+    is 1-based within the group.
 
     Partitioning assumption: groups ≫ blocks for full parallelism (a
     single dominant group degrades to O(blocks·k) driver rows — still
@@ -136,7 +137,7 @@ def grouped_topk(
     carry_cols = list(carry_cols)
     keep = [group_col, value_col, id_col] + carry_cols
     s = ds.select_columns(keep).sort(
-        [group_col, value_col, id_col], descending=[False, True, False]
+        [group_col, value_col, id_col], descending=[False, not ascending, False]
     )
 
     def block_topk(t: pa.Table) -> pa.Table:
@@ -175,7 +176,9 @@ def grouped_topk(
         # rows are already in global sorted order within each group once
         # re-sorted by (value desc, id); recompute rank per group, cut k
         edge = edge.sort_values(
-            [group_col, value_col, id_col], ascending=[True, False, True], kind="stable"
+            [group_col, value_col, id_col],
+            ascending=[True, ascending, True],
+            kind="stable",
         )
         edge["rank"] = edge.groupby(group_col).cumcount() + 1
         edge = edge[edge["rank"] <= k].drop(columns=["boundary"])

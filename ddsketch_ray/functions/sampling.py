@@ -169,3 +169,27 @@ def resample_to_mixture(ds, id_col: str, group_col: str, weights: list[tuple[str
         return t.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+def stratified_sample(ds, group_col: str, id_col: str, k: int, seed: int = 0):
+    """EXACTLY k rows per group (fewer only if the group is smaller) —
+    the eval-set-per-stratum shape when quotas must be exact, unlike the
+    Bernoulli ``hash_sample`` (approximate size) or grouped KMV (global
+    k split across groups). Deterministic coordinated sample: rank =
+    position in SplitMix64(id) order within the group, keep rank ≤ k.
+
+    Plan: one hash column (order-preserving uint64→int64 shift so the
+    distributed sort ranks identically to the unsigned hash), then the
+    ``grouped_topk`` sort plan in ascending mode — one distributed
+    sort, per-block first-k, O(blocks·k) edge stitching. Returns a
+    Dataset (group_col, _h, id_col, rank); rank is 1-based by hash
+    order, reproducible by a SQL oracle (ROW_NUMBER over the recomputed
+    hash)."""
+    from ddsketch_ray.functions.analytics import grouped_topk
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _id_hashes(t.column(id_col), seed)
+        shifted = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return t.append_column("_h", pa.array(shifted))
+
+    hd = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
+    return grouped_topk(hd, group_col, "_h", k, id_col, ascending=True)

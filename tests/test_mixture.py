@@ -70,3 +70,39 @@ def test_resample_layout_invariance(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_stratified_sample_exact_k(ray_session):
+    from ddsketch_ray.functions.sampling import stratified_sample
+    from ddsketch_ray.hashing import hash_ints
+
+    df = _df(n=2000, seed=13)
+    outs = []
+    for blocks in (1, 6):
+        out = (
+            stratified_sample(rd.from_pandas(df).repartition(blocks), "lang", "doc_id", 7)
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        assert (out.groupby("lang").size() == 7).all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # external recompute: bottom-7 ids per lang by SplitMix64 order
+    h = hash_ints(df["doc_id"].to_numpy(), 0)
+    ref = df.assign(h=h).sort_values(["lang", "h", "doc_id"])
+    ref["rank"] = ref.groupby("lang").cumcount() + 1
+    ref = ref[ref["rank"] <= 7]
+    want = ref.sort_values(["lang", "rank"])["doc_id"].tolist()
+    assert outs[0]["doc_id"].tolist() == want
+
+
+def test_stratified_sample_small_group(ray_session):
+    from ddsketch_ray.functions.sampling import stratified_sample
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(12, dtype=np.int64), "lang": ["en"] * 10 + ["zz"] * 2}
+    )
+    out = stratified_sample(rd.from_pandas(df).repartition(3), "lang", "doc_id", 5).to_pandas()
+    sz = out.groupby("lang").size()
+    assert sz["en"] == 5 and sz["zz"] == 2
