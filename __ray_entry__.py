@@ -1464,6 +1464,21 @@ def q_jsonl_token_stats(sf_dir: str) -> pd.DataFrame:
     return df[["lang", "n_docs", "sum_tokens"]]
 
 
+def q_pivot_orders_status(sf_dir: str) -> pd.DataFrame:
+    """Pivot / wide grouped aggregate (functions/analytics.py::
+    pivot_rollup — per-batch indicator columns + two-level partial
+    rollup; shuffle carries O(blocks × groups) rows): per order
+    priority, COUNT FILTER per status. REAL SQL oracle via
+    COUNT(*) FILTER (WHERE ...)."""
+    from ddsketch_ray.functions.analytics import pivot_rollup
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    out = pivot_rollup(ds, "o_orderpriority", "o_orderstatus", ["F", "O", "P"]).to_pandas()
+    for c in ("n_F", "n_O", "n_P"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Exact-quota stratified sample (functions/sampling.py::
     stratified_sample — EXACTLY 10 docs per language, rank = SplitMix64
@@ -2662,6 +2677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": q_pack_sequences_docs,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "pivot_orders_status": q_pivot_orders_status,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3041,6 +3057,13 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "pivot_orders_status": """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_F,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_O,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         "stratified_sample_docs": f"""
 -- bottom-10 per language by the recomputed SplitMix64 hash order

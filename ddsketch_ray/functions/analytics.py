@@ -614,3 +614,42 @@ def grouped_distinct_exact(ds, key_col: str, value_col: str, alias: str = "n_dis
         }
     )
     return internal.union(rd.from_arrow(out))
+
+
+def pivot_rollup(
+    ds,
+    group_col: str,
+    pivot_col: str,
+    pivot_values,
+    sum_col: str | None = None,
+    count_prefix: str = "n_",
+) -> pa.Table:
+    """Wide grouped aggregate (SQL ``COUNT(*)/SUM(x) FILTER (WHERE
+    pivot = v)``): one output row per group, one column per pivot value
+    — the report/feature-matrix shape. ``pivot_values`` must be the
+    explicit (small) value list: an unknown pivot domain would make the
+    output schema data-dependent, which neither Arrow blocks nor the
+    SQL oracle can express; values outside the list are ignored.
+
+    Plan: per-batch vectorized indicator columns (one ``==`` mask per
+    pivot value; ``sum_col`` multiplies the mask — int64, so sums must
+    be overflow-safe ints per the oracle rules), then the two-level
+    ``small_key_rollup`` partial plan — the shuffle carries
+    O(blocks × groups) pre-aggregated rows, never the input. Returns a
+    pyarrow Table sorted by ``group_col``."""
+    pivot_values = list(pivot_values)
+    aliases = [f"{count_prefix}{v}" for v in pivot_values]
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {group_col: t.column(group_col)}
+        pv = t.column(pivot_col)
+        if sum_col is not None:
+            x = t.column(sum_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        for v, a in zip(pivot_values, aliases):
+            m = pc.fill_null(pc.equal(pv, v), False).to_numpy(zero_copy_only=False)
+            vals = (m.astype(np.int64) * x) if sum_col is not None else m.astype(np.int64)
+            cols[a] = pa.array(vals)
+        return pa.table(cols)
+
+    ind = ds.map_batches(indicators, batch_format="pyarrow", batch_size=None)
+    return small_key_rollup(ind, [group_col], sums=[(a, a) for a in aliases])

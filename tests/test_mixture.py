@@ -106,3 +106,35 @@ def test_stratified_sample_small_group(ray_session):
     out = stratified_sample(rd.from_pandas(df).repartition(3), "lang", "doc_id", 5).to_pandas()
     sz = out.groupby("lang").size()
     assert sz["en"] == 5 and sz["zz"] == 2
+
+
+def test_pivot_rollup_counts_and_sums(ray_session):
+    from ddsketch_ray.functions.analytics import pivot_rollup
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "p": rng.choice(["x", "y", "z"], 500),
+            "v": rng.integers(0, 50, 500).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    out = pivot_rollup(ds, "g", "p", ["x", "y"]).to_pandas()
+    want = (
+        df.assign(n_x=(df.p == "x").astype(int), n_y=(df.p == "y").astype(int))
+        .groupby("g", as_index=False)[["n_x", "n_y"]]
+        .sum()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.astype({"n_x": np.int64, "n_y": np.int64}), want)
+    outs = pivot_rollup(ds, "g", "p", ["x", "y"], sum_col="v").to_pandas()
+    wants = (
+        df.assign(n_x=df.v.where(df.p == "x", 0), n_y=df.v.where(df.p == "y", 0))
+        .groupby("g", as_index=False)[["n_x", "n_y"]]
+        .sum()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(outs.astype({"n_x": np.int64, "n_y": np.int64}), wants)
