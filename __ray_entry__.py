@@ -1498,6 +1498,31 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_global_rank_docs(sf_dir: str) -> pd.DataFrame:
+    """Global ROW_NUMBER (functions/pack.py::global_rank — one sort +
+    in-block positions + arrow-ordered O(blocks) driver stitch): every
+    document's corpus-wide rank by token count descending. REAL SQL
+    oracle via ROW_NUMBER() OVER (ORDER BY ... DESC, doc_id)."""
+    from ddsketch_ray.functions.pack import global_rank
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        global_rank(toks, "n_tokens", "doc_id", descending=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_tokens", "rank"):
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "n_tokens", "rank"]]
+
+
 def q_resample_mixture_docs(sf_dir: str) -> pd.DataFrame:
     """Target-mixture resampling (functions/sampling.py::
     resample_to_mixture — the corpus data-mixing op): down-sample so
@@ -2678,6 +2703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "pivot_orders_status": q_pivot_orders_status,
+        "global_rank_docs": q_global_rank_docs,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3057,6 +3083,17 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "global_rank_docs": r"""
+WITH o AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                    x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  row_number() OVER (ORDER BY n_tokens DESC, doc_id)::BIGINT AS rank
+FROM o ORDER BY doc_id
 """,
         "pivot_orders_status": """
 SELECT o_orderpriority,

@@ -155,3 +155,115 @@ def pack_sequences(
         )
 
     return offs.map_batches(seqs, batch_format="pyarrow", batch_size=None)
+
+
+def global_rank(
+    ds,
+    value_col: str,
+    id_col: str,
+    descending: bool = False,
+    rank_alias: str = "rank",
+):
+    """Global ``ROW_NUMBER() OVER (ORDER BY value [DESC], id)`` — the
+    corpus-wide leaderboard rank (quality ordering, curriculum
+    position) no window function in Ray Data can produce. ``id_col``
+    must be unique non-null int64 (the deterministic tiebreak AND the
+    block-identity key for the offset stitch).
+
+    Plan: ONE distributed sort on (value, id); each block emits
+    1-based in-block positions plus one summary row (first id, row
+    count, first value); the driver orders the O(blocks) summaries by
+    (first value, first id) — the block sort order, reconstructible
+    because id is unique — prefix-sums the counts, and broadcasts
+    {first_id -> base} into one vectorized add. Returns a Dataset
+    (id_col, value_col, rank_alias), one row per input row."""
+    import ray
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.column(id_col).null_count or t.column(value_col).null_count:
+            # null ordering would have to agree between the distributed
+            # sort and the driver stitch — refuse instead of guessing
+            raise ValueError("global_rank: null ids/values not supported")
+        return pa.table(
+            {"v": t.column(value_col), "i": t.column(id_col).cast(pa.int64())}
+        )
+
+    s = ds.map_batches(project, batch_format="pyarrow", batch_size=None).sort(
+        ["v", "i"], descending=[descending, False]
+    )
+
+    def block_pos(t: pa.Table) -> pa.Table:
+        vtype = t.schema.field("v").type
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    "i": z,
+                    "v": pa.array([], vtype),
+                    "pos": z,
+                    "_fid": z,
+                    "_sum": pa.array([], pa.bool_()),
+                }
+            )
+        n = t.num_rows
+        ids = t.column("i").to_numpy()
+        return pa.table(
+            {
+                "i": pa.array(np.r_[ids, ids[:1]]),
+                "v": pa.concat_arrays(
+                    [t.column("v").combine_chunks(), t.column("v").take(pa.array([0])).combine_chunks()]
+                ),
+                # summary row's pos carries the block's ROW COUNT
+                "pos": pa.array(np.r_[np.arange(1, n + 1, dtype=np.int64), [n]]),
+                "_fid": pa.array(np.r_[np.full(n, ids[0], np.int64), ids[:1]]),
+                "_sum": pa.array(np.r_[np.zeros(n, bool), [True]]),
+            }
+        )
+
+    rep = s.map_batches(block_pos, batch_format="pyarrow", batch_size=None).materialize()
+    edge_parts = [
+        t
+        for t in ray.get(
+            rep.map_batches(
+                lambda t: t.filter(t.column("_sum")).select(["_fid", "v", "pos"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]  # 1 summary row per non-empty block
+    rows = rep.map_batches(
+        lambda t: t.filter(pc.invert(t.column("_sum"))),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    if edge_parts:
+        # ARROW sort (not pandas): string comparison must match the
+        # distributed sort's UTF-8 byte order or ties across blocks
+        # would stitch in the wrong order
+        et = pa.concat_tables(edge_parts).combine_chunks().sort_by(
+            [("v", "descending" if descending else "ascending"), ("_fid", "ascending")]
+        )
+        fids = et.column("_fid").to_numpy().astype(np.int64)
+        counts = et.column("pos").to_numpy().astype(np.int64)
+        bases = np.concatenate(([0], np.cumsum(counts[:-1], dtype=np.int64)))
+        order = np.argsort(fids)
+        ref = ray.put((fids[order], bases[order]))
+    else:
+        ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def add_base(t: pa.Table) -> pa.Table:
+        kk, vv = ray.get(ref)
+        fid = t.column("_fid").to_numpy()
+        base = vv[np.searchsorted(kk, fid)] if len(kk) else np.zeros(len(fid), np.int64)
+        return pa.table(
+            {
+                id_col: t.column("i"),
+                value_col: t.column("v"),
+                rank_alias: pa.array(t.column("pos").to_numpy() + base),
+            }
+        )
+
+    return rows.map_batches(add_base, batch_format="pyarrow", batch_size=None)

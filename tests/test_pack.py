@@ -107,3 +107,50 @@ def test_pack_sequences_matches_sql_shape(ray_session, blocks):
     assert out["tok_start"].tolist() == ref["offset"].tolist()
     assert out["seq_first"].tolist() == first.tolist()
     assert out["n_seqs"].tolist() == nseq.tolist()
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 7])
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_rank_matches_row_number(ray_session, blocks, descending):
+    from ddsketch_ray.functions.pack import global_rank
+
+    rng = np.random.default_rng(17)
+    # heavy duplicate values so runs span blocks
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(400).astype(np.int64),
+            "score": rng.integers(0, 12, 400).astype(np.int64),
+        }
+    )
+    out = (
+        global_rank(_mk(df, blocks), "score", "doc_id", descending=descending)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["score", "doc_id"], ascending=[not descending, True]).reset_index(drop=True)
+    ref["rank"] = np.arange(1, len(ref) + 1, dtype=np.int64)
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert out["rank"].tolist() == ref["rank"].tolist()
+    assert out["score"].tolist() == ref["score"].tolist()
+
+
+def test_global_rank_string_values_and_null_raise(ray_session):
+    from ddsketch_ray.functions.pack import global_rank
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64), "w": ["b", "a", "c", "a", "b", "a"]}
+    )
+    out = (
+        global_rank(_mk(df, 3), "w", "doc_id")
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out["w"].tolist() == ["a", "a", "a", "b", "b", "c"]
+    assert out[out.w == "a"]["doc_id"].tolist() == [1, 3, 5]
+    bad = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "w": pa.array(["x", None])})
+    )
+    with pytest.raises(Exception):
+        global_rank(bad, "w", "doc_id").to_pandas()
