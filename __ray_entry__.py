@@ -1498,6 +1498,29 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group embedding centroid (functions/cluster.py::
+    group_centroids — fixed-point int64 partials, bit-identical across
+    layouts/cluster sizes). Output exploded to (label, d, n, c) rows;
+    REAL SQL oracle: zipped unnest + round_even fixed-point recompute,
+    bit-for-bit (no rounding needed)."""
+    from ddsketch_ray.functions.cluster import group_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    cent = group_centroids(ds, "label")
+    rows = {"label": [], "d": [], "n": [], "c": []}
+    for _, r in cent.iterrows():
+        for d, c in enumerate(r["centroid"]):
+            rows["label"].append(int(r["label"]))
+            rows["d"].append(d)
+            rows["n"].append(int(r["n"]))
+            rows["c"].append(c)
+    out = pd.DataFrame(rows)
+    for col in ("label", "d", "n"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values(["label", "d"]).reset_index(drop=True)
+
+
 def q_global_rank_docs(sf_dir: str) -> pd.DataFrame:
     """Global ROW_NUMBER (functions/pack.py::global_rank — one sort +
     in-block positions + arrow-ordered O(blocks) driver stitch): every
@@ -2704,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "pivot_orders_status": q_pivot_orders_status,
         "global_rank_docs": q_global_rank_docs,
+        "label_centroids_embeddings": q_label_centroids_embeddings,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3083,6 +3107,20 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "label_centroids_embeddings": """
+-- fixed-point recompute: round_even == np.rint (half-to-even), the
+-- int64 sums are exact, one mirrored float division -> bit-identical
+WITH e AS (
+  SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS d
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+s AS (SELECT label, d, COUNT(*)::BIGINT AS n,
+        SUM(CAST(round_even(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT))::BIGINT AS sfp
+      FROM e GROUP BY label, d)
+SELECT label::BIGINT AS label, d::BIGINT AS d, n,
+       CAST(sfp AS DOUBLE) / (1048576.0 * n) AS c
+FROM s ORDER BY label, d
 """,
         "global_rank_docs": r"""
 WITH o AS (

@@ -23,6 +23,12 @@ def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col).combine_chunks()
     if isinstance(arr, pa.ChunkedArray):  # single chunk after combine
         arr = arr.chunk(0)
+    if not hasattr(arr, "flatten"):
+        # Ray tensor-extension array (from_pandas of ndarray cells):
+        # to_numpy already yields the (n, d) matrix
+        return np.asarray(arr.to_numpy(zero_copy_only=False)).astype(
+            np.float64, copy=False
+        ).reshape(batch.num_rows, -1)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     return flat.reshape(batch.num_rows, -1)
 

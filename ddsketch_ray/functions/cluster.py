@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ddsketch_ray.functions.ann import _embedding_matrix
 from ddsketch_ray.hashing import mix_seed
@@ -336,3 +337,82 @@ def kmeans_fit_checkpointed(
         "resumed_from_iteration": start,
         "iterations_run": ran,
     }
+
+
+def group_centroids(ds, group_col: str, vec_col: str = "embedding", frac_bits: int = 20):
+    """Exact per-group embedding centroid (mean vector) — the
+    domain/language profile vector of a corpus. Same fixed-point
+    contract as ``kmeans_iteration``: each block rounds components to
+    ``x * 2**frac_bits`` int64 and sums per group (exact associative
+    integer partials → bit-identical across layouts and cluster
+    sizes); the driver combines O(blocks × groups) partial rows with
+    Python-int accumulation and divides once in float64. Rows with a
+    null group or null vector are dropped (documented). Returns a
+    pandas DataFrame (group_col, n, centroid: list[float64]) sorted by
+    group."""
+    import pandas as pd
+    import ray
+
+    scale = float(1 << frac_bits)
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        mask = pc.and_(
+            pc.is_valid(t.column(group_col)), pc.is_valid(t.column(vec_col))
+        )
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], gtype),
+                    "n": pa.array([], pa.int64()),
+                    "sum_fp": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        X = _embedding_matrix(t, vec_col)  # zero-copy flatten, float64
+        fp = np.rint(X * scale).astype(np.int64)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, fps = g[order], fp[order]
+        starts = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
+        sums = np.add.reduceat(fps, starts, axis=0)
+        ns = np.diff(np.r_[starts, len(gs)]).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(gs[starts], type=gtype),
+                "n": pa.array(ns),
+                "sum_fp": pa.array([row.tolist() for row in sums], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(block_partials, batch_format="pyarrow", batch_size=None)
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    acc: dict = {}
+    for t in parts:
+        gv = t.column(group_col).to_pylist()
+        nv = t.column("n").to_pylist()
+        sv = t.column("sum_fp").to_pylist()
+        for g, n, s in zip(gv, nv, sv):
+            if g in acc:
+                an, asum = acc[g]
+                acc[g] = (an + n, [a + b for a, b in zip(asum, s)])
+            else:
+                acc[g] = (n, [int(x) for x in s])
+    rows = []
+    for g in sorted(acc):
+        n, s = acc[g]
+        rows.append(
+            {
+                group_col: g,
+                "n": np.int64(n),
+                "centroid": [float(x) / (scale * n) for x in s],
+            }
+        )
+    return pd.DataFrame(rows)

@@ -1,0 +1,50 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ddsketch_ray.functions.cluster import group_centroids
+
+
+def _mk(n=300, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "label": rng.integers(0, 4, n).astype(np.int64),
+            "embedding": list(rng.normal(size=(n, d)).astype(np.float32)),
+        }
+    )
+
+
+def test_group_centroids_matches_reference_and_layouts(ray_session):
+    df = _mk()
+    outs = []
+    for blocks in (1, 5):
+        ds = rd.from_pandas(df).repartition(blocks)
+        outs.append(group_centroids(ds, "label"))
+    # bit-identical across layouts (fixed-point partials)
+    for a, b in zip(outs[0]["centroid"], outs[1]["centroid"]):
+        assert a == b
+    assert outs[0]["n"].tolist() == outs[1]["n"].tolist()
+    # matches the sequential fixed-point reference
+    scale = float(1 << 20)
+    for _, row in outs[0].iterrows():
+        X = np.stack(df[df.label == row["label"]]["embedding"].to_numpy()).astype(np.float64)
+        fp = np.rint(X * scale).astype(np.int64).sum(axis=0)
+        want = [float(x) / (scale * len(X)) for x in fp]
+        assert row["centroid"] == want
+        # and is within fixed-point quantization of the true float mean
+        assert np.allclose(row["centroid"], X.mean(axis=0), atol=1e-5)
+
+
+def test_group_centroids_drops_nulls(ray_session):
+    t = pa.table(
+        {
+            "label": pa.array([1, 1, None, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], [3.0, 4.0], [9.0, 9.0], None],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = group_centroids(rd.from_arrow(t), "label")
+    assert out["label"].tolist() == [1]
+    assert out["centroid"].iloc[0] == [2.0, 3.0]
