@@ -1498,6 +1498,25 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_top_tokens_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language top-10 tokens (functions/text.py::
+    top_tokens_by_group — per-block polars (lang, tok) pre-agg →
+    composite-key sort-plan rollup → grouped-topk sort plan). REAL SQL
+    oracle via ROW_NUMBER over GROUP BY lang, tok counts."""
+    from ddsketch_ray.functions.text import top_tokens_by_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = (
+        top_tokens_by_group(ds, "lang", 10)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    out["n_occ"] = out["n_occ"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["lang", "rank", "tok", "n_occ"]]
+
+
 def q_label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     """Exact per-group embedding centroid (functions/cluster.py::
     group_centroids — fixed-point int64 partials, bit-identical across
@@ -2728,6 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_orders_status": q_pivot_orders_status,
         "global_rank_docs": q_global_rank_docs,
         "label_centroids_embeddings": q_label_centroids_embeddings,
+        "top_tokens_by_lang": q_top_tokens_by_lang,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3107,6 +3127,17 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "top_tokens_by_lang": r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+  FROM documents),
+c AS (SELECT lang, tok, COUNT(*)::BIGINT AS n_occ FROM toks GROUP BY lang, tok),
+r AS (SELECT lang, tok, n_occ,
+        row_number() OVER (PARTITION BY lang ORDER BY n_occ DESC, tok) AS rank
+      FROM c)
+SELECT lang, rank::BIGINT AS rank, tok, n_occ FROM r WHERE rank <= 10
+ORDER BY lang, rank
 """,
         "label_centroids_embeddings": """
 -- fixed-point recompute: round_even == np.rint (half-to-even), the

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ddsketch_ray.hashing import hash_strings, splitmix64
 
@@ -633,3 +634,51 @@ class BPEEncode:
                 "n_bpe_tokens": pa.array(n_bpe),
             }
         )
+
+
+def top_tokens_by_group(ds, group_col: str, k: int, text_col: str = "text"):
+    """Per-group top-k tokens by occurrence count (the per-language /
+    per-domain vocabulary profile). Plan: per-block polars (group, tok)
+    pre-aggregation (token definition = TOKEN_PATTERN), the
+    high-cardinality sort-plan rollup over a composite ``group␟tok``
+    key (one narrow shuffle of pre-aggregated rows), then the
+    ``grouped_topk`` sort plan — rank = (n_occ DESC, tok ASC),
+    deterministic. ``group_col`` must be a non-null string column whose
+    values don't contain the 0x1F separator. Returns a Dataset
+    (group_col, n_occ, tok, rank)."""
+    from ddsketch_ray.functions.analytics import grouped_topk, sorted_sum_rollup
+
+    SEP = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.column(group_col).null_count:
+            raise ValueError("top_tokens_by_group: null group values")
+        s = _text_series(t, text_col)
+        df = pl.DataFrame(
+            {
+                "g": pl.from_arrow(t.column(group_col).cast(pa.string())),
+                "tok": s.str.extract_all(TOKEN_PATTERN),
+            }
+        ).explode("tok")
+        df = df.filter(pl.col("tok").is_not_null())
+        gb = df.group_by(["g", "tok"]).agg(n_occ=pl.len().cast(pl.Int64))
+        key = (gb["g"] + SEP + gb["tok"]).to_arrow().cast(pa.string())
+        return pa.table(
+            {"key": key, "n_occ": pa.array(gb["n_occ"].to_numpy(), pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    vocab = sorted_sum_rollup(partials, "key", ["n_occ"])
+
+    def split_key(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("key"), SEP, max_splits=1)
+        return pa.table(
+            {
+                group_col: pc.list_element(parts, 0),
+                "tok": pc.list_element(parts, 1),
+                "n_occ": t.column("n_occ"),
+            }
+        )
+
+    flat = vocab.map_batches(split_key, batch_format="pyarrow", batch_size=None)
+    return grouped_topk(flat, group_col, "n_occ", k, id_col="tok")

@@ -48,3 +48,33 @@ def test_group_centroids_drops_nulls(ray_session):
     out = group_centroids(rd.from_arrow(t), "label")
     assert out["label"].tolist() == [1]
     assert out["centroid"].iloc[0] == [2.0, 3.0]
+
+
+def test_top_tokens_by_group(ray_session):
+    from ddsketch_ray.functions.text import top_tokens_by_group
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en"] * 4 + ["de"] * 3,
+            "text": [
+                "the cat sat", "the dog", "the cat", "a cat",
+                "der hund", "der hund bellt", "die katze",
+            ],
+        }
+    )
+    outs = []
+    for blocks in (1, 4):
+        out = (
+            top_tokens_by_group(rd.from_pandas(df).repartition(blocks), "lang", 2)
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    en = outs[0][outs[0].lang == "en"]
+    assert en["tok"].tolist() == ["cat", "the"]  # tie (3,3) broken by tok asc
+    assert en["n_occ"].tolist() == [3, 3]
+    de = outs[0][outs[0].lang == "de"]
+    assert de["tok"].tolist() == ["der", "hund"]
+    assert de["n_occ"].tolist() == [2, 2]
