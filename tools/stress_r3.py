@@ -405,6 +405,73 @@ def stress_mixture5m() -> dict:
     return {"wall_s_best": round(best, 2), "docs_per_s": round(N / best), "n_kept": int(kept)}
 
 
+def stress_semi5m() -> dict:
+    """Big-big anti join at 5M probe rows × 2M distinct right keys
+    (functions/joins.py::semi_join_shuffle)."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.joins import semi_join_shuffle
+    from ddsketch_ray.hashing import splitmix64
+
+    N, M = 5_000_000, 2_000_000
+
+    def gen_left(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        k = (splitmix64(ids.astype(np.uint64)) % np.uint64(3_000_000)).astype(np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(ids.astype(np.int64))})
+
+    def gen_right(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        return pa.table({"rk": pa.array(ids.astype(np.int64))})
+
+    best = None
+    kept = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        left = rd.range(N, override_num_blocks=4 * CPUS).map_batches(
+            gen_left, batch_format="pyarrow", batch_size=None
+        )
+        right = rd.range(M, override_num_blocks=4 * CPUS).map_batches(
+            gen_right, batch_format="pyarrow", batch_size=None
+        )
+        kept = semi_join_shuffle(
+            left, right, "k", "rk", ["v"], anti=True, num_buckets=4 * CPUS
+        ).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        log(f"semi5m: {dt:.2f}s ({N/dt:,.0f} probe rows/s, kept {kept})")
+    return {"wall_s_best": round(best, 2), "rows_per_s": round(N / best), "n_kept": int(kept)}
+
+
+def stress_rank5m() -> dict:
+    """Global ROW_NUMBER at 5M rows with heavy duplicate values
+    (functions/pack.py::global_rank)."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.pack import global_rank
+    from ddsketch_ray.hashing import splitmix64
+
+    N = 5_000_000
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        v = (splitmix64(ids.astype(np.uint64)) % np.uint64(1000)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)), "score": pa.array(v)})
+
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = rd.range(N, override_num_blocks=4 * CPUS).map_batches(
+            gen, batch_format="pyarrow", batch_size=None
+        )
+        total = global_rank(ds, "score", "doc_id", descending=True).count()
+        dt = time.perf_counter() - t0
+        assert total == N, total
+        best = dt if best is None else min(best, dt)
+        log(f"rank5m: {dt:.2f}s ({N/dt:,.0f} rows/s)")
+    return {"wall_s_best": round(best, 2), "rows_per_s": round(N / best)}
+
+
 def main() -> None:
     import ray
 
@@ -439,6 +506,10 @@ def main() -> None:
         results["pack5m"] = stress_pack5m()
     if "mixture5m" in which:
         results["mixture5m"] = stress_mixture5m()
+    if "semi5m" in which:
+        results["semi5m"] = stress_semi5m()
+    if "rank5m" in which:
+        results["rank5m"] = stress_rank5m()
     print(json.dumps(results))
     ray.shutdown()
 
