@@ -1479,6 +1479,33 @@ def q_pivot_orders_status(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_resample_token_mixture_docs(sf_dir: str) -> pd.DataFrame:
+    """TOKEN-weighted mixture resample (resample_to_mixture with
+    weight_col — LLM mixtures are specified in tokens, not docs): keep
+    a 1:1 en:de token-mass mixture. REAL SQL oracle: per-lang token
+    sums → integer rates → hash filter, bit-for-bit."""
+    from ddsketch_ray.functions.sampling import resample_to_mixture
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "lang", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # scanned twice: rate rollup + filter
+    out = (
+        resample_to_mixture(
+            toks, "doc_id", "lang", [("en", 1), ("de", 1)], weight_col="n_tokens"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out[["doc_id", "lang", "n_tokens"]]
+
+
 def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Exact-quota stratified sample (functions/sampling.py::
     stratified_sample — EXACTLY 10 docs per language, rank = SplitMix64
@@ -2744,6 +2771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": q_pack_sequences_docs,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "resample_token_mixture_docs": q_resample_token_mixture_docs,
         "pivot_orders_status": q_pivot_orders_status,
         "global_rank_docs": q_global_rank_docs,
         "label_centroids_embeddings": q_label_centroids_embeddings,
@@ -3170,6 +3198,24 @@ SELECT o_orderpriority,
   COUNT(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_O,
   COUNT(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_P
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "resample_token_mixture_docs": f"""
+-- token-weighted mixture: group size = SUM(n_tokens); W=2, T = min(S*2//1),
+-- rate_ppm = min(1e6, T*1*1e6 // (2*S)); keep iff SplitMix64 % 1e6 < rate
+WITH t0 AS (
+  SELECT doc_id, lang,
+    len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                    x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+s AS (SELECT lang, SUM(n_tokens)::BIGINT AS sn FROM t0 WHERE lang IN ('en','de') GROUP BY lang),
+tt AS (SELECT MIN(sn * 2 // 1)::BIGINT AS T FROM s),
+r AS (SELECT lang, LEAST(1000000, T * 1 * 1000000 // (2 * sn))::BIGINT AS rate_ppm
+      FROM s, tt)
+SELECT doc_id, t0.lang, n_tokens
+FROM t0 JOIN r ON t0.lang = r.lang
+WHERE ({kmv_doc_hash}) % 1000000 < r.rate_ppm
+ORDER BY doc_id
 """,
         "stratified_sample_docs": f"""
 -- bottom-10 per language by the recomputed SplitMix64 hash order

@@ -127,7 +127,14 @@ def mixture_rates(counts: dict, weights: list[tuple[str, int]]) -> tuple[int, di
     return T, rates
 
 
-def resample_to_mixture(ds, id_col: str, group_col: str, weights: list[tuple[str, int]], seed: int = 0):
+def resample_to_mixture(
+    ds,
+    id_col: str,
+    group_col: str,
+    weights: list[tuple[str, int]],
+    seed: int = 0,
+    weight_col: str | None = None,
+):
     """Deterministic down-sampling to a target group mixture (the
     corpus data-mixing op: "make the kept corpus w_g/W parts group g,
     keeping as much data as possible"). Two passes: one tiny counting
@@ -138,15 +145,26 @@ def resample_to_mixture(ds, id_col: str, group_col: str, weights: list[tuple[str
     layouts and cluster sizes, and a SQL oracle can recompute it
     bit-for-bit. Groups not named in ``weights`` are dropped. The input
     is scanned twice — pass a materialized/cheaply-re-readable Dataset.
-    Returns the filtered Dataset (same schema)."""
+    Returns the filtered Dataset (same schema).
+
+    ``weight_col`` switches the mixture unit from rows to that int64
+    column's mass — e.g. TOKENS, the unit LLM data mixtures are
+    actually specified in: group sizes become SUM(weight), the rate
+    math is unchanged, and the Bernoulli row filter keeps each group's
+    EXPECTED kept mass at w_g·T/W (exact proportions in expectation;
+    per-doc weights make the realized mass hash-noise around it)."""
     from ddsketch_ray.functions.analytics import small_key_rollup
 
+    keep_cols = [group_col] + ([weight_col] if weight_col else [])
     keyed = ds.map_batches(
-        lambda t: t.select([group_col]),
+        lambda t: t.select(keep_cols),
         batch_format="pyarrow",
         batch_size=None,
     )
-    part = small_key_rollup(keyed, [group_col], count_alias="n")
+    if weight_col:
+        part = small_key_rollup(keyed, [group_col], sums=[("n", weight_col)])
+    else:
+        part = small_key_rollup(keyed, [group_col], count_alias="n")
     counts = {
         g: int(n)
         for g, n in zip(

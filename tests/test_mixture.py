@@ -138,3 +138,37 @@ def test_pivot_rollup_counts_and_sums(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(outs.astype({"n_x": np.int64, "n_y": np.int64}), wants)
+
+
+def test_resample_token_weighted(ray_session):
+    from ddsketch_ray.functions.sampling import mixture_rates, resample_to_mixture
+    from ddsketch_ray.hashing import hash_ints
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "lang": rng.choice(["en", "de"], 3000, p=[0.8, 0.2]),
+            "n_tokens": rng.integers(1, 400, 3000).astype(np.int64),
+        }
+    )
+    weights = [("en", 1), ("de", 1)]
+    out = (
+        resample_to_mixture(
+            rd.from_pandas(df).repartition(5), "doc_id", "lang", weights,
+            weight_col="n_tokens",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # external recompute on token sums
+    sums = df.groupby("lang")["n_tokens"].sum().to_dict()
+    _, rates = mixture_rates(sums, weights)
+    h = hash_ints(df["doc_id"].to_numpy(), 0) % np.uint64(1_000_000)
+    keep = h.astype(np.int64) < df["lang"].map(rates).to_numpy()
+    want = df[keep].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+    # kept TOKEN mass is ~50/50 (Bernoulli noise)
+    ts = out.groupby("lang")["n_tokens"].sum()
+    assert abs(ts["en"] - ts["de"]) / max(ts["en"], ts["de"]) < 0.15
