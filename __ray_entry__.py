@@ -1525,6 +1525,28 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_normalize_text_docs(sf_dir: str) -> pd.DataFrame:
+    """Unicode canonical normalization (functions/text.py::
+    normalize_text_batch — polars Rust NFC + lowercase + whitespace
+    collapse; pure map stage). Full normalized text value-hashed
+    against the DuckDB nfc_normalize/lower/regexp_replace chain."""
+    from ddsketch_ray.functions.text import normalize_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(
+            lambda t: normalize_text_batch(t).select(["doc_id", "norm_text"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
 def q_top_tokens_by_lang(sf_dir: str) -> pd.DataFrame:
     """Per-language top-10 tokens (functions/text.py::
     top_tokens_by_group — per-block polars (lang, tok) pre-agg →
@@ -2776,6 +2798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_docs": q_global_rank_docs,
         "label_centroids_embeddings": q_label_centroids_embeddings,
         "top_tokens_by_lang": q_top_tokens_by_lang,
+        "normalize_text_docs": q_normalize_text_docs,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3155,6 +3178,12 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "normalize_text_docs": """
+SELECT doc_id::BIGINT AS doc_id,
+  trim(regexp_replace(lower(nfc_normalize(text)),
+                      '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text
+FROM documents ORDER BY doc_id
 """,
         "top_tokens_by_lang": r"""
 WITH toks AS (

@@ -682,3 +682,31 @@ def top_tokens_by_group(ds, group_col: str, k: int, text_col: str = "text"):
 
     flat = vocab.map_batches(split_key, batch_format="pyarrow", batch_size=None)
     return grouped_topk(flat, group_col, "n_occ", k, id_col="tok")
+
+
+def normalize_text_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    nfc: bool = True,
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> pa.Table:
+    """Canonical text normalization — the pre-step that makes exact /
+    near dedup robust to encoding drift: Unicode NFC (combining-mark
+    sequences → composed forms), unicode lowercase, ASCII-whitespace
+    run collapse + trim. Every stage is a vectorized polars (Rust)
+    kernel with an exact DuckDB counterpart (nfc_normalize / lower /
+    regexp_replace + trim) so the full output is SQL-oracle-checkable
+    byte-for-byte. (pyarrow's own ``utf8_normalize`` is NOT used: in
+    this build it fails to compose — NFC(É) returns E+U+0301.) Nulls
+    pass through as nulls."""
+    s = pl.from_arrow(batch.column(text_col).cast(pa.string()))
+    if nfc:
+        s = s.str.normalize("NFC")
+    if lowercase:
+        s = s.str.to_lowercase()
+    if collapse_ws:
+        s = s.str.replace_all(r"[ \t\n\r\f\v]+", " ").str.strip_chars(" ")
+    arr = s.to_arrow().cast(pa.string())
+    return batch.append_column(out_col, arr)

@@ -78,3 +78,16 @@ def test_top_tokens_by_group(ray_session):
     de = outs[0][outs[0].lang == "de"]
     assert de["tok"].tolist() == ["der", "hund"]
     assert de["n_occ"].tolist() == [2, 2]
+
+
+def test_normalize_text_batch_stages(ray_session):
+    import pyarrow as pa
+    from ddsketch_ray.functions.text import normalize_text_batch
+
+    decomposed = "E\u0301cole"  # E + combining acute (decomposed)
+    t = pa.table({"text": [decomposed, "  A \t B\n\nC ", None, ""]})
+    out = normalize_text_batch(t).column("norm_text").to_pylist()
+    assert out == ["\u00e9cole", "a b c", None, ""]  # composed e-acute, lowered
+    # stages independently switchable
+    raw = normalize_text_batch(t, nfc=False, lowercase=False, collapse_ws=False)
+    assert raw.column("norm_text").to_pylist() == t.column("text").to_pylist()
