@@ -1653,6 +1653,31 @@ def q_pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_tokens", "tok_start", "seq_first", "n_seqs"]]
 
 
+def q_pack_manifest_docs(sf_dir: str) -> pd.DataFrame:
+    """Training-loader pack manifest (functions/pack.py::pack_manifest
+    — one row per (sequence, doc) intersection, vectorized np.repeat
+    explode over the prefix-scan output). REAL SQL oracle: window
+    prefix sum + generate_series explode + the same span formulas."""
+    from ddsketch_ray.functions.pack import pack_manifest
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        pack_manifest(toks, "doc_id", "n_tokens", seq_len=512)
+        .to_pandas()
+        .sort_values(["seq_id", "seq_off"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out[["seq_id", "doc_id", "doc_off", "seq_off", "take_n"]]
+
+
 def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
     """Per-ROW session assignment (functions/windows.py:sessionize —
     one distributed sort on (user, ts, id), vectorized in-block
@@ -2791,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_size_hist": q_session_size_hist,
         "props_rollup_events": q_props_rollup_events,
         "pack_sequences_docs": q_pack_sequences_docs,
+        "pack_manifest_docs": q_pack_manifest_docs,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "resample_token_mixture_docs": q_resample_token_mixture_docs,
@@ -3254,6 +3280,32 @@ r AS (SELECT lang, doc_id,
       FROM h)
 SELECT lang, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id
 FROM r WHERE rank <= 10 ORDER BY lang, rank
+""",
+        "pack_manifest_docs": r"""
+WITH o AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                    x -> x <> ''))::BIGINT AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+    COALESCE(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM o WHERE TRUE
+), b AS (
+  SELECT doc_id, n, tok_start,
+    (tok_start // 512)::BIGINT AS seq_first,
+    ((tok_start + n - 1) // 512)::BIGINT AS seq_last
+  FROM c WHERE n > 0
+), e AS (
+  SELECT doc_id, n, tok_start, unnest(generate_series(seq_first, seq_last)) AS s
+  FROM b
+)
+SELECT s::BIGINT AS seq_id, doc_id,
+  (GREATEST(s * 512, tok_start) - tok_start)::BIGINT AS doc_off,
+  (GREATEST(s * 512, tok_start) - s * 512)::BIGINT AS seq_off,
+  (LEAST((s + 1) * 512, tok_start + n) - GREATEST(s * 512, tok_start))::BIGINT AS take_n
+FROM e ORDER BY seq_id, seq_off
 """,
         "resample_mixture_docs": f"""
 -- same integer math as mixture_rates: W=4, T = min(n*W//wt),

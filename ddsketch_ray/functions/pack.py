@@ -267,3 +267,41 @@ def global_rank(
         )
 
     return rows.map_batches(add_base, batch_format="pyarrow", batch_size=None)
+
+
+def pack_manifest(ds, id_col: str, count_col: str, seq_len: int):
+    """The training-loader manifest for ``pack_sequences``: one row per
+    (sequence, document) intersection — which token span of which doc
+    fills which slice of which fixed-length sequence. Columns:
+    ``seq_id``, id_col, ``doc_off`` (first doc token in this sequence),
+    ``seq_off`` (position of that token within the sequence), ``take_n``
+    (tokens contributed). Invariants: per doc, take_n sums to its token
+    count; per sequence, take_n sums to seq_len (except the final
+    sequence). Pure vectorized explode (np.repeat) over the
+    ``pack_sequences`` output — no extra shuffle."""
+    packed = pack_sequences(ds, id_col, count_col, seq_len)
+
+    def explode(t: pa.Table) -> pa.Table:
+        start = t.column("tok_start").to_numpy()
+        n = t.column(count_col).to_numpy()
+        nseq = t.column("n_seqs").to_numpy()
+        first = t.column("seq_first").to_numpy()
+        ids = t.column(id_col).to_numpy()
+        idx = np.repeat(np.arange(len(ids)), nseq)
+        # k = within-doc sequence index 0..nseq-1
+        offs = np.concatenate(([0], np.cumsum(nseq)[:-1]))
+        k = np.arange(len(idx)) - offs[idx]
+        s = first[idx] + k
+        seg_start = np.maximum(s * seq_len, start[idx])
+        seg_end = np.minimum((s + 1) * seq_len, start[idx] + n[idx])
+        return pa.table(
+            {
+                "seq_id": pa.array(s.astype(np.int64)),
+                id_col: pa.array(ids[idx]),
+                "doc_off": pa.array((seg_start - start[idx]).astype(np.int64)),
+                "seq_off": pa.array((seg_start - s * seq_len).astype(np.int64)),
+                "take_n": pa.array((seg_end - seg_start).astype(np.int64)),
+            }
+        )
+
+    return packed.map_batches(explode, batch_format="pyarrow", batch_size=None)

@@ -154,3 +154,36 @@ def test_global_rank_string_values_and_null_raise(ray_session):
     )
     with pytest.raises(Exception):
         global_rank(bad, "w", "doc_id").to_pandas()
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_pack_manifest_invariants(ray_session, blocks):
+    from ddsketch_ray.functions.pack import pack_manifest
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(150).astype(np.int64),
+            "n": rng.integers(0, 40, 150).astype(np.int64),
+        }
+    )
+    L = 16
+    out = pack_manifest(_mk(df, blocks), "doc_id", "n", L).to_pandas()
+    # per-doc take_n sums to its token count (zero-token docs absent)
+    per_doc = out.groupby("doc_id")["take_n"].sum()
+    ref = df.set_index("doc_id")["n"]
+    for d, s in per_doc.items():
+        assert s == ref[d]
+    assert set(ref[ref > 0].index) == set(per_doc.index)
+    # per-seq take_n sums to L except the last sequence
+    per_seq = out.groupby("seq_id")["take_n"].sum().sort_index()
+    total = int(ref.sum())
+    assert (per_seq.iloc[:-1] == L).all()
+    assert per_seq.iloc[-1] == total - L * (len(per_seq) - 1)
+    # slices tile each sequence without overlap
+    for sid, g in out.groupby("seq_id"):
+        g = g.sort_values("seq_off")
+        pos = 0
+        for _, r in g.iterrows():
+            assert r["seq_off"] == pos
+            pos += r["take_n"]
