@@ -1525,6 +1525,55 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_corpus_diff_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus version diff (functions/diff.py::corpus_diff — id-hash
+    co-partition, shuffle carries (id, content_hash) only): documents
+    vs a deterministically derived v2 (doc_id%7==3 dropped, doc_id%10==0
+    text-modified, doc_id%50==0 re-added under id+1000000). REAL SQL
+    oracle via FULL OUTER JOIN + text comparison."""
+    from ddsketch_ray.functions.dedup import content_hash_batch
+    from ddsketch_ray.functions.diff import corpus_diff
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    old = base.map_batches(
+        lambda t: content_hash_batch(t).select(["doc_id", "content_hash"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def make_v2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = ids % 7 != 3
+        t2 = t.filter(pa.array(keep))
+        ids2 = t2.column("doc_id").to_numpy()
+        txt = t2.column("text").to_pandas()
+        mod = ids2 % 10 == 0
+        txt = txt.where(~mod, txt + " v2")
+        kept = pa.table({"doc_id": pa.array(ids2), "text": pa.array(txt, pa.string())})
+        add_m = ids % 50 == 0
+        added = pa.table(
+            {
+                "doc_id": pa.array(ids[add_m] + 1_000_000),
+                "text": t.filter(pa.array(add_m)).column("text"),
+            }
+        )
+        return pa.concat_tables([kept, added])
+
+    new = base.map_batches(make_v2, batch_format="pyarrow", batch_size=None).map_batches(
+        lambda t: content_hash_batch(t).select(["doc_id", "content_hash"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        corpus_diff(old, new, "doc_id", "content_hash", num_buckets=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "status"]]
+
+
 def q_normalize_text_docs(sf_dir: str) -> pd.DataFrame:
     """Unicode canonical normalization (functions/text.py::
     normalize_text_batch — polars Rust NFC + lowercase + whitespace
@@ -2825,6 +2874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids_embeddings": q_label_centroids_embeddings,
         "top_tokens_by_lang": q_top_tokens_by_lang,
         "normalize_text_docs": q_normalize_text_docs,
+        "corpus_diff_docs": q_corpus_diff_docs,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3204,6 +3254,22 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "corpus_diff_docs": """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id)::BIGINT AS doc_id,
+  CASE WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.doc_id IS NULL THEN 'added'
+       WHEN o.text <> n.text THEN 'changed'
+       ELSE 'same' END AS status
+FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+ORDER BY doc_id
 """,
         "normalize_text_docs": """
 SELECT doc_id::BIGINT AS doc_id,
