@@ -1525,6 +1525,33 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_json_keys_events(sf_dir: str) -> pd.DataFrame:
+    """JSON schema discovery (functions/jsoncol.py::json_key_stats —
+    vectorized Rust-regex key extraction + sort-plan rollup): key
+    frequency over events.props. REAL SQL oracle via
+    regexp_extract_all."""
+    from ddsketch_ray.functions.jsoncol import json_key_stats
+
+    ds = _read(sf_dir, "events", ["props"])
+    out = json_key_stats(ds, "props").to_pandas().sort_values("key").reset_index(drop=True)
+    out["n_occ"] = out["n_occ"].astype(np.int64)
+    return out[["key", "n_occ"]]
+
+
+def q_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Exact equi-width histogram (functions/analytics.py::
+    equiwidth_histogram — pure bin map + two-level rollup; under/
+    overflow bins, nothing silently dropped). REAL SQL oracle via the
+    mirrored floor expression."""
+    from ddsketch_ray.functions.analytics import equiwidth_histogram
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    out = equiwidth_histogram(ds, "l_extendedprice", 0.0, 110000.0, 22).to_pandas()
+    out["bin"] = out["bin"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def q_corpus_diff_docs(sf_dir: str) -> pd.DataFrame:
     """Corpus version diff (functions/diff.py::corpus_diff — id-hash
     co-partition, shuffle carries (id, content_hash) only): documents
@@ -2875,6 +2902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_by_lang": q_top_tokens_by_lang,
         "normalize_text_docs": q_normalize_text_docs,
         "corpus_diff_docs": q_corpus_diff_docs,
+        "json_keys_events": q_json_keys_events,
+        "price_histogram": q_price_histogram,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
@@ -3254,6 +3283,18 @@ FROM h GROUP BY 1 ORDER BY 1
 -- membership = SplitMix64(doc_id) % 1e6 < 200000, bit-identical to hash_sample
 SELECT doc_id::BIGINT AS doc_id, lang FROM documents
 WHERE ({kmv_doc_hash}) % 1000000 < 200000 ORDER BY doc_id
+""",
+        "json_keys_events": r"""
+WITH k AS (
+  SELECT unnest(regexp_extract_all(props, '"([^"]+)"\s*:', 1)) AS key
+  FROM events WHERE props IS NOT NULL)
+SELECT key, COUNT(*)::BIGINT AS n_occ FROM k GROUP BY key ORDER BY key
+""",
+        "price_histogram": """
+WITH b AS (
+  SELECT CAST(LEAST(GREATEST(floor((l_extendedprice - 0.0) / 5000.0), -1), 22) AS BIGINT) AS bin
+  FROM lineitem)
+SELECT bin, COUNT(*)::BIGINT AS n FROM b GROUP BY bin ORDER BY bin
 """,
         "corpus_diff_docs": """
 WITH v2 AS (

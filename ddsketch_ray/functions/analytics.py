@@ -653,3 +653,27 @@ def pivot_rollup(
 
     ind = ds.map_batches(indicators, batch_format="pyarrow", batch_size=None)
     return small_key_rollup(ind, [group_col], sums=[(a, a) for a in aliases])
+
+
+def equiwidth_histogram(ds, value_col: str, lo: float, hi: float, n_bins: int) -> pa.Table:
+    """Exact equi-width histogram over [lo, hi): bin = floor((v - lo) /
+    width), values < lo clamp to bin 0? NO — out-of-range and null
+    values are counted in dedicated ``underflow`` / ``overflow`` bins
+    (-1 / n_bins) so nothing is silently dropped. One pure map computing
+    bins + the two-level ``small_key_rollup`` — shuffle carries
+    O(blocks × bins) rows. Bin edges are float64; the SQL oracle
+    mirrors the same floor expression. Returns a pyarrow Table
+    (bin:int64, n:int64) sorted by bin, only non-empty bins."""
+    if not (hi > lo) or n_bins <= 0:
+        raise ValueError("need hi > lo and n_bins > 0")
+    width = (hi - lo) / n_bins
+
+    def bins(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        b = np.floor((v - lo) / width)
+        b = np.where(np.isnan(v), n_bins, b)  # nulls/NaN -> overflow bin
+        b = np.clip(b, -1, n_bins).astype(np.int64)
+        return pa.table({"bin": pa.array(b)})
+
+    keyed = ds.map_batches(bins, batch_format="pyarrow", batch_size=None)
+    return small_key_rollup(keyed, ["bin"], count_alias="n")

@@ -68,3 +68,33 @@ def flatten_json_column(ds, col: str, fields: dict[str, tuple[str, str]], keep: 
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def json_key_stats(ds, col: str):
+    """Schema discovery for a JSON string column: how often does each
+    TOP-LEVEL key appear — the first question against an unknown
+    crawl-metadata column, answered without parsing objects into Python.
+    Keys are pulled with one vectorized Rust regex per batch
+    (``"key"␣*:`` occurrences at any nesting depth — documented
+    approximation: nested keys count too, exactly like the SQL oracle's
+    ``regexp_extract_all``), pre-aggregated per block, then the
+    high-cardinality sort-plan rollup. Returns a Dataset
+    (key, n_occ:int64)."""
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(col).combine_chunks().cast(pa.large_string()))
+        keys = s.fill_null("").str.extract_all(r'"([^"]+)"\s*:')
+        df = pl.DataFrame({"k": keys}).explode("k").drop_nulls()
+        # strip the quotes/colon the match carries
+        df = df.with_columns(pl.col("k").str.extract(r'"([^"]+)"', 1))
+        g = df.group_by("k").agg(n_occ=pl.len().cast(pl.Int64))
+        return pa.table(
+            {
+                "key": g["k"].to_arrow().cast(pa.string()),
+                "n_occ": pa.array(g["n_occ"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return sorted_sum_rollup(partials, "key", ["n_occ"])

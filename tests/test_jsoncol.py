@@ -86,3 +86,24 @@ def test_read_jsonl_roundtrip(ray_session, tmp_path):
     assert (out["doc_id"].to_numpy() == df["doc_id"].to_numpy()).all()
     assert (out["text"] == df["text"]).all()  # escapes survive the round trip
     assert out["absent"].isna().all()
+
+
+def test_json_key_stats(ray_session):
+    import ray.data as rd
+
+    from ddsketch_ray.functions.jsoncol import json_key_stats
+
+    rows = [
+        {"j": '{"a": 1, "b": {"c": 2}}'},
+        {"j": '{"a": 5}'},
+        {"j": None},
+        {"j": "not json"},
+    ]
+    out = (
+        json_key_stats(rd.from_items(rows).repartition(2), "j")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["key"], out["n_occ"]))
+    assert got == {"a": 2, "b": 1, "c": 1}

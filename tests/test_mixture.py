@@ -172,3 +172,14 @@ def test_resample_token_weighted(ray_session):
     # kept TOKEN mass is ~50/50 (Bernoulli noise)
     ts = out.groupby("lang")["n_tokens"].sum()
     assert abs(ts["en"] - ts["de"]) / max(ts["en"], ts["de"]) < 0.15
+
+
+def test_equiwidth_histogram(ray_session):
+    from ddsketch_ray.functions.analytics import equiwidth_histogram
+
+    df = pd.DataFrame({"v": [0.0, 0.5, 0.999, 1.0, 5.0, 9.999, 10.0, -3.0, np.nan]})
+    out = equiwidth_histogram(rd.from_pandas(df).repartition(3), "v", 0.0, 10.0, 10)
+    got = dict(zip(out.column("bin").to_pylist(), out.column("n").to_pylist()))
+    # bins: 0 -> {0,0.5,0.999}, 1 -> {1.0}, 5 -> {5.0}, 9 -> {9.999},
+    # overflow(10) -> {10.0, nan}, underflow(-1) -> {-3.0}
+    assert got == {-1: 1, 0: 3, 1: 1, 5: 1, 9: 1, 10: 2}
