@@ -1836,6 +1836,28 @@ def q_media_decode_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_video_frames_report(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling plumbing (stages/multimodal.py::
+    VideoFrameSampleStage — actor-pool uniform temporal sampler over
+    binary video payloads, deterministic fake codec): per sampled frame
+    (media_id, frame_idx, frame_mean). Frozen determinism oracle (pure
+    function of the fixed seed)."""
+    import ray.data as rd
+
+    from ddsketch_ray.stages.multimodal import VideoFrameSampleStage, video_table
+
+    ds = rd.from_arrow(video_table(120, seed=7)).repartition(4)
+    out = ds.map_batches(
+        VideoFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        fn_constructor_kwargs={"stride": 4, "max_frames": 8},
+    ).to_pandas()
+    out["frame_mean"] = _round6(out["frame_mean"])
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def q_dds_buckets_price(sf_dir: str) -> pd.DataFrame:
     """Bucket-table export (DDS_PrintCSV parity): (key, cnt) of the
     distributed sketch — the strongest parity check, since the oracle
@@ -2907,6 +2929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
         "media_decode_report": q_media_decode_report,
+        "video_frames_report": q_video_frames_report,
         "dds_buckets_price": q_dds_buckets_price,
         "dds_turnstile_delete": q_dds_turnstile_delete,
         "embedding_near_dup": q_embedding_near_dup,

@@ -41,14 +41,16 @@ except ImportError:
 _MAGIC = b"DDSM"
 KIND_IMAGE = 1
 KIND_AUDIO = 2
+KIND_VIDEO = 3
 
 
 def encode_fake_media(kind: int, a: int, b: int, c: int, seed: int) -> bytes:
     """Deterministic fake media blob: header(magic, kind, a, b, c) +
     payload bytes derived from splitmix64(seed). For images a/b/c =
-    width/height/channels; for audio a/b = sample_rate/1000, n_samples."""
+    width/height/channels; for audio a/b = sample_rate/1000, n_samples;
+    for video a/b/c = width/height/n_frames (grayscale frames)."""
     header = _MAGIC + struct.pack("<BIII", kind, a, b, c)
-    n = a * b * c if kind == KIND_IMAGE else b
+    n = a * b * c if kind in (KIND_IMAGE, KIND_VIDEO) else b
     words = splitmix64(np.arange((n + 7) // 8, dtype=np.uint64) + np.uint64(seed))
     payload = words.view(np.uint8)[:n].tobytes()
     return header + payload
@@ -84,6 +86,8 @@ def decode_fake_media(blob: bytes):
     data = np.frombuffer(blob[17:], dtype=np.uint8)
     if kind == KIND_IMAGE:
         return kind, (a, b, c), data.reshape(b, a, c)
+    if kind == KIND_VIDEO:
+        return kind, (a, b, c), data.reshape(c, b, a)  # (frames, h, w)
     return kind, (a, b, c), data
 
 
@@ -179,6 +183,63 @@ class AudioFrameSampleStage:
                 "frame_mean": pa.array(fmean, type=pa.float64()),
             }
         )
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: uniform temporal sampling of DDSM video — keep
+    every ``stride``-th frame up to ``max_frames`` — emitting one row
+    per sampled frame (media_id, frame_idx, frame_mean). The
+    training-data shape: a 100-TB video corpus flows as binary blobs;
+    the sampler turns each into a bounded per-frame feature table
+    without ever materializing all frames. Frame means are vectorized
+    (one ``mean(axis=(1, 2))`` per payload)."""
+
+    def __init__(self, stride: int = 4, max_frames: int = 8):
+        self.stride = int(stride)
+        self.max_frames = int(max_frames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, fmean = [], [], []
+        for mid, blob in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            kind, dims, arr = decode_fake_media(blob)
+            if kind != KIND_VIDEO:
+                continue
+            sel = arr[:: self.stride][: self.max_frames]
+            means = sel.mean(axis=(1, 2))
+            for j, m in enumerate(means):
+                mids.append(mid)
+                fidx.append(j * self.stride)
+                fmean.append(float(m))
+        return pa.table(
+            {
+                "media_id": pa.array(mids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "frame_mean": pa.array(fmean, type=pa.float64()),
+            }
+        )
+
+
+def video_table(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic synthetic video table (media_id, kind, payload,
+    meta) — separate from ``media_table`` so the frozen decode-report
+    oracle over that fixture stays byte-stable."""
+    payloads, metas = [], []
+    for i in range(n):
+        h = int(splitmix64(np.uint64(i ^ (seed * 40503))))
+        w, ht = 8 + h % 24, 8 + (h >> 8) % 24
+        frames = 6 + (h >> 16) % 26
+        payloads.append(encode_fake_media(KIND_VIDEO, w, ht, frames, seed=h & 0xFFFF))
+        metas.append(json.dumps({"width": w, "height": ht, "n_frames": frames}))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["video"] * n, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta": pa.array(metas, type=pa.string()),
+        }
+    )
 
 
 def media_table(n: int, seed: int = 42) -> pa.Table:

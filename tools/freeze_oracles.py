@@ -51,6 +51,7 @@ FREEZE = [
     "ivf_topk_embeddings",
     "webpages_report",
     "media_decode_report",
+    "video_frames_report",
     "tdigest_quantiles_price",
     "kll_quantiles_price",
     "tdigest_quantiles_by_event_type",
