@@ -1525,6 +1525,33 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_bucketed_write_docs(sf_dir: str) -> pd.DataFrame:
+    """Hash-bucketed hive-partitioned sink (sources/sinks.py::
+    write_bucketed — persists the co-partitioning so future joins skip
+    their shuffle): write documents bucketed by doc_id, read every
+    bucket back, report per-bucket (n_docs, sum_chars). REAL SQL
+    oracle: the same SplitMix64 bucket recomputed in mod-2^64 SQL."""
+    import os
+    import shutil
+
+    from ddsketch_ray.sources.sinks import read_bucket, write_bucketed
+
+    out_dir = f"/tmp/graft_bucketed_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32)}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    write_bucketed(ds, out_dir, "doc_id", num_buckets=8)
+    rows = {"bucket": [], "n_docs": [], "sum_chars": []}
+    for b in range(8):
+        part = read_bucket(out_dir, b, columns=["doc_id", "n_chars"]).to_pandas()
+        rows["bucket"].append(b)
+        rows["n_docs"].append(len(part))
+        rows["sum_chars"].append(int(part["n_chars"].sum()))
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_json_keys_events(sf_dir: str) -> pd.DataFrame:
     """JSON schema discovery (functions/jsoncol.py::json_key_stats —
     vectorized Rust-regex key extraction + sort-plan rollup): key
@@ -2925,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_docs": q_normalize_text_docs,
         "corpus_diff_docs": q_corpus_diff_docs,
         "json_keys_events": q_json_keys_events,
+        "bucketed_write_docs": q_bucketed_write_docs,
         "price_histogram": q_price_histogram,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
@@ -3401,6 +3429,13 @@ SELECT doc_id, t0.lang, n_tokens
 FROM t0 JOIN r ON t0.lang = r.lang
 WHERE ({kmv_doc_hash}) % 1000000 < r.rate_ppm
 ORDER BY doc_id
+""",
+        "bucketed_write_docs": f"""
+-- the sink's SplitMix64 bucket assignment recomputed in mod-2^64 SQL
+WITH b AS (SELECT ({kmv_doc_hash}) % 8 AS bucket, n_chars FROM documents)
+SELECT bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM b GROUP BY bucket ORDER BY bucket
 """,
         "stratified_sample_docs": f"""
 -- bottom-10 per language by the recomputed SplitMix64 hash order
