@@ -1525,6 +1525,52 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_bucketed_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Co-located bucket join (sources/sinks.py::join_bucketed — both
+    tables pre-bucketed on custkey by write_bucketed, so the join is
+    num_buckets independent local Arrow joins, ZERO shuffle): order
+    revenue per nation. REAL SQL oracle via JOIN + GROUP BY (integer
+    cents)."""
+    import os
+    import shutil
+
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.sources.sinks import join_bucketed, write_bucketed
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    ldir, rdir = f"/tmp/graft_bj_orders_{tag}", f"/tmp/graft_bj_cust_{tag}"
+    shutil.rmtree(ldir, ignore_errors=True)
+    shutil.rmtree(rdir, ignore_errors=True)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "price_cents": pa.compute.cast(
+                    pa.compute.round(
+                        pa.compute.multiply(t.column("o_totalprice"), 100.0)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    write_bucketed(orders, ldir, "c_custkey", num_buckets=16)
+    write_bucketed(cust, rdir, "c_custkey", num_buckets=16)
+    j = join_bucketed(ldir, rdir, "c_custkey", ["price_cents"], ["c_nationkey"], 16)
+    out = small_key_rollup(
+        j, ["c_nationkey"], sums=[("sum_cents", "price_cents")], count_alias="n_orders"
+    ).to_pandas()
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue"] = out["sum_cents"].astype(np.int64) / 100.0
+    return out[["c_nationkey", "n_orders", "revenue"]].sort_values(
+        "c_nationkey"
+    ).reset_index(drop=True)
+
+
 def q_bucketed_write_docs(sf_dir: str) -> pd.DataFrame:
     """Hash-bucketed hive-partitioned sink (sources/sinks.py::
     write_bucketed — persists the co-partitioning so future joins skip
@@ -2953,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff_docs": q_corpus_diff_docs,
         "json_keys_events": q_json_keys_events,
         "bucketed_write_docs": q_bucketed_write_docs,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
         "price_histogram": q_price_histogram,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
@@ -3429,6 +3476,12 @@ SELECT doc_id, t0.lang, n_tokens
 FROM t0 JOIN r ON t0.lang = r.lang
 WHERE ({kmv_doc_hash}) % 1000000 < r.rate_ppm
 ORDER BY doc_id
+""",
+        "bucketed_join_revenue": """
+SELECT c_nationkey::BIGINT AS c_nationkey, COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
 """,
         "bucketed_write_docs": f"""
 -- the sink's SplitMix64 bucket assignment recomputed in mod-2^64 SQL

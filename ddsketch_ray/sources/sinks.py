@@ -55,3 +55,80 @@ def read_bucket(out_dir: str, bucket: int, columns=None):
     import ray.data as rd
 
     return rd.read_parquet(f"{out_dir}/bucket={bucket}", columns=columns)
+
+
+def join_bucketed(
+    left_dir: str,
+    right_dir: str,
+    key_col: str,
+    left_cols,
+    right_cols,
+    num_buckets: int,
+    how: str = "inner",
+):
+    """ZERO-SHUFFLE equi-join of two ``write_bucketed`` tables that were
+    bucketed on the same key family (same num_buckets + seed): bucket i
+    of the left can only match bucket i of the right, so the whole join
+    is ``num_buckets`` independent tasks, each reading its two bucket
+    directories and running one local Arrow hash join — the co-located
+    join the sink exists to enable. No tagged union, no groupby, no
+    wide movement of either table; parallelism = num_buckets.
+
+    Left/right column names must not clash (project/rename before
+    writing). Returns a Dataset (key_col, *left_cols, *right_cols)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    left_cols, right_cols = list(left_cols), list(right_cols)
+    clash = set(left_cols) & set(right_cols)
+    if clash:
+        raise ValueError(f"column name clash: {sorted(clash)}")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    join_type = "inner" if how == "inner" else "left outer"
+
+    # right-side schema read once driver-side so a missing (empty)
+    # bucket directory can be joined as a typed empty table
+    import glob as _glob
+
+    rfiles = _glob.glob(f"{right_dir}/bucket=*/*.parquet")
+    lfiles = _glob.glob(f"{left_dir}/bucket=*/*.parquet")
+    if not rfiles or not lfiles:
+        raise ValueError(f"no bucket files under {right_dir if not rfiles else left_dir}")
+    rschema = pq.read_schema(rfiles[0])
+    lschema = pq.read_schema(lfiles[0])
+
+    def _type(c):
+        return (lschema if c in lschema.names else rschema).field(c).type
+
+    empty_out = pa.table(
+        {c: pa.array([], _type(c)) for c in [key_col] + left_cols + right_cols}
+    )
+
+    def one_bucket(t: pa.Table) -> pa.Table:
+        import os
+
+        outs = []
+        for b in t.column("id").to_pylist():
+            lpath = f"{left_dir}/bucket={b}"
+            if not os.path.isdir(lpath):  # empty bucket writes no dir
+                continue
+            lt = pq.read_table(lpath, columns=[key_col] + left_cols)
+            rpath = f"{right_dir}/bucket={b}"
+            if os.path.isdir(rpath):
+                rt = pq.read_table(rpath, columns=[key_col] + right_cols)
+            elif how == "inner":
+                continue  # no right rows -> no matches in this bucket
+            else:
+                rt = pa.table(
+                    {c: pa.array([], rschema.field(c).type) for c in [key_col] + right_cols}
+                )
+            j = lt.join(rt, keys=key_col, join_type=join_type)
+            outs.append(j.select([key_col] + left_cols + right_cols))
+        if not outs:
+            return empty_out
+        return pa.concat_tables(outs).cast(empty_out.schema)
+
+    return rd.range(num_buckets, override_num_blocks=num_buckets).map_batches(
+        one_bucket, batch_format="pyarrow", batch_size=None
+    )

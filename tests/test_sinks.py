@@ -30,3 +30,50 @@ def test_write_bucketed_roundtrip(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     # co-located join property: same-key rows of two tables bucketed with
     # the same (key, seed) land in the same bucket id by construction
+
+
+def test_join_bucketed_zero_shuffle(ray_session, tmp_path):
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 500, 3000).astype(np.int64),
+         "v": rng.integers(0, 100, 3000).astype(np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.arange(200, 700, dtype=np.int64),
+         "w": rng.integers(0, 9, 500).astype(np.int64)}
+    )
+    from ddsketch_ray.sources.sinks import join_bucketed
+
+    ld, rd_ = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(rd.from_pandas(left).repartition(3), ld, "k", num_buckets=8)
+    write_bucketed(rd.from_pandas(right).repartition(2), rd_, "k", num_buckets=8)
+    out = (
+        join_bucketed(ld, rd_, "k", ["v"], ["w"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_join_bucketed_left_and_empty_buckets(ray_session, tmp_path):
+    from ddsketch_ray.sources.sinks import join_bucketed
+
+    left = pd.DataFrame({"k": np.arange(40, dtype=np.int64), "v": np.arange(40, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 10, dtype=np.int64), "w": np.arange(10, dtype=np.int64)})
+    ld, rd_ = str(tmp_path / "l2"), str(tmp_path / "r2")
+    # many buckets: several right buckets are empty
+    write_bucketed(rd.from_pandas(left).repartition(2), ld, "k", num_buckets=16)
+    write_bucketed(rd.from_pandas(right), rd_, "k", num_buckets=16)
+    out = (
+        join_bucketed(ld, rd_, "k", ["v"], ["w"], num_buckets=16, how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k", how="left").sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == want["k"].tolist()
+    got_w = out["w"].fillna(-1).astype(np.int64).tolist()
+    want_w = want["w"].fillna(-1).astype(np.int64).tolist()
+    assert got_w == want_w
