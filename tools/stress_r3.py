@@ -472,6 +472,70 @@ def stress_rank5m() -> dict:
     return {"wall_s_best": round(best, 2), "rows_per_s": round(N / best)}
 
 
+def stress_bjoin5m() -> dict:
+    """Pre-bucketed co-located join vs shuffle join, 5M×1M rows: the
+    amortize-the-shuffle-once story with numbers."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+    from ddsketch_ray.hashing import splitmix64
+    from ddsketch_ray.sources.sinks import join_bucketed, write_bucketed
+
+    N, M = 5_000_000, 1_000_000
+    ldir, rdir = "/tmp/ddsr_bjoin_l", "/tmp/ddsr_bjoin_r"
+
+    def gen_left(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        k = (splitmix64(ids.astype(np.uint64)) % np.uint64(M)).astype(np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(ids.astype(np.int64))})
+
+    def gen_right(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        return pa.table({"k": pa.array(ids.astype(np.int64)),
+                         "w": pa.array((ids % 97).astype(np.int64))})
+
+    left = rd.range(N, override_num_blocks=4 * CPUS).map_batches(
+        gen_left, batch_format="pyarrow", batch_size=None)
+    right = rd.range(M, override_num_blocks=4 * CPUS).map_batches(
+        gen_right, batch_format="pyarrow", batch_size=None)
+
+    t0 = time.perf_counter()
+    shutil.rmtree(ldir, ignore_errors=True); shutil.rmtree(rdir, ignore_errors=True)
+    write_bucketed(left, ldir, "k", num_buckets=4 * CPUS)
+    write_bucketed(right, rdir, "k", num_buckets=4 * CPUS)
+    t_write = time.perf_counter() - t0
+
+    best_b = None
+    n_b = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_b = join_bucketed(ldir, rdir, "k", ["v"], ["w"], 4 * CPUS).count()
+        dt = time.perf_counter() - t0
+        best_b = dt if best_b is None else min(best_b, dt)
+        log(f"bjoin5m bucketed: {dt:.2f}s ({N/dt:,.0f} rows/s)")
+
+    best_s = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # equi_join_shuffle wants distinct key column names; re-tag right
+        right2 = right.map_batches(
+            lambda t: pa.table({"rk": t.column("k"), "w": t.column("w")}),
+            batch_format="pyarrow", batch_size=None)
+        n_s = equi_join_shuffle(left, right2, "k", "rk", ["v"], ["w"],
+                                num_buckets=4 * CPUS).count()
+        dt = time.perf_counter() - t0
+        assert n_s == n_b, (n_s, n_b)
+        best_s = dt if best_s is None else min(best_s, dt)
+        log(f"bjoin5m shuffle: {dt:.2f}s ({N/dt:,.0f} rows/s)")
+    return {
+        "write_s": round(t_write, 2),
+        "bucketed_join_s_best": round(best_b, 2),
+        "shuffle_join_s_best": round(best_s, 2),
+        "speedup": round(best_s / best_b, 2),
+        "n_joined": int(n_b),
+    }
+
+
 def main() -> None:
     import ray
 
@@ -510,6 +574,8 @@ def main() -> None:
         results["semi5m"] = stress_semi5m()
     if "rank5m" in which:
         results["rank5m"] = stress_rank5m()
+    if "bjoin5m" in which:
+        results["bjoin5m"] = stress_bjoin5m()
     print(json.dumps(results))
     ray.shutdown()
 
