@@ -1525,6 +1525,109 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "rank", "doc_id"]]
 
 
+def q_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping priority): BUILDING customers' unshipped
+    orders, revenue per order, global top-10. Composition showcase:
+    broadcast semi-join (small dim set) → big-big shuffle equi-join
+    (orders ⋈ lineitem on orderkey) → high-cardinality sort-plan rollup
+    (revenue in integer basis points; the per-group-constant date
+    carried EXACTLY as sum/count) → per-block top-10 + driver merge.
+    REAL SQL oracle (integer-cents revenue, same tiebreak)."""
+    import ray
+
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    D = pd.Timestamp("1998-01-01")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    building_keys = pa.concat_tables(
+        [b for b in ray.get(cust.materialize().to_arrow_refs())]
+    ).column("c_custkey")
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(t.column("o_orderdate"), pa.scalar(D)),
+            pc.is_in(t.column("o_custkey"), value_set=building_keys.combine_chunks()),
+        )
+        t = t.filter(m)
+        days = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()), pa.int32())
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_days": pc.cast(days, pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow", batch_size=None)
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(D)))
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64())
+        bp = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev_bp": bp})
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(prep_lineitem, batch_format="pyarrow", batch_size=None)
+
+    j = equi_join_shuffle(
+        li, orders, "l_orderkey", "o_orderkey", ["rev_bp"], ["o_days"], num_buckets=32
+    )
+    ones = j.map_batches(
+        lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    roll = sorted_sum_rollup(ones, "l_orderkey", ["rev_bp", "o_days", "one"])
+
+    def block_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        rev = t.column("rev_bp").to_numpy()
+        days = (t.column("o_days").to_numpy() // t.column("one").to_numpy()).astype(
+            np.int64
+        )
+        ok = t.column("l_orderkey").to_numpy()
+        order = np.lexsort((ok, days, -rev))[:10]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[order]),
+                "rev_bp": pa.array(rev[order]),
+                "o_days": pa.array(days[order]),
+                "one": pa.array(np.ones(len(order), np.int64)),
+            }
+        )
+
+    cands = (
+        roll.map_batches(block_top, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )  # O(blocks × 10) rows
+    cands = cands.sort_values(
+        ["rev_bp", "o_days", "l_orderkey"], ascending=[False, True, True]
+    ).head(10)
+    out = pd.DataFrame(
+        {
+            "l_orderkey": cands["l_orderkey"].astype(np.int64).to_numpy(),
+            "revenue": cands["rev_bp"].astype(np.int64).to_numpy() / 10000.0,
+            "o_orderdate": pd.to_datetime(
+                cands["o_days"].astype(np.int64).to_numpy(), unit="D"
+            ),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
 def q_bucketed_join_revenue(sf_dir: str) -> pd.DataFrame:
     """Co-located bucket join (sources/sinks.py::join_bucketed — both
     tables pre-bucketed on custkey by write_bucketed, so the join is
@@ -3000,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_keys_events": q_json_keys_events,
         "bucketed_write_docs": q_bucketed_write_docs,
         "bucketed_join_revenue": q_bucketed_join_revenue,
+        "q3_shipping_priority": q_q3_shipping_priority,
         "price_histogram": q_price_histogram,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
@@ -3476,6 +3580,21 @@ SELECT doc_id, t0.lang, n_tokens
 FROM t0 JOIN r ON t0.lang = r.lang
 WHERE ({kmv_doc_hash}) % 1000000 < r.rate_ppm
 ORDER BY doc_id
+""",
+        "q3_shipping_priority": """
+SELECT l_orderkey::BIGINT AS l_orderkey,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+  o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+         o_orderdate, l_orderkey
+LIMIT 10
 """,
         "bucketed_join_revenue": """
 SELECT c_nationkey::BIGINT AS c_nationkey, COUNT(*)::BIGINT AS n_orders,
