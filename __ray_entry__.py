@@ -1424,31 +1424,29 @@ def q_props_rollup_events(sf_dir: str) -> pd.DataFrame:
 
 
 def q_jsonl_token_stats(sf_dir: str) -> pd.DataFrame:
-    """JSONL source path (sources/readers.py:read_jsonl — Ray-native
-    block-parallel arrow JSON reader + schema conformance): documents
-    are round-tripped to line-delimited JSON shards under /tmp
-    (deterministic, driver-side, sf0.01-sized), read back through the
-    JSONL reader, and token-rolled per lang. Oracle reads the SAME rows
-    from parquet — proves the two source paths are interchangeable."""
+    """JSONL round trip (sources/sinks.py:write_jsonl — distributed
+    block-parallel sink — then sources/readers.py:read_jsonl + schema
+    conformance): documents go out as line-delimited JSON shards under
+    /tmp and come back through the JSONL reader, token-rolled per lang.
+    Oracle reads the SAME rows from parquet — proves the parquet and
+    JSONL paths are interchangeable end-to-end."""
+    import glob as _glob
     import os
+    import shutil
 
     from ddsketch_ray.functions.text import token_count_batch
     from ddsketch_ray.functions.analytics import small_key_rollup
     from ddsketch_ray.sources.readers import read_jsonl
+    from ddsketch_ray.sources.sinks import write_jsonl
 
     tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
     out_dir = f"/tmp/graft_jsonl_{tag}"
-    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
-        os.makedirs(out_dir, exist_ok=True)
-        src = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).to_pandas()
-        src = src.sort_values("doc_id").reset_index(drop=True)
-        shards = np.array_split(src, 4)
-        for i, part in enumerate(shards):
-            part.to_json(f"{out_dir}/part-{i:02d}.jsonl", orient="records", lines=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_jsonl(_read(sf_dir, "documents", ["doc_id", "lang", "text"]), out_dir)
     schema = pa.schema(
         [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
     )
-    ds = read_jsonl([f"{out_dir}/part-{i:02d}.jsonl" for i in range(4)], schema=schema)
+    ds = read_jsonl(sorted(_glob.glob(f"{out_dir}/*.json*")), schema=schema)
     toks = ds.map_batches(token_count_batch, batch_format="pyarrow", batch_size=None)
     keyed = toks.map_batches(
         lambda t: pa.table({"lang": t.column("lang"), "n_tokens": t.column("n_tokens")}),

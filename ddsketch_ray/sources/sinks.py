@@ -132,3 +132,12 @@ def join_bucketed(
     return rd.range(num_buckets, override_num_blocks=num_buckets).map_batches(
         one_bucket, batch_format="pyarrow", batch_size=None
     )
+
+
+def write_jsonl(ds, out_dir: str) -> None:
+    """Line-delimited JSON sink — the interchange format text corpora
+    are exchanged in. Ray-native ``write_json`` (block-parallel, one
+    shard per block, pandas orient="records" lines under the hood);
+    pair with ``readers.read_jsonl`` for a schema-conformed round
+    trip."""
+    ds.write_json(out_dir)
