@@ -2589,6 +2589,39 @@ def q_ks_value_click_purchase(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ks_drift_halves(sf_dir: str) -> pd.DataFrame:
+    """TEMPORAL drift detection: KS distance between event values in the
+    first vs second half of the month (fixed cutoff 2024-01-16) — the
+    "did the distribution move between snapshots" monitor. Same
+    ks_distance kernel; the derived half label is a pure vectorized
+    map. Oracle recomputes the identical statistic."""
+    from ddsketch_ray.functions.distribution import ks_distance
+
+    cutoff = pd.Timestamp("2024-01-16")
+
+    def halves(t: pa.Table) -> pa.Table:
+        h = pc.if_else(
+            pc.less(t.column("ts"), pa.scalar(cutoff)),
+            pa.scalar("h1"),
+            pa.scalar("h2"),
+        )
+        return pa.table({"half": h, "value": t.column("value")})
+
+    ds = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        halves, batch_format="pyarrow", batch_size=None
+    )
+    out = ks_distance(ds, "value", "half", "h1", "h2", alpha=ALPHA, bin_limit=BIN_LIMIT)
+    return pd.DataFrame(
+        {
+            "group_a": ["h1"],
+            "group_b": ["h2"],
+            "n_a": np.array([out["n_a"]], dtype=np.int64),
+            "n_b": np.array([out["n_b"]], dtype=np.int64),
+            "ks": _round6([out["ks"]]),
+        }
+    )
+
+
 def q_range_partition_price(sf_dir: str) -> pd.DataFrame:
     """Sketch-driven equal-frequency range partitioning
     (functions/distribution.py:range_partition_by_quantiles — one
@@ -3102,6 +3135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_write_docs": q_bucketed_write_docs,
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "q3_shipping_priority": q_q3_shipping_priority,
+        "ks_drift_halves": q_ks_drift_halves,
         "price_histogram": q_price_histogram,
         "jsonl_token_stats": q_jsonl_token_stats,
         "sliding_window_counts": q_sliding_window_counts,
@@ -3450,6 +3484,25 @@ cdf AS (SELECT allk.k AS k,
 SELECT 'click' AS group_a, 'purchase' AS group_b,
        (SELECT n FROM tot WHERE g = 'click') AS n_a,
        (SELECT n FROM tot WHERE g = 'purchase') AS n_b,
+       ROUND(MAX(ABS(ca - cb)), 6) AS ks
+FROM cdf
+""",
+        "ks_drift_halves": f"""
+WITH vals AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'h1' ELSE 'h2' END AS g,
+                     {_key_of('value')} AS k
+              FROM events WHERE value IS NOT NULL),
+b AS (SELECT g, k, COUNT(*)::BIGINT AS c FROM vals GROUP BY g, k),
+tot AS (SELECT g, COUNT(*)::BIGINT AS n FROM vals GROUP BY g),
+allk AS (SELECT DISTINCT k FROM b),
+cdf AS (SELECT allk.k AS k,
+        (SELECT COALESCE(SUM(c), 0) FROM b WHERE g = 'h1' AND b.k <= allk.k)::DOUBLE
+          / (SELECT n FROM tot WHERE g = 'h1') AS ca,
+        (SELECT COALESCE(SUM(c), 0) FROM b WHERE g = 'h2' AND b.k <= allk.k)::DOUBLE
+          / (SELECT n FROM tot WHERE g = 'h2') AS cb
+        FROM allk)
+SELECT 'h1' AS group_a, 'h2' AS group_b,
+       (SELECT n FROM tot WHERE g = 'h1') AS n_a,
+       (SELECT n FROM tot WHERE g = 'h2') AS n_b,
        ROUND(MAX(ABS(ca - cb)), 6) AS ks
 FROM cdf
 """,
