@@ -1143,6 +1143,31 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_nationkey"]]
 
 
+def q_ams_join_size(sf_dir: str) -> pd.DataFrame:
+    """AMS tug-of-war join-size estimation (sketches/ams.py — Alon-
+    Matias-Szegedy inner product): estimate |lineitem ⋈ orders| on
+    orderkey and F2(l_orderkey) from two independent one-pass sketches
+    — the query-planner statistic that prices a shuffle join BEFORE
+    paying it. Exact SQL oracle: every counter recomputed via SplitMix64
+    in mod-2^64 SQL, same median-of-rows estimate."""
+    from ddsketch_ray.agg import AMSAgg, sketch_from_result
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    od = _read(sf_dir, "orders", ["o_orderkey"])
+    ska = sketch_from_result(
+        li.aggregate(AMSAgg(on="l_orderkey", rows=9, buckets=512, alias_name="a"))["a"]
+    )
+    skb = sketch_from_result(
+        od.aggregate(AMSAgg(on="o_orderkey", rows=9, buckets=512, alias_name="b"))["b"]
+    )
+    return pd.DataFrame(
+        {
+            "est_join_size": [round(ska.inner_product(skb), 6)],
+            "est_f2_lineitem": [round(ska.f2(), 6)],
+        }
+    )
+
+
 def q_kmv_setops_custkeys(sf_dir: str) -> pd.DataFrame:
     """KMV set algebra (sketches/kmv.py::kmv_set_ops — Beyer et al.
     SIGMOD 2007): union / intersection / difference cardinality
@@ -3092,6 +3117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_stats": q_clean_corpus_stats,
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
         "kmv_setops_custkeys": q_kmv_setops_custkeys,
+        "ams_join_size": q_ams_join_size,
         "customers_no_orders": q_customers_no_orders,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
@@ -3347,6 +3373,13 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
     kmv_hash = _splitmix_sql(
         f"xor(CAST(o_custkey AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
+    # AMS row-seed constants: splitmix64(r) for r in 0..8 (seed=0 family)
+    from ddsketch_ray.hashing import splitmix64 as _sm64
+
+    ams_seeds = ", ".join(
+        f"({r}, CAST({int(_sm64(np.uint64(r)))} AS UBIGINT))" for r in range(9)
+    )
+    ams_h = _splitmix_sql("xor(CAST(k AS UBIGINT), sm)")
     kmv_doc_hash = _splitmix_sql(
         f"xor(CAST(doc_id AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
@@ -4059,6 +4092,29 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 ORDER BY c_custkey
+""",
+        "ams_join_size": f"""
+-- every AMS counter recomputed: h_r = SplitMix64(k ^ SplitMix64(r)) in
+-- mod-2^64 SQL; bucket = h % 512, sign = top bit; estimates = median
+-- over the 9 rows of bucketwise products/squares
+WITH seeds(r, sm) AS (VALUES {ams_seeds}),
+la AS (SELECT l_orderkey AS k FROM lineitem),
+lb AS (SELECT o_orderkey AS k FROM orders),
+ha AS (SELECT r, {ams_h} AS hv FROM la, seeds),
+hb AS (SELECT r, {ams_h} AS hv FROM lb, seeds),
+ca AS (SELECT r, hv % 512 AS b,
+        SUM(CASE WHEN hv >= CAST(9223372036854775808 AS UBIGINT)
+                 THEN -1 ELSE 1 END)::BIGINT AS c
+       FROM ha GROUP BY r, b),
+cb AS (SELECT r, hv % 512 AS b,
+        SUM(CASE WHEN hv >= CAST(9223372036854775808 AS UBIGINT)
+                 THEN -1 ELSE 1 END)::BIGINT AS c
+       FROM hb GROUP BY r, b),
+ip AS (SELECT ca.r, SUM(ca.c * cb.c)::BIGINT AS v
+       FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b GROUP BY ca.r),
+f2 AS (SELECT r, SUM(c * c)::BIGINT AS v FROM ca GROUP BY r)
+SELECT ROUND(CAST((SELECT median(v) FROM ip) AS DOUBLE), 6) AS est_join_size,
+       ROUND(CAST((SELECT median(v) FROM f2) AS DOUBLE), 6) AS est_f2_lineitem
 """,
         "kmv_setops_custkeys": f"""
 -- exact recompute of kmv_set_ops (Beyer et al. 2007): bottom-256 of

@@ -132,6 +132,46 @@ def bench_minhash_dedup() -> float:
     return time.perf_counter() - t0
 
 
+def bench_pack() -> float:
+    """Sequence packing over the sf documents table (prefix scan +
+    manifest explode, functions/pack.py)."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.pack import pack_manifest
+    from ddsketch_ray.functions.text import token_count_batch
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    pack_manifest(toks, "doc_id", "n_tokens", seq_len=2048).count()
+    return time.perf_counter() - t0
+
+
+def bench_mixture() -> float:
+    """Token-weighted mixture resample over the sf documents table
+    (functions/sampling.py::resample_to_mixture)."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.sampling import resample_to_mixture
+    from ddsketch_ray.functions.text import token_count_batch
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "lang", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    resample_to_mixture(
+        toks, "doc_id", "lang", [("en", 2), ("de", 1), ("fr", 1)], weight_col="n_tokens"
+    ).count()
+    return time.perf_counter() - t0
+
+
 def bench_ann() -> float:
     import numpy as np
     import pyarrow.compute as pc
@@ -366,6 +406,8 @@ def run_bench() -> dict:
         ("vocab_600k_pages", bench_vocab),
         ("bm25_600k_pages", bench_bm25),
         ("kmeans_1m_embeddings", bench_kmeans),
+        ("pack_documents", bench_pack),
+        ("mixture_documents", bench_mixture),
     ]:
         fn()  # warm pass
         queries[name] = round(min(fn() for _ in range(2)), 3)

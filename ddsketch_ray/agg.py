@@ -397,3 +397,29 @@ class MinHashAgg(_SketchAggBase):
 def sketch_from_result(result) -> object:
     """Unpickle a sketch from an aggregate result value (bytes)."""
     return pickle.loads(result)
+
+
+class AMSAgg(_SketchAggBase):
+    """AMS tug-of-war sketch over an integer key column (sketches/ams.py)
+    — F2 / join-size estimation. finalize -> serialized sketch (use
+    ``sketch_from_result``); counters are exactly reproducible by a SQL
+    oracle (SplitMix64 per row-seed in mod-2^64 arithmetic)."""
+
+    def __init__(self, on: str, rows: int = 9, buckets: int = 512, seed: int = 0,
+                 alias_name=None):
+        from ddsketch_ray.sketches.ams import AMSSketch
+
+        super().__init__(
+            factory=lambda: AMSSketch(rows=rows, buckets=buckets, seed=seed),
+            name=alias_name or f"ams({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        col = drop_nulls(col, is_arrow)
+        if is_arrow:
+            v = col.to_numpy(zero_copy_only=False)
+        else:
+            v = np.asarray(col)
+        sk.add_hashed(v.astype(np.int64, copy=False).view(np.uint64))
