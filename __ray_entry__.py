@@ -1143,6 +1143,41 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_nationkey"]]
 
 
+def q_logreg_quality_lang(sf_dir: str) -> pd.DataFrame:
+    """Deterministic distributed logistic regression (functions/ml.py::
+    logreg_fit — per-block fixed-point gradient partials, bit-identical
+    across layouts/cluster sizes): train is-English from quality
+    features. Frozen determinism oracle (2-session verified)."""
+    from ddsketch_ray.functions.ml import logreg_fit
+    from ddsketch_ray.functions.text import quality_features_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        q = quality_features_batch(t)
+        return pa.table(
+            {
+                "mean_token_len": q.column("mean_token_len"),
+                "punct_ratio": q.column("punct_ratio"),
+                "digit_ratio": q.column("digit_ratio"),
+                "stopword_ratio": q.column("stopword_ratio"),
+                "y": pc.cast(pc.equal(t.column("lang"), "en"), pa.int64()),
+            }
+        )
+
+    fx = ds.map_batches(feats, batch_format="pyarrow", batch_size=None).materialize()
+    cols = ["mean_token_len", "punct_ratio", "digit_ratio", "stopword_ratio"]
+    fit = logreg_fit(fx, cols, "y", iters=20, lr=0.5)
+    return pd.DataFrame(
+        {
+            "n": np.array([fit["n"]], dtype=np.int64),
+            "loss": _round6([fit["loss"]]),
+            "bias": _round6([fit["bias"]]),
+            **{f"w_{c}": _round6([w]) for c, w in zip(cols, fit["weights"])},
+        }
+    )
+
+
 def q_ams_join_size(sf_dir: str) -> pd.DataFrame:
     """AMS tug-of-war join-size estimation (sketches/ams.py — Alon-
     Matias-Szegedy inner product): estimate |lineitem ⋈ orders| on
@@ -3118,6 +3153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
         "kmv_setops_custkeys": q_kmv_setops_custkeys,
         "ams_join_size": q_ams_join_size,
+        "logreg_quality_lang": q_logreg_quality_lang,
         "customers_no_orders": q_customers_no_orders,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,

@@ -1,0 +1,133 @@
+"""Deterministic distributed linear-model training.
+
+``logreg_fit`` — full-batch gradient-descent logistic regression over a
+Dataset, the trainer behind corpus quality classifiers (fastText-style
+quality gates, contamination detectors): features are cheap per-doc
+statistics, labels are rule-derived, and the model must be
+REPRODUCIBLE — retraining on the same corpus at any cluster size must
+give the same bytes.
+
+Determinism contract (same as ``cluster.kmeans_fit``): each block
+rounds its per-row gradient contributions to ``x * 2**frac_bits`` int64
+and sums (exact associative integer partials); the driver combines the
+O(blocks × (d+1)) partial rows with Python-int accumulation and applies
+the float update once per iteration. Output = pure function of the
+input multiset — bit-identical across block layouts and cluster sizes.
+
+Magnitude contract: |per-row gradient| ≤ 1 per feature unit (sigmoid
+residual is in [-1, 1]), so features should be pre-scaled to O(1-100)
+— the per-block int64 partial then holds corpora up to ~2^43 rows per
+block at frac_bits=20.
+
+No reference counterpart (gmorleo/DDSketch — SURVEY.md §2.3); this is
+the training-pipeline/north-rule model-fitting slot alongside k-means.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def logreg_iteration(ds, w: np.ndarray, feature_cols, label_col: str, frac_bits: int = 20):
+    """One full-batch gradient evaluation at weights ``w`` (bias last).
+    Returns (grad: float64[d+1], n_rows, loss_fp_sum: int) — all exact
+    integer combines of per-block fixed-point partials."""
+    import ray
+
+    feature_cols = list(feature_cols)
+    d = len(feature_cols)
+    scale = float(1 << frac_bits)
+    wref = ray.put(np.asarray(w, dtype=np.float64))
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        ww = ray.get(wref)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "loss_fp": pa.array([], pa.int64()),
+                    "grad_fp": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        X = np.column_stack(
+            [t.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False) for c in feature_cols]
+        )
+        y = t.column(label_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        z = X @ ww[:d] + ww[d]
+        p = _sigmoid(z)
+        resid = p - y  # in [-1, 1]
+        # per-ROW fixed-point rounding, then exact int sums (the
+        # kmeans_iteration contract: layout cannot change the result)
+        gx = np.rint(resid[:, None] * X * scale).astype(np.int64).sum(axis=0)
+        gb = int(np.rint(resid * scale).astype(np.int64).sum())
+        # stable log-loss: log(1+e^-|z|) + max(z,0) - z*y
+        ll = np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0.0) - z * y
+        lfp = int(np.rint(ll * scale).astype(np.int64).sum())
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "loss_fp": pa.array([lfp], pa.int64()),
+                "grad_fp": pa.array([np.r_[gx, gb].tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = [
+        tb
+        for tb in ray.get(
+            ds.map_batches(block_partials, batch_format="pyarrow", batch_size=None)
+            .materialize()
+            .to_arrow_refs()
+        )
+        if tb.num_rows
+    ]
+    n = 0
+    loss_fp = 0
+    grad_i = [0] * (d + 1)
+    for tb in parts:
+        n += sum(tb.column("n").to_pylist())
+        loss_fp += sum(tb.column("loss_fp").to_pylist())
+        for row in tb.column("grad_fp").to_pylist():
+            for j, v in enumerate(row):
+                grad_i[j] += int(v)
+    grad = np.array([float(g) / scale for g in grad_i], dtype=np.float64)
+    return grad, n, loss_fp
+
+
+def logreg_fit(
+    ds,
+    feature_cols,
+    label_col: str,
+    iters: int = 20,
+    lr: float = 0.1,
+    frac_bits: int = 20,
+):
+    """Full-batch GD logistic regression; weights init 0. Returns
+    {"weights": float64[d], "bias": float, "n": int, "loss": float}
+    (loss = mean log-loss at the FINAL weights). Bit-identical across
+    layouts/cluster sizes; empty dataset raises."""
+    feature_cols = list(feature_cols)
+    d = len(feature_cols)
+    w = np.zeros(d + 1, dtype=np.float64)
+    n = 0
+    for _ in range(int(iters)):
+        grad, n, _ = logreg_iteration(ds, w, feature_cols, label_col, frac_bits)
+        if n == 0:
+            raise ValueError("logreg_fit: empty dataset")
+        w = w - lr * grad / float(n)
+    _, n, loss_fp = logreg_iteration(ds, w, feature_cols, label_col, frac_bits)
+    return {
+        "weights": w[:d].copy(),
+        "bias": float(w[d]),
+        "n": int(n),
+        "loss": float(loss_fp) / float(1 << frac_bits) / float(n),
+    }

@@ -52,6 +52,7 @@ FREEZE = [
     "webpages_report",
     "media_decode_report",
     "video_frames_report",
+    "logreg_quality_lang",
     "tdigest_quantiles_price",
     "kll_quantiles_price",
     "tdigest_quantiles_by_event_type",
