@@ -131,3 +131,92 @@ def logreg_fit(
         "n": int(n),
         "loss": float(loss_fp) / float(1 << frac_bits) / float(n),
     }
+
+
+def logreg_fit_checkpointed(
+    ds,
+    ckpt_dir: str,
+    feature_cols,
+    label_col: str,
+    iters: int = 20,
+    lr: float = 0.1,
+    frac_bits: int = 20,
+    input_desc: str = "",
+) -> dict:
+    """``logreg_fit`` with per-ITERATION weight checkpoints (the
+    ``kmeans_fit_checkpointed`` shape): after each gradient step the
+    weight vector lands atomically in ``{ckpt_dir}/weights-{i:04d}.
+    parquet`` with lineage metadata; a re-run resumes from the highest
+    complete iteration ≤ ``iters`` and — every iteration being a pure
+    function of (input multiset, weights) — is BIT-IDENTICAL to a cold
+    run. Parameter mismatches refuse to resume. Returns the fit dict
+    plus ``resumed_from_iteration`` / ``iterations_run``."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    feature_cols = list(feature_cols)
+    d = len(feature_cols)
+    _os.makedirs(ckpt_dir, exist_ok=True)
+    params = {
+        "feature_cols": feature_cols,
+        "label_col": label_col,
+        "lr": float(lr),
+        "frac_bits": int(frac_bits),
+        "input_desc": input_desc,
+    }
+
+    def _path(i: int) -> str:
+        return _os.path.join(ckpt_dir, f"weights-{i:04d}.parquet")
+
+    def _write(i: int, w: np.ndarray) -> None:
+        t = pa.table({"j": pa.array(np.arange(d + 1, dtype=np.int64)),
+                      "w": pa.array(w.tolist(), pa.float64())})
+        meta = dict(params, iteration=i)
+        t = t.replace_schema_metadata({b"ddsr_logreg": _json.dumps(meta).encode()})
+        tmp = _path(i) + ".tmp"
+        _pq.write_table(t, tmp)
+        _os.replace(tmp, _path(i))
+
+    def _load(i: int) -> np.ndarray:
+        t = _pq.read_table(_path(i))
+        meta = _json.loads(t.schema.metadata[b"ddsr_logreg"].decode())
+        for key, want in params.items():
+            if key == "input_desc":
+                continue
+            if meta.get(key) != want:
+                raise ValueError(
+                    f"checkpoint {_path(i)} was written with {key}={meta.get(key)!r}, "
+                    f"this run uses {want!r} — refusing to resume"
+                )
+        return np.array(t.column("w").to_pylist(), dtype=np.float64)
+
+    done = sorted(
+        int(f[len("weights-"):-len(".parquet")])
+        for f in _os.listdir(ckpt_dir)
+        if f.startswith("weights-") and f.endswith(".parquet")
+    )
+    start = max((i for i in done if i <= iters), default=-1)
+    if start >= 0:
+        w = _load(start)
+    else:
+        w = np.zeros(d + 1, dtype=np.float64)
+        _write(0, w)
+        start = 0
+    n = 0
+    for i in range(start, int(iters)):
+        grad, n, _ = logreg_iteration(ds, w, feature_cols, label_col, frac_bits)
+        if n == 0:
+            raise ValueError("logreg_fit_checkpointed: empty dataset")
+        w = w - lr * grad / float(n)
+        _write(i + 1, w)
+    _, n, loss_fp = logreg_iteration(ds, w, feature_cols, label_col, frac_bits)
+    return {
+        "weights": w[:d].copy(),
+        "bias": float(w[d]),
+        "n": int(n),
+        "loss": float(loss_fp) / float(1 << frac_bits) / float(n),
+        "resumed_from_iteration": int(start),
+        "iterations_run": int(iters) - int(start),
+    }

@@ -59,3 +59,30 @@ def test_logreg_empty_raises(ray_session):
     )
     with pytest.raises(Exception):
         logreg_fit(empty, ["f0"], "y", iters=1)
+
+
+def test_logreg_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    import shutil
+
+    from ddsketch_ray.functions.ml import logreg_fit_checkpointed
+
+    df = _blob(600, seed=5)
+    ds = rd.from_pandas(df).repartition(3)
+    cold_dir = str(tmp_path / "cold")
+    cold = logreg_fit_checkpointed(ds, cold_dir, ["f0", "f1"], "y", iters=8, lr=0.5)
+    assert cold["resumed_from_iteration"] == 0 and cold["iterations_run"] == 8
+    # run 5 iters, then resume to 8 — must equal the cold 8-iter run bitwise
+    part_dir = str(tmp_path / "part")
+    logreg_fit_checkpointed(ds, part_dir, ["f0", "f1"], "y", iters=5, lr=0.5)
+    resumed = logreg_fit_checkpointed(ds, part_dir, ["f0", "f1"], "y", iters=8, lr=0.5)
+    assert resumed["resumed_from_iteration"] == 5 and resumed["iterations_run"] == 3
+    assert (resumed["weights"] == cold["weights"]).all()
+    assert resumed["bias"] == cold["bias"] and resumed["loss"] == cold["loss"]
+    # param mismatch refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        logreg_fit_checkpointed(ds, part_dir, ["f0", "f1"], "y", iters=8, lr=0.9)
+    # completed run re-invoked: zero work
+    again = logreg_fit_checkpointed(ds, part_dir, ["f0", "f1"], "y", iters=8, lr=0.5)
+    assert again["iterations_run"] == 0 and (again["weights"] == cold["weights"]).all()
