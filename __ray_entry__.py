@@ -1143,6 +1143,36 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_nationkey"]]
 
 
+def q_quality_model_scores(sf_dir: str) -> pd.DataFrame:
+    """Model scoring pass (functions/ml.py::logreg_score_batch — apply
+    a fixed published quality model as a pure map; explicit left-to-
+    right dot order + stable two-branch sigmoid so the SQL oracle is
+    bit-identical). REAL SQL oracle: features recomputed bit-exact (the
+    quality_scores machinery) + the mirrored sigmoid expression."""
+    from ddsketch_ray.functions.ml import logreg_score_batch
+    from ddsketch_ray.functions.text import quality_features_batch
+
+    W = [0.05, -3.0, -2.0, 1.5]  # mtl, punct, digit, stopword
+    B = -0.25
+    cols = ["mean_token_len", "punct_ratio", "digit_ratio", "stopword_ratio"]
+
+    def score(t: pa.Table) -> pa.Table:
+        q = quality_features_batch(t)
+        s = logreg_score_batch(q, cols, W, B)
+        return s.select(["doc_id", "score"])
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score"] = _round6(out["score"])
+    return out
+
+
 def q_logreg_quality_lang(sf_dir: str) -> pd.DataFrame:
     """Deterministic distributed logistic regression (functions/ml.py::
     logreg_fit — per-block fixed-point gradient partials, bit-identical
@@ -3154,6 +3184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_setops_custkeys": q_kmv_setops_custkeys,
         "ams_join_size": q_ams_join_size,
         "logreg_quality_lang": q_logreg_quality_lang,
+        "quality_model_scores": q_quality_model_scores,
         "customers_no_orders": q_customers_no_orders,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
@@ -4261,6 +4292,37 @@ dedup AS (
   FROM kept GROUP BY tx)
 SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
 FROM dedup GROUP BY lang ORDER BY lang
+""",
+        "quality_model_scores": r"""
+-- fixed quality model applied to the bit-exact feature recompute; dot
+-- product parenthesized left-to-right exactly as logreg_score_batch,
+-- sigmoid in the same stable two-branch form
+WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+f AS (
+  SELECT doc_id,
+    strlen(tx)::BIGINT AS n_chars,
+    len(list_filter(regexp_split_to_array(tx, '[ \t\n\r\f\v]+'), x -> x <> ''))::BIGINT AS n_tokens,
+    length(regexp_replace(tx, '[^!-/:-@\[-`{-~]', '', 'g'))::BIGINT AS n_punct,
+    length(regexp_replace(tx, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+    len(list_filter(regexp_split_to_array(lower(tx), '[ \t\n\r\f\v]+'),
+        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from'], x)))::BIGINT AS n_stopwords
+  FROM t),
+g AS (
+  SELECT doc_id,
+    (n_chars - GREATEST(n_tokens - 1, 0)) / GREATEST(n_tokens, 1) AS mtl,
+    n_punct / GREATEST(n_chars, 1) AS punct_ratio,
+    n_digit / GREATEST(n_chars, 1) AS digit_ratio,
+    n_stopwords / GREATEST(n_tokens, 1) AS stopword_ratio
+  FROM f),
+z AS (
+  SELECT doc_id,
+    ((((-0.25 + mtl * 0.05) + punct_ratio * -3.0) + digit_ratio * -2.0)
+      + stopword_ratio * 1.5) AS zz
+  FROM g)
+SELECT doc_id,
+  ROUND(CASE WHEN zz >= 0 THEN 1.0 / (1.0 + exp(-zz))
+             ELSE exp(zz) / (1.0 + exp(zz)) END, 6) AS score
+FROM z ORDER BY doc_id
 """,
         "quality_scores_documents": r"""
 -- full recompute of the deterministic quality heuristic: integer counts

@@ -220,3 +220,21 @@ def logreg_fit_checkpointed(
         "resumed_from_iteration": int(start),
         "iterations_run": int(iters) - int(start),
     }
+
+
+def logreg_score_batch(
+    batch: pa.Table, feature_cols, weights, bias: float, out_col: str = "score"
+) -> pa.Table:
+    """Apply a (possibly externally trained) logistic model as a pure
+    vectorized map — the quality-gate scoring pass. The dot product is
+    evaluated in EXPLICIT left-to-right order (z = ((b + x0·w0) + x1·w1)
+    + ...), not BLAS order, so a SQL oracle mirroring the same
+    parenthesization is bit-identical; the sigmoid uses the stable
+    two-branch form, also mirrored (CASE WHEN z >= 0 ...)."""
+    feature_cols = list(feature_cols)
+    w = np.asarray(weights, dtype=np.float64)
+    z = np.full(batch.num_rows, float(bias), dtype=np.float64)
+    for c, wc in zip(feature_cols, w):
+        x = batch.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        z = z + x * wc
+    return batch.append_column(out_col, pa.array(_sigmoid(z)))
