@@ -1143,6 +1143,33 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_nationkey"]]
 
 
+def q_dsir_importance_docs(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style data selection (functions/selection.py::
+    unigram_importance — per-token log-likelihood ratio between the
+    en-target unigram LM and the raw-corpus LM, add-1 smoothing; ratios
+    quantized to int64 once so per-doc sums are order-independent).
+    REAL SQL oracle: every count, log term and quantized sum
+    recomputed."""
+    from ddsketch_ray.functions.selection import unigram_importance
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+    target = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        unigram_importance(raw, target)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["iw"] = _round6(out["iw"])
+    return out
+
+
 def q_quality_model_scores(sf_dir: str) -> pd.DataFrame:
     """Model scoring pass (functions/ml.py::logreg_score_batch — apply
     a fixed published quality model as a pure map; explicit left-to-
@@ -3185,6 +3212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_join_size": q_ams_join_size,
         "logreg_quality_lang": q_logreg_quality_lang,
         "quality_model_scores": q_quality_model_scores,
+        "dsir_importance_docs": q_dsir_importance_docs,
         "customers_no_orders": q_customers_no_orders,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
@@ -4292,6 +4320,32 @@ dedup AS (
   FROM kept GROUP BY tx)
 SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
 FROM dedup GROUP BY lang ORDER BY lang
+""",
+        "dsir_importance_docs": r"""
+-- full recompute: exact token counts per corpus, add-1 smoothed log
+-- ratio per token quantized with round_even (== np.rint), per-doc
+-- integer sums over token occurrences
+WITH rt AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+            FROM documents),
+tt AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+       FROM documents WHERE lang = 'en'),
+cr AS (SELECT tok, COUNT(*)::BIGINT AS n FROM rt GROUP BY tok),
+ct AS (SELECT tok, COUNT(*)::BIGINT AS n FROM tt GROUP BY tok),
+consts AS (SELECT (SELECT COUNT(*) FROM cr)::BIGINT AS V,
+                  (SELECT COALESCE(SUM(n), 0) FROM ct)::BIGINT AS Tt,
+                  (SELECT COALESCE(SUM(n), 0) FROM cr)::BIGINT AS Tr),
+lr AS (SELECT cr.tok,
+        CAST(round_even((ln((COALESCE(ct.n, 0) + 1.0) / (Tt + V))
+                         - ln((cr.n + 1.0) / (Tr + V))) * 1048576.0, 0) AS BIGINT) AS lrq
+       FROM cr LEFT JOIN ct ON cr.tok = ct.tok, consts),
+per_doc AS (SELECT rt.doc_id, COUNT(*)::BIGINT AS n, SUM(lr.lrq)::BIGINT AS s
+            FROM rt JOIN lr ON rt.tok = lr.tok GROUP BY rt.doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+  COALESCE(p.n, 0)::BIGINT AS n_tokens,
+  ROUND(CASE WHEN COALESCE(p.n, 0) > 0
+             THEN CAST(p.s AS DOUBLE) / (1048576.0 * p.n) ELSE 0.0 END, 6) AS iw
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY doc_id
 """,
         "quality_model_scores": r"""
 -- fixed quality model applied to the bit-exact feature recompute; dot
