@@ -536,6 +536,49 @@ def stress_bjoin5m() -> dict:
     }
 
 
+def stress_dsir600k() -> dict:
+    """DSIR importance weighting over the 600k-page disk corpus
+    (target = lang == 'de' pages): two count rollups + scoring join."""
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    from ddsketch_ray.functions.selection import unigram_importance
+
+    path = bench.ensure_corpus(600_000)
+    best = None
+    n = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        from ddsketch_ray.hashing import hash_strings
+
+        raw = rd.read_parquet(path, columns=["url", "text"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash_strings(t.column("url")).view(np.int64)
+                    ),
+                    "text": t.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        target = rd.read_parquet(path, columns=["lang", "text"]).map_batches(
+            lambda t: pa.table(
+                {"text": t.filter(pa.compute.equal(t.column("lang"), "de")).column("text")}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        n = unigram_importance(raw, target).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        log(f"dsir600k: {dt:.2f}s ({600_000/dt:,.0f} docs/s)")
+    return {"wall_s_best": round(best, 2), "docs_per_s": round(600_000 / best), "n": int(n)}
+
+
 def main() -> None:
     import ray
 
@@ -576,6 +619,8 @@ def main() -> None:
         results["rank5m"] = stress_rank5m()
     if "bjoin5m" in which:
         results["bjoin5m"] = stress_bjoin5m()
+    if "dsir600k" in which:
+        results["dsir600k"] = stress_dsir600k()
     print(json.dumps(results))
     ray.shutdown()
 
