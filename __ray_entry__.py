@@ -2020,6 +2020,57 @@ def q_pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_tokens", "tok_start", "seq_first", "n_seqs"]]
 
 
+def q_pretrain_pack(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END pretraining prep, every stage distributed and the
+    WHOLE chain SQL-oracled: hash split (keep train 90%) → sort-plan
+    exact dedup (min doc_id per identical text) → token counts →
+    prefix-scan sequence packing at 512 tokens. The pipeline a user of
+    this engine runs before training; composes sampling.hash_split,
+    dedup.exact_dedup, text.token_count_batch, pack.pack_sequences."""
+    import ray
+
+    from ddsketch_ray.functions.dedup import exact_dedup
+    from ddsketch_ray.functions.pack import pack_sequences
+    from ddsketch_ray.functions.sampling import hash_split
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    train = hash_split(
+        ds, "doc_id", [("train", 90), ("val", 5), ("test", 5)]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("split"), "train")).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # consumed by dedup + the survivor gather
+    surv = exact_dedup(train, text_col="text", id_col="doc_id")
+    keep = pa.concat_tables(
+        [b for b in ray.get(surv.materialize().to_arrow_refs())]
+    ).column("doc_id")
+    kept = train.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("doc_id"), value_set=keep.combine_chunks())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    toks = kept.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        pack_sequences(toks, "doc_id", "n_tokens", seq_len=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "n_tokens", "tok_start", "seq_first", "n_seqs"]]
+
+
 def q_pack_manifest_docs(sf_dir: str) -> pd.DataFrame:
     """Training-loader pack manifest (functions/pack.py::pack_manifest
     — one row per (sequence, doc) intersection, vectorized np.repeat
@@ -3243,6 +3294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_rollup_events": q_props_rollup_events,
         "pack_sequences_docs": q_pack_sequences_docs,
         "pack_manifest_docs": q_pack_manifest_docs,
+        "pretrain_pack": q_pretrain_pack,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "resample_token_mixture_docs": q_resample_token_mixture_docs,
@@ -3796,6 +3848,26 @@ r AS (SELECT lang, doc_id,
       FROM h)
 SELECT lang, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id
 FROM r WHERE rank <= 10 ORDER BY lang, rank
+""",
+        "pretrain_pack": f"""
+-- the whole chain recomputed: split hash, GROUP-BY-text min-id dedup,
+-- token counts, window prefix sum, integer division packing
+WITH t AS (SELECT doc_id, text, ({kmv_doc_hash}) % 100 AS b FROM documents),
+tr AS (SELECT doc_id, text FROM t WHERE b < 90),
+surv AS (SELECT MIN(doc_id)::BIGINT AS doc_id FROM tr GROUP BY text),
+o AS (SELECT s.doc_id,
+        len(list_filter(regexp_split_to_array(coalesce(d.text, ''), '[ \t\n\r\f\v]+'),
+                        x -> x <> ''))::BIGINT AS n_tokens
+      FROM surv s JOIN documents d ON s.doc_id = d.doc_id),
+c AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+      FROM o)
+SELECT doc_id, n_tokens, tok_start,
+  (tok_start // 512)::BIGINT AS seq_first,
+  (CASE WHEN n_tokens = 0 THEN 0
+        ELSE (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 END)::BIGINT AS n_seqs
+FROM c ORDER BY doc_id
 """,
         "pack_manifest_docs": r"""
 WITH o AS (
