@@ -62,6 +62,10 @@ def exclusive_offsets(ds, id_col: str, count_col: str, offset_alias: str = "offs
         if c.min() < 0:
             raise ValueError("exclusive_offsets: negative counts")
         ids = t.column("i").to_numpy()
+        # sorted blocks put duplicate ids adjacent — catch them here (a
+        # duplicate would silently corrupt the offset stitch)
+        if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
+            raise ValueError("exclusive_offsets: duplicate ids")
         n = len(c)
         excl = np.concatenate(([0], np.cumsum(c[:-1], dtype=np.int64)))
         # summary row rides along: (_sum=True, off=block total, _fid=first id)
@@ -100,6 +104,9 @@ def exclusive_offsets(ds, id_col: str, count_col: str, offset_alias: str = "offs
         )
     edge = edge.sort_values("_fid").reset_index(drop=True)
     fids = edge["_fid"].to_numpy().astype(np.int64)
+    if len(fids) > 1 and (fids[1:] == fids[:-1]).any():
+        # a duplicate id spanning a block boundary evaded the in-block check
+        raise ValueError("exclusive_offsets: duplicate ids across blocks")
     totals = edge["off"].to_numpy().astype(np.int64)
     # exclusive block offsets; Python ints so a 10^14-token corpus can't
     # overflow an intermediate (result still fits int64 by contract)
@@ -247,6 +254,9 @@ def global_rank(
             [("v", "descending" if descending else "ascending"), ("_fid", "ascending")]
         )
         fids = et.column("_fid").to_numpy().astype(np.int64)
+        if len(np.unique(fids)) != len(fids):
+            # two blocks share a first id — ids are not unique
+            raise ValueError("global_rank: duplicate ids")
         counts = et.column("pos").to_numpy().astype(np.int64)
         bases = np.concatenate(([0], np.cumsum(counts[:-1], dtype=np.int64)))
         order = np.argsort(fids)

@@ -187,3 +187,12 @@ def test_pack_manifest_invariants(ray_session, blocks):
         for _, r in g.iterrows():
             assert r["seq_off"] == pos
             pos += r["take_n"]
+
+
+def test_exclusive_offsets_duplicate_ids_raise(ray_session):
+    from ddsketch_ray.functions.pack import exclusive_offsets
+
+    df = pd.DataFrame({"doc_id": np.array([1, 2, 2, 3], dtype=np.int64),
+                       "n": np.ones(4, dtype=np.int64)})
+    with pytest.raises(Exception):
+        exclusive_offsets(_mk(df, 2), "doc_id", "n").to_pandas()
