@@ -2020,6 +2020,41 @@ def q_pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_tokens", "tok_start", "seq_first", "n_seqs"]]
 
 
+def q_csv_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
+    """CSV table round trip (sources/readers.py::read_csv_table +
+    Ray-native write_csv): documents (including multi-line quoted text)
+    out to CSV shards, back through the schema-conformed CSV reader,
+    per-lang token rollup. Oracle reads the SAME rows from parquet —
+    proves CSV/JSONL/parquet sources are interchangeable."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.text import token_count_batch
+    from ddsketch_ray.sources.readers import read_csv_table
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_csv_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _read(sf_dir, "documents", ["doc_id", "lang", "text"]).write_csv(out_dir)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
+    )
+    ds = read_csv_table(sorted(_glob.glob(f"{out_dir}/*")), schema=schema)
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b).select(["lang", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = small_key_rollup(
+        toks, ["lang"], sums=[("sum_tokens", "n_tokens")], count_alias="n_docs"
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_tokens"] = out["sum_tokens"].astype(np.int64)
+    return out[["lang", "n_docs", "sum_tokens"]].sort_values("lang").reset_index(drop=True)
+
+
 def q_pretrain_pack(sf_dir: str) -> pd.DataFrame:
     """END-TO-END pretraining prep, every stage distributed and the
     WHOLE chain SQL-oracled: hash split (keep train 90%) → sort-plan
@@ -3295,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": q_pack_sequences_docs,
         "pack_manifest_docs": q_pack_manifest_docs,
         "pretrain_pack": q_pretrain_pack,
+        "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "resample_token_mixture_docs": q_resample_token_mixture_docs,
@@ -4667,6 +4703,12 @@ SELECT event_type, COUNT(*)::BIGINT AS n,
   SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END)::BIGINT
     AS n_missing
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "csv_roundtrip_stats": r"""
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+  SUM(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                      x -> x <> '')))::BIGINT AS sum_tokens
+FROM documents GROUP BY lang ORDER BY lang
 """,
         "jsonl_token_stats": r"""
 SELECT lang, COUNT(*)::BIGINT AS n_docs,

@@ -147,3 +147,27 @@ def read_sketch_parquet(path: str):
         row[name] = v
     cls = _registry()[row["kind"]]
     return cls.from_row(row)
+
+
+def read_csv_table(paths, schema: pa.Schema | None = None):
+    """General CSV table source (the reference reads single-column CSV —
+    ``read_values_csv``; this is the full-table counterpart): Ray-native
+    block-parallel arrow CSV reader, plus the same schema conformance
+    contract as ``read_jsonl`` (project/cast/null-fill) so CSV, JSONL
+    and parquet inputs are interchangeable."""
+    import ray.data as rd
+
+    ds = rd.read_csv(paths)
+    if schema is None:
+        return ds
+
+    def conform(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in schema:
+            if f.name in t.column_names:
+                cols.append(t.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(schema.names, cols)))
+
+    return ds.map_batches(conform, batch_format="pyarrow", batch_size=None)
