@@ -1789,6 +1789,40 @@ def q_bucketed_join_revenue(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_range_layout_prices(sf_dir: str) -> pd.DataFrame:
+    """Range-partitioned hive sink round trip (sources/sinks.py::
+    write_range_partitioned — equal-frequency value layout; readers
+    prune by pid directory): write lineitem prices at P=8, read each
+    pid back, report (pid, n_rows, price_c). REAL SQL oracle rebuilds
+    the sketch cuts and re-assigns every row."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ddsketch_ray.sources.sinks import write_range_partitioned
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_ranged_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    write_range_partitioned(ds, out_dir, "l_extendedprice", num_partitions=8)
+    rows = {"pid": [], "n_rows": [], "price_c": []}
+    for d in sorted(_glob.glob(f"{out_dir}/pid=*")):
+        pid = int(d.rsplit("=", 1)[1])
+        part = rd.read_parquet(sorted(_glob.glob(f"{d}/*.parquet"))).to_pandas()
+        rows["pid"].append(pid)
+        rows["n_rows"].append(len(part))
+        rows["price_c"].append(
+            int(np.round(part["l_extendedprice"].to_numpy() * 100).astype(np.int64).sum())
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("pid").reset_index(drop=True)
+
+
 def q_bucketed_write_docs(sf_dir: str) -> pd.DataFrame:
     """Hash-bucketed hive-partitioned sink (sources/sinks.py::
     write_bucketed — persists the co-partitioning so future joins skip
@@ -3331,6 +3365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_manifest_docs": q_pack_manifest_docs,
         "pretrain_pack": q_pretrain_pack,
         "csv_roundtrip_stats": q_csv_roundtrip_stats,
+        "range_layout_prices": q_range_layout_prices,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "resample_token_mixture_docs": q_resample_token_mixture_docs,
@@ -3721,6 +3756,23 @@ SELECT 'h1' AS group_a, 'h2' AS group_b,
        (SELECT n FROM tot WHERE g = 'h2') AS n_b,
        ROUND(MAX(ABS(ca - cb)), 6) AS ks
 FROM cdf
+""",
+        "range_layout_prices": f"""
+-- same cut rebuild as range_partition_price; per-pid counts + integer
+-- cent sums over the re-assigned rows
+WITH keys AS (SELECT {_key_of('l_extendedprice')} AS k FROM lineitem),
+bins AS (SELECT k, COUNT(*)::BIGINT AS c FROM keys GROUP BY k),
+scan AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM bins),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM keys),
+qs(q) AS (VALUES (0.125), (0.25), (0.375), (0.5), (0.625), (0.75), (0.875)),
+sel AS (SELECT q, MIN(k) AS kq FROM qs, scan, tot WHERE cum > q*(n-1) GROUP BY q),
+cuts AS (SELECT ROUND({_dds_est_sql('kq')}, 6) AS cut FROM sel),
+assigned AS (SELECT
+    (SELECT COUNT(*) FROM cuts WHERE cut <= l_extendedprice)::BIGINT AS pid,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem)
+SELECT pid, COUNT(*)::BIGINT AS n_rows, SUM(pc)::BIGINT AS price_c
+FROM assigned GROUP BY pid ORDER BY pid
 """,
         "range_partition_price": f"""
 -- rebuild the 7 sketch cut points (same quantile-selection rule as the

@@ -141,3 +141,36 @@ def write_jsonl(ds, out_dir: str) -> None:
     pair with ``readers.read_jsonl`` for a schema-conformed round
     trip."""
     ds.write_json(out_dir)
+
+
+def write_range_partitioned(ds, out_dir: str, value_col: str, num_partitions: int = 16):
+    """Equal-frequency RANGE-partitioned hive layout — the sorted-layout
+    counterpart of ``write_bucketed``: one DDSketch pass picks P−1
+    quantile cuts, a pure map assigns ``pid = #{cut ≤ v}``, and
+    ``write_parquet(partition_cols=["pid"])`` writes one directory per
+    value range. Readers of a value/range predicate prune to the
+    matching pid directories (zone-map pruning by construction);
+    partitions are balanced within the sketch's α. The input is scanned
+    twice (sketch pass + write). Returns the cut points."""
+    from ddsketch_ray.functions.distribution import range_partition_by_quantiles
+
+    withpid, cuts = range_partition_by_quantiles(ds, value_col, num_partitions)
+    withpid.write_parquet(out_dir, partition_cols=["pid"])
+    return cuts
+
+
+def read_value_range(out_dir: str, cuts, lo: float, hi: float, columns=None):
+    """Pruned read of a ``write_range_partitioned`` table: only the pid
+    directories whose value range intersects [lo, hi) are opened."""
+    import numpy as np
+    import ray.data as rd
+
+    cuts = np.asarray(cuts, dtype=np.float64)
+    first = int(np.searchsorted(cuts, lo, side="right"))
+    last = int(np.searchsorted(cuts, hi, side="left"))
+    import glob as _glob
+
+    files = []
+    for p in range(first, last + 1):
+        files.extend(sorted(_glob.glob(f"{out_dir}/pid={p}/*.parquet")))
+    return rd.read_parquet(files, columns=columns)

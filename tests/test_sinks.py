@@ -77,3 +77,24 @@ def test_join_bucketed_left_and_empty_buckets(ray_session, tmp_path):
     got_w = out["w"].fillna(-1).astype(np.int64).tolist()
     want_w = want["w"].fillna(-1).astype(np.int64).tolist()
     assert got_w == want_w
+
+
+def test_write_range_partitioned_prunes_and_roundtrips(ray_session, tmp_path):
+    from ddsketch_ray.sources.sinks import read_value_range, write_range_partitioned
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"v": rng.uniform(0, 1000, 20_000), "i": np.arange(20_000, dtype=np.int64)})
+    out = str(tmp_path / "ranged")
+    cuts = write_range_partitioned(rd.from_pandas(df).repartition(4), out, "v", num_partitions=8)
+    assert len(cuts) == 7 and (np.diff(cuts) > 0).all()
+    # pruned read returns a superset of the exact range, and filtering it
+    # yields exactly the right rows
+    part = read_value_range(out, cuts, 200.0, 300.0, columns=["v", "i"]).to_pandas()
+    want = df[(df.v >= 200.0) & (df.v < 300.0)]
+    got = part[(part.v >= 200.0) & (part.v < 300.0)]
+    assert sorted(got["i"].tolist()) == sorted(want["i"].tolist())
+    # pruning is real: far fewer rows read than the full table
+    assert len(part) < len(df) * 0.5
+    # full union of partitions == input
+    full = read_value_range(out, cuts, -1e9, 1e9).to_pandas()
+    assert len(full) == len(df)
