@@ -74,6 +74,12 @@ def join_bucketed(
     join the sink exists to enable. No tagged union, no groupby, no
     wide movement of either table; parallelism = num_buckets.
 
+    Memory contract: one task holds ONE bucket of each side — size
+    num_buckets at write time so table_bytes/num_buckets fits a worker
+    heap (the same sizing rule as ``equi_join_shuffle``'s buckets); a
+    hot key concentrates in one bucket, so skewed keys need the salted
+    shuffle join instead.
+
     Left/right column names must not clash (project/rename before
     writing). Returns a Dataset (key_col, *left_cols, *right_cols)."""
     import pyarrow.parquet as pq
