@@ -179,4 +179,9 @@ def read_value_range(out_dir: str, cuts, lo: float, hi: float, columns=None):
     files = []
     for p in range(first, last + 1):
         files.extend(sorted(_glob.glob(f"{out_dir}/pid={p}/*.parquet")))
+    if not files:  # range beyond the data: typed empty via any one file
+        any_file = sorted(_glob.glob(f"{out_dir}/pid=*/*.parquet"))
+        if not any_file:
+            raise ValueError(f"no bucket files under {out_dir}")
+        return rd.read_parquet(any_file[:1], columns=columns).limit(0)
     return rd.read_parquet(files, columns=columns)

@@ -98,3 +98,17 @@ def test_write_range_partitioned_prunes_and_roundtrips(ray_session, tmp_path):
     # full union of partitions == input
     full = read_value_range(out, cuts, -1e9, 1e9).to_pandas()
     assert len(full) == len(df)
+
+
+def test_read_value_range_outside_data(ray_session, tmp_path):
+    from ddsketch_ray.sources.sinks import read_value_range, write_range_partitioned
+
+    df = pd.DataFrame({"v": np.linspace(0, 100, 2000), "i": np.arange(2000, dtype=np.int64)})
+    out = str(tmp_path / "r3")
+    cuts = write_range_partitioned(rd.from_pandas(df).repartition(2), out, "v", num_partitions=4)
+    # a beyond-max range still reads the (unbounded-above) top partition
+    # — and ONLY that one; the exact filter then yields nothing
+    part = read_value_range(out, cuts, 1e6, 2e6).to_pandas()
+    assert 0 < len(part) < len(df) / 2
+    assert (part["v"] > cuts[-1]).all() or len(part) == 0
+    assert len(part[(part.v >= 1e6) & (part.v < 2e6)]) == 0
