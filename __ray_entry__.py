@@ -2054,6 +2054,38 @@ def q_pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_tokens", "tok_start", "seq_first", "n_seqs"]]
 
 
+def q_canonical_urls(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization (extract.py::canonical_url_batch — ordered
+    RE2-safe rules: fragment drop, scheme://authority lowercase,
+    tracking-param removal, separator repair). Messy URLs derived
+    deterministically from doc_id on BOTH sides; the oracle runs the
+    identical regexp_replace chain in DuckDB — byte-exact."""
+    from ddsketch_ray.extract import canonical_url_batch
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        urls = [
+            f"HTTPS://Ex{i % 7}.COM/Path/{i}?utm_source=x&id={i}&utm_medium=m#frag"
+            for i in ids
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "url": pa.array(urls, pa.string())})
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(mk, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: canonical_url_batch(t).select(["doc_id", "canonical_url"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
 def q_csv_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
     """CSV table round trip (sources/readers.py::read_csv_table +
     Ray-native write_csv): documents (including multi-line quoted text)
@@ -3366,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_pack": q_pretrain_pack,
         "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "range_layout_prices": q_range_layout_prices,
+        "canonical_urls": q_canonical_urls,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "resample_token_mixture_docs": q_resample_token_mixture_docs,
@@ -4755,6 +4788,25 @@ SELECT event_type, COUNT(*)::BIGINT AS n,
   SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END)::BIGINT
     AS n_missing
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "canonical_urls": r"""
+WITH u AS (SELECT doc_id,
+  'HTTPS://Ex' || (doc_id % 7) || '.COM/Path/' || doc_id ||
+  '?utm_source=x&id=' || doc_id || '&utm_medium=m#frag' AS url
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS s FROM u),
+s2 AS (SELECT doc_id,
+        CASE WHEN NULLIF(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1), '') IS NULL
+             THEN s
+             ELSE lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                  || regexp_replace(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+        END AS s FROM s1),
+s3 AS (SELECT doc_id,
+        regexp_replace(s, '[?&](?:utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*', '', 'g') AS s
+       FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(s, '^([^?]*)&', '\1?') AS s FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(s, '[?&]+$', '', 'g') AS s FROM s4)
+SELECT doc_id::BIGINT AS doc_id, s AS canonical_url FROM s5 ORDER BY doc_id
 """,
         "csv_roundtrip_stats": r"""
 SELECT lang, COUNT(*)::BIGINT AS n_docs,

@@ -150,3 +150,39 @@ def host_batch(batch: "pa.Table", url_col: str = "url", out_col: str = "host") -
         .str.extract(r"^(?:[^@]*@)?([^:]+)", 1)
     )
     return batch.append_column(out_col, host.to_arrow().cast(pa_.string()))
+
+
+def canonical_url_batch(
+    batch: "pa.Table", url_col: str = "url", out_col: str = "canonical_url"
+) -> "pa.Table":
+    """URL canonicalization — the normalize step before URL-keyed dedup
+    or host rollups. Ordered rules: (1) drop the fragment, (2)
+    lowercase the scheme://authority prefix (path/query stay
+    case-sensitive per RFC 3986), (3) remove utm_*/gclid/fbclid
+    tracking params, (4) repair the first query separator removal
+    leaves behind (&-> ? when no ? precedes), (5) drop trailing ?/&.
+    Pure polars Rust regex restricted to the RE2-compatible subset
+    (the redact_batch contract), so a DuckDB oracle running the same
+    regexp_replace chain is byte-exact. Nulls pass through; a literal
+    '&' in a fragment-free path is treated as a query separator
+    (documented approximation)."""
+    import polars as pl
+    import pyarrow as pa_
+
+    df = pl.DataFrame(
+        {"u": pl.from_arrow(batch.column(url_col).cast(pa_.string()))}
+    ).with_columns(pl.col("u").str.replace_all(r"#.*$", "").alias("s"))
+    df = df.with_columns(
+        pref=pl.col("s").str.extract(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1),
+        rest=pl.col("s").str.replace(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+    ).with_columns(
+        s=pl.when(pl.col("pref").is_null())
+        .then(pl.col("s"))
+        .otherwise(pl.col("pref").str.to_lowercase() + pl.col("rest"))
+    ).with_columns(
+        s=pl.col("s")
+        .str.replace_all(r"[?&](?:utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*", "")
+        .str.replace(r"^([^?]*)&", "${1}?")
+        .str.replace_all(r"[?&]+$", "")
+    )
+    return batch.append_column(out_col, df["s"].to_arrow().cast(pa_.string()))
