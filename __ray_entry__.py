@@ -2891,6 +2891,23 @@ def q_ks_drift_halves(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_clip_prices(sf_dir: str) -> pd.DataFrame:
+    """Winsorization (functions/distribution.py::clip_to_quantiles —
+    one sketch pass → 6dp cut estimates → pure LEAST/GREATEST map).
+    REAL SQL oracle: cuts rebuilt from the bucket math, same clamp."""
+    from ddsketch_ray.functions.distribution import clip_to_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
+    out = (
+        clip_to_quantiles(ds, "l_extendedprice", 0.05, 0.95, alpha=ALPHA, bin_limit=BIN_LIMIT)
+        .to_pandas()
+        .sort_values(["l_extendedprice"])
+        .reset_index(drop=True)
+    )
+    out["clipped"] = _round6(out["l_extendedprice_clipped"])
+    return out[["l_extendedprice", "clipped"]]
+
+
 def q_range_partition_price(sf_dir: str) -> pd.DataFrame:
     """Sketch-driven equal-frequency range partitioning
     (functions/distribution.py:range_partition_by_quantiles — one
@@ -3399,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "range_layout_prices": q_range_layout_prices,
         "canonical_urls": q_canonical_urls,
+        "clip_prices": q_clip_prices,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "resample_token_mixture_docs": q_resample_token_mixture_docs,
@@ -3789,6 +3807,21 @@ SELECT 'h1' AS group_a, 'h2' AS group_b,
        (SELECT n FROM tot WHERE g = 'h2') AS n_b,
        ROUND(MAX(ABS(ca - cb)), 6) AS ks
 FROM cdf
+""",
+        "clip_prices": f"""
+-- rebuild the two winsorize cuts from the shared bucket math (6dp both
+-- sides), then the same LEAST/GREATEST clamp per row
+WITH keys AS (SELECT {_key_of('l_extendedprice')} AS k FROM lineitem),
+bins AS (SELECT k, COUNT(*)::BIGINT AS c FROM keys GROUP BY k),
+scan AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM bins),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM keys),
+qs(q) AS (VALUES (0.05), (0.95)),
+sel AS (SELECT q, MIN(k) AS kq FROM qs, scan, tot WHERE cum > q*(n-1) GROUP BY q),
+cuts AS (SELECT MIN(ROUND({_dds_est_sql('kq')}, 6)) AS lo,
+                MAX(ROUND({_dds_est_sql('kq')}, 6)) AS hi FROM sel)
+SELECT l_extendedprice,
+       ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS clipped
+FROM lineitem, cuts ORDER BY l_extendedprice
 """,
         "range_layout_prices": f"""
 -- same cut rebuild as range_partition_price; per-pid counts + integer

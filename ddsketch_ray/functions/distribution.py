@@ -196,3 +196,39 @@ def range_partition_by_quantiles(
         ds.map_batches(assign, batch_format="pyarrow", batch_size=None),
         cuts,
     )
+
+
+def clip_to_quantiles(
+    ds,
+    col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    alpha: float = 0.008,
+    bin_limit: int = 2048,
+    out_col: str | None = None,
+):
+    """Winsorize a column at sketch-estimated quantiles — the outlier
+    clamp of feature preprocessing, without any sort: one DDSketch pass
+    picks (lo, hi) cut estimates rounded to 6dp (both sides of the
+    oracle boundary, the range-partitioner convention), then a pure
+    vectorized LEAST/GREATEST map. Nulls/NaN pass through. Returns the
+    Dataset with ``out_col`` (default ``{col}_clipped``) appended."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.agg import DDSketchAgg, sketch_from_result
+
+    if not (0.0 <= lo_q < hi_q <= 1.0):
+        raise ValueError("need 0 <= lo_q < hi_q <= 1")
+    out_col = out_col or f"{col}_clipped"
+    res = ds.aggregate(
+        DDSketchAgg(on=col, alpha=alpha, bin_limit=bin_limit, alias_name="_sk")
+    )
+    sk = sketch_from_result(res["_sk"])
+    lo, hi = (round(float(v), 6) for v in sk.quantiles([lo_q, hi_q]))
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(col), pa.float64())
+        clipped = pc.min_element_wise(pc.max_element_wise(v, lo), hi)
+        return t.append_column(out_col, clipped)
+
+    return ds.map_batches(clip, batch_format="pyarrow", batch_size=None)
