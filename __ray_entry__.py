@@ -2086,6 +2086,38 @@ def q_canonical_urls(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_blocked_hosts_filter(sf_dir: str) -> pd.DataFrame:
+    """Domain blocklist filtering (the UT1-style corpus gate): extract
+    hosts (extract.py::host_batch), drop blocklisted domains via the
+    null-safe broadcast anti filter (joins.py::semi_join_broadcast),
+    roll up surviving pages per host. REAL SQL oracle mirrors the host
+    regex + NOT IN."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.extract import host_batch
+    from ddsketch_ray.functions.joins import semi_join_broadcast
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        urls = [f"https://ex{i % 7}.com/p/{i}" for i in ids]
+        return pa.table({"doc_id": t.column("doc_id"), "url": pa.array(urls, pa.string())})
+
+    ds = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(mk, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: host_batch(t).select(["doc_id", "host"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    kept = semi_join_broadcast(
+        ds, pa.array(["ex1.com", "ex3.com"], pa.string()), "host", anti=True
+    )
+    out = small_key_rollup(kept, ["host"], count_alias="n_pages").to_pandas()
+    out["n_pages"] = out["n_pages"].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def q_csv_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
     """CSV table round trip (sources/readers.py::read_csv_table +
     Ray-native write_csv): documents (including multi-line quoted text)
@@ -3417,6 +3449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_layout_prices": q_range_layout_prices,
         "canonical_urls": q_canonical_urls,
         "clip_prices": q_clip_prices,
+        "blocked_hosts_filter": q_blocked_hosts_filter,
         "resample_mixture_docs": q_resample_mixture_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "resample_token_mixture_docs": q_resample_token_mixture_docs,
@@ -4821,6 +4854,16 @@ SELECT event_type, COUNT(*)::BIGINT AS n,
   SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END)::BIGINT
     AS n_missing
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "blocked_hosts_filter": """
+WITH u AS (SELECT doc_id, 'https://ex' || (doc_id % 7) || '.com/p/' || doc_id AS url
+           FROM documents),
+h AS (SELECT regexp_extract(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                            '^(?:[^@]*@)?([^:]+)', 1) AS host
+      FROM u)
+SELECT host, COUNT(*)::BIGINT AS n_pages
+FROM h WHERE host NOT IN ('ex1.com', 'ex3.com')
+GROUP BY host ORDER BY host
 """,
         "canonical_urls": r"""
 WITH u AS (SELECT doc_id,
