@@ -2160,9 +2160,7 @@ def q_pretrain_pack(sf_dir: str) -> pd.DataFrame:
     prefix-scan sequence packing at 512 tokens. The pipeline a user of
     this engine runs before training; composes sampling.hash_split,
     dedup.exact_dedup, text.token_count_batch, pack.pack_sequences."""
-    import ray
-
-    from ddsketch_ray.functions.dedup import exact_dedup
+    from ddsketch_ray.functions.dedup import content_hash_batch, exact_dedup_emit
     from ddsketch_ray.functions.pack import pack_sequences
     from ddsketch_ray.functions.sampling import hash_split
     from ddsketch_ray.functions.text import token_count_batch
@@ -2171,24 +2169,15 @@ def q_pretrain_pack(sf_dir: str) -> pd.DataFrame:
     train = hash_split(
         ds, "doc_id", [("train", 90), ("val", 5), ("test", 5)]
     ).map_batches(
-        lambda t: t.filter(pc.equal(t.column("split"), "train")).select(
-            ["doc_id", "text"]
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()  # consumed by dedup + the survivor gather
-    surv = exact_dedup(train, text_col="text", id_col="doc_id")
-    keep = pa.concat_tables(
-        [b for b in ray.get(surv.materialize().to_arrow_refs())]
-    ).column("doc_id")
-    kept = train.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t.column("doc_id"), value_set=keep.combine_chunks())
+        lambda t: content_hash_batch(
+            t.filter(pc.equal(t.column("split"), "train")).select(["doc_id", "text"])
         ),
         batch_format="pyarrow",
         batch_size=None,
     )
-    toks = kept.map_batches(
+    # survivor-ROW dedup: no driver-held id set, no second input pass
+    surv = exact_dedup_emit(train, "content_hash", "doc_id")
+    toks = surv.map_batches(
         lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
         batch_format="pyarrow",
         batch_size=None,
