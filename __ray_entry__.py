@@ -1642,16 +1642,15 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
 
 def q_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 shape (shipping priority): BUILDING customers' unshipped
-    orders, revenue per order, global top-10. Composition showcase:
-    broadcast semi-join (small dim set) → big-big shuffle equi-join
-    (orders ⋈ lineitem on orderkey) → high-cardinality sort-plan rollup
-    (revenue in integer basis points; the per-group-constant date
-    carried EXACTLY as sum/count) → per-block top-10 + driver merge.
-    REAL SQL oracle (integer-cents revenue, same tiebreak)."""
-    import ray
-
+    orders, revenue per order, global top-10. Composition showcase —
+    no driver-held key sets anywhere: big-big SEMI shuffle join (orders
+    ⋈ BUILDING custkeys) → big-big shuffle equi-join (⋈ lineitem on
+    orderkey) → high-cardinality sort-plan rollup (revenue in integer
+    basis points; the per-group-constant date carried EXACTLY as
+    sum/count) → per-block top-10 + driver merge. REAL SQL oracle
+    (integer-cents revenue, same tiebreak)."""
     from ddsketch_ray.functions.analytics import sorted_sum_rollup
-    from ddsketch_ray.functions.joins import equi_join_shuffle
+    from ddsketch_ray.functions.joins import equi_join_shuffle, semi_join_shuffle
 
     D = pd.Timestamp("1998-01-01")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
@@ -1661,27 +1660,28 @@ def q_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         batch_size=None,
     )
-    building_keys = pa.concat_tables(
-        [b for b in ray.get(cust.materialize().to_arrow_refs())]
-    ).column("c_custkey")
 
     def prep_orders(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.less(t.column("o_orderdate"), pa.scalar(D)),
-            pc.is_in(t.column("o_custkey"), value_set=building_keys.combine_chunks()),
-        )
-        t = t.filter(m)
+        t = t.filter(pc.less(t.column("o_orderdate"), pa.scalar(D)))
         days = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()), pa.int32())
         return pa.table(
             {
+                "o_custkey": t.column("o_custkey"),
                 "o_orderkey": t.column("o_orderkey"),
                 "o_days": pc.cast(days, pa.int64()),
             }
         )
 
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(prep_orders, batch_format="pyarrow", batch_size=None)
+    orders = semi_join_shuffle(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            prep_orders, batch_format="pyarrow", batch_size=None
+        ),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        ["o_orderkey", "o_days"],
+        num_buckets=32,
+    )
 
     def prep_lineitem(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(D)))
