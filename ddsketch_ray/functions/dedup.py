@@ -735,14 +735,6 @@ def hot_bucket_pairs(
     return _chain_pairs(cand, id_col, max_bucket_pairs=max_bucket_pairs)
 
 
-def minhash_lsh_candidates(ds_sigs, id_col: str = "doc_id", bands: int = 16):
-    """(a, b) candidate id pairs (a < b) sharing at least one LSH bucket."""
-    band_rows = ds_sigs.map_batches(
-        lambda b: lsh_band_rows(b, id_col=id_col, bands=bands), batch_format="pyarrow", batch_size=None
-    ).materialize()  # scanned twice (count pass + filter pass)
-    return hot_bucket_pairs(band_rows, id_col)
-
-
 def cluster_pairs(pairs_df, all_ids: np.ndarray) -> dict[int, int]:
     """Union-find over candidate pairs → {id: representative(min id)}.
     Driver-side: the pair set is tiny relative to the corpus (only
@@ -828,6 +820,169 @@ def emit_cluster_assignments(ds, rep: dict[int, int], id_col: str):
     return ds.map_batches(rep_map, batch_format="pyarrow", batch_size=None)
 
 
+def _banded_dedup_assignments(
+    feats,
+    band_fn,
+    id_col: str,
+    verify_driver,
+    pack_fn,
+    payload_name: str,
+    verify_dist,
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+    max_bucket_pairs: int = 64,
+    num_buckets: int = 64,
+    bloom_fp_rate: float = 0.001,
+    seed: int = 0,
+):
+    """The ONE candidate→verify→cluster→emit substrate behind every
+    banded dedup flavor (MinHash-LSH and SimHash route here; the n-gram
+    Jaccard flavor reuses the same distributed pieces directly with
+    rare-key blocking semantics). ``feats`` is a materialized narrow
+    Dataset (id_col, payload column); ``band_fn`` maps a feats table to
+    (band, band_hash, id) rows.
+
+    ``mode`` selects the physical plan — both produce IDENTICAL output
+    (paired pytest equality + the paired gate queries prove it), so the
+    gate is purely a footprint/latency tradeoff:
+
+    - ``"driver"`` — candidate pairs, verification payloads and the
+      union-find land on the driver (fastest at test/gate scale;
+      footprint O(candidate pairs));
+    - ``"distributed"`` — pairs stay a Dataset end-to-end
+      (``lsh_candidate_pairs_distributed`` → bloom-pruned shuffle-join
+      verify → ``connected_components`` → shuffle left-join emit);
+      driver footprint O(blocks);
+    - ``"auto"`` (default) — gate on the band-row count:
+      ≤ ``driver_threshold`` rows (3 int64 columns → ≤ ~50 MB) takes the
+      driver path, above it the distributed path. This is what the
+      checkpointed 100-TB job uses: small shards stay driver-fast, real
+      corpora never put O(pairs) on one process.
+    """
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError("mode must be 'auto', 'driver' or 'distributed'")
+    band_rows = feats.map_batches(
+        band_fn, batch_format="pyarrow", batch_size=None
+    ).materialize()  # scanned 1-2× below
+    if mode == "auto":
+        mode = "driver" if band_rows.count() <= driver_threshold else "distributed"
+
+    if mode == "driver":
+        pairs = hot_bucket_pairs(
+            band_rows,
+            id_col,
+            driver_threshold=driver_threshold,
+            max_bucket_pairs=max_bucket_pairs,
+        )
+        if len(pairs):
+            # pull ONLY the candidate-pair payloads to the driver
+            # (semi-join via broadcast id set, O(pairs) rows — the whole
+            # corpus never materializes), then one vectorized compare
+            cand_ids = np.unique(
+                np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+            )
+            cand = gather_rows_for_ids(feats, cand_ids, id_col)
+            pairs = verify_driver(pairs, cand)
+        pair_ids = (
+            np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+            if len(pairs)
+            else np.empty(0, np.int64)
+        )
+        rep = cluster_pairs(pairs, pair_ids)  # rep map over clustered ids only
+        return emit_cluster_assignments(feats, rep, id_col)
+
+    pairs_ds = lsh_candidate_pairs_distributed(
+        band_rows, id_col=id_col, max_bucket_pairs=max_bucket_pairs
+    ).materialize()  # object-store resident; reused (bloom build + join)
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return feats.map_batches(
+            lambda t: _all_survivors_table(t, id_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    with_payloads = _attach_pair_payloads(
+        pairs_ds,
+        feats.map_batches(pack_fn, batch_format="pyarrow", batch_size=None),
+        id_col,
+        payload_name,
+        n_pairs,
+        num_buckets=num_buckets,
+        seed=seed,
+        bloom_fp_rate=bloom_fp_rate,
+    )
+    verified = with_payloads.map_batches(
+        verify_dist, batch_format="pyarrow", batch_size=None
+    )
+    ids_ds = feats.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow", batch_size=None
+    )
+    return _emit_assignments_distributed(ids_ds, verified, id_col, num_buckets)
+
+
+def _minhash_verify_driver(jaccard_threshold: float, id_col: str):
+    """Driver-side signature-agreement verify for candidate pairs."""
+
+    def verify(pairs, cand):
+        order = np.argsort(cand[id_col].to_numpy(), kind="stable")
+        sorted_ids = cand[id_col].to_numpy()[order]
+        smat = np.stack(
+            [np.asarray(s, dtype=np.int64) for s in cand["minhash_sig"].to_numpy()[order]]
+        )
+        ai = np.searchsorted(sorted_ids, pairs["a"].to_numpy())
+        bi = np.searchsorted(sorted_ids, pairs["b"].to_numpy())
+        agree = (smat[ai] == smat[bi]).mean(axis=1)
+        return pairs[agree >= jaccard_threshold]
+
+    return verify
+
+
+def _minhash_pack_fn(num_perm: int, id_col: str):
+    """Signatures → fixed_size_binary(num_perm×8) for the shuffle-join
+    verify (a packed value shuffles as one 8·num_perm-byte cell)."""
+    width = num_perm * 8
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        mat = np.ascontiguousarray(
+            np.asarray(
+                t.column("minhash_sig").combine_chunks().flatten().to_numpy()
+            ).reshape(n, num_perm),
+            dtype=np.int64,
+        )
+        arr = pa.Array.from_buffers(
+            pa.binary(width), n, [None, pa.py_buffer(mat.tobytes())]
+        )
+        return pa.table({id_col: t.column(id_col), "sigbin": arr})
+
+    return pack
+
+
+def _minhash_verify_dist(num_perm: int, jaccard_threshold: float):
+    """Per-batch signature-agreement verify over joined pair payloads."""
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = _unpack_fsb(t.column("sig_a"), num_perm)
+        sb = _unpack_fsb(t.column("sig_b"), num_perm)
+        agree = (sa == sb).mean(axis=1) if len(a) else np.empty(0)
+        keep = (agree >= jaccard_threshold) & (a != b)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return verify
+
+
+def _infer_num_perm(sigs, sig_col: str = "minhash_sig") -> int:
+    """Signature width from the schema (fixed_size_list) or, for plain
+    list columns (e.g. a parquet checkpoint roundtrip), from one row."""
+    sch = getattr(sigs.schema(), "base_schema", sigs.schema())
+    typ = sch.field(sig_col).type
+    if pa.types.is_fixed_size_list(typ):
+        return typ.list_size
+    return len(sigs.limit(1).take_batch(1, batch_format="pyarrow").column(sig_col)[0])
+
+
 def minhash_dedup(
     ds,
     text_col: str = "text",
@@ -837,15 +992,20 @@ def minhash_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     seed: int = 0,
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+    num_buckets: int = 64,
+    max_bucket_pairs: int = 64,
+    bloom_fp_rate: float = 0.001,
 ):
     """Full MinHash-LSH near-dup pipeline → streaming Dataset of
     (id_col, rep: int64, is_survivor: bool), rep = min id of the cluster.
 
     Candidates sharing an LSH bucket are verified by estimated Jaccard
-    (signature agreement) ≥ threshold before clustering. Driver footprint
-    is O(candidate pairs) throughout: verification semi-joins signatures
-    to candidate ids, and the per-doc output is emitted distributedly
-    from the broadcast representative map.
+    (signature agreement) ≥ threshold before clustering. The physical
+    plan is size-gated (see ``_banded_dedup_assignments``): small band
+    sets verify/cluster on the driver, large ones stay fully
+    distributed — identical output either way.
     """
     sigs = ds.map_batches(
         lambda b: minhash_signature_batch(
@@ -854,7 +1014,16 @@ def minhash_dedup(
         batch_format="pyarrow", batch_size=None,
     ).materialize()  # signatures are small (id + num_perm*8B); reused twice
     return dedup_from_signatures(
-        sigs, id_col=id_col, bands=bands, jaccard_threshold=jaccard_threshold
+        sigs,
+        id_col=id_col,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        mode=mode,
+        driver_threshold=driver_threshold,
+        num_buckets=num_buckets,
+        max_bucket_pairs=max_bucket_pairs,
+        bloom_fp_rate=bloom_fp_rate,
+        seed=seed,
     )
 
 
@@ -863,31 +1032,33 @@ def dedup_from_signatures(
     id_col: str = "doc_id",
     bands: int = 16,
     jaccard_threshold: float = 0.7,
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+    num_buckets: int = 64,
+    max_bucket_pairs: int = 64,
+    bloom_fp_rate: float = 0.001,
+    seed: int = 0,
 ):
     """LSH-candidate → verify → cluster → emit phase of minhash_dedup,
     over an existing signature Dataset (id_col, minhash_sig) — e.g. one
-    rebuilt from checkpoint part files (minhash_dedup_checkpointed)."""
-    pairs = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands)
-    if len(pairs):
-        # Distributed verify: pull ONLY the candidate-pair signatures to
-        # the driver (semi-join via broadcast id set, O(pairs) rows — the
-        # whole corpus never materializes), then one vectorized compare.
-        cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-        cand = gather_rows_for_ids(sigs, cand_ids, id_col)
-        order = np.argsort(cand[id_col].to_numpy(), kind="stable")
-        sorted_ids = cand[id_col].to_numpy()[order]
-        smat = np.stack(
-            [np.asarray(s, dtype=np.int64) for s in cand["minhash_sig"].to_numpy()[order]]
-        )
-        ai = np.searchsorted(sorted_ids, pairs["a"].to_numpy())
-        bi = np.searchsorted(sorted_ids, pairs["b"].to_numpy())
-        agree = (smat[ai] == smat[bi]).mean(axis=1)
-        pairs = pairs[agree >= jaccard_threshold]
-    pair_ids = np.unique(
-        np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
-    ) if len(pairs) else np.empty(0, np.int64)
-    rep = cluster_pairs(pairs, pair_ids)  # rep map over clustered ids only
-    return emit_cluster_assignments(sigs, rep, id_col)
+    rebuilt from checkpoint part files (minhash_dedup_checkpointed).
+    Size-gated driver/distributed plan; see _banded_dedup_assignments."""
+    num_perm = _infer_num_perm(sigs)
+    return _banded_dedup_assignments(
+        sigs,
+        lambda b: lsh_band_rows(b, id_col=id_col, bands=bands),
+        id_col,
+        verify_driver=_minhash_verify_driver(jaccard_threshold, id_col),
+        pack_fn=_minhash_pack_fn(num_perm, id_col),
+        payload_name="sig",
+        verify_dist=_minhash_verify_dist(num_perm, jaccard_threshold),
+        mode=mode,
+        driver_threshold=driver_threshold,
+        max_bucket_pairs=max_bucket_pairs,
+        num_buckets=num_buckets,
+        bloom_fp_rate=bloom_fp_rate,
+        seed=seed,
+    )
 
 
 def minhash_dedup_checkpointed(
@@ -903,6 +1074,10 @@ def minhash_dedup_checkpointed(
     seed: int = 0,
     concurrency: int = 8,
     files_per_partition: int = 1,
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+    num_buckets: int = 64,
+    max_bucket_pairs: int = 64,
 ):
     """Resumable MinHash dedup for big corpora: the signature stage —
     the dominant cost (shingle + minhash over every byte of text) — runs
@@ -911,6 +1086,12 @@ def minhash_dedup_checkpointed(
     recomputing them. The LSH/verify/emit phase then streams from the
     signature parts (cheap relative to signatures; re-running it after a
     crash re-reads, never re-tokenizes).
+
+    The LSH phase is size-gated (``mode="auto"``): above
+    ``driver_threshold`` band rows it runs the fully distributed
+    candidate→verify→cluster→emit substrate, so the scale job's driver
+    footprint is O(blocks) — never O(candidate pairs) — on real
+    (30-50 % duplicate) web corpora. Output is identical across modes.
 
     Returns (assignments Dataset, job) — job.manifest() carries the
     per-partition lineage + metrics.
@@ -938,7 +1119,15 @@ def minhash_dedup_checkpointed(
     # blocks beat three parquet re-reads (id + 128×8B per row)
     sigs = rd.read_parquet(part_files).materialize()
     out = dedup_from_signatures(
-        sigs, id_col=id_col, bands=bands, jaccard_threshold=jaccard_threshold
+        sigs,
+        id_col=id_col,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        mode=mode,
+        driver_threshold=driver_threshold,
+        num_buckets=num_buckets,
+        max_bucket_pairs=max_bucket_pairs,
+        seed=seed,
     )
     return out, job
 
@@ -1320,71 +1509,22 @@ def minhash_dedup_distributed(
 
     Cost vs ``minhash_dedup``: ~2 extra shuffles of O(candidates)
     signature rows plus CC's per-round sorts — prefer the driver path
-    until pairs approach driver memory (~10⁸)."""
-    sigs = ds.map_batches(
-        lambda b: minhash_signature_batch(
-            b, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed
-        ).select([id_col, "minhash_sig"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()  # id + num_perm×8 B per row; reused 3× below
-
-    band_rows = sigs.map_batches(
-        lambda b: lsh_band_rows(b, id_col=id_col, bands=bands),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    pairs = lsh_candidate_pairs_distributed(
-        band_rows, id_col=id_col, max_bucket_pairs=max_bucket_pairs
-    ).materialize()  # object-store resident; reused (bloom build + join)
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return sigs.map_batches(
-            lambda t: _all_survivors_table(t, id_col),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-
-    width = num_perm * 8
-
-    def pack(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        mat = np.ascontiguousarray(
-            np.asarray(
-                t.column("minhash_sig").combine_chunks().flatten().to_numpy()
-            ).reshape(n, num_perm),
-            dtype=np.int64,
-        )
-        arr = pa.Array.from_buffers(
-            pa.binary(width), n, [None, pa.py_buffer(mat.tobytes())]
-        )
-        return pa.table({id_col: t.column(id_col), "sigbin": arr})
-
-    with_sigs = _attach_pair_payloads(
-        pairs,
-        sigs.map_batches(pack, batch_format="pyarrow", batch_size=None),
-        id_col,
-        "sig",
-        n_pairs,
-        num_buckets=num_buckets,
+    until pairs approach driver memory (~10⁸). Thin wrapper over
+    ``minhash_dedup(mode="distributed")`` — one substrate, two plans."""
+    return minhash_dedup(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        k_shingle=k_shingle,
+        num_perm=num_perm,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
         seed=seed,
+        mode="distributed",
+        num_buckets=num_buckets,
+        max_bucket_pairs=max_bucket_pairs,
         bloom_fp_rate=bloom_fp_rate,
     )
-
-    def verify(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        sa = _unpack_fsb(t.column("sig_a"), num_perm)
-        sb = _unpack_fsb(t.column("sig_b"), num_perm)
-        agree = (sa == sb).mean(axis=1) if len(a) else np.empty(0)
-        keep = (agree >= jaccard_threshold) & (a != b)
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
-
-    verified = with_sigs.map_batches(verify, batch_format="pyarrow", batch_size=None)
-    ids_ds = sigs.map_batches(
-        lambda t: t.select([id_col]), batch_format="pyarrow", batch_size=None
-    )
-    return _emit_assignments_distributed(ids_ds, verified, id_col, num_buckets)
 
 
 def simhash_dedup_distributed(
@@ -1404,55 +1544,19 @@ def simhash_dedup_distributed(
     bands), bloom-pruned shuffle joins attaching the two int64
     fingerprints, vectorized Hamming verify, connected-components
     clustering, shuffle left-join emit. Cheaper than the minhash
-    variant (8-byte payloads instead of num_perm×8)."""
-    fps = ds.map_batches(
-        lambda b: simhash_batch(b, text_col=text_col, seed=seed).select(
-            [id_col, "simhash"]
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()  # 16 B per row; reused 3× below
-
-    banded = fps.map_batches(
-        lambda b: _simhash_band_rows(b, id_col), batch_format="pyarrow", batch_size=None
-    )
-    pairs = lsh_candidate_pairs_distributed(
-        banded, id_col=id_col, max_bucket_pairs=max_bucket_pairs
-    ).materialize()
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return fps.map_batches(
-            lambda t: _all_survivors_table(t, id_col),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-
-    with_fps = _attach_pair_payloads(
-        pairs,
-        fps,
-        id_col,
-        "fp",
-        n_pairs,
-        num_buckets=num_buckets,
+    variant (8-byte payloads instead of num_perm×8). Thin wrapper over
+    ``simhash_dedup(mode="distributed")`` — one substrate, two plans."""
+    return simhash_dedup(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
         seed=seed,
+        mode="distributed",
+        num_buckets=num_buckets,
+        max_bucket_pairs=max_bucket_pairs,
         bloom_fp_rate=bloom_fp_rate,
     )
-
-    def verify(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        fa = t.column("fp_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        fb = t.column("fp_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (hamming64(fa.view(np.uint64), fb.view(np.uint64)) <= max_hamming) & (
-            a != b
-        )
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
-
-    verified = with_fps.map_batches(verify, batch_format="pyarrow", batch_size=None)
-    ids_ds = fps.map_batches(
-        lambda t: t.select([id_col]), batch_format="pyarrow", batch_size=None
-    )
-    return _emit_assignments_distributed(ids_ds, verified, id_col, num_buckets)
 
 
 # ------------------------------------------------------------------ SimHash
@@ -1503,41 +1607,60 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 0,
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+    num_buckets: int = 64,
+    max_bucket_pairs: int = 64,
+    bloom_fp_rate: float = 0.001,
 ):
     """SimHash near-dup → streaming Dataset (id_col, rep, is_survivor).
 
     Candidate generation: 4 bands of 16 bits each (pigeonhole: any pair
-    with Hamming ≤ 3 over 64 bits agrees exactly on ≥1 band) → groupby
-    band value → verify Hamming ≤ max_hamming → cluster. Driver holds
-    only O(candidate pairs) fingerprints (semi-join gather), never the
-    corpus.
+    with Hamming ≤ 3 over 64 bits agrees exactly on ≥1 band) → verify
+    Hamming ≤ max_hamming → cluster. Physical plan is size-gated
+    (``_banded_dedup_assignments``): small band sets verify/cluster on
+    the driver, large ones stay fully distributed — identical output.
     """
-    fps_ds = ds.map_batches(
-        lambda b: simhash_batch(b, text_col=text_col, seed=seed).select([id_col, "simhash"]),
+    fps = ds.map_batches(
+        lambda b: simhash_batch(b, text_col=text_col, seed=seed).select(
+            [id_col, "simhash"]
+        ),
         batch_format="pyarrow", batch_size=None,
-    )
+    ).materialize()  # 16 B per row; reused (banding + verify + emit)
 
-    fps_ds = fps_ds.materialize()  # reused: banding pass + verify semi-join
-    banded = fps_ds.map_batches(
-        lambda b: _simhash_band_rows(b, id_col), batch_format="pyarrow", batch_size=None
-    ).materialize()
-    pairs = hot_bucket_pairs(banded, id_col)
-    if len(pairs):
-        # Distributed verify: semi-join fingerprints to candidate ids
-        # (16 B/doc × O(pairs) on the driver, never the corpus).
-        cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-        cand = gather_rows_for_ids(fps_ds, cand_ids, id_col)
+    def verify_driver(pairs, cand):
         order = np.argsort(cand[id_col].to_numpy(), kind="stable")
         sorted_ids = cand[id_col].to_numpy()[order]
         fps_sorted = cand["simhash"].to_numpy()[order].astype(np.int64)
         av = fps_sorted[np.searchsorted(sorted_ids, pairs["a"].to_numpy())].view(np.uint64)
         bv = fps_sorted[np.searchsorted(sorted_ids, pairs["b"].to_numpy())].view(np.uint64)
-        pairs = pairs[hamming64(av, bv) <= max_hamming]
-    pair_ids = np.unique(
-        np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
-    ) if len(pairs) else np.empty(0, np.int64)
-    rep = cluster_pairs(pairs, pair_ids)
-    return emit_cluster_assignments(fps_ds, rep, id_col)
+        return pairs[hamming64(av, bv) <= max_hamming]
+
+    def verify_dist(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        fa = t.column("fp_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        fb = t.column("fp_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (hamming64(fa.view(np.uint64), fb.view(np.uint64)) <= max_hamming) & (
+            a != b
+        )
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return _banded_dedup_assignments(
+        fps,
+        lambda b: _simhash_band_rows(b, id_col),
+        id_col,
+        verify_driver=verify_driver,
+        pack_fn=lambda t: t,  # (id, simhash) is already the join payload
+        payload_name="fp",
+        verify_dist=verify_dist,
+        mode=mode,
+        driver_threshold=driver_threshold,
+        max_bucket_pairs=max_bucket_pairs,
+        num_buckets=num_buckets,
+        bloom_fp_rate=bloom_fp_rate,
+        seed=seed,
+    )
 
 
 def exact_dedup_emit(ds, key_col: str, id_col: str):

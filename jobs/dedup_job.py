@@ -48,6 +48,10 @@ def main() -> int:
     ap.add_argument("--jaccard-threshold", type=float, default=0.7)
     ap.add_argument("--files-per-partition", type=int, default=1)
     ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--mode", default="auto", choices=["auto", "driver", "distributed"],
+                    help="LSH phase plan: auto size-gates driver vs fully distributed")
+    ap.add_argument("--driver-threshold", type=int, default=2_000_000,
+                    help="auto mode: band-row count above which the distributed plan runs")
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="init a local session with this many CPUs (omit under ray job submit)")
     args = ap.parse_args()
@@ -81,6 +85,8 @@ def main() -> int:
         jaccard_threshold=args.jaccard_threshold,
         concurrency=args.concurrency,
         files_per_partition=args.files_per_partition,
+        mode=args.mode,
+        driver_threshold=args.driver_threshold,
     )
     if args.out:
         out.write_parquet(args.out)  # streaming sink, one file per block

@@ -335,6 +335,67 @@ def test_minhash_dedup_distributed_matches_driver_path(ray_session):
     assert (~want["is_survivor"]).sum() >= 12
 
 
+def test_minhash_dedup_auto_gate_routes_distributed(ray_session):
+    """mode='auto' with a band-row count above driver_threshold must take
+    the fully distributed plan (checkpointed-job contract) and still
+    produce the identical assignment table; mode='driver' pins the old
+    plan for comparison."""
+    import ray.data as rd
+
+    tbl = _cluster_corpus(n_clusters=8, dups_per=4, n_unique=20, seed=17)
+    ds = rd.from_arrow(tbl).repartition(8)
+    want = (
+        minhash_dedup(ds, jaccard_threshold=0.5, mode="driver")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        minhash_dedup(
+            ds, jaccard_threshold=0.5, mode="auto", driver_threshold=1, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["rep"].tolist() == want["rep"].tolist()
+    assert got["is_survivor"].tolist() == want["is_survivor"].tolist()
+    assert (~want["is_survivor"]).sum() >= 8
+
+
+def test_minhash_dedup_checkpointed_distributed_mode(ray_session, tmp_path):
+    """The resumable job routed through the distributed substrate
+    (mode='distributed') matches the driver-path assignments — the
+    round-4 scale-job wiring."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import minhash_dedup_checkpointed
+
+    tbl = _cluster_corpus(n_clusters=6, dups_per=3, n_unique=12, seed=29)
+    files = []
+    n = tbl.num_rows
+    per = max(1, n // 4)
+    for i in range(0, n, per):
+        f = str(tmp_path / f"docs-{i:04d}.parquet")
+        pq.write_table(tbl.slice(i, per), f)
+        files.append(f)
+    out_d, _ = minhash_dedup_checkpointed(
+        files, ckpt_dir=str(tmp_path / "ck"), run_id="r1",
+        jaccard_threshold=0.5, concurrency=2, mode="distributed", num_buckets=8,
+    )
+    got = out_d.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        minhash_dedup(rd.read_parquet(files), jaccard_threshold=0.5, mode="driver")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (~want["is_survivor"]).sum() >= 6
+
+
 def test_lsh_candidate_pairs_distributed_matches_hot_bucket_pairs(ray_session):
     """With no giant buckets both candidate generators implement
     all-pairs-per-bucket — the normalized pair sets must be identical."""

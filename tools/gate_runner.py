@@ -49,7 +49,10 @@ print(df.to_string(max_rows=6))
 
 oracles = E.oracle_sql()
 results = {}
+only = sys.argv[1:]  # optional substring filters: run matching queries only
 for name, fn in E.queries().items():
+    if only and not any(s in name for s in only):
+        continue
     t0 = time.time()
     try:
         out = fn(SF)
