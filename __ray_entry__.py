@@ -1170,6 +1170,34 @@ def q_dsir_importance_docs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_dsir_hashed_importance_docs(sf_dir: str) -> pd.DataFrame:
+    """Feature-hashed DSIR (functions/selection.py::
+    hashed_unigram_importance) — the paper's scale formulation: tokens
+    map into a FIXED 2^12 bucket space via the SQL-replayable
+    byte-polynomial hash (hashing.polyhash_strings), so the ratio table
+    is constant-size regardless of vocabulary. REAL SQL oracle: the
+    bucket hash, every bucket count, log term and quantized sum
+    recomputed in mod-2^64 DuckDB arithmetic."""
+    from ddsketch_ray.functions.selection import hashed_unigram_importance
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+    target = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        hashed_unigram_importance(raw, target, n_buckets=4096)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["iw"] = _round6(out["iw"])
+    return out
+
+
 def q_quality_model_scores(sf_dir: str) -> pd.DataFrame:
     """Model scoring pass (functions/ml.py::logreg_score_batch — apply
     a fixed published quality model as a pure map; explicit left-to-
@@ -3403,6 +3431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_quality_lang": q_logreg_quality_lang,
         "quality_model_scores": q_quality_model_scores,
         "dsir_importance_docs": q_dsir_importance_docs,
+        "dsir_hashed_importance_docs": q_dsir_hashed_importance_docs,
         "customers_no_orders": q_customers_no_orders,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
@@ -3675,6 +3704,8 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
         f"xor(CAST(doc_id AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
     )
     wrs_doc_hash = kmv_doc_hash  # same hash_ints(doc_id, seed=0) family
+    # polyhash_strings(tok, seed=0) finalize: splitmix64(h0 ^ splitmix64(0))
+    polyhash_final = _splitmix_sql(f"xor(h, CAST({_SPLITMIX_ZERO} AS UBIGINT))")
     gexpr = f"CAST({_G} AS DOUBLE)"
 
     _key_of = _dds_key_sql  # single source for the bucket-key math
@@ -4588,6 +4619,54 @@ lr AS (SELECT cr.tok,
        FROM cr LEFT JOIN ct ON cr.tok = ct.tok, consts),
 per_doc AS (SELECT rt.doc_id, COUNT(*)::BIGINT AS n, SUM(lr.lrq)::BIGINT AS s
             FROM rt JOIN lr ON rt.tok = lr.tok GROUP BY rt.doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+  COALESCE(p.n, 0)::BIGINT AS n_tokens,
+  ROUND(CASE WHEN COALESCE(p.n, 0) > 0
+             THEN CAST(p.s AS DOUBLE) / (1048576.0 * p.n) ELSE 0.0 END, 6) AS iw
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY doc_id
+""",
+        "dsir_hashed_importance_docs": rf"""
+-- feature-hashed DSIR, full recompute INCLUDING the bucket hash: the
+-- byte-polynomial mod 2^64 (hex(encode(tok)) byte extraction, recursive
+-- power table, HUGEINT mulmod) + splitmix64 finalize mirror
+-- hashing.polyhash_strings bit-for-bit; then per-bucket counts over a
+-- fixed 4096-bucket space, add-1 smoothed log ratios quantized with
+-- round_even (== np.rint), per-doc integer sums
+WITH RECURSIVE
+rt AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+       FROM documents),
+tt AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+       FROM documents WHERE lang = 'en'),
+toks AS (SELECT DISTINCT tok FROM rt),
+tb AS (SELECT tok, lower(hex(encode(tok))) AS hx, octet_length(encode(tok))::BIGINT AS L FROM toks),
+maxl AS (SELECT MAX(L) AS m FROM tb),
+pows(j, v) AS (
+  SELECT 0::BIGINT, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT j + 1, CAST((CAST(v AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM pows WHERE j + 1 < (SELECT m FROM maxl)),
+bidx AS (SELECT tok, hx, L, unnest(generate_series(1, L)) AS i FROM tb),
+bytes AS (
+  SELECT tok,
+    CAST((strpos('0123456789abcdef', substring(hx, (2*i-1)::INT, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(hx, (2*i)::INT, 1)) - 1 AS HUGEINT) AS b,
+    L - i AS pfe
+  FROM bidx),
+h0 AS (SELECT tok, CAST(SUM(CAST(pw.v AS HUGEINT) * b) % 18446744073709551616 AS UBIGINT) AS h
+       FROM bytes JOIN pows pw ON pw.j = bytes.pfe GROUP BY tok),
+bkt AS (SELECT tok, CAST({polyhash_final} % 4096 AS BIGINT) AS bucket FROM h0),
+cr AS (SELECT b.bucket, COUNT(*)::BIGINT AS n FROM rt JOIN bkt b USING(tok) GROUP BY b.bucket),
+ct AS (SELECT b.bucket, COUNT(*)::BIGINT AS n FROM tt JOIN bkt b USING(tok) GROUP BY b.bucket),
+consts AS (SELECT (SELECT COALESCE(SUM(n), 0) FROM ct)::BIGINT AS Tt,
+                  (SELECT COALESCE(SUM(n), 0) FROM cr)::BIGINT AS Tr),
+lr AS (SELECT cr.bucket,
+        CAST(round_even((ln((COALESCE(ct.n, 0) + 1.0) / (Tt + 4096.0))
+                         - ln((cr.n + 1.0) / (Tr + 4096.0))) * 1048576.0, 0) AS BIGINT) AS lrq
+       FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket, consts),
+per_doc AS (SELECT rt.doc_id, COUNT(*)::BIGINT AS n, SUM(lr.lrq)::BIGINT AS s
+            FROM rt JOIN bkt USING(tok) JOIN lr ON bkt.bucket = lr.bucket
+            GROUP BY rt.doc_id)
 SELECT d.doc_id::BIGINT AS doc_id,
   COALESCE(p.n, 0)::BIGINT AS n_tokens,
   ROUND(CASE WHEN COALESCE(p.n, 0) > 0

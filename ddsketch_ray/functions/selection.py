@@ -20,8 +20,12 @@ integer adds — bit-identical across layouts/cluster sizes, and the SQL
 oracle mirrors the same ``round_even`` quantization.
 
 Footprint: the broadcast ratio table is O(vocab) — fine to ~10^7
-tokens; beyond that use feature hashing (the paper's variant) at the
-cost of SQL checkability. Logged, never silent.
+tokens; beyond that use ``hashed_unigram_importance`` (the paper's
+feature-hashing formulation): tokens hash into a FIXED ``n_buckets``
+space, so the driver ratio table and the broadcast are constant-size
+regardless of raw-web vocabulary growth. The bucket hash
+(``hashing.polyhash_strings``) is mod-2^64 arithmetic a DuckDB oracle
+replays exactly, so the hashed variant keeps a REAL SQL oracle too.
 """
 
 from __future__ import annotations
@@ -106,6 +110,104 @@ def unigram_importance(
             {
                 id_col: pa.array(out["i"].to_numpy().astype(np.int64)),
                 "n_tokens": pa.array(n),
+                "iw": pa.array(iw),
+            }
+        )
+
+    return raw_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def _bucket_counts(ds, text_col: str, n_buckets: int, seed: int) -> np.ndarray:
+    """Dense int64 occurrence counts over the fixed bucket space.
+
+    Per-block partial: tokenize → polyhash → ``bincount`` into the
+    constant-size bucket vector, emit only the nonzero (bucket, n) rows;
+    the sort-plan rollup then sums per bucket, so the shuffle carries at
+    most ``n_buckets`` pre-aggregated rows per block and the driver pull
+    is ≤ ``n_buckets`` rows — constant by construction, never O(vocab)."""
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+    from ddsketch_ray.hashing import polyhash_strings
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(text_col).cast(pa.large_string())).fill_null("")
+        toks = s.str.extract_all(TOKEN_PATTERN).explode().drop_nulls()
+        if toks.len() == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        bk = (polyhash_strings(toks.to_arrow(), seed=seed) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        cnt = np.bincount(bk, minlength=n_buckets)
+        nzb = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bucket": pa.array(nzb.astype(np.int64)), "n": pa.array(cnt[nzb].astype(np.int64))}
+        )
+
+    rolled = sorted_sum_rollup(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), "bucket", ["n"]
+    ).to_pandas()  # ≤ n_buckets rows — constant-size by design
+    dense = np.zeros(n_buckets, dtype=np.int64)
+    if len(rolled):
+        dense[rolled["bucket"].to_numpy().astype(np.int64)] = rolled["n"].to_numpy()
+    return dense
+
+
+def hashed_unigram_importance(
+    raw_ds,
+    target_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    frac_bits: int = 20,
+    seed: int = 0,
+):
+    """DSIR importance weighting with FEATURE HASHING (the formulation
+    Xie et al. 2023 actually run at scale): tokens map to a fixed
+    ``n_buckets`` space via ``polyhash_strings``, so the smoothed
+    log-ratio table is a constant-size dense int64 vector — broadcast
+    once, indexed per token — and nothing grows with the raw-web
+    vocabulary. Returns (id_col, n_tokens:int64, iw:float64) with
+    iw = Σ_occ lr_q(bucket(tok)) / (2^frac_bits · n_tokens),
+    lr(b) = ln((ct(b)+1)/(Tt+B)) − ln((cr(b)+1)/(Tr+B)), B = n_buckets.
+
+    Same determinism contract as ``unigram_importance``: ratios are
+    quantized ONCE driver-side (rint → int64), per-doc sums are
+    order-independent integer adds, and every step — including the
+    bucket hash — is recomputed by a real DuckDB oracle
+    (``dsir_hashed_importance_docs``)."""
+    import ray
+
+    from ddsketch_ray.hashing import polyhash_strings
+
+    ct = _bucket_counts(target_ds, text_col, n_buckets, seed)
+    cr = _bucket_counts(raw_ds, text_col, n_buckets, seed)
+    Tt, Tr = int(ct.sum()), int(cr.sum())
+    lr = np.log((ct + 1.0) / (Tt + n_buckets)) - np.log((cr + 1.0) / (Tr + n_buckets))
+    scale = float(1 << frac_bits)
+    lrq_ref = ray.put(np.rint(lr * scale).astype(np.int64))
+
+    def score(t: pa.Table) -> pa.Table:
+        lrq = ray.get(lrq_ref)  # dense n_buckets vector, zero-copy per task
+        s = pl.from_arrow(t.column(text_col).cast(pa.large_string())).fill_null("")
+        toks = s.str.extract_all(TOKEN_PATTERN)
+        lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(lens), dtype=np.int64)
+        flat = toks.explode().drop_nulls()
+        if flat.len():
+            bk = (polyhash_strings(flat.to_arrow(), seed=seed) % np.uint64(n_buckets)).astype(
+                np.int64
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nz = lens > 0
+            sums[nz] = np.add.reduceat(lrq[bk], starts[nz])
+        iw = np.where(lens > 0, sums / (scale * np.maximum(lens, 1)), 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "n_tokens": pa.array(lens),
                 "iw": pa.array(iw),
             }
         )

@@ -76,6 +76,67 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     return splitmix64(pd.util.hash_array(arr, hash_key=key, categorize=False).astype(_U64))
 
 
+_POLY64_PRIME = _U64(1099511628211)  # FNV-64 prime (odd, full period mod 2^64)
+
+
+def polyhash_strings(values, seed: int = 0) -> np.ndarray:
+    """SQL-recomputable uint64 string hash: byte polynomial mod 2^64
+    (``Σ byte_i · P^{L-1-i}``, P = the FNV-64 prime — i.e. Horner over
+    UTF-8 bytes) finalized with ``splitmix64(h ^ splitmix64(seed))``.
+
+    Weaker bit-mixing than ``hash_strings`` (xxhash) but every step is
+    plain mod-2^64 arithmetic an independent DuckDB oracle can replay
+    (HUGEINT mulmod + hex(encode(tok)) byte extraction) — use it where
+    a LOSSY bucket assignment must be recomputed exactly in SQL (hashed
+    DSIR). Vectorized: zero-copy reads of the Arrow string buffers, one
+    multiply-add pass over all bytes, segmented ``add.reduceat`` sums.
+    Nulls hash like empty strings (h0 = 0) remixed with the seed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(list(values), type=pa.large_string())
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if values.null_count:
+        values = pc.fill_null(values, "")
+    if pa.types.is_string(values.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(values.type):
+        off_dtype = np.int64
+    else:
+        values = values.cast(pa.large_string())
+        off_dtype = np.int64
+    n = len(values)
+    if n == 0:
+        return np.empty(0, _U64)
+    off = np.frombuffer(
+        values.buffers()[1], dtype=off_dtype, count=n + 1 + values.offset
+    )[values.offset :].astype(np.int64)
+    lo, hi = int(off[0]), int(off[-1])
+    lens = off[1:] - off[:-1]
+    h0 = np.zeros(n, _U64)
+    total = hi - lo
+    if total:
+        data = np.frombuffer(values.buffers()[2], dtype=np.uint8, offset=lo, count=total)
+        maxlen = int(lens.max())
+        pows = np.empty(maxlen, dtype=_U64)  # P^j mod 2^64
+        with np.errstate(over="ignore"):
+            p = _U64(1)
+            for j in range(maxlen):
+                pows[j] = p
+                p = p * _POLY64_PRIME
+            starts = off[:-1] - lo
+            ends = off[1:] - lo
+            # position-from-end exponent per byte, all strings at once
+            pfe = np.repeat(ends, lens) - 1 - np.arange(total, dtype=np.int64)
+            contrib = data.astype(_U64) * pows[pfe]
+            nz = lens > 0  # reduceat mis-handles empty segments
+            if nz.any():
+                h0[nz] = np.add.reduceat(contrib, starts[nz])
+    return splitmix64(h0 ^ splitmix64(np.asarray(seed, dtype=_U64)))
+
+
 def hash_floats(values: np.ndarray, seed: int = 0) -> np.ndarray:
     """uint64 hash of float64 values by bit pattern (NaNs canonicalized)."""
     v = np.asarray(values, dtype=np.float64)
