@@ -2221,6 +2221,40 @@ def q_pretrain_pack(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_tokens", "tok_start", "seq_first", "n_seqs"]]
 
 
+def q_tokenize_pack_docs(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END tokenize-and-pack job (pipelines/tokenize_pack.py —
+    checkpointed BPE training → actor-pool encode with per-shard
+    resumable parts → prefix-scan pack manifest, hive-sharded by
+    sequence range). The WHOLE chain has a real SQL oracle: 30 unrolled
+    BPE training rounds, the final-word-state encode, window prefix
+    sum, generate_series explode, integer-division sharding."""
+    import os
+    import shutil
+
+    from ddsketch_ray.pipelines.tokenize_pack import tokenize_pack
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    ckpt = f"/tmp/graft_tokpack_{tag}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    manifest, _info = tokenize_pack(
+        [f"{sf_dir}/documents.parquet"],
+        ckpt_dir=ckpt,
+        run_id="gate",
+        num_merges=30,
+        seq_len=512,
+        seqs_per_shard=16,
+        concurrency=2,
+    )
+    out = (
+        manifest.to_pandas()
+        .sort_values(["seq_id", "seq_off"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out[["shard", "seq_id", "doc_id", "doc_off", "seq_off", "take_n"]]
+
+
 def q_pack_manifest_docs(sf_dir: str) -> pd.DataFrame:
     """Training-loader pack manifest (functions/pack.py::pack_manifest
     — one row per (sequence, doc) intersection, vectorized np.repeat
@@ -3462,6 +3496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_rollup_events": q_props_rollup_events,
         "pack_sequences_docs": q_pack_sequences_docs,
         "pack_manifest_docs": q_pack_manifest_docs,
+        "tokenize_pack_docs": q_tokenize_pack_docs,
         "pretrain_pack": q_pretrain_pack,
         "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "range_layout_prices": q_range_layout_prices,
@@ -3689,6 +3724,37 @@ def _splitmix_sql(x: str) -> str:
 _SPLITMIX_ZERO = 16294208416658607535
 
 
+def _bpe_sql_ctes(num_merges: int, vocab_cte: str = "vocab") -> str:
+    """CTE chain replaying functions/text.py:train_bpe round by round:
+    word state as space-separated symbol strings (symbols never contain
+    spaces — tokens are whitespace-split), each round = adjacent-pair
+    count (positional, repeats included) → argmax with the (c DESC,
+    a, b) lexicographic tie-break (DuckDB binary UTF-8 order == Python
+    codepoint order) → one left-to-right non-overlapping replace (the
+    shared separator space makes string replace() exactly the BPE merge
+    pass). MATERIALIZED is load-bearing: each round reads the previous
+    state twice, so inlined CTEs would expand 2^rounds. ``vocab_cte``
+    must provide (tok, f). Exposes b1..bN (chosen pairs) and w{N}
+    (final per-word symbol state — which IS each word's BPE encoding,
+    the rank-order/priority-merge equivalence, so
+    len(split(w{N}.w)) = BPEEncode token count)."""
+    parts = [
+        f"w0 AS MATERIALIZED (SELECT tok, ' ' || array_to_string(regexp_split_to_array(tok, ''), ' ') || ' </w> ' AS w, f FROM {vocab_cte})"
+    ]
+    for r in range(1, num_merges + 1):
+        prev = f"w{r-1}"
+        parts.append(
+            f"""p{r} AS (SELECT sym[i] AS a, sym[i+1] AS b, SUM(f)::BIGINT AS c
+         FROM (SELECT sym, f, unnest(generate_series(1, len(sym) - 1)) AS i
+               FROM (SELECT string_split(trim(w), ' ') AS sym, f FROM {prev}))
+         GROUP BY sym[i], sym[i+1]),
+b{r} AS MATERIALIZED (SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+w{r} AS MATERIALIZED (SELECT tok, replace(w, ' ' || (SELECT a FROM b{r}) || ' ' || (SELECT b FROM b{r}) || ' ',
+                             ' ' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || ' ') AS w, f FROM {prev})"""
+        )
+    return ",\n".join(parts)
+
+
 def _recomputed_oracles(qs_values: str) -> dict[str, str]:
     kmv_hash = _splitmix_sql(
         f"xor(CAST(o_custkey AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
@@ -3706,6 +3772,18 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
     wrs_doc_hash = kmv_doc_hash  # same hash_ints(doc_id, seed=0) family
     # polyhash_strings(tok, seed=0) finalize: splitmix64(h0 ^ splitmix64(0))
     polyhash_final = _splitmix_sql(f"xor(h, CAST({_SPLITMIX_ZERO} AS UBIGINT))")
+    # unrolled BPE training replay (30 rounds, the gate queries' setting)
+    bpe_ctes = _bpe_sql_ctes(30)
+    bpe_merge_rows = " UNION ALL ".join(
+        f"SELECT {r - 1}::BIGINT AS merge_idx, (SELECT a FROM b{r}) AS left, "
+        f"(SELECT b FROM b{r}) AS right"
+        for r in range(1, 31)
+    )
+    bpe_vocab_cte = r"""vocab AS MATERIALIZED (
+  SELECT tok, COUNT(*)::BIGINT AS f FROM (
+    SELECT unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+    FROM documents)
+  GROUP BY tok)"""
     gexpr = f"CAST({_G} AS DOUBLE)"
 
     _key_of = _dds_key_sql  # single source for the bucket-key math
@@ -4075,6 +4153,62 @@ SELECT doc_id, n_tokens, tok_start,
   (CASE WHEN n_tokens = 0 THEN 0
         ELSE (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 END)::BIGINT AS n_seqs
 FROM c ORDER BY doc_id
+""",
+        "bpe_merges_docs": f"""
+-- FULL replay of distributed BPE training: exact word counts, then 30
+-- unrolled merge rounds (positional pair counts, (c DESC, a, b)
+-- tie-break, left-to-right non-overlapping merge via separator-string
+-- replace) — converted from a frozen determinism oracle in round 4
+WITH
+{bpe_vocab_cte},
+{bpe_ctes}
+SELECT * FROM ({bpe_merge_rows}) ORDER BY merge_idx
+""",
+        "bpe_token_counts_docs": f"""
+-- train (30 unrolled rounds, as bpe_merges_docs) then ENCODE: the
+-- final per-word symbol state IS each word's BPE encoding (rank-order
+-- == priority-merge equivalence), so per-doc counts are a token join
+WITH
+{bpe_vocab_cte},
+{bpe_ctes},
+enc AS MATERIALIZED (SELECT tok, len(string_split(trim(w), ' '))::BIGINT AS n_sym FROM w30),
+dt AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[^ \\t\\n\\r\\f\\v]+')) AS tok
+       FROM documents)
+SELECT d.doc_id::BIGINT AS doc_id, COALESCE(SUM(e.n_sym), 0)::BIGINT AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT dt.doc_id, n_sym FROM dt JOIN enc USING(tok)) e ON d.doc_id = e.doc_id
+GROUP BY d.doc_id ORDER BY doc_id
+""",
+        "tokenize_pack_docs": f"""
+-- the tokenize-and-pack job replayed end-to-end: 30 unrolled BPE
+-- training rounds + final-word-state encode (as bpe_token_counts_docs),
+-- then the pack chain (window prefix sum, generate_series explode,
+-- span formulas) and the integer-division shard key
+WITH
+{bpe_vocab_cte},
+{bpe_ctes},
+enc AS MATERIALIZED (SELECT tok, len(string_split(trim(w), ' '))::BIGINT AS n_sym FROM w30),
+dt AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[^ \\t\\n\\r\\f\\v]+')) AS tok
+       FROM documents),
+o AS (SELECT d.doc_id, COALESCE(SUM(e.n_sym), 0)::BIGINT AS n
+      FROM documents d
+      LEFT JOIN (SELECT dt.doc_id, n_sym FROM dt JOIN enc USING(tok)) e ON d.doc_id = e.doc_id
+      GROUP BY d.doc_id),
+c AS (SELECT doc_id, n,
+        COALESCE(SUM(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+      FROM o),
+b AS (SELECT doc_id, n, tok_start,
+        (tok_start // 512)::BIGINT AS seq_first,
+        ((tok_start + n - 1) // 512)::BIGINT AS seq_last
+      FROM c WHERE n > 0),
+ex AS (SELECT doc_id, n, tok_start, unnest(generate_series(seq_first, seq_last)) AS s
+       FROM b)
+SELECT (s // 16)::BIGINT AS shard, s::BIGINT AS seq_id, doc_id,
+  (GREATEST(s * 512, tok_start) - tok_start)::BIGINT AS doc_off,
+  (GREATEST(s * 512, tok_start) - s * 512)::BIGINT AS seq_off,
+  (LEAST((s + 1) * 512, tok_start + n) - GREATEST(s * 512, tok_start))::BIGINT AS take_n
+FROM ex ORDER BY seq_id, seq_off
 """,
         "pack_manifest_docs": r"""
 WITH o AS (

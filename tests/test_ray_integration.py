@@ -486,3 +486,64 @@ def test_corpus_prep_job_resume(ray_session, tmp_path):
         f"SELECT * FROM read_parquet('{out2}/*/*.parquet', hive_partitioning=1) ORDER BY doc_id"
     ).df()
     assert a.equals(b)
+
+
+def test_tokenize_pack_cold_vs_resumed(ray_session, tmp_path):
+    """tokenize_pack (round-4 last-mile job): BPE merges checkpoint
+    reloads on lineage match, encode parts resume per shard, and the
+    resumed run's manifest is identical to the cold run's."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.pipelines.tokenize_pack import tokenize_pack
+
+    rng = np.random.default_rng(41)
+    words = np.array([f"tok{i}" for i in range(80)])
+    texts = [" ".join(words[rng.integers(0, 80, rng.integers(3, 60))]) for _ in range(90)]
+    files = []
+    for i in range(0, 90, 30):
+        f = str(tmp_path / f"docs-{i:04d}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(i, i + 30), type=pa.int64()),
+                      "text": pa.array(texts[i : i + 30])}), f)
+        files.append(f)
+
+    out1 = str(tmp_path / "out1")
+    m1, info1 = tokenize_pack(
+        files, ckpt_dir=str(tmp_path / "ck"), run_id="tp1",
+        num_merges=12, seq_len=64, seqs_per_shard=4, out_dir=out1, concurrency=2,
+    )
+    df1 = m1.to_pandas().sort_values(["seq_id", "seq_off"]).reset_index(drop=True)
+    assert not info1["merges_resumed"] and info1["encode_recomputed"] == 3
+
+    # invariants: per doc take_n sums to its count; per full seq to seq_len
+    per_seq = df1.groupby("seq_id")["take_n"].sum()
+    assert (per_seq.iloc[:-1] == 64).all() and per_seq.iloc[-1] <= 64
+    assert (df1["shard"] == df1["seq_id"] // 4).all()
+    # hive layout on disk
+    assert sorted(p for p in os.listdir(out1) if p.startswith("shard="))
+
+    # kill one encode part; resume must redo exactly that part, reuse merges
+    import glob as _glob
+
+    enc_dirs = _glob.glob(str(tmp_path / "ck" / "tp1" / "enc-*"))
+    assert len(enc_dirs) == 1
+    os.remove(os.path.join(enc_dirs[0], "map-part-00001.parquet"))
+    m2, info2 = tokenize_pack(
+        files, ckpt_dir=str(tmp_path / "ck"), run_id="tp1",
+        num_merges=12, seq_len=64, seqs_per_shard=4, concurrency=2,
+    )
+    df2 = m2.to_pandas().sort_values(["seq_id", "seq_off"]).reset_index(drop=True)
+    assert info2["merges_resumed"] and info2["encode_recomputed"] == 1
+    pd.testing.assert_frame_equal(df2, df1)
+
+    # changed hyperparameter -> lineage mismatch -> retrain, not stale reuse
+    m3, info3 = tokenize_pack(
+        files, ckpt_dir=str(tmp_path / "ck"), run_id="tp1",
+        num_merges=13, seq_len=64, seqs_per_shard=4, concurrency=2,
+    )
+    assert not info3["merges_resumed"] and info3["n_merges"] == 13
+    # retrained tokenizer -> new encode fingerprint dir -> FULL re-encode
+    # (stale counts from the 12-merge tokenizer must never be reused)
+    assert info3["encode_recomputed"] == 3
+    assert len(_glob.glob(str(tmp_path / "ck" / "tp1" / "enc-*"))) == 2

@@ -57,8 +57,9 @@ FREEZE = [
     "kll_quantiles_price",
     "tdigest_quantiles_by_event_type",
     "kmeans_embeddings",
-    "bpe_merges_docs",
-    "bpe_token_counts_docs",
+    # bpe_merges_docs / bpe_token_counts_docs: converted to REAL
+    # recomputed-SQL oracles in round 4 (unrolled 30-round training
+    # replay in DuckDB — see __ray_entry__._bpe_sql_ctes)
     "host_stats_webpages",
     "paragraph_dedup_webpages",
     "boilerplate_paras_webpages",
