@@ -318,6 +318,31 @@ def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ivf_persisted_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """PERSISTED IVF layout (functions/ann.py:write_ivf/read_ivf_probe
+    — train the coarse quantizer once, hive-partition the corpus by
+    centroid list, then serve queries by reading only probed list
+    directories; the write_bucketed amortization pattern for ANN).
+    Served here with full probing (n_probe = n_centroids), which is
+    mathematically brute force — so the REAL exact-cosine SQL oracle
+    checks the whole persisted path end-to-end. Probe-pruned recall is
+    covered by pytest vs brute force."""
+    import os
+    import shutil
+
+    from ddsketch_ray.functions.ann import read_ivf_probe, write_ivf
+
+    queries = _embedding_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_ivf_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_ivf(ds, out_dir, n_centroids=16)
+    out = read_ivf_probe(out_dir, queries, k=5, n_probe=16).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 # ------------------------------ rows-only (approximate / non-SQL) ----------
 
 
@@ -3443,6 +3468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_types": q_top_event_types,
         "distinct_custkeys": q_distinct_custkeys,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ivf_persisted_topk_embeddings": q_ivf_persisted_topk_embeddings,
         "hll_distinct_custkeys": q_hll_distinct_custkeys,
         "cms_top_event_types": q_cms_top_event_types,
         "tdigest_quantiles_price": q_tdigest_quantiles_price,
@@ -5137,6 +5163,20 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 ORDER BY a, b
 """,
         "ann_topk_embeddings": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS s
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+  FROM sims
+)
+SELECT qid AS query_id, nid AS neighbor_id, r::BIGINT AS rank
+FROM ranked WHERE r <= 5 ORDER BY query_id, rank
+""",
+        "ivf_persisted_topk_embeddings": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
 sims AS (
   SELECT q.qid, e.vec_id AS nid,

@@ -78,6 +78,26 @@ class BatchTopK:
         )
 
 
+def _topk_finalize(cands, k: int, exclude_self: bool):
+    """Per-query exact reduce over batch-local candidates: (score DESC,
+    neighbor_id ASC) sort, optional self drop, head-k, 1-based rank.
+    map_groups(pandas) is safe here by construction — groups are
+    queries, which are broadcast-small (cf. VERDICT r3 note)."""
+
+    def finalize(group):
+        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.head(k).reset_index(drop=True)
+        return {
+            "query_id": g["query_id"].to_numpy(dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }
+
+    return cands.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
 def brute_force_topk(
     ds,
     queries: dict,
@@ -113,20 +133,7 @@ def brute_force_topk(
         return worker(batch)
 
     cands = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=None)
-
-    def finalize(group):
-        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
-        if exclude_self:
-            g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.head(k).reset_index(drop=True)
-        return {
-            "query_id": g["query_id"].to_numpy(dtype=np.int64),
-            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        }
-
-    out = cands.groupby("query_id").map_groups(finalize, batch_format="pandas")
-    return out
+    return _topk_finalize(cands, k, exclude_self)
 
 
 def random_planes(n_planes: int, d: int, seed: int = 0) -> np.ndarray:
@@ -212,19 +219,7 @@ def lsh_bucketed_topk(
         return worker(batch)
 
     cands = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=None)
-
-    def finalize(group):
-        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
-        if exclude_self:
-            g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.head(k).reset_index(drop=True)
-        return {
-            "query_id": g["query_id"].to_numpy(dtype=np.int64),
-            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        }
-
-    return cands.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    return _topk_finalize(cands, k, exclude_self)
 
 
 def _spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
@@ -281,13 +276,21 @@ def ivf_topk(
     Same output shape as brute_force_topk; recall < 1 by design,
     measured against brute force in tests.
     """
-    import ray
+    centroids = _train_ivf_centroids(
+        ds, id_col, emb_col, n_centroids, sample_size, iters, seed
+    )
+    return _ivf_query(ds, queries, centroids, id_col, emb_col, k, n_probe, exclude_self)
 
-    # corpus-wide deterministic sample: hash-select by id so the
-    # training set spans every block (a limit() sample would train the
-    # quantizer on the leading partition only — fatal for clustered or
-    # sorted storage layouts). Fraction over-shoots by 1.3× then trims
-    # on the sorted hash, so the set is a pure function of the data.
+
+def _train_ivf_centroids(
+    ds, id_col: str, emb_col: str, n_centroids: int, sample_size: int, iters: int, seed: int
+) -> np.ndarray:
+    """Deterministic coarse-quantizer training shared by ivf_topk and
+    write_ivf. Corpus-wide deterministic sample: hash-select by id so
+    the training set spans every block (a limit() sample would train
+    the quantizer on the leading partition only — fatal for clustered
+    or sorted storage layouts). Fraction over-shoots by 1.3× then trims
+    on the sorted hash, so the set is a pure function of the data."""
     n_total = ds.count()
     frac = min(1.0, 1.3 * sample_size / max(n_total, 1))
     seed_mix = np.uint64(seed * 2654435761 + 97)
@@ -310,7 +313,16 @@ def ivf_topk(
     sample = _normalize(
         np.stack([np.asarray(e, dtype=np.float64) for e in sample_df[emb_col]])
     )
-    centroids = _spherical_kmeans(sample, n_centroids, iters, seed)
+    return _spherical_kmeans(sample, n_centroids, iters, seed)
+
+
+def _ivf_query(ds, queries, centroids, id_col, emb_col, k, n_probe, exclude_self):
+    """Probe-masked scoring + exact per-query reduce over an assigned
+    (or assignable) vector Dataset — shared by ivf_topk (assigns on the
+    fly) and read_ivf_probe (reads only probed list directories; the
+    in-kernel probed filter is then a no-op but keeps the math
+    identical)."""
+    import ray
 
     qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
     qc = np.argsort(-(qmat @ centroids.T), axis=1)[:, : min(n_probe, centroids.shape[0])]
@@ -364,19 +376,105 @@ def ivf_topk(
         )
 
     cands = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=None)
+    return _topk_finalize(cands, k, exclude_self)
 
-    def finalize(group):
-        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True])
-        if exclude_self:
-            g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.head(k).reset_index(drop=True)
-        return {
-            "query_id": g["query_id"].to_numpy(dtype=np.int64),
-            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        }
 
-    return cands.groupby("query_id").map_groups(finalize, batch_format="pandas")
+def write_ivf(
+    ds,
+    out_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 64,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 0,
+) -> np.ndarray:
+    """Persist an IVF layout: train the coarse quantizer ONCE (same
+    deterministic sample + spherical k-means as ``ivf_topk``), assign
+    every vector to its nearest centroid with one matmul per batch, and
+    write hive directories ``out_dir/list=<cid>/`` plus the centroid
+    matrix (``_ivf_centroids.npy``) and ``_ivf_meta.json``.
+
+    This is ``write_bucketed``'s amortize-the-work-once pattern applied
+    to ANN: ``ivf_topk`` retrains centroids and re-assigns the whole
+    corpus on EVERY call; after one ``write_ivf``, each query batch
+    (``read_ivf_probe``) reads only its probed list directories —
+    ~n_probe/n_centroids of the corpus leaves storage, and nothing is
+    retrained. Returns the centroid matrix."""
+    import json
+    import os
+
+    centroids = _train_ivf_centroids(
+        ds, id_col, emb_col, n_centroids, sample_size, iters, seed
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(t, emb_col))
+        a = np.argmax(emb @ centroids.T, axis=1)
+        return t.append_column("list", pa.array(a.astype(np.int64)))
+
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=None).write_parquet(
+        out_dir, partition_cols=["list"]
+    )
+    np.save(os.path.join(out_dir, "_ivf_centroids.npy"), centroids)
+    with open(os.path.join(out_dir, "_ivf_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": int(centroids.shape[0]),
+                "d": int(centroids.shape[1]),
+                "id_col": id_col,
+                "emb_col": emb_col,
+                "seed": seed,
+            },
+            f,
+        )
+    return centroids
+
+
+def read_ivf_probe(
+    out_dir: str,
+    queries: dict,
+    k: int = 5,
+    n_probe: int = 8,
+    exclude_self: bool = True,
+):
+    """Serve cosine top-k from a persisted ``write_ivf`` layout: rank
+    centroids per query, open ONLY the probed ``list=<cid>`` directories
+    (an empty list writes no directory — skipped), score with the exact
+    ``ivf_topk`` kernel. Output is identical to ``ivf_topk`` with the
+    same (n_centroids, sample_size, iters, seed, n_probe) — proven by
+    test — and with ``n_probe >= n_centroids`` identical to
+    ``brute_force_topk`` (every vector scored, gate-query oracle)."""
+    import glob as _glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.load(os.path.join(out_dir, "_ivf_centroids.npy"))
+    id_col, emb_col = meta["id_col"], meta["emb_col"]
+
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+    qc = np.argsort(-(qmat @ centroids.T), axis=1)[:, : min(n_probe, centroids.shape[0])]
+    files: list[str] = []
+    for c in sorted({int(c) for c in np.unique(qc)}):
+        files.extend(sorted(_glob.glob(f"{out_dir}/list={c}/*.parquet")))
+    if not files:  # all probed lists empty
+        import pandas as pd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype=np.int64),
+                    "neighbor_id": pd.Series(dtype=np.int64),
+                    "rank": pd.Series(dtype=np.int64),
+                }
+            )
+        )
+    ds = rd.read_parquet(files, columns=[id_col, emb_col])
+    return _ivf_query(ds, queries, centroids, id_col, emb_col, k, n_probe, exclude_self)
 
 
 def embedding_near_dup_pairs(

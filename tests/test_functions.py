@@ -1962,3 +1962,52 @@ def test_bpe_encode(ray_session):
     )
     assert (out["n_bpe_tokens"].to_numpy() <= base["n_bpe_tokens"].to_numpy()).all()
     assert out["n_bpe_tokens"].to_numpy()[2] == 0  # empty doc
+
+
+def test_ivf_persisted_layout_matches_inline(ray_session, tmp_path):
+    """write_ivf + read_ivf_probe (the persisted layout) must produce
+    the IDENTICAL top-k table as inline ivf_topk with the same params;
+    probed reads must open only probed list directories; full probing
+    equals brute force (the gate-query oracle contract)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.ann import (
+        brute_force_topk,
+        ivf_topk,
+        read_ivf_probe,
+        write_ivf,
+    )
+
+    rng = np.random.default_rng(19)
+    n, d = 500, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float32()), d
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    queries = {"ids": np.arange(6, dtype=np.int64), "mat": mat[:6]}
+
+    out_dir = str(tmp_path / "ivf")
+    write_ivf(ds, out_dir, n_centroids=16, sample_size=256)
+    assert os.path.exists(os.path.join(out_dir, "_ivf_centroids.npy"))
+
+    def norm(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    inline = norm(ivf_topk(ds, queries, k=7, n_centroids=16, n_probe=4,
+                           sample_size=256).to_pandas())
+    persisted = norm(read_ivf_probe(out_dir, queries, k=7, n_probe=4).to_pandas())
+    pd.testing.assert_frame_equal(persisted, inline)
+
+    # full probing == brute force (every vector scored, no mask)
+    bf = norm(brute_force_topk(ds, queries, k=7).to_pandas())
+    full = norm(read_ivf_probe(out_dir, queries, k=7, n_probe=16).to_pandas())
+    pd.testing.assert_frame_equal(full, bf)
