@@ -2471,6 +2471,30 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_embedding_near_dup_assignments(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup completed to CLUSTER ASSIGNMENTS on the
+    unified size-gated dedup substrate (functions/ann.py:
+    embedding_near_dup — banded sign-LSH candidates, exact-cosine
+    verify, connected components; same (id, rep, is_survivor) contract
+    as every other dedup flavor). REAL SQL oracle: exact all-pairs
+    cosine edges + recursive-CTE transitive closure, rep = MIN
+    reachable id."""
+    from ddsketch_ray.functions.ann import embedding_near_dup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        embedding_near_dup(
+            ds, threshold=0.4, n_bands=24, planes_per_band=2, max_bucket_pairs=10000
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["rep"] = out["rep"].astype(np.int64)
+    return out[["vec_id", "rep", "is_survivor"]]
+
+
 def q_tdigest_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
     """Grouped t-digest, deterministic variant (frozen oracle): one
     sketch per event_type built from the group's sorted values — no
@@ -3551,6 +3575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dds_buckets_price": q_dds_buckets_price,
         "dds_turnstile_delete": q_dds_turnstile_delete,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_assignments": q_embedding_near_dup_assignments,
         "tdigest_quantiles_by_event_type": q_tdigest_quantiles_by_event_type,
         "hll_users_by_event_type": q_hll_users_by_event_type,
         "union_filter_orders": q_union_filter_orders,
@@ -5155,6 +5180,26 @@ WITH o AS (
 )
 SELECT n_events, COUNT(*)::BIGINT AS n_sessions FROM sized
 GROUP BY n_events ORDER BY n_events
+""",
+        "embedding_near_dup_assignments": """
+-- exact all-pairs cosine edges at the gate threshold, symmetrized,
+-- recursive-CTE transitive closure, rep = MIN reachable vec_id
+WITH RECURSIVE
+e AS (SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+ed AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(s, nd) AS (
+  SELECT DISTINCT a, a FROM ed
+  UNION
+  SELECT r.s, ed.b FROM reach r JOIN ed ON r.nd = ed.a
+),
+comp AS (SELECT s AS vec_id, MIN(nd) AS component FROM reach GROUP BY s)
+SELECT v.vec_id::BIGINT AS vec_id,
+       coalesce(c.component, v.vec_id)::BIGINT AS rep,
+       (coalesce(c.component, v.vec_id) = v.vec_id) AS is_survivor
+FROM (SELECT vec_id FROM embeddings) v
+LEFT JOIN comp c USING (vec_id) ORDER BY vec_id
 """,
         "embedding_near_dup": """
 SELECT a.vec_id AS a, b.vec_id AS b

@@ -477,6 +477,102 @@ def read_ivf_probe(
     return _ivf_query(ds, queries, centroids, id_col, emb_col, k, n_probe, exclude_self)
 
 
+def embedding_near_dup(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 16,
+    planes_per_band: int = 3,
+    seed: int = 0,
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+    num_buckets: int = 64,
+    max_bucket_pairs: int = 64,
+    bloom_fp_rate: float = 0.001,
+):
+    """Embedding-cosine near-dup completed to CLUSTER ASSIGNMENTS —
+    the same (id_col, rep, is_survivor) contract as minhash/simhash
+    dedup, rep = min id of the near-dup component. Runs on the unified
+    size-gated substrate (dedup._banded_dedup_assignments): candidate
+    pairs from banded sign-LSH, exact-cosine verify, union-find on the
+    driver below ``driver_threshold`` band rows or Dataset pairs +
+    bloom-pruned shuffle-join verify + ``connected_components`` above
+    it — identical output either way (pytest equality). Embeddings
+    shuffle as packed fixed_size_binary(d×8) float64 (normalized once),
+    so the verify join moves fixed-width cells, never Python lists.
+    See ``embedding_near_dup_pairs`` for the recall formula and band
+    sizing guidance."""
+    from ddsketch_ray.functions.dedup import _banded_dedup_assignments, _unpack_fsb
+
+    first = ds.limit(1).take_batch(1, batch_format="pyarrow")
+    d = len(first.column(emb_col)[0])
+    planes = random_planes(n_bands * planes_per_band, d, seed=seed)
+    width = d * 8
+
+    def pack_norm(t: pa.Table) -> pa.Table:
+        emb = np.ascontiguousarray(_normalize(_embedding_matrix(t, emb_col)))
+        arr = pa.Array.from_buffers(
+            pa.binary(width), t.num_rows, [None, pa.py_buffer(emb.tobytes())]
+        )
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()), "nemb": arr})
+
+    feats = ds.map_batches(pack_norm, batch_format="pyarrow", batch_size=None).materialize()
+
+    def band_fn(t: pa.Table) -> pa.Table:
+        emb = _unpack_fsb(t.column("nemb"), d).view(np.float64)
+        ids = t.column(id_col).combine_chunks()
+        bits = (emb @ planes.T) >= 0  # (n, L*r)
+        n = emb.shape[0]
+        hashes = np.zeros((n_bands, n), dtype=np.int64)
+        for l in range(n_bands):
+            for j in range(planes_per_band):
+                hashes[l] |= bits[:, l * planes_per_band + j].astype(np.int64) << j
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int64), n)),
+                "band_hash": pa.array(hashes.ravel()),
+                id_col: pa.concat_arrays([ids] * n_bands),
+            }
+        )
+
+    def verify_driver(pairs, cand):
+        order = np.argsort(cand[id_col].to_numpy(), kind="stable")
+        sorted_ids = cand[id_col].to_numpy()[order]
+        mat = np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in cand["nemb"].to_numpy()[order]]
+        )
+        ai = np.searchsorted(sorted_ids, pairs["a"].to_numpy())
+        bi = np.searchsorted(sorted_ids, pairs["b"].to_numpy())
+        cos = (mat[ai] * mat[bi]).sum(axis=1)
+        return pairs[cos >= threshold]
+
+    def verify_dist(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ma = _unpack_fsb(t.column("nemb_a"), d).view(np.float64)
+        mb = _unpack_fsb(t.column("nemb_b"), d).view(np.float64)
+        cos = (ma * mb).sum(axis=1) if len(a) else np.empty(0)
+        keep = (cos >= threshold) & (a != b)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return _banded_dedup_assignments(
+        feats,
+        band_fn,
+        id_col,
+        verify_driver=verify_driver,
+        pack_fn=lambda t: t,  # (id, nemb) is already the join payload
+        payload_name="nemb",
+        verify_dist=verify_dist,
+        mode=mode,
+        driver_threshold=driver_threshold,
+        max_bucket_pairs=max_bucket_pairs,
+        num_buckets=num_buckets,
+        bloom_fp_rate=bloom_fp_rate,
+        seed=seed,
+    )
+
+
 def embedding_near_dup_pairs(
     ds,
     id_col: str = "vec_id",

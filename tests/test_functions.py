@@ -2011,3 +2011,56 @@ def test_ivf_persisted_layout_matches_inline(ray_session, tmp_path):
     bf = norm(brute_force_topk(ds, queries, k=7).to_pandas())
     full = norm(read_ivf_probe(out_dir, queries, k=7, n_probe=16).to_pandas())
     pd.testing.assert_frame_equal(full, bf)
+
+
+def test_embedding_near_dup_assignments_modes_match(ray_session):
+    """Dedup flavor #5 completed to assignments: planted near-dup
+    clusters, driver vs distributed plan equality, and rep = min id of
+    the exact-cosine component (checked vs a python union-find over
+    embedding_near_dup_pairs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.ann import embedding_near_dup, embedding_near_dup_pairs
+    from ddsketch_ray.functions.dedup import cluster_pairs
+
+    rng = np.random.default_rng(31)
+    n_clusters, per, d = 12, 4, 16
+    rows = []
+    for c in range(n_clusters):
+        base = rng.normal(size=d)
+        for j in range(per):
+            rows.append(base + rng.normal(scale=0.02, size=d))  # cos ~ 1
+    for _ in range(40):
+        rows.append(rng.normal(size=d))  # background
+    mat = np.array(rows)
+    ids = rng.permutation(len(rows)).astype(np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float64()), d
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+
+    kw = dict(threshold=0.95, n_bands=16, planes_per_band=3, max_bucket_pairs=256)
+    driver = (
+        embedding_near_dup(ds, mode="driver", **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    dist = (
+        embedding_near_dup(ds, mode="distributed", num_buckets=8, **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, driver)
+    assert (~driver["is_survivor"]).sum() >= n_clusters * (per - 1) - 2
+
+    # rep labels == union-find over the verified pair set
+    pairs = embedding_near_dup_pairs(ds, **kw).to_pandas()
+    pair_ids = np.unique(np.concatenate([pairs["a"], pairs["b"]])) if len(pairs) else np.empty(0, np.int64)
+    rep = cluster_pairs(pairs, pair_ids)
+    want = driver.set_index("vec_id")["rep"].to_dict()
+    for i in ids.tolist():
+        assert want[i] == rep.get(i, i)
