@@ -430,12 +430,49 @@ def run_bench() -> dict:
     return result
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_quiet(threshold: float = 4.0, max_wait_s: float = 90.0) -> float:
+    """Steal-window gate (CLAUDE.md: the hypervisor steals 10-25 % CPU
+    in bursts): don't start a timing leg while the box is visibly busy.
+    Waits up to max_wait_s for 1-min loadavg <= threshold; returns the
+    loadavg the leg actually started at (recorded in the output so a
+    dirty window is visible, never silent)."""
+    t0 = time.time()
+    la = _loadavg()
+    while la > threshold and time.time() - t0 < max_wait_s:
+        log(f"loadavg {la:.1f} > {threshold}; waiting for a quiet window")
+        time.sleep(10)
+        la = _loadavg()
+    return la
+
+
+def _per_pipeline_eff(r_lo: dict, r_hi: dict, lo: int, hi: int) -> dict:
+    """Per-pipeline lo/hi seconds + scaling efficiency — makes fixed-cost
+    dilution visible (a small fixed-latency entry shows eff ≈ lo/hi and
+    should not be read as an engine-stage regression)."""
+    out = {}
+    for name, sec_lo in r_lo["queries"].items():
+        sec_hi = r_hi["queries"].get(name)
+        if sec_hi:
+            out[name] = {
+                "sec_lo": sec_lo,
+                "sec_hi": sec_hi,
+                "efficiency": round((sec_lo / sec_hi) / (hi / lo), 3),
+            }
+    return out
+
+
 def run_scaling() -> dict:
     import subprocess
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        log(f"--- scaling run at num_cpus={ncpu} ---")
+        start_load = _wait_quiet()
+        log(f"--- scaling run at num_cpus={ncpu} (loadavg {start_load:.1f}) ---")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -445,7 +482,9 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         sys.stderr.write(out.stderr[-2000:])
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        parsed = json.loads(out.stdout.strip().splitlines()[-1])
+        parsed["start_loadavg"] = round(start_load, 2)
+        return parsed
 
     # Default pair 4 -> 16: both legs fit inside the VM's reliably
     # available capacity (the host hypervisor steals 10-25% CPU in bursts
@@ -478,6 +517,8 @@ def run_scaling() -> dict:
         "total_sec_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
+        "per_pipeline": _per_pipeline_eff(r_lo, r_hi, lo, hi),
+        "start_loadavg": {"lo": r_lo["start_loadavg"], "hi": r_hi["start_loadavg"]},
         "sf": SF_DIR,
     }
 
@@ -491,14 +532,17 @@ def run_scaling_both() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        log(f"--- scaling leg num_cpus={ncpu} ---")
+        start_load = _wait_quiet()
+        log(f"--- scaling leg num_cpus={ncpu} (loadavg {start_load:.1f}) ---")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         sys.stderr.write(out.stderr[-1500:])
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        parsed = json.loads(out.stdout.strip().splitlines()[-1])
+        parsed["start_loadavg"] = round(start_load, 2)
+        return parsed
 
     legs = {n: run(n) for n in (4, 8, 16, 32)}
 
@@ -524,7 +568,12 @@ def run_scaling_both() -> dict:
         "value": p_crit["efficiency"],  # criterion pair
         "unit": "ratio",
         "pairs": {"4_to_16": p_crit, "8_to_32": p_wide},
+        "per_pipeline": {
+            "4_to_16": _per_pipeline_eff(legs[4], legs[16], 4, 16),
+            "8_to_32": _per_pipeline_eff(legs[8], legs[32], 8, 32),
+        },
         "legs_total_sec": {str(n): legs[n]["value"] for n in legs},
+        "start_loadavg": {str(n): legs[n]["start_loadavg"] for n in legs},
         "sf": SF_DIR,
     }
 
