@@ -543,12 +543,17 @@ def q_quality_scores_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Order-sensitive rolling fingerprints with the SQL-replayable
+    polynomial token-hash family (hash="poly") — every rotate, xor and
+    splitmix finalize recomputed by a REAL DuckDB oracle (converted
+    from a frozen determinism oracle in round 4; the xxhash family
+    stays the throughput default and is property-tested in pytest)."""
     from ddsketch_ray.functions.text import doc_fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(b: pa.Table) -> pa.Table:
-        out = doc_fingerprint_batch(b)
+        out = doc_fingerprint_batch(b, hash="poly")
         return pa.table(
             {
                 "doc_id": out.column("doc_id"),
@@ -1257,7 +1262,9 @@ def q_logreg_quality_lang(sf_dir: str) -> pd.DataFrame:
     """Deterministic distributed logistic regression (functions/ml.py::
     logreg_fit — per-block fixed-point gradient partials, bit-identical
     across layouts/cluster sizes): train is-English from quality
-    features. Frozen determinism oracle (2-session verified)."""
+    features. REAL SQL oracle since round 4: bit-exact feature
+    recompute + 20 unrolled GD rounds replayed in DuckDB
+    (_logreg_sql_ctes)."""
     from ddsketch_ray.functions.ml import logreg_fit
     from ddsketch_ray.functions.text import quality_features_batch
 
@@ -3442,8 +3449,9 @@ def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Deterministic distributed k-means (functions/cluster.py:
     kmeans_fit — broadcast centroids, per-block fixed-point integer
     partials, exact Python-int driver combine; bit-identical across
-    block layouts and cluster sizes, which is what the frozen oracle
-    checks). k=8, 5 Lloyd iterations over the embeddings table."""
+    block layouts and cluster sizes). k=8, 5 Lloyd iterations over the
+    embeddings table. REAL SQL oracle since round 4: splitmix init and
+    every Lloyd round replayed in DuckDB (_kmeans_sql_ctes)."""
     from ddsketch_ray.functions.cluster import kmeans_fit
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -3775,6 +3783,89 @@ def _splitmix_sql(x: str) -> str:
 _SPLITMIX_ZERO = 16294208416658607535
 
 
+def _logreg_sql_ctes(iters: int, lr: float = 0.5, scale: float = 1048576.0) -> str:
+    """CTE chain replaying functions/ml.py:logreg_fit round by round
+    over a CTE ``f`` providing (x0..x3, y): per-row stable sigmoid
+    residual, fixed-point round_even gradient partials summed exactly,
+    and the identical float update expression — bit-for-bit equal to
+    the distributed trainer (the per-row int64 rounding is what makes
+    the replay association-independent across layouts AND between
+    numpy and SQL). w{iters} holds the final weights."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3, 0.0 AS bb)"
+    ]
+    for i in range(1, iters + 1):
+        prev = f"w{i-1}"
+        parts.append(
+            f"""z{i} AS (
+  SELECT ((((f.x0 * w.a0) + (f.x1 * w.a1)) + (f.x2 * w.a2)) + (f.x3 * w.a3)) + w.bb AS z,
+         f.x0, f.x1, f.x2, f.x3, f.y
+  FROM f, {prev} w),
+g{i} AS MATERIALIZED (
+  SELECT COUNT(*)::BIGINT AS n,
+    SUM(CAST(round_even(r * x0 * {scale}, 0) AS BIGINT)) AS g0,
+    SUM(CAST(round_even(r * x1 * {scale}, 0) AS BIGINT)) AS g1,
+    SUM(CAST(round_even(r * x2 * {scale}, 0) AS BIGINT)) AS g2,
+    SUM(CAST(round_even(r * x3 * {scale}, 0) AS BIGINT)) AS g3,
+    SUM(CAST(round_even(r * {scale}, 0) AS BIGINT)) AS gb
+  FROM (SELECT (CASE WHEN z >= 0 THEN 1.0 / (1.0 + exp(-z))
+                     ELSE exp(z) / (1.0 + exp(z)) END) - y AS r, x0, x1, x2, x3
+        FROM z{i})),
+w{i} AS MATERIALIZED (
+  SELECT w.a0 - (({lr} * (g.g0 / {scale})) / g.n) AS a0,
+         w.a1 - (({lr} * (g.g1 / {scale})) / g.n) AS a1,
+         w.a2 - (({lr} * (g.g2 / {scale})) / g.n) AS a2,
+         w.a3 - (({lr} * (g.g3 / {scale})) / g.n) AS a3,
+         w.bb - (({lr} * (g.gb / {scale})) / g.n) AS bb
+  FROM {prev} w, g{i} g)"""
+        )
+    return ",\n".join(parts)
+
+
+def _kmeans_sql_ctes(iters: int, k: int = 8, scale: float = 1048576.0, dmax: int = 256) -> str:
+    """CTE chain replaying functions/cluster.py:kmeans_fit: bottom-k
+    splitmix init, per-iteration argmin assignment ordered by the
+    x2-free distance (c·c − 2·x·c — same argmin and same ties as the
+    trainer's x²−2x·c+c² since x² is constant per row), per-(cluster,
+    dim) round_even fixed-point sums (exact ints — so the update is
+    bit-identical however the floats were associated), empty clusters
+    keep their previous centroid. a{iters} is the final assignment,
+    c{iters} the final centroids."""
+    init_hash = _splitmix_sql(
+        f"xor(CAST(vec_id AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
+    )
+    parts = [
+        f"""c0 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY h)) - 1 AS cid, e AS ce
+  FROM (SELECT {init_hash} AS h, embedding::DOUBLE[] AS e FROM embeddings)
+  ORDER BY h LIMIT {k})"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i-1}"
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_inner_product(c.ce, c.ce) - 2.0 * list_inner_product(v.e, c.ce), c.cid) AS rnk
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v, {prev} c)
+  WHERE rnk = 1),
+s{i} AS MATERIALIZED (
+  SELECT cid, g.j AS j,
+    SUM(CAST(round_even(e[g.j] * {scale}, 0) AS BIGINT)) AS s, COUNT(*)::BIGINT AS n
+  FROM a{i} JOIN generate_series(1, {dmax}) g(j) ON g.j <= len(e)
+  GROUP BY cid, g.j),
+c{i} AS MATERIALIZED (
+  SELECT p.cid,
+    CASE WHEN sz.nn IS NULL THEN p.ce
+         ELSE (SELECT list((CAST(s.s AS DOUBLE) / {scale}) / sz.nn ORDER BY s.j)
+               FROM s{i} s WHERE s.cid = p.cid) END AS ce
+  FROM {prev} p
+  LEFT JOIN (SELECT cid, MAX(n) AS nn FROM s{i} GROUP BY cid) sz ON sz.cid = p.cid)"""
+        )
+    return ",\n".join(parts)
+
+
 def _bpe_sql_ctes(num_merges: int, vocab_cte: str = "vocab") -> str:
     """CTE chain replaying functions/text.py:train_bpe round by round:
     word state as space-separated symbol strings (symbols never contain
@@ -3830,6 +3921,9 @@ def _recomputed_oracles(qs_values: str) -> dict[str, str]:
         f"(SELECT b FROM b{r}) AS right"
         for r in range(1, 31)
     )
+    # doc_fingerprints: splitmix64(bit_xor(rotl(polyhash(tok), pos%61+1)) ^ n)
+    fp_final = _splitmix_sql("xor(acc, CAST(n AS UBIGINT))")
+    fp_empty = _splitmix_sql("CAST(0 AS UBIGINT)")
     bpe_vocab_cte = r"""vocab AS MATERIALIZED (
   SELECT tok, COUNT(*)::BIGINT AS f FROM (
     SELECT unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
@@ -5180,6 +5274,97 @@ WITH o AS (
 )
 SELECT n_events, COUNT(*)::BIGINT AS n_sessions FROM sized
 GROUP BY n_events ORDER BY n_events
+""",
+        "kmeans_embeddings": f"""
+-- FULL replay of the deterministic distributed k-means: splitmix
+-- bottom-8 init, 5 unrolled Lloyd rounds (argmin assignment, exact
+-- fixed-point per-dim sums, identical update) — converted from a
+-- frozen oracle in round 4. n_points = final assignment, norms of the
+-- final centroids
+WITH
+{_kmeans_sql_ctes(5)},
+cnt AS (SELECT cid, COUNT(*)::BIGINT AS n FROM a5 GROUP BY cid)
+SELECT c.cid AS cluster, COALESCE(cnt.n, 0)::BIGINT AS n_points,
+  ROUND(sqrt(list_inner_product(c.ce, c.ce)), 6) AS centroid_norm
+FROM c5 c LEFT JOIN cnt USING (cid) ORDER BY cluster
+""",
+        "logreg_quality_lang": rf"""
+-- FULL replay of the distributed logistic-regression trainer: bit-exact
+-- feature recompute (the quality_scores machinery), 20 unrolled GD
+-- rounds (stable sigmoid residual, per-row round_even fixed-point
+-- gradient partials summed exactly, identical float update), final
+-- stable log-loss — converted from a frozen oracle in round 4
+WITH
+f AS MATERIALIZED (
+  SELECT
+    (n_chars - GREATEST(n_tokens - 1, 0)) / GREATEST(n_tokens, 1) AS x0,
+    n_punct / GREATEST(n_chars, 1) AS x1,
+    n_digit / GREATEST(n_chars, 1) AS x2,
+    n_stopwords / GREATEST(n_tokens, 1) AS x3,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM (
+    SELECT lang,
+      strlen(tx)::BIGINT AS n_chars,
+      len(list_filter(regexp_split_to_array(tx, '[ \t\n\r\f\v]+'), x -> x <> ''))::BIGINT AS n_tokens,
+      length(regexp_replace(tx, '[^!-/:-@\[-`{{-~]', '', 'g'))::BIGINT AS n_punct,
+      length(regexp_replace(tx, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+      len(list_filter(regexp_split_to_array(lower(tx), '[ \t\n\r\f\v]+'),
+          x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from'], x)))::BIGINT AS n_stopwords
+    FROM (SELECT lang, coalesce(text, '') AS tx FROM documents))),
+{{logreg_ctes}},
+zf AS (SELECT ((((f.x0 * w.a0) + (f.x1 * w.a1)) + (f.x2 * w.a2)) + (f.x3 * w.a3)) + w.bb AS z, f.y
+       FROM f, w20 w),
+lf AS (SELECT COUNT(*)::BIGINT AS n,
+         SUM(CAST(round_even((ln(1.0 + exp(-abs(z))) + GREATEST(z, 0.0) - z * y) * 1048576.0, 0) AS BIGINT)) AS lfp
+       FROM zf)
+SELECT lf.n AS n, ROUND(CAST(lf.lfp AS DOUBLE) / 1048576.0 / lf.n, 6) AS loss,
+       ROUND(w.bb, 6) AS bias,
+       ROUND(w.a0, 6) AS w_mean_token_len, ROUND(w.a1, 6) AS w_punct_ratio,
+       ROUND(w.a2, 6) AS w_digit_ratio, ROUND(w.a3, 6) AS w_stopword_ratio
+FROM w20 w, lf
+""".replace("{logreg_ctes}", _logreg_sql_ctes(20, lr=0.5)),
+        "doc_fingerprints": rf"""
+-- full replay of the rolling fingerprint with the poly hash family:
+-- per-token byte-polynomial hash (as dsir_hashed), left-rotate by
+-- (pos %% 61)+1 via HUGEINT mulmod (disjoint bit parts add mod 2^64),
+-- per-doc bit_xor, splitmix64(acc ^ n_tokens) finalize
+WITH RECURSIVE
+toks0 AS (SELECT doc_id::BIGINT AS doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+') AS ts
+          FROM documents),
+postok AS (SELECT doc_id, ts[g.i] AS tok, g.i - 1 AS pos, len(ts)::BIGINT AS n
+           FROM toks0 JOIN generate_series(1, 4096) g(i)  -- constant cap >= max doc tokens at gate
+             ON g.i <= len(ts)),
+toks AS (SELECT DISTINCT tok FROM postok),
+tb AS (SELECT tok, lower(hex(encode(tok))) AS hx, octet_length(encode(tok))::BIGINT AS L FROM toks),
+maxl AS (SELECT MAX(L) AS m FROM tb),
+pows(j, v) AS (
+  SELECT 0::BIGINT, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT j + 1, CAST((CAST(v AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM pows WHERE j + 1 < (SELECT m FROM maxl)),
+bidx AS (SELECT tok, hx, L, unnest(generate_series(1, L)) AS i FROM tb),
+bytes AS (
+  SELECT tok,
+    CAST((strpos('0123456789abcdef', substring(hx, (2*i-1)::INT, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(hx, (2*i)::INT, 1)) - 1 AS HUGEINT) AS b,
+    L - i AS pfe
+  FROM bidx),
+h0 AS (SELECT tok, CAST(SUM(CAST(pw.v AS HUGEINT) * b) % 18446744073709551616 AS UBIGINT) AS h
+       FROM bytes JOIN pows pw ON pw.j = bytes.pfe GROUP BY tok),
+th AS (SELECT tok, {polyhash_final} AS ph FROM h0),
+mixed AS (
+  SELECT p.doc_id, p.n,
+    CAST(((CAST(th.ph AS HUGEINT) * (CAST(1 AS HUGEINT) << ((p.pos % 61) + 1)))
+            % 18446744073709551616
+          + (th.ph >> (64 - ((p.pos % 61) + 1)))) % 18446744073709551616 AS UBIGINT) AS m
+  FROM postok p JOIN th USING (tok)),
+acc AS (SELECT doc_id, n, bit_xor(m) AS acc FROM mixed GROUP BY doc_id, n)
+SELECT d.doc_id::BIGINT AS doc_id,
+  CAST(COALESCE(a.fp, {fp_empty}) & 9223372036854775807 AS BIGINT) AS fingerprint
+FROM (SELECT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN (SELECT doc_id, {fp_final} AS fp FROM acc) a USING (doc_id)
+ORDER BY doc_id
 """,
         "embedding_near_dup_assignments": """
 -- exact all-pairs cosine edges at the gate threshold, symmetrized,

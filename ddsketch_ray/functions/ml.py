@@ -70,8 +70,11 @@ def logreg_iteration(ds, w: np.ndarray, feature_cols, label_col: str, frac_bits:
         # kmeans_iteration contract: layout cannot change the result)
         gx = np.rint(resid[:, None] * X * scale).astype(np.int64).sum(axis=0)
         gb = int(np.rint(resid * scale).astype(np.int64).sum())
-        # stable log-loss: log(1+e^-|z|) + max(z,0) - z*y
-        ll = np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0.0) - z * y
+        # stable log-loss: log(1+e^-|z|) + max(z,0) - z*y. Written as
+        # ln(1+x), NOT log1p: DuckDB has no log1p, and the SQL oracle
+        # must replay this expression bit-for-bit (e^-|z| <= 1, so the
+        # 1+x form loses no meaningful precision here)
+        ll = np.log(1.0 + np.exp(-np.abs(z))) + np.maximum(z, 0.0) - z * y
         lfp = int(np.rint(ll * scale).astype(np.int64).sum())
         return pa.table(
             {

@@ -95,18 +95,31 @@ def quality_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def doc_fingerprint_batch(
-    batch: pa.Table, text_col: str = "text", out_col: str = "fingerprint", seed: int = 0
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    seed: int = 0,
+    hash: str = "xxhash",
 ) -> pa.Table:
     """64-bit order-sensitive document fingerprint: positional mix of token
     hashes (rolling-hash style) — same token multiset in different order
-    yields different prints; identical docs always collide."""
+    yields different prints; identical docs always collide.
+
+    ``hash`` selects the token-hash family: ``"xxhash"`` (default,
+    fastest — polars/Rust) or ``"poly"`` (``hashing.polyhash_strings``,
+    mod-2^64 byte polynomial a DuckDB oracle replays exactly; the
+    doc_fingerprints gate query runs this family so the rotate/xor/
+    finalize pipeline is verified by a REAL recomputed-SQL oracle)."""
+    from ddsketch_ray.hashing import polyhash_strings
+
     s = _text_series(batch, text_col)
     toks = s.str.extract_all(TOKEN_PATTERN)
     lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
     flat = toks.explode().drop_nulls()
     out = np.zeros(len(lens), dtype=np.uint64)
+    hash_fn = polyhash_strings if hash == "poly" else hash_strings
     if flat.len() > 0:
-        th = hash_strings(flat.to_arrow(), seed=seed)
+        th = hash_fn(flat.to_arrow(), seed=seed)
         offs = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offs[1:])
         # positional weight: rotate each token hash by its in-doc position

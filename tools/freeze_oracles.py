@@ -46,17 +46,20 @@ FREEZE = [
     "simhash_dedup_documents",
     "simhash_dedup_distributed_documents",
     "lang_id_documents",
-    "doc_fingerprints",
+    # doc_fingerprints: converted to a REAL recomputed-SQL oracle in
+    # round 4 (poly hash family + rotate/xor/finalize replay)
     "lsh_topk_embeddings",
     "ivf_topk_embeddings",
     "webpages_report",
     "media_decode_report",
     "video_frames_report",
-    "logreg_quality_lang",
+    # logreg_quality_lang: converted to a REAL recomputed-SQL oracle in
+    # round 4 (20 unrolled GD rounds, fixed-point gradient replay)
     "tdigest_quantiles_price",
     "kll_quantiles_price",
     "tdigest_quantiles_by_event_type",
-    "kmeans_embeddings",
+    # kmeans_embeddings: converted to a REAL recomputed-SQL oracle in
+    # round 4 (splitmix init + 5 unrolled Lloyd rounds replay)
     # bpe_merges_docs / bpe_token_counts_docs: converted to REAL
     # recomputed-SQL oracles in round 4 (unrolled 30-round training
     # replay in DuckDB — see __ray_entry__._bpe_sql_ctes)

@@ -1,0 +1,350 @@
+"""Round-4 stress runs (recorded in BASELINE.md):
+
+1. ``dedup20``  — 1M-doc / 20%-duplicate checkpointed MinHash dedup,
+                  BOTH plans run as subprocess legs so each leg's
+                  DRIVER peak RSS is measured in isolation
+                  (ru_maxrss of the leg process): the distributed plan
+                  must stay O(blocks) while the driver plan grows with
+                  O(candidate pairs). Outputs compared for equality.
+2. ``dsir600k`` — hashed-bucket DSIR (2^18 buckets) vs exact-token DSIR
+                  over the 600k-page disk corpus: wall time + the
+                  broadcast-table size each variant ships.
+3. ``tokpack1m``— tokenize-and-pack job over the 1M-doc corpus:
+                  cold throughput + resume-after-lost-parts timing.
+4. ``ivf1m``    — persisted IVF vs inline ivf_topk over the bench 1M×64
+                  embeddings: one write_ivf, then repeated query rounds
+                  (the amortization the layout exists for).
+
+Usage: python tools/stress_r4.py [dedup20] [dsir600k] [tokpack1m] [ivf1m]
+       [--cpus N]
+Corpora are deterministic and cached under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = 32
+for i, a in enumerate(sys.argv):
+    if a == "--cpus":
+        CPUS = int(sys.argv[i + 1])
+
+DOCS_DIR = "/tmp/ddsr_stress_dedup20"
+N_DOCS = 1_000_000
+N_FILES = 32
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=CPUS, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+            runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}},
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ddsketch_ray import tune_for_sketch_pipelines
+
+    tune_for_sketch_pipelines()
+
+
+def ensure_docs20() -> list[str]:
+    """1M deterministic ~60-word docs with 20% near-dups (every 5th doc
+    copies the previous one with one word changed — Common-Crawl-like
+    duplication), N_FILES parquet shards."""
+    marker = os.path.join(DOCS_DIR, ".complete")
+    if os.path.exists(marker):
+        return sorted(
+            os.path.join(DOCS_DIR, f) for f in os.listdir(DOCS_DIR) if f.endswith(".parquet")
+        )
+    import ray.data as rd
+
+    from ddsketch_ray.hashing import splitmix64
+
+    ray_init()
+    shutil.rmtree(DOCS_DIR, ignore_errors=True)
+    os.makedirs(DOCS_DIR)
+    vocab = np.array([f"word{i:04d}" for i in range(5000)])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        base = np.where(ids % 5 == 4, ids - 1, ids)  # 20% dup pairs
+        w = 60
+        seeds = (base[:, None] * np.int64(w) + np.arange(w)[None, :]).astype(np.uint64)
+        widx = (splitmix64(seeds.ravel()) % np.uint64(len(vocab))).astype(np.int64)
+        words = vocab[widx].reshape(len(ids), w)
+        words[ids % 5 == 4, -1] = "CHANGED"  # near-dup, not exact
+        texts = np.array([" ".join(r) for r in words], dtype=object)
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, type=pa.string())})
+
+    ds = rd.range(N_DOCS, override_num_blocks=N_FILES).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    )
+    ds.write_parquet(DOCS_DIR, min_rows_per_file=N_DOCS // N_FILES)
+    open(marker, "w").write("ok")
+    return sorted(
+        os.path.join(DOCS_DIR, f) for f in os.listdir(DOCS_DIR) if f.endswith(".parquet")
+    )
+
+
+def _dedup_leg(mode: str, out_dir: str) -> None:
+    """Subprocess leg: run the checkpointed dedup in ``mode``, write
+    assignments, print one JSON line incl. this process's peak RSS."""
+    from ddsketch_ray.functions.dedup import minhash_dedup_checkpointed
+
+    files = sorted(
+        os.path.join(DOCS_DIR, f) for f in os.listdir(DOCS_DIR) if f.endswith(".parquet")
+    )
+    ray_init()
+    ckpt = f"/tmp/ddsr_stress_dedup20_ckpt_{mode}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    out, job = minhash_dedup_checkpointed(
+        files, ckpt_dir=ckpt, run_id="r4", concurrency=CPUS, mode=mode
+    )
+    out.write_parquet(out_dir)
+    wall = time.perf_counter() - t0
+    import ray
+    import ray.data as rd
+
+    n_dups = int(N_DOCS - rd.read_parquet(out_dir, columns=["is_survivor"]).sum("is_survivor"))
+    print(
+        json.dumps(
+            {
+                "mode": mode,
+                "wall_s": round(wall, 1),
+                "docs_per_sec": round(N_DOCS / wall),
+                "non_survivors": n_dups,
+                "driver_peak_rss_mb": round(
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+                ),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def stress_dedup20() -> dict:
+    ensure_docs20()
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()  # each leg owns its session + its RSS
+    legs = {}
+    for mode in ("distributed", "driver"):
+        out_dir = f"/tmp/ddsr_stress_dedup20_out_{mode}"
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "_dedup-leg", mode, out_dir,
+             "--cpus", str(CPUS)],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        legs[mode] = json.loads(res.stdout.strip().splitlines()[-1])
+        log(f"dedup20 {mode}: {legs[mode]}")
+    # equality of the two plans' outputs at 200k duplicates
+    import pandas as pd
+
+    def rd_out(mode):
+        import glob
+
+        return (
+            pd.concat(
+                pd.read_parquet(f)
+                for f in glob.glob(f"/tmp/ddsr_stress_dedup20_out_{mode}/*.parquet")
+            )
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = rd_out("distributed"), rd_out("driver")
+    pd.testing.assert_frame_equal(a, b)
+    assert legs["distributed"]["non_survivors"] == N_DOCS // 5
+    return {"docs": N_DOCS, "dup_rate": 0.2, "legs": legs, "outputs_identical": True}
+
+
+def stress_dsir600k() -> dict:
+    sys.path.insert(0, REPO)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    path = bench.ensure_corpus(600_000)
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.selection import hashed_unigram_importance, unigram_importance
+
+    def load():
+        raw = rd.read_parquet(path, columns=["url", "text"])
+        # url is unique per page; hash to int64 ids for the id column
+        import pyarrow.compute as pc
+
+        from ddsketch_ray.hashing import hash_strings
+
+        def wid(t: pa.Table) -> pa.Table:
+            h = hash_strings(t.column("url")).astype(np.int64)
+            return pa.table({"doc_id": pa.array(h), "text": t.column("text")})
+
+        return raw.map_batches(wid, batch_format="pyarrow", batch_size=None)
+
+    raw = load().materialize()
+    target = raw.limit(60_000).materialize()  # 10% "target-domain" slice
+
+    t0 = time.perf_counter()
+    n_hashed = hashed_unigram_importance(raw, target, n_buckets=1 << 18).count()
+    hashed_s = time.perf_counter() - t0
+    log(f"dsir600k hashed: {hashed_s:.1f}s ({600_000/hashed_s:.0f} docs/s)")
+
+    t0 = time.perf_counter()
+    n_exact = unigram_importance(raw, target).count()
+    exact_s = time.perf_counter() - t0
+    log(f"dsir600k exact: {exact_s:.1f}s ({600_000/exact_s:.0f} docs/s)")
+    assert n_hashed == n_exact == 600_000
+    return {
+        "docs": 600_000,
+        "hashed_sec": round(hashed_s, 1),
+        "hashed_docs_per_sec": round(600_000 / hashed_s),
+        "hashed_broadcast_bytes": (1 << 18) * 8,  # constant by design
+        "exact_sec": round(exact_s, 1),
+        "exact_docs_per_sec": round(600_000 / exact_s),
+    }
+
+
+def stress_tokpack1m() -> dict:
+    files = ensure_docs20()
+    ray_init()
+    from ddsketch_ray.pipelines.tokenize_pack import tokenize_pack
+
+    ckpt = "/tmp/ddsr_stress_tokpack_ckpt"
+    out = "/tmp/ddsr_stress_tokpack_out"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest, info = tokenize_pack(
+        files, ckpt_dir=ckpt, run_id="r4", num_merges=30, seq_len=2048,
+        seqs_per_shard=4096, out_dir=out, concurrency=CPUS,
+    )
+    cold = time.perf_counter() - t0
+    import glob
+
+    import ray.data as rd
+
+    toks = int(rd.read_parquet(sorted(glob.glob(f"{out}/shard=*/*.parquet")),
+                               columns=["take_n"]).sum("take_n"))
+    log(f"tokpack1m cold: {cold:.1f}s ({N_DOCS/cold:.0f} docs/s, {toks/cold/1e6:.1f}M tok/s)")
+
+    # lose 6 encode parts, resume
+    enc_dir = glob.glob(os.path.join(ckpt, "r4", "enc-*"))[0]
+    for i in (3, 9, 14, 21, 27, 30):
+        os.remove(os.path.join(enc_dir, f"map-part-{i:05d}.parquet"))
+    t0 = time.perf_counter()
+    m2, info2 = tokenize_pack(
+        files, ckpt_dir=ckpt, run_id="r4", num_merges=30, seq_len=2048,
+        seqs_per_shard=4096, concurrency=CPUS,
+    )
+    resume = time.perf_counter() - t0
+    assert info2["merges_resumed"] and info2["encode_recomputed"] == 6
+    log(f"tokpack1m resume (6/32 parts lost): {resume:.1f}s")
+    return {
+        "docs": N_DOCS,
+        "total_tokens": toks,
+        "cold_sec": round(cold, 1),
+        "cold_docs_per_sec": round(N_DOCS / cold),
+        "cold_tokens_per_sec": round(toks / cold),
+        "resume_sec": round(resume, 1),
+        "resume_parts_lost": 6,
+    }
+
+
+def stress_ivf1m() -> dict:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    path = bench.ensure_embeddings()
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.ann import ivf_topk, read_ivf_probe, write_ivf
+    from ddsketch_ray.hashing import splitmix64
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    d = 64
+    rounds = 5
+    qids = np.arange(64, dtype=np.int64)
+    base = (qids[:, None].astype(np.uint64) * np.uint64(d)) + np.arange(d, dtype=np.uint64)[None, :]
+    qmat = ((splitmix64(base.ravel()) >> np.uint64(11)).astype(np.float64) / float(1 << 53)).reshape(
+        len(qids), d
+    ) + (qids % 8).astype(np.float64)[:, None] * 2.0
+    queries = {"ids": qids, "mat": qmat}
+
+    out_dir = "/tmp/ddsr_stress_ivf1m"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_ivf(ds, out_dir, n_centroids=64, sample_size=4096)
+    build = time.perf_counter() - t0
+    log(f"ivf1m write_ivf: {build:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        read_ivf_probe(out_dir, queries, k=10, n_probe=8).count()
+    persisted = (time.perf_counter() - t0) / rounds
+    log(f"ivf1m read_ivf_probe: {persisted:.2f}s/round over {rounds} rounds")
+
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        ivf_topk(ds, queries, k=10, n_centroids=64, n_probe=8, sample_size=4096).count()
+    inline = (time.perf_counter() - t0) / rounds
+    log(f"ivf1m inline ivf_topk: {inline:.2f}s/round")
+    return {
+        "vectors": 1_000_000,
+        "queries": len(qids),
+        "build_sec": round(build, 1),
+        "persisted_sec_per_round": round(persisted, 2),
+        "inline_sec_per_round": round(inline, 2),
+        "amortized_speedup": round(inline / persisted, 1),
+    }
+
+
+def main() -> None:
+    if "_dedup-leg" in sys.argv:
+        i = sys.argv.index("_dedup-leg")
+        _dedup_leg(sys.argv[i + 1], sys.argv[i + 2])
+        return
+    which = [a for a in sys.argv[1:] if not a.startswith("-") and not a.isdigit()]
+    results = {}
+    if not which or "dedup20" in which:
+        results["dedup20"] = stress_dedup20()
+    if not which or "dsir600k" in which:
+        results["dsir600k"] = stress_dsir600k()
+    if not which or "tokpack1m" in which:
+        results["tokpack1m"] = stress_tokpack1m()
+    if not which or "ivf1m" in which:
+        results["ivf1m"] = stress_ivf1m()
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
