@@ -891,8 +891,15 @@ def _banded_dedup_assignments(
         rep = cluster_pairs(pairs, pair_ids)  # rep map over clustered ids only
         return emit_cluster_assignments(feats, rep, id_col)
 
-    pairs_ds = lsh_candidate_pairs_distributed(
-        band_rows, id_col=id_col, max_bucket_pairs=max_bucket_pairs
+    # Global pair dedup BEFORE the payload joins: a true near-dup pair
+    # collides in most of its bands, so the raw candidate stream is
+    # ~bands× redundant (measured 12× at 1M docs / 20% dups). One narrow
+    # 16-byte-row sort here cuts the 2×payload shuffle-join and the
+    # connected-components input by that factor (attach 121 s → ~10 s).
+    pairs_ds = _distinct_sorted_pairs(
+        lsh_candidate_pairs_distributed(
+            band_rows, id_col=id_col, max_bucket_pairs=max_bucket_pairs
+        )
     ).materialize()  # object-store resident; reused (bloom build + join)
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
@@ -1424,11 +1431,16 @@ def _attach_pair_payloads(
         batch_format="pyarrow",
         batch_size=None,
     )
+    # coalesce_blocks: both inputs here are materialized and fragmented
+    # (cand has ~input-block count, pairs come out of a sort) — the
+    # block-count-superlinear groupby partition cost dominates otherwise.
     j1 = equi_join_shuffle(
-        pairs, side_a, "a", id_col, ["b"], [pa_col], num_buckets=num_buckets
+        pairs, side_a, "a", id_col, ["b"], [pa_col],
+        num_buckets=num_buckets, coalesce_blocks=True,
     )
     return equi_join_shuffle(
-        j1, side_b, "b", id_col, ["a", pa_col], [pb_col], num_buckets=num_buckets
+        j1, side_b, "b", id_col, ["a", pa_col], [pb_col],
+        num_buckets=num_buckets, coalesce_blocks=True,
     )
 
 
@@ -1451,6 +1463,7 @@ def _emit_assignments_distributed(ids_ds, verified_pairs, id_col: str, num_bucke
         ["component"],
         num_buckets=num_buckets,
         how="left",
+        coalesce_blocks=True,
     )
 
     def finish(t: pa.Table) -> pa.Table:

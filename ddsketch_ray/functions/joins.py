@@ -674,6 +674,7 @@ def equi_join_shuffle(
     how: str = "inner",
     seed: int = 0,
     salt: int = 1,
+    coalesce_blocks: bool = False,
 ):
     """Big-big equi-join (many-to-many) — neither side fits a broadcast.
     Ray 2.49 Data has no shuffle join, so this builds one from Dataset
@@ -759,6 +760,18 @@ def equi_join_shuffle(
     tagged = left_ds.map_batches(make_tag(True), batch_format="pyarrow", batch_size=None).union(
         right_ds.map_batches(make_tag(False), batch_format="pyarrow", batch_size=None)
     )
+    if coalesce_blocks:
+        # Normalize the block count BEFORE the sort-based groupby: its
+        # partitioning cost is superlinear in input blocks (each block
+        # is sliced into every output partition — O(blocks × partitions)
+        # tiny slices, expensive for wide payload columns). Measured at
+        # 200k pairs ⋈ 400k 1KB-payload rows over 224-block inputs:
+        # 24.2 s → 5.7 s. Opt-in (not default) because repartition adds
+        # an extra pass over the tagged union — a loss when the inputs
+        # are already ≲2× num_buckets blocks (bench_bigjoin 3.5 → 9.6 s
+        # when applied unconditionally). Use from call sites whose
+        # inputs are materialized and fragmented into many small blocks.
+        tagged = tagged.repartition(num_buckets * salt)
     join_type = "inner" if how == "inner" else "left outer"
 
     def bucket_join(g: pa.Table) -> pa.Table:

@@ -107,6 +107,43 @@ def ensure_docs20() -> list[str]:
     )
 
 
+class _RssAnonSampler:
+    """Sample this process's RssAnon (anonymous resident pages) at 50 ms.
+
+    ``ru_maxrss`` counts plasma object-store pages mmapped from /dev/shm
+    into the driver, so it conflates "driver heap" with "objects the
+    driver merely touched".  RssAnon excludes file/shm-backed mappings,
+    so its peak is the honest measure of what the driver *plan* holds —
+    the number that must stay O(blocks) for the distributed dedup plan.
+    """
+
+    def __init__(self) -> None:
+        import threading
+
+        self.peak_kb = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _read_kb(self) -> int:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("RssAnon:"):
+                    return int(line.split()[1])
+        return 0
+
+    def _run(self) -> None:
+        while not self._stop.wait(0.05):
+            kb = self._read_kb()
+            if kb > self.peak_kb:
+                self.peak_kb = kb
+
+    def stop_mb(self) -> int:
+        self._stop.set()
+        self._t.join(timeout=1.0)
+        return round(max(self.peak_kb, self._read_kb()) / 1024)
+
+
 def _dedup_leg(mode: str, out_dir: str) -> None:
     """Subprocess leg: run the checkpointed dedup in ``mode``, write
     assignments, print one JSON line incl. this process's peak RSS."""
@@ -119,6 +156,7 @@ def _dedup_leg(mode: str, out_dir: str) -> None:
     ckpt = f"/tmp/ddsr_stress_dedup20_ckpt_{mode}"
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
+    sampler = _RssAnonSampler()
     t0 = time.perf_counter()
     out, job = minhash_dedup_checkpointed(
         files, ckpt_dir=ckpt, run_id="r4", concurrency=CPUS, mode=mode
@@ -139,6 +177,7 @@ def _dedup_leg(mode: str, out_dir: str) -> None:
                 "driver_peak_rss_mb": round(
                     resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
                 ),
+                "driver_peak_anon_mb": sampler.stop_mb(),
             }
         )
     )
