@@ -499,6 +499,41 @@ def q_ngram_jaccard_dedup_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_substring_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level duplicated-substring removal (functions/substring.py,
+    Lee et al. 2022's cleanup as a windowed rolling-hash plan): every
+    8-token window occurring >= 2 times anywhere in the corpus is a
+    duplicated span; per doc report window count, covered-token count,
+    and the cleaned text with covered tokens removed. Gate scale routes
+    the broadcast plan; `_distributed` below pins the scale plan to the
+    same oracle."""
+    from ddsketch_ray.functions.substring import substring_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        substring_dedup(ds, window=8, mode="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_substring_dedup_documents_distributed(sf_dir: str) -> pd.DataFrame:
+    """The fully distributed substring-dedup plan (semi-join instance
+    filter -> sort-plan per-doc spans -> coalesced left join back onto
+    the documents; nothing O(duplicated windows) on the driver) pinned
+    to the same SQL oracle as the broadcast plan."""
+    from ddsketch_ray.functions.substring import substring_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        substring_dedup(ds, window=8, mode="distributed")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
     """Fit profiles on a labeled driver-side sample, broadcast, predict
     in an actor pool — the canonical model-scoring stage shape."""
@@ -3511,6 +3546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "simhash_dedup_distributed_documents": q_simhash_dedup_distributed_documents,
         "ngram_jaccard_dedup_documents": q_ngram_jaccard_dedup_documents,
+        "substring_dedup_documents": q_substring_dedup_documents,
+        "substring_dedup_documents_distributed": q_substring_dedup_documents_distributed,
         "lang_id_documents": q_lang_id_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3742,6 +3779,9 @@ def oracle_sql() -> dict[str, str]:
     out = _recomputed_oracles(qs_values)
     out["redact_documents"] = _redact_oracle()
     out["train_corpus_prep"] = _train_corpus_prep_oracle()
+    # the distributed substring plan is output-identical to the broadcast
+    # plan (pytest equality) — same real SQL oracle
+    out["substring_dedup_documents_distributed"] = out["substring_dedup_documents"]
     # Approximate sketches (HLL/CMS/Bloom/LSH/...) cannot be recomputed by
     # an independent SQL query; their fixed-seed distributed output is
     # deterministic, so the expected values are computed once and frozen
@@ -4488,6 +4528,46 @@ FROM orders o
 LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0) d
   ON o.o_custkey = d.c_custkey
 GROUP BY 1 ORDER BY 1
+""",
+        "substring_dedup_documents": r"""
+-- exact recompute of the duplicated-substring removal: 8-token window
+-- STRINGS (vs the engine's 64-bit window hash — equal up to
+-- collisions), duplicated = total corpus occurrences >= 2 counting
+-- every (doc, position) instance, coverage = union of [p, p+7],
+-- cleaned text = uncovered tokens re-joined with one space
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, ts[g.i] AS t, g.i AS pos
+        FROM toks JOIN generate_series(1, 4096) g(i) ON g.i <= len(ts)),
+w AS (SELECT doc_id, pos,
+             t || ' ' || lead(t,1) OVER win || ' ' || lead(t,2) OVER win
+               || ' ' || lead(t,3) OVER win || ' ' || lead(t,4) OVER win
+               || ' ' || lead(t,5) OVER win || ' ' || lead(t,6) OVER win
+               || ' ' || lead(t,7) OVER win AS gram
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+win AS (SELECT doc_id, pos, gram FROM w WHERE gram IS NOT NULL),
+dup AS (SELECT gram FROM win GROUP BY gram HAVING COUNT(*) >= 2),
+di AS (SELECT w2.doc_id, w2.pos FROM win w2 JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT doc_id, pos + g.j AS cp
+        FROM di JOIN generate_series(0, 7) g(j) ON TRUE),
+stats AS (SELECT doc_id, COUNT(*)::BIGINT AS dup_windows FROM di GROUP BY doc_id),
+covn AS (SELECT doc_id, COUNT(*)::BIGINT AS dup_covered FROM cov GROUP BY doc_id),
+clean AS (SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.pos) AS clean_text
+          FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos
+          WHERE c.cp IS NULL GROUP BY t.doc_id)
+SELECT b.doc_id,
+       len(b.ts)::BIGINT AS n_tokens,
+       coalesce(s.dup_windows, 0)::BIGINT AS dup_windows,
+       coalesce(cv.dup_covered, 0)::BIGINT AS dup_covered,
+       coalesce(cl.clean_text, '') AS clean_text
+FROM toks b
+LEFT JOIN stats s USING (doc_id)
+LEFT JOIN covn cv USING (doc_id)
+LEFT JOIN clean cl USING (doc_id)
+ORDER BY b.doc_id
 """,
         "ngram_jaccard_dedup_documents": r"""
 -- exact recompute of the n-gram Jaccard dedup: distinct trigram STRING

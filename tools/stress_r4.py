@@ -11,9 +11,13 @@
                   broadcast-table size each variant ships.
 3. ``tokpack1m``— tokenize-and-pack job over the 1M-doc corpus:
                   cold throughput + resume-after-lost-parts timing.
-4. ``ivf1m``    — persisted IVF vs inline ivf_topk over the bench 1M×64
-                  embeddings: one write_ivf, then repeated query rounds
-                  (the amortization the layout exists for).
+4. ``ivf1m``    — persisted IVF vs inline ivf_topk over a stress-local
+                  1M×64 corpus with 16 DIRECTIONAL blobs (distinct
+                  cosine directions — the bench corpus's all-dims-offset
+                  blobs are nearly collinear after normalization, so
+                  probes can't concentrate on it): one write_ivf, then
+                  repeated clustered-query rounds (the amortization the
+                  layout exists for).
 
 Usage: python tools/stress_r4.py [dedup20] [dsir600k] [tokpack1m] [ivf1m]
        [--cpus N]
@@ -250,15 +254,21 @@ def stress_dsir600k() -> dict:
     raw = load().materialize()
     target = raw.limit(60_000).materialize()  # 10% "target-domain" slice
 
-    t0 = time.perf_counter()
-    n_hashed = hashed_unigram_importance(raw, target, n_buckets=1 << 18).count()
-    hashed_s = time.perf_counter() - t0
-    log(f"dsir600k hashed: {hashed_s:.1f}s ({600_000/hashed_s:.0f} docs/s)")
-
-    t0 = time.perf_counter()
-    n_exact = unigram_importance(raw, target).count()
-    exact_s = time.perf_counter() - t0
-    log(f"dsir600k exact: {exact_s:.1f}s ({600_000/exact_s:.0f} docs/s)")
+    # best-of-2 per variant (CLAUDE.md): the first pipeline in a fresh
+    # session absorbs worker startup + first-use polars/regex warm-up,
+    # and the hypervisor steals CPU in bursts — a single ordered pass
+    # mis-charged ~10 s to whichever variant ran first
+    hashed_s, exact_s = float("inf"), float("inf")
+    n_hashed = n_exact = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_hashed = hashed_unigram_importance(raw, target, n_buckets=1 << 18).count()
+        hashed_s = min(hashed_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n_exact = unigram_importance(raw, target).count()
+        exact_s = min(exact_s, time.perf_counter() - t0)
+    log(f"dsir600k hashed best: {hashed_s:.1f}s ({600_000/hashed_s:.0f} docs/s)")
+    log(f"dsir600k exact best: {exact_s:.1f}s ({600_000/exact_s:.0f} docs/s)")
     assert n_hashed == n_exact == 600_000
     return {
         "docs": 600_000,
@@ -316,13 +326,46 @@ def stress_tokpack1m() -> dict:
     }
 
 
-def stress_ivf1m() -> dict:
-    import importlib.util
+def _ensure_ivf_corpus(n: int = 1_000_000, d: int = 64, blobs: int = 16) -> str:
+    """1M×64 corpus with ``blobs`` DIRECTIONAL clusters (one-hot axis +
+    small uniform noise) — distinct cosine directions, the shape real
+    embedding spaces have. The bench corpus's all-dims-offset blobs are
+    nearly collinear after normalization, so IVF probes cannot
+    concentrate on it and the layout's pruning is unmeasurable."""
+    out = "/tmp/ddsr_stress_ivfcorpus"
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    from ddsketch_ray.hashing import splitmix64
 
-    spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
-    path = bench.ensure_embeddings()
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    shards, per = 16, n // 16
+    for s in range(shards):
+        ids = np.arange(s * per, (s + 1) * per, dtype=np.int64)
+        base = (ids[:, None].astype(np.uint64) * np.uint64(d)) + np.arange(
+            d, dtype=np.uint64
+        )[None, :]
+        h = splitmix64(base.ravel())
+        vecs = (
+            ((h >> np.uint64(11)).astype(np.float64) / float(1 << 53))
+            .astype(np.float32)
+            .reshape(per, d)
+        ) * 0.1
+        vecs[np.arange(per), (ids % blobs).astype(np.int64)] += 1.0
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32(), d)),
+            }
+        )
+        pq.write_table(t, os.path.join(out, f"part-{s:05d}.parquet"))
+    open(marker, "w").write("ok")
+    return out
+
+
+def stress_ivf1m() -> dict:
+    path = _ensure_ivf_corpus()
     ray_init()
     import ray.data as rd
 
@@ -332,34 +375,45 @@ def stress_ivf1m() -> dict:
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     d = 64
     rounds = 5
+    # a serving batch of 64 queries drawn from 2 of the 16 corpus blobs:
+    # related queries probe a small union of lists, so the probe read
+    # prunes most of the corpus — the scenario the layout exists for
     qids = np.arange(64, dtype=np.int64)
     base = (qids[:, None].astype(np.uint64) * np.uint64(d)) + np.arange(d, dtype=np.uint64)[None, :]
     qmat = ((splitmix64(base.ravel()) >> np.uint64(11)).astype(np.float64) / float(1 << 53)).reshape(
         len(qids), d
-    ) + (qids % 8).astype(np.float64)[:, None] * 2.0
+    ) * 0.1
+    qmat[np.arange(64), (qids % 2).astype(np.int64)] += 1.0
     queries = {"ids": qids, "mat": qmat}
 
     out_dir = "/tmp/ddsr_stress_ivf1m"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    write_ivf(ds, out_dir, n_centroids=64, sample_size=4096)
+    centroids = write_ivf(ds, out_dir, n_centroids=64, sample_size=4096)
     build = time.perf_counter() - t0
-    log(f"ivf1m write_ivf: {build:.1f}s")
+    from ddsketch_ray.functions.ann import _normalize
+
+    qn = _normalize(qmat)
+    qc = np.argsort(-(qn @ centroids.T), axis=1)[:, :4]
+    n_probed = len(np.unique(qc))
+    log(f"ivf1m write_ivf: {build:.1f}s; probed lists {n_probed}/64")
 
     t0 = time.perf_counter()
     for _ in range(rounds):
-        read_ivf_probe(out_dir, queries, k=10, n_probe=8).count()
+        read_ivf_probe(out_dir, queries, k=10, n_probe=4).count()
     persisted = (time.perf_counter() - t0) / rounds
     log(f"ivf1m read_ivf_probe: {persisted:.2f}s/round over {rounds} rounds")
 
     t0 = time.perf_counter()
     for _ in range(rounds):
-        ivf_topk(ds, queries, k=10, n_centroids=64, n_probe=8, sample_size=4096).count()
+        ivf_topk(ds, queries, k=10, n_centroids=64, n_probe=4, sample_size=4096).count()
     inline = (time.perf_counter() - t0) / rounds
     log(f"ivf1m inline ivf_topk: {inline:.2f}s/round")
     return {
         "vectors": 1_000_000,
         "queries": len(qids),
+        "probed_lists": int(n_probed),
+        "n_lists": 64,
         "build_sec": round(build, 1),
         "persisted_sec_per_round": round(persisted, 2),
         "inline_sec_per_round": round(inline, 2),
