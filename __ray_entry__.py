@@ -355,10 +355,13 @@ def q_hll_distinct_custkeys(sf_dir: str) -> pd.DataFrame:
 
 
 def q_cms_top_event_types(sf_dir: str) -> pd.DataFrame:
+    """hash_fn="poly": the SQL-replayable byte-polynomial key hash, so
+    the oracle recomputes every CMS bucket total and the min-over-rows
+    estimate exactly (converted from a frozen oracle in round 4)."""
     from ddsketch_ray.agg import HeavyHittersAgg, sketch_from_result
 
     ds = _read(sf_dir, "events", ["event_type"])
-    res = ds.aggregate(HeavyHittersAgg(on="event_type", alias_name="hh"))
+    res = ds.aggregate(HeavyHittersAgg(on="event_type", hash_fn="poly", alias_name="hh"))
     top = sketch_from_result(res["hh"]).top_k(5)
     return pd.DataFrame(
         {
@@ -3782,6 +3785,17 @@ def oracle_sql() -> dict[str, str]:
     # the distributed substring plan is output-identical to the broadcast
     # plan (pytest equality) — same real SQL oracle
     out["substring_dedup_documents_distributed"] = out["substring_dedup_documents"]
+    # HLL + Bloom: converted from frozen determinism oracles in round 4 —
+    # register/bit math replayed exactly in SQL (splitmix hash, bin()
+    # clz, HUGEINT dyadic register sum / double-hash probe positions)
+    out["hll_distinct_custkeys"] = _hll_sql(
+        "orders", "o_custkey", None, "estimate"
+    )
+    out["hll_users_by_event_type"] = _hll_sql(
+        "events", "user_id", "event_type", "distinct_users"
+    )
+    out["bloom_customer_membership"] = _bloom_sql()
+    out["cms_top_event_types"] = _cms_top_sql()
     # Approximate sketches (HLL/CMS/Bloom/LSH/...) cannot be recomputed by
     # an independent SQL query; their fixed-seed distributed output is
     # deterministic, so the expected values are computed once and frozen
@@ -3821,6 +3835,133 @@ def _splitmix_sql(x: str) -> str:
 
 # hash_ints(v, seed=0) = splitmix64(v ^ splitmix64(0))
 _SPLITMIX_ZERO = 16294208416658607535
+
+
+def _hll_sql(src: str, key: str, group_col: str | None, out_name: str) -> str:
+    """REAL SQL replay of the p=14 HyperLogLog estimate (sketches/hll.py):
+    SplitMix64 key hash, bucket = h >> 50, rho = min(clz(h << 14) + 1, 51)
+    via DuckDB ``bin()`` string length (exact integer clz), register =
+    per-bucket MAX, and the estimator with Σ 2^-reg as an EXACT HUGEINT
+    sum of 2^(64-reg) units (the engine computes the same big-integer
+    sum, so the one float conversion + α·m²/S division is bit-identical;
+    empty registers contribute 2^64 each). Small-range correction
+    (raw ≤ 2.5m, V zero registers > 0 → m·ln(m/V)) mirrored in CASE."""
+    h = _splitmix_sql(
+        f"xor(CAST(coalesce({key}, 0) AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
+    )
+    grp_sel = f"{group_col}, " if group_col else ""
+    grp_by = f"GROUP BY {group_col}" if group_col else ""
+    grp_by_b = f"{group_col}, " if group_col else ""
+    order = f"ORDER BY {group_col}" if group_col else ""
+    return f"""
+WITH hv AS (SELECT {grp_sel}{h} AS h FROM {src}),
+rw AS (SELECT {grp_sel}CAST(h >> 50 AS BIGINT) AS bucket,
+              CAST((CAST(h AS HUGEINT) * 16384) % 18446744073709551616 AS UBIGINT) AS w
+       FROM hv),
+rr AS (SELECT {grp_sel}bucket,
+              LEAST(CASE WHEN w = 0 THEN 65
+                         ELSE 64 - length(bin(w)) + 1 END, 51) AS rho
+       FROM rw),
+reg AS (SELECT {grp_sel}bucket, MAX(rho) AS r FROM rr GROUP BY {grp_by_b}bucket),
+s AS (SELECT {grp_sel}SUM(CAST(power(2, 64 - r) AS HUGEINT)) AS s_p,
+             COUNT(*)::BIGINT AS nb
+      FROM reg {grp_by}),
+est AS (SELECT {grp_sel}
+               (0.7213 / (1.0 + 1.079 / 16384.0)) * 16384 * 16384 /
+                 (CAST(s_p + (16384 - nb) * CAST(power(2, 64) AS HUGEINT)
+                       AS DOUBLE) * power(2.0, -64)) AS raw,
+               16384 - nb AS v
+        FROM s)
+SELECT {grp_sel}CAST(round(CASE WHEN raw <= 2.5 * 16384 AND v > 0
+                                THEN 16384 * ln(16384.0 / v)
+                                ELSE raw END) AS BIGINT) AS {out_name}
+FROM est {order}
+"""
+
+
+def _cms_top_sql() -> str:
+    """REAL SQL replay of cms_top_event_types (sketches/countmin.py +
+    HeavyHitters, hash_fn="poly"): byte-polynomial key hash (the dsir
+    CTE pattern), depth=5 double-hashed columns (h + i·((h>>32)|1)) mod
+    2^64 mod width=8192 in HUGEINT, bucket totals summed over ALL events
+    (types colliding in a bucket inflate each other — the CMS
+    overestimate, reproduced exactly), estimate = min over the 5 rows,
+    top 5 by (est DESC, key ASC) — the engine's exact tie-break."""
+    final = _splitmix_sql(f"xor(h, CAST({_SPLITMIX_ZERO} AS UBIGINT))")
+    col = (
+        "CAST(CAST((CAST(hh AS HUGEINT) + i.i * CAST((hh >> 32) | 1 AS HUGEINT))"
+        " % 18446744073709551616 AS UBIGINT) % 8192 AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE
+tv AS (SELECT event_type AS tok, COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
+tb AS (SELECT tok, lower(hex(encode(tok))) AS hx,
+              octet_length(encode(tok))::BIGINT AS L FROM tv),
+maxl AS (SELECT MAX(L) AS m FROM tb),
+pows(j, v) AS (
+  SELECT 0::BIGINT, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT j + 1, CAST((CAST(v AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM pows WHERE j + 1 < (SELECT m FROM maxl)),
+bidx AS (SELECT tok, hx, L, unnest(generate_series(1, L)) AS i FROM tb),
+bytes AS (
+  SELECT tok,
+    CAST((strpos('0123456789abcdef', substring(hx, (2*i-1)::INT, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(hx, (2*i)::INT, 1)) - 1 AS HUGEINT) AS b,
+    L - i AS pfe
+  FROM bidx),
+h0 AS (SELECT tok, CAST(SUM(CAST(pw.v AS HUGEINT) * b) % 18446744073709551616 AS UBIGINT) AS h
+       FROM bytes JOIN pows pw ON pw.j = bytes.pfe GROUP BY tok),
+hh AS (SELECT tok, {final} AS hh FROM h0),
+cols AS (SELECT tok, i.i AS d, {col} AS c
+         FROM hh, generate_series(0, 4) i(i)),
+tot AS (SELECT d, c, SUM(n)::BIGINT AS total
+        FROM cols JOIN tv USING (tok) GROUP BY d, c),
+est AS (SELECT tok, MIN(total)::BIGINT AS est
+        FROM cols JOIN tot USING (d, c) GROUP BY tok)
+SELECT tok AS event_type, est FROM est ORDER BY est DESC, tok LIMIT 5
+"""
+
+
+def _bloom_sql() -> str:
+    """REAL SQL replay of bloom_customer_membership (sketches/bloom.py):
+    sizing m = max(64, ceil(-cap·ln(0.01)/ln(2)²)), k = max(1,
+    round(m/cap·ln 2)) from cap = max(|orders|, 64); k probe positions
+    per key via double hashing (h + i·((h>>32)|1)) mod 2^64 mod m in
+    HUGEINT; a customer is maybe_present iff ALL k of its positions are
+    set by some order key. Every step is integer once m and k are fixed
+    (the two float sizing expressions sit far from their ceil/round
+    boundaries at any sf)."""
+    h = _splitmix_sql("xor(CAST(key AS UBIGINT), CAST({z} AS UBIGINT))").replace(
+        "{z}", str(_SPLITMIX_ZERO)
+    )
+    pos = (
+        "CAST(CAST((CAST(h AS HUGEINT) + i.i * CAST((h >> 32) | 1 AS HUGEINT))"
+        " % 18446744073709551616 AS UBIGINT) % CAST(m AS UBIGINT) AS BIGINT)"
+    )
+    return f"""
+WITH par0 AS (SELECT GREATEST(COUNT(*), 64)::BIGINT AS cap FROM orders),
+par1 AS (SELECT cap,
+                GREATEST(64, CAST(ceil(-cap * ln(0.01) / (ln(2) * ln(2)))
+                                  AS BIGINT)) AS m
+         FROM par0),
+par AS (SELECT cap, m,
+               GREATEST(1, CAST(round(m / cap * ln(2)) AS BIGINT)) AS k
+        FROM par1),
+okeys AS (SELECT DISTINCT o_custkey::BIGINT AS key FROM orders),
+oh AS (SELECT {h} AS h FROM okeys),
+ins AS (SELECT DISTINCT {pos} AS p
+        FROM oh, par, generate_series(0, 31) i(i) WHERE i.i < par.k),
+ckeys AS (SELECT c_custkey::BIGINT AS key FROM customer),
+ch AS (SELECT key, {h} AS h FROM ckeys),
+cpos AS (SELECT key, {pos} AS p
+         FROM ch, par, generate_series(0, 31) i(i) WHERE i.i < par.k)
+SELECT c.key AS c_custkey,
+       CASE WHEN COUNT(*) FILTER (WHERE ins.p IS NOT NULL) = (SELECT k FROM par)
+            THEN 1 ELSE 0 END::BIGINT AS maybe_present
+FROM cpos c LEFT JOIN ins ON ins.p = c.p
+GROUP BY c.key ORDER BY c.key
+"""
 
 
 def _logreg_sql_ctes(iters: int, lr: float = 0.5, scale: float = 1048576.0) -> str:

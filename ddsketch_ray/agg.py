@@ -332,9 +332,17 @@ class HeavyHittersAgg(_SketchAggBase):
         depth: int = 5,
         capacity: int = 256,
         seed: int = 0,
+        hash_fn: str = "xx",
         alias_name=None,
     ):
+        if hash_fn not in ("xx", "poly"):
+            raise ValueError(f"hash_fn must be 'xx' or 'poly', got {hash_fn!r}")
         self._seed = seed
+        # "poly": hash string keys with the SQL-replayable byte
+        # polynomial (hashing.polyhash_strings) instead of xxhash, so an
+        # independent DuckDB oracle can recompute every CMS bucket —
+        # same ε/δ guarantees, different (equally random) bucket layout
+        self._hash_fn = hash_fn
         super().__init__(
             factory=lambda: HeavyHitters(width=width, depth=depth, capacity=capacity),
             name=alias_name or f"heavy_hitters({on})",
@@ -344,7 +352,15 @@ class HeavyHittersAgg(_SketchAggBase):
     def _accumulate(self, sk, block):
         col, is_arrow = _column_values(block, self._target_col_name)
         col = drop_nulls(col, is_arrow)
-        hashes = hash_any_column(col, is_arrow, seed=self._seed)
+        if self._hash_fn == "poly":
+            from ddsketch_ray.hashing import polyhash_strings
+
+            hashes = polyhash_strings(
+                col if is_arrow else pa.array(list(col), type=pa.large_string()),
+                seed=self._seed,
+            )
+        else:
+            hashes = hash_any_column(col, is_arrow, seed=self._seed)
         sk.cms.add_hashed(hashes)
         # candidate set touches only UNIQUE keys (vectorized dedup on the
         # hashes; labels materialized for the uniques alone, by index so

@@ -61,8 +61,19 @@ class HyperLogLog:
 
     def estimate(self) -> float:
         m = self.m
-        reg = self.registers.astype(np.float64)
-        raw = _alpha_m(m) * m * m / np.sum(np.exp2(-reg))
+        # Σ 2^-reg computed EXACTLY as a big integer of 2^-64 units
+        # (each term 2^(64-reg) — reg ≤ 64 — summed without rounding),
+        # then ONE float conversion + scale. Order-independent, so an
+        # independent SQL oracle's unordered SUM reproduces the same
+        # double bit-for-bit (a float-accumulated np.sum would differ
+        # from SQL in the last ulp depending on summation order).
+        counts = np.bincount(self.registers, minlength=1)
+        s_num = 0
+        for r, c in enumerate(counts):
+            if c:
+                s_num += int(c) << (64 - r)
+        s = float(s_num) * 2.0**-64
+        raw = _alpha_m(m) * m * m / s
         if raw <= 2.5 * m:
             zeros = int(np.count_nonzero(self.registers == 0))
             if zeros > 0:

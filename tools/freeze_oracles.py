@@ -37,10 +37,14 @@ SF = "/root/testdata/sf0.01"
 # queries verified deterministic across fresh Ray sessions (merge-order-
 # independent sketch algebra or pure per-row functions)
 FREEZE = [
-    "hll_distinct_custkeys",
-    "hll_users_by_event_type",
-    "cms_top_event_types",
-    "bloom_customer_membership",
+    # hll_distinct_custkeys / hll_users_by_event_type: converted to REAL
+    # recomputed-SQL oracles in round 4 (splitmix hash + bin() clz +
+    # exact HUGEINT dyadic register sum — the engine's estimator now
+    # sums 2^-reg as a big integer so SQL's unordered SUM replays it)
+    # cms_top_event_types: converted in round 4 (hash_fn="poly" byte
+    # polynomial + double-hashed bucket totals + min-over-rows in SQL)
+    # bloom_customer_membership: converted in round 4 (sizing + k probe
+    # positions + bit membership replayed in HUGEINT SQL)
     "minhash_dedup_documents",
     "minhash_dedup_distributed_documents",
     "simhash_dedup_documents",
