@@ -537,6 +537,23 @@ def q_substring_dedup_documents_distributed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_epoch_shuffle_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic epoch-1 shuffle manifest (functions/shuffle.py):
+    a global permutation that is a pure function of (doc_id, epoch,
+    seed) — layout/cluster-size invariant, unlike random_shuffle. One
+    hash map + the global_rank sort plan; the SQL oracle replays the
+    SplitMix64 hash and the (hash, id) ROW_NUMBER exactly."""
+    from ddsketch_ray.functions.shuffle import epoch_shuffle_order
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return (
+        epoch_shuffle_order(ds, epoch=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
     """Fit profiles on a labeled driver-side sample, broadcast, predict
     in an actor pool — the canonical model-scoring stage shape."""
@@ -3551,6 +3568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup_documents": q_ngram_jaccard_dedup_documents,
         "substring_dedup_documents": q_substring_dedup_documents,
         "substring_dedup_documents_distributed": q_substring_dedup_documents_distributed,
+        "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "lang_id_documents": q_lang_id_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3796,6 +3814,22 @@ def oracle_sql() -> dict[str, str]:
     )
     out["bloom_customer_membership"] = _bloom_sql()
     out["cms_top_event_types"] = _cms_top_sql()
+    # epoch-1 shuffle: hash_ints(doc_id, seed=1) = splitmix64(id ^
+    # splitmix64(1)); rank = ROW_NUMBER over (int64-view hash, id)
+    _eh = _splitmix_sql(
+        "xor(CAST(doc_id AS UBIGINT), CAST(10451216379200822465 AS UBIGINT))"
+    )
+    out["epoch_shuffle_docs"] = f"""
+WITH h AS (SELECT doc_id::BIGINT AS doc_id, {_eh} AS h FROM documents),
+s AS (SELECT doc_id,
+             CAST(CAST(h AS HUGEINT)
+                  - CASE WHEN h >= 9223372036854775808 THEN 18446744073709551616
+                         ELSE 0 END AS BIGINT) AS sh
+      FROM h)
+SELECT doc_id,
+       (ROW_NUMBER() OVER (ORDER BY sh, doc_id))::BIGINT AS epoch_rank
+FROM s ORDER BY doc_id
+"""
     # Approximate sketches (HLL/CMS/Bloom/LSH/...) cannot be recomputed by
     # an independent SQL query; their fixed-seed distributed output is
     # deterministic, so the expected values are computed once and frozen

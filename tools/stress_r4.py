@@ -421,6 +421,52 @@ def stress_ivf1m() -> dict:
     }
 
 
+def stress_substr1m() -> dict:
+    """substring_dedup over the 1M-doc / 20%-near-dup corpus: every
+    copy shares its predecessor's first 59 tokens, so both docs of a
+    pair carry exactly 52 duplicated 8-token windows covering tokens
+    0..58 (59 covered, 1 surviving token). 53M window instances, ~10.4M
+    duplicated hashes -> the auto gate routes the DISTRIBUTED plan."""
+    files = ensure_docs20()
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.substring import substring_dedup
+
+    ds = rd.read_parquet(files).materialize()
+    t0 = time.perf_counter()
+    out = substring_dedup(ds, window=8, mode="distributed")
+    out_dir = "/tmp/ddsr_stress_substr1m_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out.write_parquet(out_dir)
+    wall = time.perf_counter() - t0
+    import duckdb
+
+    chk = duckdb.sql(
+        f"""SELECT
+              COUNT(*) FILTER (WHERE dup_windows = 52 AND dup_covered = 59
+                               AND n_tokens - dup_covered = 1),
+              COUNT(*) FILTER (WHERE dup_windows = 0 AND dup_covered = 0
+                               AND n_tokens = 60),
+              COUNT(*)
+            FROM '{out_dir}/*.parquet'"""
+    ).fetchone()
+    n_dup_docs, n_clean_docs, n_total = int(chk[0]), int(chk[1]), int(chk[2])
+    assert n_total == N_DOCS, n_total
+    assert n_dup_docs == 2 * (N_DOCS // 5), n_dup_docs  # both docs of each pair
+    assert n_clean_docs == N_DOCS - n_dup_docs, n_clean_docs
+    log(f"substr1m distributed: {wall:.1f}s ({N_DOCS/wall:.0f} docs/s), "
+        f"{n_dup_docs} docs with duplicated spans")
+    return {
+        "docs": N_DOCS,
+        "window": 8,
+        "mode": "distributed",
+        "wall_s": round(wall, 1),
+        "docs_per_sec": round(N_DOCS / wall),
+        "docs_with_dup_spans": n_dup_docs,
+    }
+
+
 def main() -> None:
     if "_dedup-leg" in sys.argv:
         i = sys.argv.index("_dedup-leg")
@@ -436,6 +482,8 @@ def main() -> None:
         results["tokpack1m"] = stress_tokpack1m()
     if not which or "ivf1m" in which:
         results["ivf1m"] = stress_ivf1m()
+    if not which or "substr1m" in which:
+        results["substr1m"] = stress_substr1m()
     print(json.dumps(results, indent=2))
 
 
