@@ -537,6 +537,49 @@ def q_substring_dedup_documents_distributed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_per_source_rank_docs(sf_dir: str) -> pd.DataFrame:
+    """ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+    as the per_key_rank sort plan (functions/keyrank.py) — the primitive
+    behind per-domain document caps. All rows returned so the oracle
+    hashes every rank."""
+    from ddsketch_ray.functions.keyrank import per_key_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return (
+        per_key_rank(ds, "source", "n_chars", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_cap_per_user_events(sf_dir: str) -> pd.DataFrame:
+    """Keep at most 3 events per user, earliest (ts, event_id) first —
+    the per-key cap at high key cardinality (functions/keyrank.py
+    cap_per_key; a dominant key exercises the cross-block stitch in
+    pytest)."""
+    from ddsketch_ray.functions.keyrank import cap_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+    return (
+        cap_per_key(p, "user_id", "ts_us", "event_id", n=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_epoch_shuffle_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic epoch-1 shuffle manifest (functions/shuffle.py):
     a global permutation that is a pure function of (doc_id, epoch,
@@ -3569,6 +3612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_documents": q_substring_dedup_documents,
         "substring_dedup_documents_distributed": q_substring_dedup_documents_distributed,
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
+        "per_source_rank_docs": q_per_source_rank_docs,
+        "cap_per_user_events": q_cap_per_user_events,
         "lang_id_documents": q_lang_id_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4703,6 +4748,23 @@ FROM orders o
 LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0) d
   ON o.o_custkey = d.c_custkey
 GROUP BY 1 ORDER BY 1
+""",
+        "per_source_rank_docs": r"""
+-- ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) —
+-- the per_key_rank sort-plan replay
+SELECT doc_id::BIGINT AS doc_id,
+       (ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars, doc_id))::BIGINT AS key_rank
+FROM documents ORDER BY doc_id
+""",
+        "cap_per_user_events": r"""
+-- keep at most 3 events per user, earliest (ts, event_id) first
+WITH r AS (
+  SELECT event_id::BIGINT AS event_id,
+         (ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id))::BIGINT AS key_rank
+  FROM events)
+SELECT event_id, key_rank FROM r WHERE key_rank <= 3 ORDER BY event_id
 """,
         "substring_dedup_documents": r"""
 -- exact recompute of the duplicated-substring removal: 8-token window
