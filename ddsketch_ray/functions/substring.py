@@ -107,6 +107,24 @@ def _window_hashes(flat: pl.Series, lens: np.ndarray, window: int, seed: int):
     return whash, gdoc, gpos
 
 
+def _window_positions(lens: np.ndarray, window: int):
+    """(gdoc, gpos) of every complete window — the position math of
+    ``_window_hashes`` WITHOUT hashing (the clean/finish stage only
+    masks by position; re-hashing every token there would double the
+    pipeline's hash cost)."""
+    total = int(lens.sum())
+    if total < window:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    m = total - window + 1
+    valid = doc_idx[:m] == doc_idx[window - 1 :]
+    g = np.nonzero(valid)[0]
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    gdoc = doc_idx[g]
+    return gdoc, g - starts[gdoc]
+
+
 def _dup_window_hashes(ds, text_col: str, window: int, seed: int):
     """Dataset of (whash:int64, n:int64) for every window hash with
     total corpus occurrence count ≥ 2 (pass 1)."""
@@ -254,18 +272,9 @@ def _substring_clean_broadcast(ds, dup_ds, id_col, text_col, window, seed):
     return ds.map_batches(mark, batch_format="pyarrow", batch_size=None)
 
 
-def _substring_clean_distributed(
-    ds, dup_ds, id_col, text_col, window, seed, num_buckets
-):
-    """Scale path: nothing O(duplicated windows) on the driver.
-
-    instances —semi-join→ duplicated instances —sort-plan spans per
-    doc (boundary docs driver-stitched, ≤ 2 rows per block)— left
-    equi-join back onto the documents — final mask map."""
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from ddsketch_ray.functions.joins import equi_join_shuffle, semi_join_shuffle
+def _instances_fn(id_col: str, text_col: str, window: int, seed: int):
+    """Picklable per-batch map: documents → (whash, _doc, _pos) window
+    instance rows (the narrow explode both distributed phases consume)."""
 
     def instances(t: pa.Table) -> pa.Table:
         _, flat, lens = _tokenize(t.column(text_col))
@@ -279,10 +288,38 @@ def _substring_clean_distributed(
             }
         )
 
-    inst = ds.map_batches(instances, batch_format="pyarrow", batch_size=None)
+    return instances
+
+
+def _substring_clean_distributed(
+    ds, dup_ds, id_col, text_col, window, seed, num_buckets
+):
+    """Scale path: nothing O(duplicated windows) on the driver.
+
+    instances —semi-join→ duplicated instances —sort-plan spans per
+    doc (boundary docs driver-stitched, ≤ 2 rows per block)— left
+    equi-join back onto the documents — final mask map."""
+    from ddsketch_ray.functions.joins import semi_join_shuffle
+
+    inst = ds.map_batches(
+        _instances_fn(id_col, text_col, window, seed),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     dup_inst = semi_join_shuffle(
         inst, dup_ds, "whash", "whash", ["_doc", "_pos"], num_buckets=num_buckets
     )
+    spans = _spans_from_dup_instances(dup_inst, id_col)
+    return _attach_and_finish(ds, spans, id_col, text_col, window, num_buckets)
+
+
+def _spans_from_dup_instances(dup_inst, id_col: str):
+    """Duplicated (\\_doc, \\_pos) instance rows → one (\\_doc,
+    \\_positions blob) row per doc: sort-plan in-block runs, boundary
+    docs (≤ 2 per block) re-merged on the driver."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
     # per-doc sorted positions -> packed span string (pos list as a
     # binary int64 blob): in-block runs, boundary docs via the driver
     srt = dup_inst.sort(["_doc", "_pos"])
@@ -345,8 +382,18 @@ def _substring_clean_distributed(
             )
         )
 
+    return spans
+
+
+def _attach_and_finish(docs_ds, spans, id_col, text_col, window, num_buckets):
+    """LEFT-join the per-doc span blobs back onto the documents (block-
+    coalesced shuffle join) and emit the report rows. Position-only —
+    no re-hashing: the mask is rebuilt from the blobs with one
+    vectorized isin over (doc, pos) combined keys."""
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
     lab = equi_join_shuffle(
-        ds,
+        docs_ds,
         spans,
         id_col,
         "_doc",
@@ -359,14 +406,11 @@ def _substring_clean_distributed(
 
     def finish(t: pa.Table) -> pa.Table:
         _, flat, lens = _tokenize(t.column(text_col))
-        wins = _window_hashes(flat, lens, window, seed)
-        whash, gdoc, gpos = wins
-        # rebuild the duplicated mask from the attached position blobs:
-        # one vectorized isin over (doc, pos) combined keys
+        gdoc, gpos = _window_positions(lens, window)
         blobs = t.column("_positions").to_pylist()
-        mask = np.zeros(len(whash), dtype=bool)
+        mask = np.zeros(len(gdoc), dtype=bool)
         nonempty = [(i, b) for i, b in enumerate(blobs) if b]
-        if len(whash) and nonempty:
+        if len(gdoc) and nonempty:
             blob_doc = np.repeat(
                 np.array([i for i, _ in nonempty], dtype=np.int64),
                 np.array([len(b) // 8 for _, b in nonempty], dtype=np.int64),
@@ -377,7 +421,71 @@ def _substring_clean_distributed(
             m = int(max(gpos.max(), blob_pos.max())) + 1
             mask = np.isin(gdoc * m + gpos, blob_doc * m + blob_pos)
         return _finish_batch(
-            t, id_col, text_col, {"wins": wins, "mask": mask}, window
+            t, id_col, text_col, {"wins": (None, gdoc, gpos), "mask": mask}, window
         )
 
     return lab.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def substring_dedup_checkpointed(
+    input_files,
+    ckpt_dir: str,
+    run_id: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    seed: int = 0,
+    concurrency: int = 8,
+    files_per_partition: int = 1,
+    num_buckets: int = 64,
+):
+    """Resumable substring dedup for big corpora: the window-instance
+    extraction — the dominant cost (tokenize + xxhash every token of
+    text) — runs as a CheckpointedMapJob writing one (whash, _doc,
+    _pos) instance parquet per input shard; a killed run resumes from
+    the finished shards. The count/semi-join/span phases then STREAM
+    from the instance parts (narrow 24-byte rows — re-running them
+    after a crash re-reads, never re-tokenizes), and only the final
+    clean map re-reads the original documents (position-mask only, no
+    re-hashing). Always the distributed plan — this is the scale job.
+
+    Returns (report Dataset, job) — ``job.manifest()`` carries the
+    per-partition lineage + metrics."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+    from ddsketch_ray.functions.joins import semi_join_shuffle
+    from ddsketch_ray.state.checkpoint import CheckpointedMapJob
+
+    job = CheckpointedMapJob(
+        list(input_files),
+        _instances_fn(id_col, text_col, window, seed),
+        columns=[id_col, text_col],
+        ckpt_dir=ckpt_dir,
+        run_id=run_id,
+        files_per_partition=files_per_partition,
+    )
+    part_files = job.run(concurrency=concurrency)
+    inst = rd.read_parquet(part_files).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("whash").to_numpy(), return_counts=True)
+        return pa.table({"whash": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    dup_ds = sorted_sum_rollup(
+        inst.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "whash",
+        ["n"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    dup_inst = semi_join_shuffle(
+        inst, dup_ds, "whash", "whash", ["_doc", "_pos"], num_buckets=num_buckets
+    )
+    spans = _spans_from_dup_instances(dup_inst, id_col)
+    docs = rd.read_parquet(list(input_files), columns=[id_col, text_col])
+    out = _attach_and_finish(docs, spans, id_col, text_col, window, num_buckets)
+    return out, job

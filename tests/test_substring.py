@@ -108,3 +108,64 @@ def test_substring_whitespace_normalization(ray_session):
     for _, r in out.iterrows():
         assert r.clean_text == exp[r.doc_id][3]
     assert (out.dup_windows > 0).any()  # 'a b c d' duplicated
+
+
+def test_substring_dedup_checkpointed_resume(ray_session, tmp_path):
+    """Instance stage checkpoints per shard; resume after losing parts
+    is identical; output matches the non-checkpointed distributed plan."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ddsketch_ray.functions.substring import (
+        substring_dedup,
+        substring_dedup_checkpointed,
+    )
+
+    docs = _docs_table()
+    # extend with a random tail so shards are non-trivial
+    rng = np.random.default_rng(11)
+    vocab = [f"v{i}" for i in range(150)]
+    for i in range(8, 80):
+        docs[i] = " ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+    ids = sorted(docs)
+    files = []
+    per = max(1, len(ids) // 6)
+    for i in range(0, len(ids), per):
+        f = str(tmp_path / f"docs-{i:04d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids[i : i + per], type=pa.int64()),
+                    "text": pa.array([docs[j] for j in ids[i : i + per]]),
+                }
+            ),
+            f,
+        )
+        files.append(f)
+
+    out1, job = substring_dedup_checkpointed(
+        files, ckpt_dir=str(tmp_path / "ckpt"), run_id="s1", window=W, concurrency=2
+    )
+    df1 = out1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert job.pending_partitions() == []
+
+    ref = (
+        substring_dedup(rd.read_parquet(files), window=W, mode="distributed")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(df1, ref)
+    assert (df1.dup_windows > 0).any()
+
+    # lose two instance parts -> resume recomputes only those, output identical
+    os.remove(job._part_path(1))
+    os.remove(job._part_path(3))
+    out2, job2 = substring_dedup_checkpointed(
+        files, ckpt_dir=str(tmp_path / "ckpt"), run_id="s1", window=W, concurrency=2
+    )
+    df2 = out2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df2, df1)
