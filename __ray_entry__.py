@@ -537,6 +537,50 @@ def q_substring_dedup_documents_distributed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _en_target(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def q_bigram_nll_docs(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality score (functions/lm.py): add-1-smoothed
+    bigram LM fit on the en target, every raw doc scored by mean
+    quantized negative log-likelihood. REAL SQL oracle: every bigram
+    count, prefix count, log term and integer sum recomputed."""
+    from ddsketch_ray.functions.lm import bigram_nll
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        bigram_nll(raw, _en_target(sf_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["avg_nll"] = _round6(out["avg_nll"])
+    return out
+
+
+def q_bigram_nll_hashed_docs(sf_dir: str) -> pd.DataFrame:
+    """Feature-hashed bigram NLL (functions/lm.py::bigram_nll_hashed,
+    2^12 buckets at gate scale): constant-size tables regardless of
+    vocabulary growth; the SQL oracle replays the byte-polynomial
+    bucket hash exactly."""
+    from ddsketch_ray.functions.lm import bigram_nll_hashed
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        bigram_nll_hashed(raw, _en_target(sf_dir), n_buckets=1 << 12)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["avg_nll"] = _round6(out["avg_nll"])
+    return out
+
+
 def q_per_source_rank_docs(sf_dir: str) -> pd.DataFrame:
     """ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
     as the per_key_rank sort plan (functions/keyrank.py) — the primitive
@@ -3614,6 +3658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "per_source_rank_docs": q_per_source_rank_docs,
         "cap_per_user_events": q_cap_per_user_events,
+        "bigram_nll_docs": q_bigram_nll_docs,
+        "bigram_nll_hashed_docs": q_bigram_nll_hashed_docs,
         "lang_id_documents": q_lang_id_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4749,6 +4795,46 @@ LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0) d
   ON o.o_custkey = d.c_custkey
 GROUP BY 1 ORDER BY 1
 """,
+        "bigram_nll_docs": r"""
+-- full recompute of the bigram-LM quality score: exact target bigram /
+-- prefix counts, add-1 smoothed negative log-likelihoods quantized
+-- with round_even (== np.rint), per-doc integer sums; unseen-bigram
+-- fallback to the prefix term, unseen-prefix fallback to ln(V)
+WITH
+toks AS (SELECT doc_id::BIGINT AS doc_id, lang,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS ts
+         FROM documents),
+tok AS (SELECT doc_id, lang, ts[g.i] AS t, g.i AS pos
+        FROM toks JOIN generate_series(1, 4096) g(i) ON g.i <= len(ts)),
+bgall AS (SELECT doc_id, lang,
+                 t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+          FROM tok),
+rbg AS (SELECT doc_id, bg FROM bgall WHERE bg IS NOT NULL),
+tbgc AS (SELECT bg, COUNT(*)::BIGINT AS n FROM bgall
+         WHERE bg IS NOT NULL AND lang = 'en' GROUP BY bg),
+prec AS (SELECT split_part(bg, ' ', 1) AS pre, SUM(n)::BIGINT AS cn
+         FROM tbgc GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT t)::BIGINT AS V FROM tok WHERE lang = 'en'),
+q AS (SELECT b.bg,
+             CAST(round_even((-ln((b.n + 1.0) / (p.cn + V))) * 1048576.0, 0) AS BIGINT) AS q
+      FROM tbgc b JOIN prec p ON split_part(b.bg, ' ', 1) = p.pre, vv),
+qu AS (SELECT pre, CAST(round_even(ln(cn + V) * 1048576.0, 0) AS BIGINT) AS qu
+       FROM prec, vv),
+q0v AS (SELECT CAST(round_even(ln(CAST(V AS DOUBLE)) * 1048576.0, 0) AS BIGINT) AS q0 FROM vv),
+sc AS (SELECT r.doc_id, COALESCE(q.q, qu.qu, (SELECT q0 FROM q0v)) AS nq
+       FROM rbg r
+       LEFT JOIN q ON q.bg = r.bg
+       LEFT JOIN qu ON qu.pre = split_part(r.bg, ' ', 1)),
+pd_ AS (SELECT doc_id, COUNT(*)::BIGINT AS n, SUM(nq)::BIGINT AS s
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(p.n, 0)::BIGINT AS n_bigrams,
+       ROUND(CASE WHEN COALESCE(p.n, 0) > 0
+                  THEN CAST(p.s AS DOUBLE) / (1048576.0 * p.n) ELSE 0.0 END, 6) AS avg_nll
+FROM documents d LEFT JOIN pd_ p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""",
         "per_source_rank_docs": r"""
 -- ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) —
 -- the per_key_rank sort-plan replay
@@ -5269,6 +5355,64 @@ SELECT d.doc_id::BIGINT AS doc_id,
              THEN CAST(p.s AS DOUBLE) / (1048576.0 * p.n) ELSE 0.0 END, 6) AS iw
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY doc_id
+""",
+        "bigram_nll_hashed_docs": rf"""
+-- feature-hashed bigram NLL, full recompute INCLUDING the bucket hash:
+-- polyhash (byte polynomial mod 2^64 + splitmix finalize) of every
+-- distinct bigram string AND prefix string into 2^12 buckets, target
+-- instance counts per bucket, two ln terms quantized SEPARATELY with
+-- round_even (the engine's separable formulation), per-doc int sums
+WITH RECURSIVE
+toks0 AS (SELECT doc_id::BIGINT AS doc_id, lang,
+          list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                      x -> x <> '') AS ts
+          FROM documents),
+tok0 AS (SELECT doc_id, lang, ts[g.i] AS t, g.i AS pos
+         FROM toks0 JOIN generate_series(1, 4096) g(i) ON g.i <= len(ts)),
+bgall AS (SELECT doc_id, lang,
+                 t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+          FROM tok0),
+rbg AS (SELECT doc_id, bg FROM bgall WHERE bg IS NOT NULL),
+tbg AS (SELECT bg FROM bgall WHERE bg IS NOT NULL AND lang = 'en'),
+strs AS (SELECT DISTINCT bg AS tok FROM rbg
+         UNION SELECT DISTINCT split_part(bg, ' ', 1) FROM rbg),
+tb AS (SELECT tok, lower(hex(encode(tok))) AS hx, octet_length(encode(tok))::BIGINT AS L FROM strs),
+maxl AS (SELECT MAX(L) AS m FROM tb),
+pows(j, v) AS (
+  SELECT 0::BIGINT, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT j + 1, CAST((CAST(v AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM pows WHERE j + 1 < (SELECT m FROM maxl)),
+bidx AS (SELECT tok, hx, L, unnest(generate_series(1, L)) AS i FROM tb),
+bytes AS (
+  SELECT tok,
+    CAST((strpos('0123456789abcdef', substring(hx, (2*i-1)::INT, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(hx, (2*i)::INT, 1)) - 1 AS HUGEINT) AS b,
+    L - i AS pfe
+  FROM bidx),
+h0 AS (SELECT tok, CAST(SUM(CAST(pw.v AS HUGEINT) * b) % 18446744073709551616 AS UBIGINT) AS h
+       FROM bytes JOIN pows pw ON pw.j = bytes.pfe GROUP BY tok),
+bkt AS (SELECT tok, CAST({polyhash_final} % 4096 AS BIGINT) AS bucket FROM h0),
+cb AS (SELECT k.bucket, COUNT(*)::BIGINT AS n FROM tbg t JOIN bkt k ON k.tok = t.bg
+       GROUP BY k.bucket),
+cp AS (SELECT k.bucket, COUNT(*)::BIGINT AS n FROM tbg t
+       JOIN bkt k ON k.tok = split_part(t.bg, ' ', 1) GROUP BY k.bucket),
+sc AS (SELECT r.doc_id,
+         CAST(round_even(ln(COALESCE(cp.n, 0) + 4096.0) * 1048576.0, 0) AS BIGINT)
+       - CAST(round_even(ln(COALESCE(cb.n, 0) + 1.0) * 1048576.0, 0) AS BIGINT) AS nq
+       FROM rbg r
+       JOIN bkt kb ON kb.tok = r.bg
+       JOIN bkt kp ON kp.tok = split_part(r.bg, ' ', 1)
+       LEFT JOIN cb ON cb.bucket = kb.bucket
+       LEFT JOIN cp ON cp.bucket = kp.bucket),
+pd_ AS (SELECT doc_id, COUNT(*)::BIGINT AS n, SUM(nq)::BIGINT AS s
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(p.n, 0)::BIGINT AS n_bigrams,
+       ROUND(CASE WHEN COALESCE(p.n, 0) > 0
+                  THEN CAST(p.s AS DOUBLE) / (1048576.0 * p.n) ELSE 0.0 END, 6) AS avg_nll
+FROM documents d LEFT JOIN pd_ p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
 """,
         "quality_model_scores": r"""
 -- fixed quality model applied to the bit-exact feature recompute; dot

@@ -1,0 +1,256 @@
+"""Bigram language-model quality scoring (CCNet-style perplexity filter).
+
+The classic corpus-quality signal (Wenzek et al., "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+train a small LM on a trusted target corpus, score every raw document
+by its negative log-likelihood under that LM, and keep the low-
+perplexity tail. This implementation is an add-1-smoothed BIGRAM model
+— big enough to separate fluent text from gibberish, small enough that
+every probability is an exact integer-count expression an independent
+SQL oracle recomputes.
+
+Model (exact mode): for bigram (v, w) with target bigram count c(v,w),
+target prefix count c(v) = Σ_w c(v,w), and V = |distinct target
+unigrams|:
+
+    nll(v, w) = −ln((c(v,w)+1) / (c(v)+V))      [add-1 smoothing]
+    unseen prefix v: −ln(1/V) = ln(V)
+
+Determinism contract (the DSIR/logreg pattern): every nll is quantized
+ONCE driver-side to ``rint(nll · 2^20)`` int64, per-doc sums are
+order-independent integer adds, and the reported score is one float
+division rounded to 6 decimals — bit-identical across layouts/cluster
+sizes and recomputed by a real DuckDB oracle (``bigram_nll_docs``).
+
+Scale: the exact-token tables are O(distinct target bigrams) on the
+driver — fine for a trusted target corpus (CCNet's Wikipedia targets
+are exactly this shape), and the broadcast ships once via ``ray.put``.
+For an UNBOUNDED target, ``hashed=True`` maps bigrams and prefixes into
+fixed 2^k bucket spaces (``hashing.polyhash_strings`` — SQL-replayable
+mod-2^64 arithmetic), so both tables are constant-size dense vectors
+regardless of vocabulary growth (``bigram_nll_hashed_docs``).
+
+Reference scope note: gmorleo/DDSketch is a numeric sketch library
+(`ddsketch.h:58-252`); this operator is part of the LLM-data-pipeline
+surface this engine adds on top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from ddsketch_ray.functions.text import TOKEN_PATTERN
+
+_SCALE = float(1 << 20)
+
+
+def _bigram_frame(texts, id_values=None) -> pl.DataFrame:
+    """Per-batch (bg, [i]) bigram rows: space-joined adjacent token
+    pairs within each document, vectorized (explode + shift + doc mask).
+    """
+    s = pl.from_arrow(texts.cast(pa.large_string())).fill_null("")
+    toks = s.str.extract_all(TOKEN_PATTERN)
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    df = pl.DataFrame({"tok": flat, "d": doc_idx})
+    df = df.with_columns(
+        nxt=pl.col("tok").shift(-1), nd=pl.col("d").shift(-1, fill_value=-1)
+    ).filter(pl.col("d") == pl.col("nd"))
+    df = df.with_columns(bg=pl.col("tok") + " " + pl.col("nxt"))
+    out = df.select(["bg", "d"])
+    if id_values is not None:
+        ids = np.asarray(id_values, dtype=np.int64)
+        out = out.with_columns(i=pl.Series(ids[out["d"].to_numpy()]))
+    return out
+
+
+def _target_bigram_counts(target_ds, text_col: str):
+    """Distributed exact (bg, n) counts over the target corpus."""
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = _bigram_frame(t.column(text_col))
+        g = df.group_by("bg").agg(n=pl.len().cast(pl.Int64))
+        return pa.table(
+            {
+                "bg": g["bg"].to_arrow().cast(pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = target_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return sorted_sum_rollup(partials, "bg", ["n"])
+
+
+def fit_bigram_lm(target_ds, text_col: str = "text"):
+    """Driver-side quantized-nll tables from the target corpus. Returns
+    a dict {"bg": polars(bg, q), "pre": polars(pre, qu), "q0": int}
+    with q = rint(−ln((c(bg)+1)/(c(pre)+V))·2^20), qu = the unseen-
+    bigram value for a SEEN prefix, q0 = the unseen-prefix constant.
+    Driver bound: O(distinct target bigrams) — the trusted-target
+    shape; use ``hashed`` mode for unbounded targets."""
+    from ddsketch_ray.functions.selection import _token_counts
+
+    bg = _target_bigram_counts(target_ds, text_col).to_pandas()
+    V = int(_token_counts(target_ds, text_col).count())
+    if V == 0:
+        raise ValueError("fit_bigram_lm: empty target corpus")
+    pre = bg.copy()
+    pre["pre"] = pre["bg"].str.split(" ", n=1).str[0]
+    prec = pre.groupby("pre", as_index=False)["n"].sum().rename(columns={"n": "cn"})
+    bgj = pre.merge(prec, on="pre")
+    q = np.rint(
+        -(np.log((bgj["n"].to_numpy(np.float64) + 1.0)
+                 / (bgj["cn"].to_numpy(np.float64) + V))) * _SCALE
+    ).astype(np.int64)
+    qu = np.rint(np.log(prec["cn"].to_numpy(np.float64) + V) * _SCALE).astype(
+        np.int64
+    )
+    q0 = int(np.rint(np.log(float(V)) * _SCALE))
+    return {
+        "bg": pl.DataFrame({"bg": bgj["bg"].to_numpy(), "q": q}),
+        "pre": pl.DataFrame({"pre": prec["pre"].to_numpy(), "qu": qu}),
+        "q0": q0,
+    }
+
+
+def bigram_nll(
+    raw_ds,
+    target_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Score every raw doc under the target bigram LM. Returns a
+    Dataset (id_col, n_bigrams:int64, avg_nll:float64 — mean quantized
+    negative log-likelihood per bigram, rounded to 6; 0.0 for docs with
+    < 2 tokens). Lower = more target-like."""
+    import ray
+
+    lm = fit_bigram_lm(target_ds, text_col)
+    ref = ray.put(lm)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = _bigram_frame(t.column(text_col))
+        df = df.with_columns(pre=pl.col("bg").str.split(" ").list.first())
+        df = df.join(m["bg"], on="bg", how="left").join(
+            m["pre"], on="pre", how="left"
+        )
+        df = df.with_columns(
+            nq=pl.coalesce(pl.col("q"), pl.col("qu"), pl.lit(m["q0"])).cast(pl.Int64)
+        )
+        agg = df.group_by("d").agg(
+            n=pl.len().cast(pl.Int64), s=pl.col("nq").sum().cast(pl.Int64)
+        )
+        base = pl.DataFrame({"d": np.arange(t.num_rows, dtype=np.int64)})
+        out = base.join(agg, on="d", how="left").sort("d").with_columns(
+            pl.col("n").fill_null(0), pl.col("s").fill_null(0)
+        )
+        n = out["n"].to_numpy().astype(np.int64)
+        sm = out["s"].to_numpy().astype(np.float64)
+        avg = np.where(n > 0, np.round(sm / (_SCALE * np.maximum(n, 1)), 6), 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_bigrams": pa.array(n),
+                "avg_nll": pa.array(avg),
+            }
+        )
+
+    return raw_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def _bucket_bigram_counts(ds, text_col: str, n_buckets: int, seed: int, prefix: bool):
+    """Dense int64 bucket counts of bigram strings (or their prefixes)
+    over a FIXED 2^k space — the constant-size rollup (≤ n_buckets rows
+    per block through the shuffle, ≤ n_buckets rows to the driver)."""
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+    from ddsketch_ray.hashing import polyhash_strings
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = _bigram_frame(t.column(text_col))
+        col = (
+            df["bg"].str.split(" ").list.first() if prefix else df["bg"]
+        )
+        if col.len() == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        bk = (polyhash_strings(col.to_arrow(), seed=seed) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        cnt = np.bincount(bk, minlength=n_buckets)
+        nzb = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bucket": pa.array(nzb.astype(np.int64)), "n": pa.array(cnt[nzb].astype(np.int64))}
+        )
+
+    rolled = sorted_sum_rollup(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), "bucket", ["n"]
+    ).to_pandas()  # ≤ n_buckets rows — constant-size by design
+    dense = np.zeros(n_buckets, dtype=np.int64)
+    if len(rolled):
+        dense[rolled["bucket"].to_numpy().astype(np.int64)] = rolled["n"].to_numpy()
+    return dense
+
+
+def bigram_nll_hashed(
+    raw_ds,
+    target_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 16,
+    seed: int = 0,
+):
+    """Feature-hashed bigram NLL — nothing O(vocab) anywhere: bigram
+    and prefix counts live in fixed 2^k bucket spaces (polyhash — SQL-
+    replayable), the broadcast is two constant-size dense int64 vectors.
+    nll(b) = −ln((cb(bucket(b))+1)/(cp(bucket(pre))+B)), B = n_buckets;
+    same quantization contract as the exact mode."""
+    import ray
+
+    from ddsketch_ray.hashing import polyhash_strings
+
+    cb = _bucket_bigram_counts(target_ds, text_col, n_buckets, seed, prefix=False)
+    cp = _bucket_bigram_counts(target_ds, text_col, n_buckets, seed, prefix=True)
+    # quantized per-(bg_bucket, pre_bucket) value is separable:
+    # q = rint((ln(cp[j]+B) − ln(cb[i]+1))·S) is NOT separable under
+    # rint — so quantize the two ln terms separately (each exact to
+    # rint) and subtract the int64 pair per bigram; the SQL oracle
+    # mirrors the same two-term quantization.
+    qb = np.rint(np.log(cb + 1.0) * _SCALE).astype(np.int64)
+    qp = np.rint(np.log(cp + float(n_buckets)) * _SCALE).astype(np.int64)
+    qb_ref = ray.put(qb)
+    qp_ref = ray.put(qp)
+
+    def score(t: pa.Table) -> pa.Table:
+        b = ray.get(qb_ref)
+        p = ray.get(qp_ref)
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = _bigram_frame(t.column(text_col))
+        d = df["d"].to_numpy()
+        n_rows = t.num_rows
+        n = np.bincount(d, minlength=n_rows).astype(np.int64)
+        sums = np.zeros(n_rows, dtype=np.int64)
+        if len(d):
+            bgb = (polyhash_strings(df["bg"].to_arrow(), seed=seed)
+                   % np.uint64(n_buckets)).astype(np.int64)
+            preb = (polyhash_strings(
+                df["bg"].str.split(" ").list.first().to_arrow(), seed=seed)
+                % np.uint64(n_buckets)).astype(np.int64)
+            nq = p[preb] - b[bgb]
+            np.add.at(sums, d, nq)
+        avg = np.where(n > 0, np.round(sums / (_SCALE * np.maximum(n, 1)), 6), 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_bigrams": pa.array(n),
+                "avg_nll": pa.array(avg),
+            }
+        )
+
+    return raw_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
