@@ -421,6 +421,56 @@ def stress_ivf1m() -> dict:
     }
 
 
+def stress_bigram600k() -> dict:
+    """bigram-LM quality scoring over the 600k-page disk corpus (target
+    = the 10% head slice): exact vs feature-hashed wall time, best-of-2
+    (the dsir600k timing convention)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    path = bench.ensure_corpus(600_000)
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.lm import bigram_nll, bigram_nll_hashed
+    from ddsketch_ray.hashing import hash_strings
+
+    def load():
+        raw = rd.read_parquet(path, columns=["url", "text"])
+
+        def wid(t: pa.Table) -> pa.Table:
+            h = hash_strings(t.column("url")).astype(np.int64)
+            return pa.table({"doc_id": pa.array(h), "text": t.column("text")})
+
+        return raw.map_batches(wid, batch_format="pyarrow", batch_size=None)
+
+    raw = load().materialize()
+    target = raw.limit(60_000).materialize()
+
+    exact_s = hashed_s = float("inf")
+    n_e = n_h = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_h = bigram_nll_hashed(raw, target, n_buckets=1 << 16).count()
+        hashed_s = min(hashed_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n_e = bigram_nll(raw, target).count()
+        exact_s = min(exact_s, time.perf_counter() - t0)
+    assert n_e == n_h == 600_000
+    log(f"bigram600k hashed best: {hashed_s:.1f}s ({600_000/hashed_s:.0f} docs/s)")
+    log(f"bigram600k exact best: {exact_s:.1f}s ({600_000/exact_s:.0f} docs/s)")
+    return {
+        "docs": 600_000,
+        "hashed_sec": round(hashed_s, 1),
+        "hashed_docs_per_sec": round(600_000 / hashed_s),
+        "hashed_broadcast_bytes": 2 * (1 << 16) * 8,
+        "exact_sec": round(exact_s, 1),
+        "exact_docs_per_sec": round(600_000 / exact_s),
+    }
+
+
 def stress_substr1m() -> dict:
     """substring_dedup over the 1M-doc / 20%-near-dup corpus: every
     copy shares its predecessor's first 59 tokens, so both docs of a
@@ -484,6 +534,8 @@ def main() -> None:
         results["ivf1m"] = stress_ivf1m()
     if not which or "substr1m" in which:
         results["substr1m"] = stress_substr1m()
+    if not which or "bigram600k" in which:
+        results["bigram600k"] = stress_bigram600k()
     print(json.dumps(results, indent=2))
 
 
