@@ -537,6 +537,66 @@ def q_substring_dedup_documents_distributed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_minhash_index_lookup_documents(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest dedup against a PERSISTED MinHash-LSH index
+    (functions/dedup_index.py): build the index once over documents,
+    then probe it with a deterministic ingest batch — 30 near-copies
+    (one token mutated) that must match their source and 10 disjoint-
+    vocabulary gibberish docs that must not. Frozen oracle (xxhash
+    signatures, like the other minhash queries); the match/reject
+    SEMANTICS are pinned by tests/test_dedup_index.py."""
+    import shutil
+
+    from ddsketch_ray.functions.dedup_index import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    idx_dir = "/tmp/ddsr_gate_mhidx_" + sf_dir.strip("/").replace("/", "_")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    write_minhash_index(
+        docs.map_batches(
+            lambda t: t.select(["doc_id", "text"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        idx_dir,
+        num_buckets=16,
+    )
+
+    src = (
+        docs.to_pandas().sort_values("doc_id").query("n_chars >= 150").head(30)
+    )
+    new_ids, new_texts = [], []
+    for j, (_, r) in enumerate(src.iterrows()):
+        toks = [t for t in r["text"].split() if t]
+        toks[min(7, len(toks) - 1)] = "MUTATED"
+        new_ids.append(1_000_000 + j)
+        new_texts.append(" ".join(toks))
+    for j in range(10):  # gibberish over a vocab disjoint from documents
+        new_ids.append(2_000_000 + j)
+        new_texts.append(" ".join(f"zzq{j}x{i}" for i in range(40)))
+    import ray.data as rd
+
+    new_ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(new_ids, type=pa.int64()),
+                "text": pa.array(new_texts),
+            }
+        )
+    )
+    out = (
+        dedup_against_index(new_ds, idx_dir)
+        .to_pandas()
+        .sort_values("new_id")
+        .reset_index(drop=True)
+    )
+    out["agreement"] = _round6(out["agreement"])
+    return out
+
+
 def _en_target(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
         lambda t: t.filter(pc.equal(t.column("lang"), "en")).select(["doc_id", "text"]),
@@ -3660,6 +3720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_user_events": q_cap_per_user_events,
         "bigram_nll_docs": q_bigram_nll_docs,
         "bigram_nll_hashed_docs": q_bigram_nll_hashed_docs,
+        "minhash_index_lookup_documents": q_minhash_index_lookup_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_scores_documents": q_quality_scores_documents,
         "doc_fingerprints": q_doc_fingerprints,

@@ -47,6 +47,7 @@ FREEZE = [
     # positions + bit membership replayed in HUGEINT SQL)
     "minhash_dedup_documents",
     "minhash_dedup_distributed_documents",
+    "minhash_index_lookup_documents",
     "simhash_dedup_documents",
     "simhash_dedup_distributed_documents",
     "lang_id_documents",
