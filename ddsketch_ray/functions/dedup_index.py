@@ -84,8 +84,32 @@ def write_minhash_index(
         batch_format="pyarrow",
         batch_size=None,
     )
-    write_bucketed(band, os.path.join(out_dir, "bands"), "band_hash", num_buckets, seed)
-    write_bucketed(sigs, os.path.join(out_dir, "sigs"), id_col, num_buckets, seed)
+    write_bucketed(band, os.path.join(out_dir, "bands"), "band_hash", num_buckets, seed,
+                   sort_by_bucket=True)
+
+    def pack(t: pa.Table) -> pa.Table:
+        # store signatures PACKED (fixed_size_binary(num_perm×8)): the
+        # verify read decodes zero-copy instead of paying parquet
+        # list<int64> reassembly over the whole corpus (the write_ivf
+        # lesson — list decode dominated the lookup otherwise)
+        m = np.asarray(
+            t.column("minhash_sig").combine_chunks().flatten().to_numpy()
+        ).reshape(t.num_rows, -1)
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m.shape[1] * 8),
+            t.num_rows,
+            [None, pa.py_buffer(np.ascontiguousarray(m).tobytes())],
+        )
+        return pa.table({id_col: t.column(id_col), "_psig": packed})
+
+    write_bucketed(
+        sigs.map_batches(pack, batch_format="pyarrow", batch_size=None),
+        os.path.join(out_dir, "sigs"),
+        id_col,
+        num_buckets,
+        seed,
+        sort_by_bucket=True,  # index layouts are re-read every ingest
+    )
     with open(os.path.join(out_dir, "_minhash_meta.json"), "w") as f:
         json.dump(
             {
@@ -256,7 +280,7 @@ def dedup_against_index(
     )
     sbuckets = np.unique(_bucket_of(cand_ids, num_buckets, seed))
     isigs = _read_buckets(
-        os.path.join(index_dir, "sigs"), sbuckets, [id_col, "minhash_sig"]
+        os.path.join(index_dir, "sigs"), sbuckets, [id_col, "_psig"]
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -271,8 +295,11 @@ def dedup_against_index(
                     "agree": pa.array([], pa.float64()),
                 }
             )
-        sig = np.asarray(
-            t.column("minhash_sig").combine_chunks().flatten().to_numpy()
+        parr = t.column("_psig").combine_chunks()
+        bw = parr.type.byte_width
+        sig = np.frombuffer(
+            parr.buffers()[1], dtype=np.int64, offset=parr.offset * bw,
+            count=t.num_rows * (bw // 8),
         ).reshape(t.num_rows, -1)
         outs_a, outs_b, outs_g = [], [], []
         for i in np.nonzero(keep)[0]:

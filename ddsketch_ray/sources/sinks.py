@@ -33,18 +33,27 @@ def add_bucket_column(
 
 
 def write_bucketed(
-    ds, out_dir: str, key_col: str, num_buckets: int = 64, seed: int = 0
+    ds, out_dir: str, key_col: str, num_buckets: int = 64, seed: int = 0,
+    sort_by_bucket: bool = False,
 ) -> None:
     """Write ``ds`` hash-bucketed by ``key_col`` into
-    ``out_dir/bucket=i/`` hive directories. Streaming end-to-end (the
-    bucket column is a pure map; no shuffle — rows stay in their blocks,
-    each output file covers the buckets present in its block; readers
-    prune by directory)."""
+    ``out_dir/bucket=i/`` hive directories. By default streaming
+    end-to-end (the bucket column is a pure map; no shuffle — rows stay
+    in their blocks, each output file covers the buckets present in its
+    block; readers prune by directory) — which emits up to
+    blocks × buckets files. ``sort_by_bucket=True`` pays ONE shuffle to
+    sort by bucket first, collapsing the layout to ~(blocks + buckets)
+    files — choose it for layouts that will be re-read many times
+    (measured: an unsorted 1M-doc MinHash index produced 14,336 files
+    per layout and per-file open/metadata overhead dominated every
+    probe read)."""
     bucketed = ds.map_batches(
         lambda t: add_bucket_column(t, key_col, num_buckets, seed),
         batch_format="pyarrow",
         batch_size=None,
     )
+    if sort_by_bucket:
+        bucketed = bucketed.sort("bucket")
     bucketed.write_parquet(out_dir, partition_cols=["bucket"])
 
 
