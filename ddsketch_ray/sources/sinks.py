@@ -173,7 +173,10 @@ def write_range_partitioned(ds, out_dir: str, value_col: str, num_partitions: in
     from ddsketch_ray.functions.distribution import range_partition_by_quantiles
 
     withpid, cuts = range_partition_by_quantiles(ds, value_col, num_partitions)
-    withpid.write_parquet(out_dir, partition_cols=["pid"])
+    # sort by pid before the hive write — same ~(blocks + partitions)
+    # file-count contract as write_bucketed's sorted default (unsorted,
+    # each block splits into every pid directory)
+    withpid.sort("pid").write_parquet(out_dir, partition_cols=["pid"])
     return cuts
 
 
