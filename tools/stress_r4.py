@@ -590,6 +590,92 @@ def stress_mhidx1m() -> dict:
     }
 
 
+def stress_keyrank5m() -> dict:
+    """per_key_rank at 5M rows / ~1M keys with ONE dominant key holding
+    30% of rows (spans many blocks after the sort -> the cross-block
+    base-offset stitch carries through a long chain). Exact check: the
+    rank sum must equal Σ_k n_k(n_k+1)/2."""
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.keyrank import per_key_rank
+    from ddsketch_ray.hashing import splitmix64
+
+    n = 5_000_000
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        h = splitmix64(ids.astype(np.uint64))
+        keys = (h % np.uint64(1_000_000)).astype(np.int64)
+        keys[ids % 10 < 3] = -1  # dominant key: 30% of all rows
+        o = (splitmix64(h) % np.uint64(1000)).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(keys), "o": pa.array(o), "i": pa.array(ids.astype(np.int64))}
+        )
+
+    ds = rd.range(n, override_num_blocks=128).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    t0 = time.perf_counter()
+    ranked = per_key_rank(ds, "k", "o", "i").materialize()
+    wall = time.perf_counter() - t0
+    rank_sum = int(ranked.sum("key_rank"))
+    # expected Σ n_k(n_k+1)/2 from exact per-key counts
+    import duckdb
+
+    counts = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pa.array(
+                        np.unique(t.column("k").to_numpy(), return_counts=True)[0]
+                    ),
+                    "c": pa.array(
+                        np.unique(t.column("k").to_numpy(), return_counts=True)[1].astype(
+                            np.int64
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+        .groupby("k")["c"]
+        .sum()
+    )
+    expect = int((counts * (counts + 1) // 2).sum())
+    assert rank_sum == expect, (rank_sum, expect)
+    log(f"keyrank5m: {wall:.1f}s ({n/wall:.0f} rows/s), rank-sum exact")
+    return {"rows": n, "wall_s": round(wall, 1), "rows_per_sec": round(n / wall),
+            "dominant_key_rows": int(counts.loc[-1])}
+
+
+def stress_shuffle5m() -> dict:
+    """epoch_shuffle_order at 5M ids: permutation exactness (rank sum ==
+    n(n+1)/2, min 1, max n) + throughput."""
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.shuffle import epoch_shuffle_order
+
+    n = 5_000_000
+    ds = rd.range(n, override_num_blocks=128).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    t0 = time.perf_counter()
+    out = epoch_shuffle_order(ds, epoch=2).materialize()
+    wall = time.perf_counter() - t0
+    s = int(out.sum("epoch_rank"))
+    mn = int(out.min("epoch_rank"))
+    mx = int(out.max("epoch_rank"))
+    assert s == n * (n + 1) // 2 and mn == 1 and mx == n, (s, mn, mx)
+    log(f"shuffle5m: {wall:.1f}s ({n/wall:.0f} rows/s), dense permutation exact")
+    return {"rows": n, "wall_s": round(wall, 1), "rows_per_sec": round(n / wall)}
+
+
 def main() -> None:
     if "_dedup-leg" in sys.argv:
         i = sys.argv.index("_dedup-leg")
@@ -611,6 +697,10 @@ def main() -> None:
         results["bigram600k"] = stress_bigram600k()
     if not which or "mhidx1m" in which:
         results["mhidx1m"] = stress_mhidx1m()
+    if not which or "keyrank5m" in which:
+        results["keyrank5m"] = stress_keyrank5m()
+    if not which or "shuffle5m" in which:
+        results["shuffle5m"] = stress_shuffle5m()
     print(json.dumps(results, indent=2))
 
 
