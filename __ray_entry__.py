@@ -462,6 +462,41 @@ def q_minhash_dedup_distributed_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_minhash_dedup_sqlhash_documents(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH dedup with the SQL-replayable token hash
+    (``token_hash="poly"`` — hashing.polyhash_strings) over documents
+    plus 50 planted near-duplicates (docs 0–49 re-emitted with
+    doc_id+100000 and one token appended, so shingle Jaccard ≈ 0.99 and
+    the clusters are non-trivial at sf0.01, where the raw table has no
+    dups). Unlike the frozen determinism oracles on the xxhash default,
+    this query's oracle recomputes the ENTIRE plan independently in
+    DuckDB: polyhash token hashes, 5-gram splitmix shingle chains, all
+    128 permutations, 16 band-hash chains, candidate pairs, the
+    agreement>=0.7 verify, and connected components via a recursive CTE
+    — the first end-to-end independent check of the LSH banding/verify/
+    clustering logic (the parity the reference's testMergeWithRandom
+    harness gives the sketch core; main.cpp:170-1152)."""
+    from ddsketch_ray.functions.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = t.filter(pc.less(t.column("doc_id"), 50))
+        txt = pc.fill_null(m.column("text"), "")
+        txt = pc.binary_join_element_wise(pc.cast(txt, pa.string()), " zzz", "")
+        return pa.table({"doc_id": pc.add(m.column("doc_id"), 100000), "text": txt})
+
+    planted = ds.union(ds.map_batches(mutate, batch_format="pyarrow", batch_size=None))
+    return (
+        minhash_dedup(planted, token_hash="poly")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_simhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
     from ddsketch_ray.functions.dedup import simhash_dedup
 
@@ -3710,6 +3745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_customer_membership": q_bloom_customer_membership,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_distributed_documents": q_minhash_dedup_distributed_documents,
+        "minhash_dedup_sqlhash_documents": q_minhash_dedup_sqlhash_documents,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "simhash_dedup_distributed_documents": q_simhash_dedup_distributed_documents,
         "ngram_jaccard_dedup_documents": q_ngram_jaccard_dedup_documents,
@@ -4021,6 +4057,112 @@ def _splitmix_sql(x: str) -> str:
 
 # hash_ints(v, seed=0) = splitmix64(v ^ splitmix64(0))
 _SPLITMIX_ZERO = 16294208416658607535
+
+
+def _minhash_sqlhash_oracle() -> str:
+    """REAL end-to-end SQL replay of minhash_dedup(token_hash="poly")
+    over documents + 50 planted near-dups: polyhash token hashes
+    (byte polynomial mod 2^64, as in the DSIR-hashed oracle), 5-gram
+    shingle hashes as splitmix chains (recursive CTE over window
+    positions; short docs get one whole-doc chain, empty docs the
+    polyhash("") shingle), 128 permutation minima, 16 band-hash chains
+    (pivot to 8 columns + 8 chained CTE stages), candidate pairs from
+    band-bucket self-join, signature-agreement verify (ag/128.0 >= 0.7,
+    same IEEE compare as the numpy mean), and connected components via
+    a recursive reachability CTE with MIN(reachable id) as the rep."""
+    _sm = _splitmix_sql
+    polyhash_final = _sm(f"xor(h, CAST({_SPLITMIX_ZERO} AS UBIGINT))")
+    empty_sh = _sm(f"CAST({_SPLITMIX_ZERO} AS UBIGINT)")
+    bchain = [f"SELECT doc_id, band, {_sm('v0')} AS acc, v1, v2, v3, v4, v5, v6, v7 FROM bb"]
+    for j in range(1, 8):
+        rest = ", ".join(f"v{i}" for i in range(j + 1, 8))
+        rest = (", " + rest) if rest else ""
+        bchain.append(
+            f"SELECT doc_id, band, {_sm(f'xor(acc, v{j})')} AS acc{rest} FROM b{j - 1}"
+        )
+    bchain_ctes = ",\n".join(f"b{j} AS ({q})" for j, q in enumerate(bchain))
+    pivot_cols = ",\n  ".join(
+        f"MAX(CASE WHEN p % 8 = {j} THEN v END) AS v{j}" for j in range(8)
+    )
+    return rf"""
+-- minhash_dedup(token_hash="poly") recomputed END-TO-END: every stage
+-- of the LSH plan (token hash, shingle chain, permutations, bands,
+-- verify, clustering) replayed independently in SQL
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id::BIGINT AS doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id::BIGINT + 100000, coalesce(text, '') || ' zzz'
+  FROM documents WHERE doc_id < 50
+),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+') AS toks FROM docs),
+tp AS (SELECT doc_id, unnest(generate_series(1, len(toks)))::BIGINT AS i, unnest(toks) AS tok FROM tl),
+ntok AS (SELECT d.doc_id, COUNT(tp.i)::BIGINT AS n FROM docs d LEFT JOIN tp ON d.doc_id = tp.doc_id GROUP BY d.doc_id),
+toksd AS (SELECT DISTINCT tok FROM tp),
+tb AS (SELECT tok, lower(hex(encode(tok))) AS hx, octet_length(encode(tok))::BIGINT AS L FROM toksd),
+maxl AS (SELECT MAX(L) AS m FROM tb),
+pows(j, v) AS (
+  SELECT 0::BIGINT, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT j + 1, CAST((CAST(v AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM pows WHERE j + 1 < (SELECT m FROM maxl)),
+bidx AS (SELECT tok, hx, L, unnest(generate_series(1, L)) AS i FROM tb),
+bytes AS (
+  SELECT tok,
+    CAST((strpos('0123456789abcdef', substring(hx, (2*i-1)::INT, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(hx, (2*i)::INT, 1)) - 1 AS HUGEINT) AS b,
+    L - i AS pfe
+  FROM bidx),
+h0 AS (SELECT tok, CAST(SUM(CAST(pw.v AS HUGEINT) * b) % 18446744073709551616 AS UBIGINT) AS h
+       FROM bytes JOIN pows pw ON pw.j = bytes.pfe GROUP BY tok),
+th AS (SELECT tok, {polyhash_final} AS ph FROM h0),
+tph AS (SELECT tp.doc_id, tp.i, th.ph FROM tp JOIN th USING (tok)),
+wins AS (SELECT doc_id,
+               unnest(generate_series(1, CASE WHEN n >= 5 THEN n - 4 ELSE 1 END))::BIGINT AS s,
+               CASE WHEN n >= 5 THEN 5 ELSE n END AS wlen
+        FROM ntok WHERE n >= 1),
+rc(doc_id, s, j, acc) AS (
+  SELECT w.doc_id, w.s, 1::BIGINT, {_sm("p.ph")}
+  FROM wins w JOIN tph p ON p.doc_id = w.doc_id AND p.i = w.s
+  UNION ALL
+  SELECT r.doc_id, r.s, r.j + 1, {_sm("xor(r.acc, p.ph)")}
+  FROM rc r
+  JOIN wins w ON w.doc_id = r.doc_id AND w.s = r.s AND r.j < w.wlen
+  JOIN tph p ON p.doc_id = r.doc_id AND p.i = r.s + r.j
+),
+sh AS (
+  SELECT DISTINCT r.doc_id, r.acc AS shv
+  FROM rc r JOIN wins w ON w.doc_id = r.doc_id AND w.s = r.s AND r.j = w.wlen
+  UNION
+  SELECT doc_id, {empty_sh} FROM ntok WHERE n = 0
+),
+perms AS (SELECT p::BIGINT AS p, {_sm("CAST(p + 1 AS UBIGINT)")} AS pseed
+          FROM generate_series(0, 127) g(p)),
+sig AS (SELECT s.doc_id, pm.p, MIN({_sm("xor(s.shv, pm.pseed)")}) AS v
+        FROM sh s CROSS JOIN perms pm GROUP BY s.doc_id, pm.p),
+bb AS (SELECT doc_id, p // 8 AS band,
+  {pivot_cols}
+  FROM sig GROUP BY doc_id, p // 8),
+{bchain_ctes},
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM b7 x JOIN b7 y ON x.band = y.band AND x.acc = y.acc AND x.doc_id < y.doc_id),
+agree AS (SELECT c.a, c.b, COUNT(*) FILTER (WHERE sa.v = sb.v) AS ag
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+          GROUP BY c.a, c.b),
+edges AS (SELECT a, b FROM agree WHERE ag / 128.0 >= 0.7
+          UNION ALL
+          SELECT b, a FROM agree WHERE ag / 128.0 >= 0.7),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
+SELECT doc_id, rep::BIGINT AS rep, (doc_id = rep) AS is_survivor
+FROM comp ORDER BY doc_id
+"""
 
 
 def _hll_sql(src: str, key: str, group_col: str | None, out_name: str) -> str:
@@ -5369,6 +5511,7 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY doc_id
 """,
+        "minhash_dedup_sqlhash_documents": _minhash_sqlhash_oracle(),
         "dsir_hashed_importance_docs": rf"""
 -- feature-hashed DSIR, full recompute INCLUDING the bucket hash: the
 -- byte-polynomial mod 2^64 (hex(encode(tok)) byte extraction, recursive

@@ -215,7 +215,7 @@ def distinct_count(ds, col: str) -> int:
 # ------------------------------------------------------------- shingling
 
 
-def shingle_hashes(texts: pl.Series, k: int = 5, seed: int = 0):
+def shingle_hashes(texts: pl.Series, k: int = 5, seed: int = 0, token_hash: str = "xx"):
     """Per-doc k-gram (word) shingle hashes → (flat uint64, offsets int64).
 
     A shingle hash is a SplitMix64 chain over the k consecutive token
@@ -226,13 +226,23 @@ def shingle_hashes(texts: pl.Series, k: int = 5, seed: int = 0):
     old string-join implementation spent ~100 µs/doc building shingle
     strings, the dominant cost of dedup at the 600k-doc stress scale).
     Docs with fewer than k tokens get one whole-doc chained shingle.
+
+    token_hash="xx" (default) hashes tokens with xxhash (fast Rust
+    kernel); "poly" uses ``hashing.polyhash_strings`` — slower mixing
+    but every step is plain mod-2^64 arithmetic an independent DuckDB
+    oracle can replay exactly (the SQL-oracle mode; see the
+    ``minhash_dedup_sqlhash_documents`` gate query).
     """
+    if token_hash == "poly":
+        from ddsketch_ray.hashing import polyhash_strings as _tok_hash
+    else:
+        _tok_hash = hash_strings
     toks = texts.fill_null("").str.to_lowercase().str.extract_all(TOKEN_PATTERN)
     lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
     n_docs = len(lens)
     flat_toks = toks.explode().drop_nulls()
     th = (
-        hash_strings(flat_toks.to_arrow(), seed=seed)
+        _tok_hash(flat_toks.to_arrow(), seed=seed)
         if flat_toks.len()
         else np.empty(0, np.uint64)
     )
@@ -261,7 +271,7 @@ def shingle_hashes(texts: pl.Series, k: int = 5, seed: int = 0):
             acc = splitmix64(acc ^ th[starts + j])
         out[np.repeat(offsets[full], counts) + ar] = acc
 
-    empty_hash = hash_strings([""], seed=seed)[0]
+    empty_hash = _tok_hash([""], seed=seed)[0]
     for d in np.nonzero(~full)[0].tolist():  # short docs are rare
         t0, ln = int(tok_off[d]), int(lens[d])
         if ln == 0:
@@ -529,6 +539,7 @@ def minhash_signature_batch(
     num_perm: int = 128,
     seed: int = 0,
     method: str = "classic",
+    token_hash: str = "xx",
 ) -> pa.Table:
     """method="classic": one mix+reduceat pass PER permutation (exact
     Broder minhash); method="oph": one-permutation hashing — a single
@@ -538,7 +549,7 @@ def minhash_signature_batch(
     and see minhash_signatures_oph's SCOPE note before LSH-banding OPH
     signatures."""
     texts = pl.from_arrow(batch.column(text_col)).fill_null("")
-    flat, offs = shingle_hashes(texts, k=k_shingle, seed=seed)
+    flat, offs = shingle_hashes(texts, k=k_shingle, seed=seed, token_hash=token_hash)
     kernel = minhash_signatures_oph if method == "oph" else minhash_signatures
     sigs = kernel(flat, offs, num_perm=num_perm, seed=seed)
     return batch.append_column(
@@ -1004,6 +1015,7 @@ def minhash_dedup(
     num_buckets: int = 64,
     max_bucket_pairs: int = 64,
     bloom_fp_rate: float = 0.001,
+    token_hash: str = "xx",
 ):
     """Full MinHash-LSH near-dup pipeline → streaming Dataset of
     (id_col, rep: int64, is_survivor: bool), rep = min id of the cluster.
@@ -1016,7 +1028,12 @@ def minhash_dedup(
     """
     sigs = ds.map_batches(
         lambda b: minhash_signature_batch(
-            b, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed
+            b,
+            text_col=text_col,
+            k_shingle=k_shingle,
+            num_perm=num_perm,
+            seed=seed,
+            token_hash=token_hash,
         ).select([id_col, "minhash_sig"]),
         batch_format="pyarrow", batch_size=None,
     ).materialize()  # signatures are small (id + num_perm*8B); reused twice

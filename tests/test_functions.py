@@ -123,6 +123,37 @@ def test_minhash_dedup_ray(ray_session):
     assert not bool(out.loc[1, "is_survivor"])
 
 
+def test_minhash_dedup_poly_token_hash(ray_session):
+    """token_hash="poly" (the SQL-oracle mode) must produce the same
+    cluster STRUCTURE as the xxhash default on planted near-dups (hash
+    values differ, so signatures differ, but J≈0.95 near-dups collide
+    and far docs survive under both families)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    words = [f"w{i}" for i in rng.integers(0, 5000, size=200)]
+    base = " ".join(words)
+    far = " ".join(f"z{i}" for i in rng.integers(0, 5000, size=200))
+    texts = [base, far, base + " extra token", ""]
+    ds = rd.from_arrow(_docs_table(texts))
+    out = (
+        minhash_dedup(ds, jaccard_threshold=0.5, token_hash="poly")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[2, "rep"] == 0 and not bool(out.loc[2, "is_survivor"])
+    assert out.loc[1, "rep"] == 1 and bool(out.loc[1, "is_survivor"])
+    assert out.loc[3, "rep"] == 3  # empty doc: polyhash("") shingle, alone
+    # poly and xx token hashes must actually differ (independent families)
+    from ddsketch_ray.functions.dedup import shingle_hashes
+
+    import polars as pl
+
+    fx, _ = shingle_hashes(pl.Series([base]), token_hash="xx")
+    fp, _ = shingle_hashes(pl.Series([base]), token_hash="poly")
+    assert not np.array_equal(fx, fp)
+
+
 def test_simhash_dedup_ray(ray_session):
     import ray.data as rd
 
