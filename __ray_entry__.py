@@ -497,6 +497,32 @@ def q_minhash_dedup_sqlhash_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_simhash_dedup_sqlhash_documents(sf_dir: str) -> pd.DataFrame:
+    """SimHash dedup with the SQL-replayable token hash over documents
+    plus the same 50 planted near-dups as the minhash sqlhash query;
+    the oracle recomputes fingerprints (majority-vote bits), pigeonhole
+    bands, Hamming verify and clustering entirely in DuckDB."""
+    from ddsketch_ray.functions.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = t.filter(pc.less(t.column("doc_id"), 50))
+        txt = pc.fill_null(m.column("text"), "")
+        txt = pc.binary_join_element_wise(pc.cast(txt, pa.string()), " zzz", "")
+        return pa.table({"doc_id": pc.add(m.column("doc_id"), 100000), "text": txt})
+
+    planted = ds.union(ds.map_batches(mutate, batch_format="pyarrow", batch_size=None))
+    return (
+        simhash_dedup(planted, token_hash="poly")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_simhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
     from ddsketch_ray.functions.dedup import simhash_dedup
 
@@ -3746,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_distributed_documents": q_minhash_dedup_distributed_documents,
         "minhash_dedup_sqlhash_documents": q_minhash_dedup_sqlhash_documents,
+        "simhash_dedup_sqlhash_documents": q_simhash_dedup_sqlhash_documents,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "simhash_dedup_distributed_documents": q_simhash_dedup_distributed_documents,
         "ngram_jaccard_dedup_documents": q_ngram_jaccard_dedup_documents,
@@ -4059,6 +4086,92 @@ def _splitmix_sql(x: str) -> str:
 _SPLITMIX_ZERO = 16294208416658607535
 
 
+# Shared CTE block: polyhash_strings replayed in SQL over a `toksd(tok)`
+# CTE (byte polynomial mod 2^64 via hex(encode()) byte extraction +
+# recursive power table + HUGEINT mulmod), producing th(tok, ph). Used by
+# both *_sqlhash dedup oracles; same machinery as the DSIR-hashed oracle.
+def _polyhash_ctes() -> str:
+    polyhash_final = _splitmix_sql(f"xor(h, CAST({_SPLITMIX_ZERO} AS UBIGINT))")
+    return rf"""
+tb AS (SELECT tok, lower(hex(encode(tok))) AS hx, octet_length(encode(tok))::BIGINT AS L FROM toksd),
+maxl AS (SELECT MAX(L) AS m FROM tb),
+pows(j, v) AS (
+  SELECT 0::BIGINT, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT j + 1, CAST((CAST(v AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM pows WHERE j + 1 < (SELECT m FROM maxl)),
+bidx AS (SELECT tok, hx, L, unnest(generate_series(1, L)) AS i FROM tb),
+bytes AS (
+  SELECT tok,
+    CAST((strpos('0123456789abcdef', substring(hx, (2*i-1)::INT, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(hx, (2*i)::INT, 1)) - 1 AS HUGEINT) AS b,
+    L - i AS pfe
+  FROM bidx),
+h0 AS (SELECT tok, CAST(SUM(CAST(pw.v AS HUGEINT) * b) % 18446744073709551616 AS UBIGINT) AS h
+       FROM bytes JOIN pows pw ON pw.j = bytes.pfe GROUP BY tok),
+th AS (SELECT tok, {polyhash_final} AS ph FROM h0)"""
+
+
+# Shared CTE: documents + 50 planted near-dups (docs 0-49 re-emitted with
+# doc_id+100000 and one appended token) — the *_sqlhash dedup queries
+# build the identical input on the Ray side.
+_PLANTED_DOCS_CTE = """
+docs AS (
+  SELECT doc_id::BIGINT AS doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id::BIGINT + 100000, coalesce(text, '') || ' zzz'
+  FROM documents WHERE doc_id < 50
+)"""
+
+
+def _simhash_sqlhash_oracle() -> str:
+    """REAL end-to-end SQL replay of simhash_dedup(token_hash="poly"):
+    polyhash token hashes, 64-bit majority-vote fingerprints
+    (2*ones >= n_tokens, ties -> 1, empty docs -> 0), 4x16-bit
+    pigeonhole bands, candidate pairs, Hamming<=3 verify via
+    bit_count(xor()), recursive-CTE connected components."""
+    _sm = _splitmix_sql
+    return rf"""
+-- simhash_dedup(token_hash="poly") recomputed END-TO-END in SQL
+WITH RECURSIVE
+{_PLANTED_DOCS_CTE.strip()},
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+') AS toks FROM docs),
+tp AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
+ntok AS (SELECT d.doc_id, COUNT(tp.tok)::BIGINT AS n FROM docs d LEFT JOIN tp ON d.doc_id = tp.doc_id GROUP BY d.doc_id),
+toksd AS (SELECT DISTINCT tok FROM tp),
+{_polyhash_ctes().strip()},
+tc AS (SELECT tp.doc_id, th.ph, COUNT(*)::BIGINT AS c
+       FROM tp JOIN th USING (tok) GROUP BY tp.doc_id, th.ph),
+bits AS (SELECT b::BIGINT AS bit FROM generate_series(0, 63) g(b)),
+bv AS (SELECT tc.doc_id, bits.bit,
+              SUM(CASE WHEN (tc.ph >> bits.bit) & 1 = 1 THEN tc.c ELSE 0 END)::BIGINT AS pos
+       FROM tc CROSS JOIN bits GROUP BY tc.doc_id, bits.bit),
+fpv AS (SELECT bv.doc_id,
+               CAST(SUM(CASE WHEN 2 * bv.pos >= n.n
+                             THEN CAST(1 AS HUGEINT) << bv.bit::INT ELSE 0 END)
+                    AS HUGEINT) AS f
+        FROM bv JOIN ntok n ON n.doc_id = bv.doc_id GROUP BY bv.doc_id),
+fp AS (SELECT d.doc_id, CAST(coalesce(f.f, 0) AS UBIGINT) AS f
+       FROM docs d LEFT JOIN fpv f ON d.doc_id = f.doc_id),
+bandr AS (SELECT doc_id, b::BIGINT AS band, (f >> (16 * b)::INT) & 65535 AS bh
+          FROM fp, generate_series(0, 3) g(b)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bandr x JOIN bandr y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+edges0 AS (SELECT c.a, c.b FROM cand c
+           JOIN fp fa ON fa.doc_id = c.a JOIN fp fb ON fb.doc_id = c.b
+           WHERE bit_count(xor(fa.f, fb.f)) <= 3),
+edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
+SELECT doc_id, rep::BIGINT AS rep, (doc_id = rep) AS is_survivor
+FROM comp ORDER BY doc_id
+"""
+
+
 def _minhash_sqlhash_oracle() -> str:
     """REAL end-to-end SQL replay of minhash_dedup(token_hash="poly")
     over documents + 50 planted near-dups: polyhash token hashes
@@ -4071,7 +4184,6 @@ def _minhash_sqlhash_oracle() -> str:
     same IEEE compare as the numpy mean), and connected components via
     a recursive reachability CTE with MIN(reachable id) as the rep."""
     _sm = _splitmix_sql
-    polyhash_final = _sm(f"xor(h, CAST({_SPLITMIX_ZERO} AS UBIGINT))")
     empty_sh = _sm(f"CAST({_SPLITMIX_ZERO} AS UBIGINT)")
     bchain = [f"SELECT doc_id, band, {_sm('v0')} AS acc, v1, v2, v3, v4, v5, v6, v7 FROM bb"]
     for j in range(1, 8):
@@ -4089,33 +4201,12 @@ def _minhash_sqlhash_oracle() -> str:
 -- of the LSH plan (token hash, shingle chain, permutations, bands,
 -- verify, clustering) replayed independently in SQL
 WITH RECURSIVE
-docs AS (
-  SELECT doc_id::BIGINT AS doc_id, coalesce(text, '') AS text FROM documents
-  UNION ALL
-  SELECT doc_id::BIGINT + 100000, coalesce(text, '') || ' zzz'
-  FROM documents WHERE doc_id < 50
-),
+{_PLANTED_DOCS_CTE.strip()},
 tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+') AS toks FROM docs),
 tp AS (SELECT doc_id, unnest(generate_series(1, len(toks)))::BIGINT AS i, unnest(toks) AS tok FROM tl),
 ntok AS (SELECT d.doc_id, COUNT(tp.i)::BIGINT AS n FROM docs d LEFT JOIN tp ON d.doc_id = tp.doc_id GROUP BY d.doc_id),
 toksd AS (SELECT DISTINCT tok FROM tp),
-tb AS (SELECT tok, lower(hex(encode(tok))) AS hx, octet_length(encode(tok))::BIGINT AS L FROM toksd),
-maxl AS (SELECT MAX(L) AS m FROM tb),
-pows(j, v) AS (
-  SELECT 0::BIGINT, CAST(1 AS UBIGINT)
-  UNION ALL
-  SELECT j + 1, CAST((CAST(v AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
-  FROM pows WHERE j + 1 < (SELECT m FROM maxl)),
-bidx AS (SELECT tok, hx, L, unnest(generate_series(1, L)) AS i FROM tb),
-bytes AS (
-  SELECT tok,
-    CAST((strpos('0123456789abcdef', substring(hx, (2*i-1)::INT, 1)) - 1) * 16
-       + strpos('0123456789abcdef', substring(hx, (2*i)::INT, 1)) - 1 AS HUGEINT) AS b,
-    L - i AS pfe
-  FROM bidx),
-h0 AS (SELECT tok, CAST(SUM(CAST(pw.v AS HUGEINT) * b) % 18446744073709551616 AS UBIGINT) AS h
-       FROM bytes JOIN pows pw ON pw.j = bytes.pfe GROUP BY tok),
-th AS (SELECT tok, {polyhash_final} AS ph FROM h0),
+{_polyhash_ctes().strip()},
 tph AS (SELECT tp.doc_id, tp.i, th.ph FROM tp JOIN th USING (tok)),
 wins AS (SELECT doc_id,
                unnest(generate_series(1, CASE WHEN n >= 5 THEN n - 4 ELSE 1 END))::BIGINT AS s,
@@ -5512,6 +5603,7 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY doc_id
 """,
         "minhash_dedup_sqlhash_documents": _minhash_sqlhash_oracle(),
+        "simhash_dedup_sqlhash_documents": _simhash_sqlhash_oracle(),
         "dsir_hashed_importance_docs": rf"""
 -- feature-hashed DSIR, full recompute INCLUDING the bucket hash: the
 -- byte-polynomial mod 2^64 (hex(encode(tok)) byte extraction, recursive

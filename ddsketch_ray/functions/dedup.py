@@ -1593,8 +1593,16 @@ def simhash_dedup_distributed(
 
 
 def simhash_batch(
-    batch: pa.Table, text_col: str = "text", out_col: str = "simhash", seed: int = 0
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    seed: int = 0,
+    token_hash: str = "xx",
 ) -> pa.Table:
+    if token_hash == "poly":
+        from ddsketch_ray.hashing import polyhash_strings as _tok_hash
+    else:
+        _tok_hash = hash_strings
     texts = pl.from_arrow(batch.column(text_col)).fill_null("")
     toks = texts.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
     lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
@@ -1602,7 +1610,7 @@ def simhash_batch(
     np.cumsum(lens[:-1], out=offs[1:])
     flat_tokens = toks.explode().drop_nulls()
     th = (
-        hash_strings(flat_tokens.to_arrow(), seed=seed)
+        _tok_hash(flat_tokens.to_arrow(), seed=seed)
         if flat_tokens.len()
         else np.empty(0, np.uint64)
     )
@@ -1642,6 +1650,7 @@ def simhash_dedup(
     num_buckets: int = 64,
     max_bucket_pairs: int = 64,
     bloom_fp_rate: float = 0.001,
+    token_hash: str = "xx",
 ):
     """SimHash near-dup → streaming Dataset (id_col, rep, is_survivor).
 
@@ -1652,9 +1661,9 @@ def simhash_dedup(
     the driver, large ones stay fully distributed — identical output.
     """
     fps = ds.map_batches(
-        lambda b: simhash_batch(b, text_col=text_col, seed=seed).select(
-            [id_col, "simhash"]
-        ),
+        lambda b: simhash_batch(
+            b, text_col=text_col, seed=seed, token_hash=token_hash
+        ).select([id_col, "simhash"]),
         batch_format="pyarrow", batch_size=None,
     ).materialize()  # 16 B per row; reused (banding + verify + emit)
 

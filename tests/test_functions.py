@@ -154,6 +154,22 @@ def test_minhash_dedup_poly_token_hash(ray_session):
     assert not np.array_equal(fx, fp)
 
 
+def test_simhash_dedup_poly_token_hash(ray_session):
+    """token_hash="poly" simhash: exact copies cluster (Hamming 0),
+    disjoint-vocab docs survive, empty doc fingerprints to 0 alone."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import simhash_dedup
+
+    rng = np.random.default_rng(7)
+    base = " ".join(f"w{i}" for i in rng.integers(0, 5000, size=200))
+    far = " ".join(f"z{i}" for i in rng.integers(0, 5000, size=200))
+    ds = rd.from_arrow(_docs_table([base, far, base, ""]))
+    out = simhash_dedup(ds, token_hash="poly").to_pandas().set_index("doc_id")
+    assert out.loc[2, "rep"] == 0 and not bool(out.loc[2, "is_survivor"])
+    assert out.loc[1, "rep"] == 1 and out.loc[3, "rep"] == 3
+
+
 def test_simhash_dedup_ray(ray_session):
     import ray.data as rd
 
