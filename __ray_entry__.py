@@ -3745,6 +3745,31 @@ def q_bm25_search_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_pagerank_docs(sf_dir: str) -> pd.DataFrame:
+    """Distributed PageRank (functions/graph.py::pagerank — exact
+    fixed-point int64 with dangling-mass redistribution; per iteration
+    one bucketed shuffle join of the rank rows into the edge list plus
+    one sorted_sum_rollup, O(blocks) driver rows, bit-identical across
+    layouts) over the deterministic hash-link graph on documents
+    (hash_link_edges: doc v is dangling when 7 | v, else out-degree
+    1 + v%3 with splitmix-hashed targets). The oracle replays the edge
+    derivation, the integer update rule, and 5 unrolled iterations in
+    DuckDB — rank_fp matches bit-for-bit; float rank is the single
+    mirrored division."""
+    from ddsketch_ray.functions.graph import hash_link_edges, pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = hash_link_edges(docs, n)
+    out = pagerank(edges, nodes, iters=5, num_buckets=16).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3812,6 +3837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "repetition_ratio_docs": q_repetition_ratio_docs,
         "doc_graph_components": q_doc_graph_components,
+        "pagerank_docs": q_pagerank_docs,
         "orders_left_segment": q_orders_left_segment,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
@@ -4010,9 +4036,51 @@ FROM dedup GROUP BY lang ORDER BY lang
 """
 
 
+def _pagerank_sql(iters: int = 5, dnum: int = 85, dden: int = 100) -> str:
+    """Full integer replay of q_pagerank_docs: splitmix64 edge
+    derivation (hash_link_edges), fixed-point init r0 = min(2^26,
+    2^55 // n), and ``iters`` unrolled PageRank rounds — per round the
+    contribution GROUP BY, the dangling-mass scalar, and the exact
+    integer update base + (dnum*(s + dshare)) // dden. rank_fp is
+    bit-exact; rank is the single mirrored float division."""
+    sm_seed = _splitmix_sql("CAST(7777 + j AS UBIGINT)")
+    sm = _splitmix_sql(f"xor(CAST(doc_id AS UBIGINT), {sm_seed})")
+    sql = f"""
+WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+prm0 AS (SELECT n, LEAST(67108864, 36028797018963968 // n)::BIGINT AS r0 FROM cnt),
+prm AS (SELECT n, r0, ((({dden} - {dnum}) * r0) // {dden})::BIGINT AS base FROM prm0),
+deg AS (SELECT doc_id::BIGINT AS doc_id,
+               (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + (doc_id % 3) END)::BIGINT AS outdeg
+        FROM documents),
+ej AS (SELECT doc_id, outdeg, unnest(generate_series(1, 3)) AS j FROM deg),
+edges AS (SELECT doc_id AS src,
+                 CAST(({sm}) % (SELECT CAST(n AS UBIGINT) FROM cnt) AS BIGINT) AS dst
+          FROM ej WHERE j <= outdeg),
+it0 AS (SELECT doc_id AS node, outdeg, (SELECT r0 FROM prm) AS r FROM deg)"""
+    for k in range(1, iters + 1):
+        p = k - 1
+        sql += f""",
+agg{k} AS (SELECT e.dst AS node, CAST(SUM(p.r // p.outdeg) AS BIGINT) AS s
+           FROM edges e JOIN it{p} p ON e.src = p.node GROUP BY e.dst),
+dsh{k} AS (SELECT (COALESCE(CAST(SUM(r) AS BIGINT), 0) // (SELECT n FROM cnt))::BIGINT AS v
+           FROM it{p} WHERE outdeg = 0),
+it{k} AS (SELECT p.node, p.outdeg,
+                 ((SELECT base FROM prm)
+                  + (({dnum} * (COALESCE(a.s, 0) + (SELECT v FROM dsh{k}))) // {dden}))::BIGINT AS r
+          FROM it{p} p LEFT JOIN agg{k} a ON p.node = a.node)"""
+    sql += f"""
+SELECT node, r AS rank_fp,
+       CAST(r AS DOUBLE)
+         / (CAST((SELECT n FROM cnt) AS DOUBLE) * CAST((SELECT r0 FROM prm) AS DOUBLE)) AS rank
+FROM it{iters} ORDER BY node
+"""
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"({q})" for q in QS)
     out = _recomputed_oracles(qs_values)
+    out["pagerank_docs"] = _pagerank_sql()
     out["redact_documents"] = _redact_oracle()
     out["train_corpus_prep"] = _train_corpus_prep_oracle()
     # the distributed substring plan is output-identical to the broadcast

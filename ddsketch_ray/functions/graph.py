@@ -268,3 +268,290 @@ def connected_components(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def hash_link_edges(
+    ids_ds,
+    n_nodes: int,
+    id_col: str = "doc_id",
+    seed: int = 7777,
+    max_deg: int = 3,
+    dangling_mod: int = 7,
+):
+    """Deterministic synthetic link graph over integer node ids — the
+    SQL-replayable web-link stand-in used by the ``pagerank_docs`` gate
+    query, tests, and the stress harness (the test tables carry no link
+    column). Node ``v`` is dangling (out-degree 0) when ``dangling_mod``
+    divides it, else has out-degree ``1 + v % max_deg``; its j-th target
+    (1-based) is ``hash_ints(v, seed + j) % n_nodes`` — the exact
+    mod-2^64 splitmix64 expression the DuckDB oracle replays via
+    ``_splitmix_sql``. Self-loops and parallel edges are kept: engine
+    and oracle count them identically. Returns a Dataset (src, dst),
+    both int64."""
+    from ddsketch_ray.hashing import hash_ints
+
+    def edges_batch(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = np.where(ids % dangling_mod == 0, 0, 1 + ids % max_deg)
+        srcs, dsts = [], []
+        for j in range(1, max_deg + 1):
+            m = deg >= j
+            if not m.any():
+                continue
+            s = ids[m]
+            d = (hash_ints(s, seed=seed + j) % np.uint64(n_nodes)).astype(np.int64)
+            srcs.append(s)
+            dsts.append(d)
+        if not srcs:
+            return _EMPTY_EDGES.rename_columns(["src", "dst"])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs)),
+                "dst": pa.array(np.concatenate(dsts)),
+            }
+        )
+
+    return ids_ds.map_batches(edges_batch, batch_format="pyarrow", batch_size=None)
+
+
+def _int_partial_sum(ds, expr_fn):
+    """Exact integer aggregate over a Dataset: per-block int64 partial
+    rows (one per block, bounded by the caller's value-range contract)
+    combined with Python-int driver addition — O(blocks) driver rows."""
+    part = ds.map_batches(
+        lambda t: pa.table({"p": pa.array([expr_fn(t)], type=pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()
+    return int(part["p"].sum()) if len(part) else 0
+
+
+def pagerank(
+    edges_ds,
+    nodes_ds,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping: tuple = (85, 100),
+    num_buckets: int = 64,
+):
+    """Distributed PageRank with dangling-mass redistribution, in exact
+    fixed-point int64 arithmetic so the result is BIT-IDENTICAL across
+    block layouts / cluster sizes (the kmeans/logreg determinism
+    contract) and replayable in integer SQL (gate query
+    ``pagerank_docs`` unrolls the iterations in DuckDB).
+
+    Formulation (all integer, damping d = dnum/dden):
+
+        r0        = min(2^26, 2^55 // n)      per-node initial mass
+        base      = ((dden - dnum) * r0) // dden            (teleport)
+        contrib_u = r_u // outdeg_u                  per out-edge of u
+        dshare    = (sum of r over dangling nodes) // n
+        r'_v      = base + (dnum * (sum contrib into v + dshare)) // dden
+
+    Total mass is n*r0 <= 2^55, so every per-node contribution sum fits
+    int64 and dnum * (sum + dshare) stays < 2^63 for dden <= 200 (the
+    floor divisions leak a little mass per round — deterministic and
+    mirrored exactly by the SQL oracle). Reported float ``rank`` is one
+    conversion, r / (n * r0), ranks summing to ~1.
+
+    Ray plan — per iteration one bucketed shuffle join (``equi_join
+    _shuffle``: ranks ⋈ edges on src, the only wide exchange, carrying
+    three int64 columns) and one ``sorted_sum_rollup`` over the
+    (contribution ∪ carry) rows; out-degrees ride the rank rows as a
+    summed carry column so they never re-join. Dangling mass is an
+    O(blocks) integer partial per iteration, skipped entirely when the
+    init pass proves no dangling node exists. The driver never holds
+    more than O(blocks) rows; ranks materialize once per iteration
+    (they feed both the join and the carry union).
+
+    ``nodes_ds`` must list every node id exactly once (int64);
+    ``edges_ds`` rows are (src, dst) with src/dst drawn from the node
+    set. Parallel edges and self-loops are honored (each contributes).
+    Returns a Dataset (node, rank_fp int64, rank float64).
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    dnum, dden = damping
+    if not (0 < dnum < dden <= 200):
+        raise ValueError("damping must satisfy 0 < dnum < dden <= 200")
+    n = nodes_ds.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "rank_fp": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    r0 = min(1 << 26, (1 << 55) // n)
+    if r0 < 1:
+        raise ValueError(f"n={n} too large for the 2^55 fixed-point mass budget")
+    base = ((dden - dnum) * r0) // dden
+
+    nodes_proj = nodes_ds.map_batches(
+        lambda t: pa.table({node_col: pc.cast(t.column(node_col), pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges_proj = edges_ds.map_batches(
+        lambda t: pa.table(
+            {
+                src_col: pc.cast(t.column(src_col), pa.int64()),
+                dst_col: pc.cast(t.column(dst_col), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # reused every iteration
+
+    n_edges = edges_proj.count()
+    if n_edges:
+        ones = edges_proj.map_batches(
+            lambda t: pa.table(
+                {
+                    src_col: t.column(src_col),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        outdeg = sorted_sum_rollup(ones, src_col, ["one"])
+        joined0 = equi_join_shuffle(
+            nodes_proj,
+            outdeg,
+            node_col,
+            src_col,
+            [],
+            ["one"],
+            num_buckets=num_buckets,
+            how="left",
+        )
+
+        def init_map(t: pa.Table) -> pa.Table:
+            od = pc.fill_null(t.column("one"), 0)
+            return pa.table(
+                {
+                    node_col: t.column(node_col),
+                    "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64)),
+                    "outdeg": pc.cast(od, pa.int64()),
+                }
+            )
+
+        ranks = joined0.map_batches(
+            init_map, batch_format="pyarrow", batch_size=None
+        ).materialize()
+    else:
+        # no edges: every node is dangling; skip the joins entirely
+        ranks = nodes_proj.map_batches(
+            lambda t: pa.table(
+                {
+                    node_col: t.column(node_col),
+                    "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64)),
+                    "outdeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).materialize()
+
+    def _dang_mass(t: pa.Table) -> int:
+        od = t.column("outdeg").to_numpy(zero_copy_only=False)
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        return int(r[od == 0].sum())
+
+    has_dangling = (
+        _int_partial_sum(
+            ranks,
+            lambda t: int(
+                (t.column("outdeg").to_numpy(zero_copy_only=False) == 0).sum()
+            ),
+        )
+        > 0
+    )
+
+    for _ in range(iters):
+        dshare = (_int_partial_sum(ranks, _dang_mass) // n) if has_dangling else 0
+
+        contribs = None
+        if n_edges:
+            contribs = equi_join_shuffle(
+                edges_proj,
+                ranks,
+                src_col,
+                node_col,
+                [dst_col],
+                ["r", "outdeg"],
+                num_buckets=num_buckets,
+                how="inner",
+                coalesce_blocks=True,
+            ).map_batches(
+                lambda t: pa.table(
+                    {
+                        node_col: t.column(dst_col),
+                        "contrib": pa.array(
+                            (
+                                t.column("r").to_numpy(zero_copy_only=False)
+                                // t.column("outdeg").to_numpy(zero_copy_only=False)
+                            ).astype(np.int64)
+                        ),
+                        "odeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        carry = ranks.map_batches(
+            lambda t: pa.table(
+                {
+                    node_col: t.column(node_col),
+                    "contrib": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "odeg": t.column("outdeg"),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        pool = contribs.union(carry) if contribs is not None else carry
+        rolled = sorted_sum_rollup(pool, node_col, ["contrib", "odeg"])
+
+        def update(t: pa.Table, _dsh=dshare) -> pa.Table:
+            s = t.column("contrib").to_numpy(zero_copy_only=False)
+            newr = base + (dnum * (s + _dsh)) // dden
+            return pa.table(
+                {
+                    node_col: t.column(node_col),
+                    "r": pa.array(newr.astype(np.int64)),
+                    "outdeg": t.column("odeg"),
+                }
+            )
+
+        ranks = rolled.map_batches(
+            update, batch_format="pyarrow", batch_size=None
+        ).materialize()
+
+    denom = float(n) * float(r0)
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column(node_col),
+                "rank_fp": t.column("r"),
+                "rank": pa.array(
+                    t.column("r").to_numpy(zero_copy_only=False) / denom
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -1,0 +1,171 @@
+"""Distributed PageRank (functions/graph.py::pagerank) vs an independent
+pure-Python integer reference: bit-equality across block layouts,
+dangling-mass redistribution, degenerate graphs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ddsketch_ray.functions.graph import hash_link_edges, pagerank
+from ddsketch_ray.hashing import hash_ints
+
+
+def pagerank_reference(edges, n, iters=5, damping=(85, 100)):
+    """Sequential fixed-point PageRank in unbounded Python ints — the
+    independent oracle for the distributed plan's exact integer math."""
+    dnum, dden = damping
+    r0 = min(1 << 26, (1 << 55) // n)
+    base = ((dden - dnum) * r0) // dden
+    outdeg = [0] * n
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = [r0] * n
+    for _ in range(iters):
+        dang = sum(r[v] for v in range(n) if outdeg[v] == 0)
+        dshare = dang // n
+        s = [0] * n
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = [base + (dnum * (s[v] + dshare)) // dden for v in range(n)]
+    return r
+
+
+def _run(edges, n, iters=5, damping=(85, 100), blocks=4):
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(blocks)
+    if edges:
+        e = np.array(edges, dtype=np.int64)
+        eds = rd.from_arrow(
+            pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+        ).repartition(blocks)
+    else:
+        eds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], type=pa.int64()),
+                    "dst": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    out = (
+        pagerank(eds, nodes, iters=iters, damping=damping, num_buckets=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_cycle_uniform():
+    # 0->1->2->0: perfectly symmetric, ranks stay equal every iteration
+    out = _run([(0, 1), (1, 2), (2, 0)], 3)
+    assert out["node"].tolist() == [0, 1, 2]
+    assert out["rank_fp"].nunique() == 1
+    ref = pagerank_reference([(0, 1), (1, 2), (2, 0)], 3)
+    assert out["rank_fp"].tolist() == ref
+
+
+def test_star_concentrates():
+    # everyone points at 0; 0 points back at 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    out = _run(edges, 6)
+    ref = pagerank_reference(edges, 6)
+    assert out["rank_fp"].tolist() == ref
+    assert out.loc[0, "rank_fp"] == max(ref)
+
+
+def test_dangling_redistribution():
+    # node 2 is dangling: its mass must be shared, not lost
+    edges = [(0, 1), (1, 2)]
+    out = _run(edges, 3)
+    ref = pagerank_reference(edges, 3)
+    assert out["rank_fp"].tolist() == ref
+    # with redistribution the total mass stays near n*r0 (floor leakage
+    # only); without it the dangling chain would drain ~d^5 of the mass
+    r0 = min(1 << 26, (1 << 55) // 3)
+    assert out["rank_fp"].sum() > 0.98 * 3 * r0
+
+
+def test_all_dangling_uniform():
+    out = _run([], 4)
+    ref = pagerank_reference([], 4)
+    assert out["rank_fp"].tolist() == ref
+    assert out["rank_fp"].nunique() == 1
+
+
+def test_parallel_edges_and_self_loops():
+    edges = [(0, 1), (0, 1), (1, 1), (1, 0), (2, 0)]
+    out = _run(edges, 3)
+    assert out["rank_fp"].tolist() == pagerank_reference(edges, 3)
+
+
+def test_random_graph_layout_bit_equality():
+    rng = np.random.default_rng(7)
+    n = 400
+    src = rng.integers(0, n, 1500)
+    dst = rng.integers(0, n, 1500)
+    edges = list(zip(src.tolist(), dst.tolist()))
+    ref = pagerank_reference(edges, n, iters=4, damping=(17, 20))
+    for blocks in (1, 7):
+        out = _run(edges, n, iters=4, damping=(17, 20), blocks=blocks)
+        assert out["rank_fp"].tolist() == ref
+    # float rank is the single documented conversion
+    r0 = min(1 << 26, (1 << 55) // n)
+    np.testing.assert_array_equal(
+        out["rank"].to_numpy(), out["rank_fp"].to_numpy() / (float(n) * float(r0))
+    )
+
+
+def test_hash_link_edges_matches_formula():
+    n = 50
+    ids = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(3)
+    got = (
+        hash_link_edges(ids, n)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for v in range(n):
+        deg = 0 if v % 7 == 0 else 1 + v % 3
+        for j in range(1, deg + 1):
+            d = int(
+                hash_ints(np.array([v], dtype=np.int64), seed=7777 + j)[0]
+                % np.uint64(n)
+            )
+            rows.append((v, d))
+    exp = pd.DataFrame(rows, columns=["src", "dst"]).sort_values(
+        ["src", "dst"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_empty_nodes():
+    nodes = rd.from_arrow(pa.table({"node": pa.array([], type=pa.int64())}))
+    eds = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())}
+        )
+    )
+    out = pagerank(eds, nodes)
+    assert out.count() == 0
+    # empty to_pandas() drops the schema (CLAUDE.md); check the Dataset's
+    assert out.schema().names == ["node", "rank_fp", "rank"]
+
+
+def test_damping_validation():
+    nodes = rd.from_arrow(pa.table({"node": pa.array([0], type=pa.int64())}))
+    eds = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())}
+        )
+    )
+    with pytest.raises(ValueError):
+        pagerank(eds, nodes, damping=(100, 85))
+    with pytest.raises(ValueError):
+        pagerank(eds, nodes, damping=(850, 1000))

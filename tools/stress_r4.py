@@ -676,6 +676,66 @@ def stress_shuffle5m() -> dict:
     return {"rows": n, "wall_s": round(wall, 1), "rows_per_sec": round(n / wall)}
 
 
+def stress_pagerank5m() -> dict:
+    """pagerank at 5M nodes / ~8.6M hash-link edges (1/7 dangling), 5
+    iterations. Exactness: BIT-EQUAL to a sequential numpy fixed-point
+    reference running the identical integer recurrence."""
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.graph import hash_link_edges, pagerank
+    from ddsketch_ray.hashing import hash_ints
+
+    n = 5_000_000
+    ids = rd.range(n, override_num_blocks=128).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    nodes = ids.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = hash_link_edges(ids, n)
+    t0 = time.perf_counter()
+    out = pagerank(edges, nodes, iters=5, num_buckets=4 * CPUS).materialize()
+    wall = time.perf_counter() - t0
+    n_edges = edges.count()
+
+    # sequential reference: same integer recurrence, one process
+    v = np.arange(n, dtype=np.int64)
+    deg = np.where(v % 7 == 0, 0, 1 + v % 3).astype(np.int64)
+    srcs, dsts = [], []
+    for j in (1, 2, 3):
+        m = deg >= j
+        srcs.append(v[m])
+        dsts.append((hash_ints(v[m], seed=7777 + j) % np.uint64(n)).astype(np.int64))
+    es, ed = np.concatenate(srcs), np.concatenate(dsts)
+    r0 = min(1 << 26, (1 << 55) // n)
+    base = (15 * r0) // 100
+    r = np.full(n, r0, dtype=np.int64)
+    dangling = deg == 0
+    for _ in range(5):
+        dshare = int(r[dangling].sum()) // n
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, ed, r[es] // deg[es])
+        r = base + (85 * (s + dshare)) // 100
+    got = out.to_pandas().sort_values("node")
+    assert np.array_equal(got["rank_fp"].to_numpy(), r), "distributed != sequential"
+    log(
+        f"pagerank5m: {wall:.1f}s ({n/wall:.0f} nodes/s, {n_edges} edges,"
+        " 5 iters, bit-equal to sequential reference)"
+    )
+    return {
+        "nodes": n,
+        "edges": int(n_edges),
+        "iters": 5,
+        "wall_s": round(wall, 1),
+        "nodes_per_sec": round(n / wall),
+    }
+
+
 def main() -> None:
     if "_dedup-leg" in sys.argv:
         i = sys.argv.index("_dedup-leg")
@@ -701,6 +761,8 @@ def main() -> None:
         results["keyrank5m"] = stress_keyrank5m()
     if not which or "shuffle5m" in which:
         results["shuffle5m"] = stress_shuffle5m()
+    if not which or "pagerank5m" in which:
+        results["pagerank5m"] = stress_pagerank5m()
     print(json.dumps(results, indent=2))
 
 
