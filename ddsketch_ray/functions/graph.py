@@ -331,7 +331,7 @@ def _int_partial_sum(ds, expr_fn):
 
 def _pagerank_broadcast(
     edges_ds, nodes_ds, node_col, src_col, dst_col,
-    iters, dnum, dden, n, r0, base,
+    iters, dnum, dden, n, r0, base, seed_pred=None,
 ):
     """Broadcast-rank PageRank plan (see ``pagerank``): rank state is
     driver-held numpy (size-gated by the caller — the kmeans-centroid
@@ -394,8 +394,16 @@ def _pagerank_broadcast(
     safe_deg = np.where(dangling, 1, outdeg)
     r = np.full(n, r0, dtype=np.int64)
 
+    if seed_pred is not None:
+        seeds = np.asarray(seed_pred(node_arr), dtype=bool)
+        ns = int(seeds.sum())
+        if ns == 0:
+            raise ValueError("seed_pred selects no nodes")
+        tele = ((dden - dnum) * n * r0) // (dden * ns)
+
     for _ in range(iters):
-        dshare = int(r[dangling].sum()) // n
+        dmass = int(r[dangling].sum())
+        dshare = dmass // n
         s = np.zeros(n, dtype=np.int64)
         if n_edges:
             contrib_vals = np.where(dangling, 0, r // safe_deg)
@@ -422,7 +430,13 @@ def _pagerank_broadcast(
                     node_arr, rolled[dst_col].to_numpy().astype(np.int64)
                 )
                 s[idx] = rolled["contrib"].to_numpy().astype(np.int64)
-        r = base + (dnum * (s + dshare)) // dden
+        if seed_pred is None:
+            r = base + (dnum * (s + dshare)) // dden
+        else:
+            dboost = dmass // ns
+            r = np.where(seeds, tele, 0) + (
+                dnum * (s + np.where(seeds, dboost, 0))
+            ) // dden
 
     denom = float(n) * float(r0)
     return rd.from_arrow(
@@ -447,6 +461,7 @@ def pagerank(
     num_buckets: int = 64,
     mode: str = "auto",
     broadcast_node_limit: int = 16_000_000,
+    seed_pred=None,
 ):
     """Distributed PageRank with dangling-mass redistribution, in exact
     fixed-point int64 arithmetic so the result is BIT-IDENTICAL across
@@ -489,6 +504,22 @@ def pagerank(
     skipped when the init pass proves no dangling node exists; the
     driver never holds more than O(blocks) rows.
 
+    **Personalized PageRank**: pass ``seed_pred``, a VECTORIZED pure
+    predicate ``(node_ids int64 ndarray) -> bool ndarray`` naming the
+    teleport set S. Teleport mass and dangling mass then go to S
+    (uniformly) instead of all nodes:
+
+        tele    = ((dden - dnum) * n * r0) // (dden * |S|)
+        dboost  = (sum of r over dangling nodes) // |S|
+        r'_v    = [v∈S]·tele + (dnum * (s_v + [v∈S]·dboost)) // dden
+
+    A predicate (not a Dataset/array of seeds) keeps membership
+    computable per batch with zero extra joins or broadcasts in BOTH
+    plans, and SQL-replayable when the predicate is (e.g.
+    ``node % 97 == 0``). ``seed_pred=None`` is standard PageRank —
+    the two recurrences coincide exactly when S = all nodes (the
+    integer floors agree: (a·n)//(b·n) == a//b).
+
     ``nodes_ds`` must list every node id exactly once (int64);
     ``edges_ds`` rows are (src, dst) with src/dst drawn from the node
     set. Parallel edges and self-loops are honored (each contributes).
@@ -526,7 +557,7 @@ def pagerank(
     if mode == "broadcast":
         return _pagerank_broadcast(
             edges_ds, nodes_ds, node_col, src_col, dst_col,
-            iters, dnum, dden, n, r0, base,
+            iters, dnum, dden, n, r0, base, seed_pred,
         )
 
     nodes_proj = nodes_ds.map_batches(
@@ -611,8 +642,26 @@ def pagerank(
         > 0
     )
 
+    if seed_pred is not None:
+        # |S|: one O(blocks) integer partial over the node rows
+        ns = _int_partial_sum(
+            ranks,
+            lambda t: int(
+                np.asarray(
+                    seed_pred(
+                        t.column(node_col).to_numpy(zero_copy_only=False)
+                    ),
+                    dtype=bool,
+                ).sum()
+            ),
+        )
+        if ns == 0:
+            raise ValueError("seed_pred selects no nodes")
+        tele = ((dden - dnum) * n * r0) // (dden * ns)
+
     for _ in range(iters):
-        dshare = (_int_partial_sum(ranks, _dang_mass) // n) if has_dangling else 0
+        dmass = _int_partial_sum(ranks, _dang_mass) if has_dangling else 0
+        dshare = dmass // n
 
         contribs = None
         if n_edges:
@@ -656,16 +705,40 @@ def pagerank(
         pool = contribs.union(carry) if contribs is not None else carry
         rolled = sorted_sum_rollup(pool, node_col, ["contrib", "odeg"])
 
-        def update(t: pa.Table, _dsh=dshare) -> pa.Table:
-            s = t.column("contrib").to_numpy(zero_copy_only=False)
-            newr = base + (dnum * (s + _dsh)) // dden
-            return pa.table(
-                {
-                    node_col: t.column(node_col),
-                    "r": pa.array(newr.astype(np.int64)),
-                    "outdeg": t.column("odeg"),
-                }
-            )
+        if seed_pred is None:
+
+            def update(t: pa.Table, _dsh=dshare) -> pa.Table:
+                s = t.column("contrib").to_numpy(zero_copy_only=False)
+                newr = base + (dnum * (s + _dsh)) // dden
+                return pa.table(
+                    {
+                        node_col: t.column(node_col),
+                        "r": pa.array(newr.astype(np.int64)),
+                        "outdeg": t.column("odeg"),
+                    }
+                )
+
+        else:
+            dboost = dmass // ns
+
+            def update(t: pa.Table, _db=dboost) -> pa.Table:
+                s = t.column("contrib").to_numpy(zero_copy_only=False)
+                mask = np.asarray(
+                    seed_pred(
+                        t.column(node_col).to_numpy(zero_copy_only=False)
+                    ),
+                    dtype=bool,
+                )
+                newr = np.where(mask, tele, 0) + (
+                    dnum * (s + np.where(mask, _db, 0))
+                ) // dden
+                return pa.table(
+                    {
+                        node_col: t.column(node_col),
+                        "r": pa.array(newr.astype(np.int64)),
+                        "outdeg": t.column("odeg"),
+                    }
+                )
 
         ranks = rolled.map_batches(
             update, batch_format="pyarrow", batch_size=None

@@ -202,3 +202,87 @@ def test_bad_mode_rejected():
     )
     with pytest.raises(ValueError, match="mode"):
         pagerank(eds, nodes, mode="bogus")
+
+
+def ppr_reference(edges, n, seeds, iters=5, damping=(85, 100)):
+    """Sequential personalized-PageRank reference (teleport + dangling
+    mass to the seed set), unbounded Python ints."""
+    dnum, dden = damping
+    r0 = min(1 << 26, (1 << 55) // n)
+    ns = len(seeds)
+    tele = ((dden - dnum) * n * r0) // (dden * ns)
+    outdeg = [0] * n
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = [r0] * n
+    for _ in range(iters):
+        dang = sum(r[v] for v in range(n) if outdeg[v] == 0)
+        dboost = dang // ns
+        s = [0] * n
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = [
+            (tele if v in seeds else 0)
+            + (dnum * (s[v] + (dboost if v in seeds else 0))) // dden
+            for v in range(n)
+        ]
+    return r
+
+
+def test_personalized_matches_reference_both_plans():
+    rng = np.random.default_rng(23)
+    n = 250
+    edges = list(zip(rng.integers(0, n, 800).tolist(), rng.integers(0, n, 800).tolist()))
+    seeds = {v for v in range(n) if v % 9 == 0}
+    pred = lambda ids: ids % 9 == 0
+    ref = ppr_reference(edges, n, seeds, iters=3)
+    for mode in ("broadcast", "shuffle"):
+        out = _run_ppr(edges, n, pred, iters=3, mode=mode)
+        assert out["rank_fp"].tolist() == ref, mode
+
+
+def _run_ppr(edges, n, pred, iters=5, mode="auto", blocks=4):
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(blocks)
+    e = np.array(edges, dtype=np.int64)
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    ).repartition(blocks)
+    return (
+        pagerank(eds, nodes, iters=iters, num_buckets=8, mode=mode, seed_pred=pred)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def test_personalized_concentrates_on_seed_neighborhood():
+    # chain 0->1->2->...->9 plus a far component; seed = {0}
+    n = 20
+    edges = [(i, i + 1) for i in range(9)] + [(i, i + 1) for i in range(10, 19)]
+    out = _run_ppr(edges, n, lambda ids: ids == 0, iters=5)
+    ranks = out.set_index("node")["rank_fp"]
+    # seed and its chain outrank the unseeded component
+    assert ranks[0] == ranks.max()
+    assert ranks[1] > ranks[11]
+
+
+def test_personalized_empty_seed_set_rejected():
+    n = 5
+    edges = [(0, 1)]
+    with pytest.raises(ValueError, match="no nodes"):
+        _run_ppr(edges, n, lambda ids: ids < 0, iters=1, mode="broadcast")
+    with pytest.raises(ValueError, match="no nodes"):
+        _run_ppr(edges, n, lambda ids: ids < 0, iters=1, mode="shuffle")
+
+
+def test_personalized_all_seeds_equals_standard():
+    # S = all nodes: the seeded recurrence's floors coincide with the
+    # standard one ((a*n)//(b*n) == a//b), so outputs are bit-equal
+    rng = np.random.default_rng(31)
+    n = 120
+    edges = list(zip(rng.integers(0, n, 400).tolist(), rng.integers(0, n, 400).tolist()))
+    std = _run(edges, n, iters=3)
+    allseed = _run_ppr(edges, n, lambda ids: np.ones(len(ids), dtype=bool), iters=3)
+    assert std["rank_fp"].tolist() == allseed["rank_fp"].tolist()
