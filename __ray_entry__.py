@@ -3770,6 +3770,33 @@ def q_pagerank_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_pagerank_personalized_docs(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank (functions/graph.py::pagerank with
+    seed_pred) over the same hash-link graph: teleport + dangling mass
+    go to the seed set {doc_id % 97 == 0} instead of all nodes. The
+    seed set is a pure predicate so the oracle replays it as a CASE on
+    node % 97; 4 unrolled integer iterations in DuckDB, rank_fp
+    bit-exact."""
+    from ddsketch_ray.functions.graph import hash_link_edges, pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = hash_link_edges(docs, n)
+    out = pagerank(
+        edges,
+        nodes,
+        iters=4,
+        num_buckets=16,
+        seed_pred=lambda ids: ids % 97 == 0,
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3838,6 +3865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio_docs": q_repetition_ratio_docs,
         "doc_graph_components": q_doc_graph_components,
         "pagerank_docs": q_pagerank_docs,
+        "pagerank_personalized_docs": q_pagerank_personalized_docs,
         "orders_left_segment": q_orders_left_segment,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
@@ -4036,19 +4064,31 @@ FROM dedup GROUP BY lang ORDER BY lang
 """
 
 
-def _pagerank_sql(iters: int = 5, dnum: int = 85, dden: int = 100) -> str:
-    """Full integer replay of q_pagerank_docs: splitmix64 edge
-    derivation (hash_link_edges), fixed-point init r0 = min(2^26,
-    2^55 // n), and ``iters`` unrolled PageRank rounds — per round the
-    contribution GROUP BY, the dangling-mass scalar, and the exact
-    integer update base + (dnum*(s + dshare)) // dden. rank_fp is
-    bit-exact; rank is the single mirrored float division."""
+def _pagerank_sql(
+    iters: int = 5, dnum: int = 85, dden: int = 100, seed_mod: int | None = None
+) -> str:
+    """Full integer replay of q_pagerank_docs / q_pagerank_personalized
+    _docs: splitmix64 edge derivation (hash_link_edges), fixed-point
+    init r0 = min(2^26, 2^55 // n), and ``iters`` unrolled PageRank
+    rounds — per round the contribution GROUP BY, the dangling-mass
+    scalar, and the exact integer update. Standard (seed_mod None):
+    r' = base + (dnum*(s + dang//n)) // dden. Personalized (seeds =
+    nodes divisible by seed_mod): r' = [seed]*tele + (dnum*(s +
+    [seed]*(dang//ns))) // dden with tele = ((dden-dnum)*n*r0) //
+    (dden*ns) — mirroring functions/graph.py::pagerank(seed_pred=...).
+    rank_fp is bit-exact; rank is the single mirrored float division."""
     sm_seed = _splitmix_sql("CAST(7777 + j AS UBIGINT)")
     sm = _splitmix_sql(f"xor(CAST(doc_id AS UBIGINT), {sm_seed})")
     sql = f"""
 WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
 prm0 AS (SELECT n, LEAST(67108864, 36028797018963968 // n)::BIGINT AS r0 FROM cnt),
-prm AS (SELECT n, r0, ((({dden} - {dnum}) * r0) // {dden})::BIGINT AS base FROM prm0),
+prm AS (SELECT n, r0, ((({dden} - {dnum}) * r0) // {dden})::BIGINT AS base FROM prm0),"""
+    if seed_mod is not None:
+        sql += f"""
+nseed AS (SELECT COUNT(*)::BIGINT AS ns FROM documents WHERE doc_id % {seed_mod} = 0),
+tele AS (SELECT ((({dden} - {dnum}) * p.n * p.r0) // ({dden} * s.ns))::BIGINT AS v
+         FROM prm p, nseed s),"""
+    sql += f"""
 deg AS (SELECT doc_id::BIGINT AS doc_id,
                (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + (doc_id % 3) END)::BIGINT AS outdeg
         FROM documents),
@@ -4061,12 +4101,24 @@ it0 AS (SELECT doc_id AS node, outdeg, (SELECT r0 FROM prm) AS r FROM deg)"""
         p = k - 1
         sql += f""",
 agg{k} AS (SELECT e.dst AS node, CAST(SUM(p.r // p.outdeg) AS BIGINT) AS s
-           FROM edges e JOIN it{p} p ON e.src = p.node GROUP BY e.dst),
+           FROM edges e JOIN it{p} p ON e.src = p.node GROUP BY e.dst),"""
+        if seed_mod is None:
+            sql += f"""
 dsh{k} AS (SELECT (COALESCE(CAST(SUM(r) AS BIGINT), 0) // (SELECT n FROM cnt))::BIGINT AS v
            FROM it{p} WHERE outdeg = 0),
 it{k} AS (SELECT p.node, p.outdeg,
                  ((SELECT base FROM prm)
                   + (({dnum} * (COALESCE(a.s, 0) + (SELECT v FROM dsh{k}))) // {dden}))::BIGINT AS r
+          FROM it{p} p LEFT JOIN agg{k} a ON p.node = a.node)"""
+        else:
+            sql += f"""
+dsh{k} AS (SELECT (COALESCE(CAST(SUM(r) AS BIGINT), 0) // (SELECT ns FROM nseed))::BIGINT AS v
+           FROM it{p} WHERE outdeg = 0),
+it{k} AS (SELECT p.node, p.outdeg,
+                 ((CASE WHEN p.node % {seed_mod} = 0 THEN (SELECT v FROM tele) ELSE 0 END)
+                  + (({dnum} * (COALESCE(a.s, 0)
+                      + CASE WHEN p.node % {seed_mod} = 0 THEN (SELECT v FROM dsh{k}) ELSE 0 END))
+                     // {dden}))::BIGINT AS r
           FROM it{p} p LEFT JOIN agg{k} a ON p.node = a.node)"""
     sql += f"""
 SELECT node, r AS rank_fp,
@@ -4081,6 +4133,7 @@ def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"({q})" for q in QS)
     out = _recomputed_oracles(qs_values)
     out["pagerank_docs"] = _pagerank_sql()
+    out["pagerank_personalized_docs"] = _pagerank_sql(iters=4, seed_mod=97)
     out["redact_documents"] = _redact_oracle()
     out["train_corpus_prep"] = _train_corpus_prep_oracle()
     # the distributed substring plan is output-identical to the broadcast
