@@ -3770,6 +3770,31 @@ def q_pagerank_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_anf_docs(sf_dir: str) -> pd.DataFrame:
+    """HyperANF approximate neighborhood function (functions/anf.py)
+    over the hash-link graph on documents: per-node HLL(p=4) estimate
+    of the 3-hop reachable set. Registers are pure integer state, so
+    the DuckDB oracle replays the splitmix init, 3 unrolled sparse
+    (node, bucket, MAX(rho)) propagation rounds, and the exact-big-int
+    HLL estimator (the _hll_sql formula) — nhood_est matches
+    bit-for-bit."""
+    from ddsketch_ray.functions.anf import neighborhood_function
+    from ddsketch_ray.functions.graph import hash_link_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = hash_link_edges(docs, n)
+    out = neighborhood_function(
+        edges, nodes, radius=3, p=4, num_buckets=16
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_pagerank_personalized_docs(sf_dir: str) -> pd.DataFrame:
     """Personalized PageRank (functions/graph.py::pagerank with
     seed_pred) over the same hash-link graph: teleport + dangling mass
@@ -3866,6 +3891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_components": q_doc_graph_components,
         "pagerank_docs": q_pagerank_docs,
         "pagerank_personalized_docs": q_pagerank_personalized_docs,
+        "anf_docs": q_anf_docs,
         "orders_left_segment": q_orders_left_segment,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
@@ -4129,11 +4155,72 @@ FROM it{iters} ORDER BY node
     return sql
 
 
+def _anf_sql(radius: int = 3, p: int = 4) -> str:
+    """Full integer replay of q_anf_docs (functions/anf.py): the
+    hash-link edge derivation (as _pagerank_sql), per-node register
+    init h = splitmix(doc_id XOR splitmix(4242)), bucket = h >> (64-p),
+    rho = min(clz(h << p) + 1, 64-p+1) via DuckDB bin(), ``radius``
+    unrolled sparse propagation rounds — each one
+    (node, bucket, MAX(rho)) over (delivered-from-out-neighbors UNION
+    ALL carry) — and the exact HLL estimator (the _hll_sql formula:
+    Σ 2^(64-r) as HUGEINT, missing buckets contribute 2^64, one float
+    conversion, small-range correction)."""
+    m = 1 << p
+    rho_cap = 64 - p + 1
+    alpha = {16: "0.673", 32: "0.697", 64: "0.709"}[m]
+    sm_link = _splitmix_sql("CAST(7777 + j AS UBIGINT)")
+    sm_edge = _splitmix_sql(f"xor(CAST(doc_id AS UBIGINT), {sm_link})")
+    sm_seed = _splitmix_sql("CAST(4242 AS UBIGINT)")
+    sm_init = _splitmix_sql(f"xor(CAST(doc_id AS UBIGINT), {sm_seed})")
+    sql = f"""
+WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+deg AS (SELECT doc_id::BIGINT AS doc_id,
+               (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + (doc_id % 3) END)::BIGINT AS outdeg
+        FROM documents),
+ej AS (SELECT doc_id, outdeg, unnest(generate_series(1, 3)) AS j FROM deg),
+edges AS (SELECT doc_id AS src,
+                 CAST(({sm_edge}) % (SELECT CAST(n AS UBIGINT) FROM cnt) AS BIGINT) AS dst
+          FROM ej WHERE j <= outdeg),
+h0 AS (SELECT doc_id::BIGINT AS node, ({sm_init}) AS h FROM documents),
+hw AS (SELECT node, h,
+              CAST((CAST(h AS HUGEINT) * {m}) % 18446744073709551616 AS UBIGINT) AS w
+       FROM h0),
+it0 AS (SELECT node, CAST(h >> {64 - p} AS BIGINT) AS bucket,
+               LEAST(CASE WHEN w = 0 THEN {rho_cap + 4}
+                          ELSE 64 - length(bin(w)) + 1 END, {rho_cap})::BIGINT AS r
+        FROM hw)"""
+    for k in range(1, radius + 1):
+        prev = k - 1
+        sql += f""",
+it{k} AS (SELECT node, bucket, MAX(r) AS r FROM (
+            SELECT e.src AS node, t.bucket, t.r
+            FROM edges e JOIN it{prev} t ON t.node = e.dst
+            UNION ALL
+            SELECT node, bucket, r FROM it{prev}) GROUP BY node, bucket)"""
+    sql += f"""
+, s AS (SELECT node, SUM(CAST(power(2, 64 - r) AS HUGEINT)) AS s_p,
+               COUNT(*)::BIGINT AS nb
+        FROM it{radius} GROUP BY node),
+est AS (SELECT node,
+               {alpha} * {m} * {m} /
+                 (CAST(s_p + ({m} - nb) * CAST(power(2, 64) AS HUGEINT)
+                       AS DOUBLE) * power(2.0, -64)) AS raw,
+               {m} - nb AS v
+        FROM s)
+SELECT node, CAST(round(CASE WHEN raw <= 2.5 * {m} AND v > 0
+                             THEN {m} * ln({m}.0 / v)
+                             ELSE raw END) AS BIGINT) AS nhood_est
+FROM est ORDER BY node
+"""
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"({q})" for q in QS)
     out = _recomputed_oracles(qs_values)
     out["pagerank_docs"] = _pagerank_sql()
     out["pagerank_personalized_docs"] = _pagerank_sql(iters=4, seed_mod=97)
+    out["anf_docs"] = _anf_sql()
     out["redact_documents"] = _redact_oracle()
     out["train_corpus_prep"] = _train_corpus_prep_oracle()
     # the distributed substring plan is output-identical to the broadcast

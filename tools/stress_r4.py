@@ -736,6 +736,72 @@ def stress_pagerank5m() -> dict:
     }
 
 
+def stress_anf1m() -> dict:
+    """HyperANF at 1M nodes / ~1.7M hash-link edges, radius 3, p=4.
+    Exactness: estimates BIT-EQUAL to a sequential numpy reference
+    propagating the identical registers (np.maximum.at) through the
+    shared estimator."""
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.anf import (
+        _estimate_rows,
+        _init_registers,
+        neighborhood_function,
+    )
+    from ddsketch_ray.functions.graph import hash_link_edges
+    from ddsketch_ray.hashing import hash_ints
+
+    n = 1_000_000
+    ids = rd.range(n, override_num_blocks=64).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    nodes = ids.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = hash_link_edges(ids, n)
+    t0 = time.perf_counter()
+    out = (
+        neighborhood_function(edges, nodes, radius=3, p=4, num_buckets=4 * CPUS)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    wall = time.perf_counter() - t0
+    n_edges = edges.count()
+
+    v = np.arange(n, dtype=np.int64)
+    deg = np.where(v % 7 == 0, 0, 1 + v % 3).astype(np.int64)
+    srcs, dsts = [], []
+    for j in (1, 2, 3):
+        mask = deg >= j
+        srcs.append(v[mask])
+        dsts.append((hash_ints(v[mask], seed=7777 + j) % np.uint64(n)).astype(np.int64))
+    es, ed = np.concatenate(srcs), np.concatenate(dsts)
+    regs = _init_registers(v, 4)
+    for _ in range(3):
+        new = regs.copy()
+        np.maximum.at(new, es, regs[ed])
+        regs = new
+    ref = _estimate_rows(regs)
+    assert np.array_equal(out["nhood_est"].to_numpy(), ref), "distributed != sequential"
+    log(
+        f"anf1m: {wall:.1f}s ({n/wall:.0f} nodes/s, {n_edges} edges, radius 3,"
+        " bit-equal to sequential reference)"
+    )
+    return {
+        "nodes": n,
+        "edges": int(n_edges),
+        "radius": 3,
+        "wall_s": round(wall, 1),
+        "nodes_per_sec": round(n / wall),
+    }
+
+
 def main() -> None:
     if "_dedup-leg" in sys.argv:
         i = sys.argv.index("_dedup-leg")
@@ -763,6 +829,8 @@ def main() -> None:
         results["shuffle5m"] = stress_shuffle5m()
     if not which or "pagerank5m" in which:
         results["pagerank5m"] = stress_pagerank5m()
+    if not which or "anf1m" in which:
+        results["anf1m"] = stress_anf1m()
     print(json.dumps(results, indent=2))
 
 
