@@ -3795,6 +3795,30 @@ def q_anf_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_anf_distance_distribution_docs(sf_dir: str) -> pd.DataFrame:
+    """Graph distance distribution via HyperANF
+    (functions/anf.py::distance_distribution): the neighborhood
+    function N(r) = Σ_v |ball_out(v, r)| for r = 0..4 over the
+    hash-link graph — effective diameter / average distance follow
+    from these rows. The oracle replays the shared register
+    propagation and sums the per-node estimates per unrolled round."""
+    from ddsketch_ray.functions.anf import distance_distribution
+    from ddsketch_ray.functions.graph import hash_link_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = hash_link_edges(docs, n)
+    out = distance_distribution(
+        edges, nodes, max_radius=4, p=4, num_buckets=16
+    ).to_pandas()
+    return out.sort_values("radius").reset_index(drop=True)
+
+
 def q_pagerank_personalized_docs(sf_dir: str) -> pd.DataFrame:
     """Personalized PageRank (functions/graph.py::pagerank with
     seed_pred) over the same hash-link graph: teleport + dangling mass
@@ -3892,6 +3916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": q_pagerank_docs,
         "pagerank_personalized_docs": q_pagerank_personalized_docs,
         "anf_docs": q_anf_docs,
+        "anf_distance_distribution_docs": q_anf_distance_distribution_docs,
         "orders_left_segment": q_orders_left_segment,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
@@ -4155,19 +4180,16 @@ FROM it{iters} ORDER BY node
     return sql
 
 
-def _anf_sql(radius: int = 3, p: int = 4) -> str:
-    """Full integer replay of q_anf_docs (functions/anf.py): the
-    hash-link edge derivation (as _pagerank_sql), per-node register
-    init h = splitmix(doc_id XOR splitmix(4242)), bucket = h >> (64-p),
-    rho = min(clz(h << p) + 1, 64-p+1) via DuckDB bin(), ``radius``
-    unrolled sparse propagation rounds — each one
-    (node, bucket, MAX(rho)) over (delivered-from-out-neighbors UNION
-    ALL carry) — and the exact HLL estimator (the _hll_sql formula:
-    Σ 2^(64-r) as HUGEINT, missing buckets contribute 2^64, one float
-    conversion, small-range correction)."""
+def _anf_prefix_sql(rounds: int, p: int) -> str:
+    """Shared CTE chain for the HyperANF oracles (_anf_sql /
+    _anf_ddist_sql): hash-link edge derivation (as _pagerank_sql),
+    per-node register init h = splitmix(doc_id XOR splitmix(4242)),
+    bucket = h >> (64-p), rho = min(clz(h << p) + 1, 64-p+1) via DuckDB
+    bin(), and ``rounds`` unrolled sparse propagation rounds it1..itR —
+    each one (node, bucket, MAX(rho)) over (delivered-from-out-neighbors
+    UNION ALL carry)."""
     m = 1 << p
     rho_cap = 64 - p + 1
-    alpha = {16: "0.673", 32: "0.697", 64: "0.709"}[m]
     sm_link = _splitmix_sql("CAST(7777 + j AS UBIGINT)")
     sm_edge = _splitmix_sql(f"xor(CAST(doc_id AS UBIGINT), {sm_link})")
     sm_seed = _splitmix_sql("CAST(4242 AS UBIGINT)")
@@ -4189,7 +4211,7 @@ it0 AS (SELECT node, CAST(h >> {64 - p} AS BIGINT) AS bucket,
                LEAST(CASE WHEN w = 0 THEN {rho_cap + 4}
                           ELSE 64 - length(bin(w)) + 1 END, {rho_cap})::BIGINT AS r
         FROM hw)"""
-    for k in range(1, radius + 1):
+    for k in range(1, rounds + 1):
         prev = k - 1
         sql += f""",
 it{k} AS (SELECT node, bucket, MAX(r) AS r FROM (
@@ -4197,22 +4219,59 @@ it{k} AS (SELECT node, bucket, MAX(r) AS r FROM (
             FROM edges e JOIN it{prev} t ON t.node = e.dst
             UNION ALL
             SELECT node, bucket, r FROM it{prev}) GROUP BY node, bucket)"""
-    sql += f"""
-, s AS (SELECT node, SUM(CAST(power(2, 64 - r) AS HUGEINT)) AS s_p,
-               COUNT(*)::BIGINT AS nb
-        FROM it{radius} GROUP BY node),
-est AS (SELECT node,
-               {alpha} * {m} * {m} /
-                 (CAST(s_p + ({m} - nb) * CAST(power(2, 64) AS HUGEINT)
-                       AS DOUBLE) * power(2.0, -64)) AS raw,
-               {m} - nb AS v
-        FROM s)
+    return sql
+
+
+def _anf_est_sql(it: str, p: int) -> str:
+    """Per-node HLL estimate over a sparse register CTE ``it`` — the
+    _hll_sql formula: Σ 2^(64-r) as HUGEINT, missing buckets contribute
+    2^64 each, one float conversion, small-range correction. Emits a
+    (node, nhood_est BIGINT) subquery body."""
+    m = 1 << p
+    alpha = {16: "0.673", 32: "0.697", 64: "0.709"}[m]
+    return f"""
 SELECT node, CAST(round(CASE WHEN raw <= 2.5 * {m} AND v > 0
                              THEN {m} * ln({m}.0 / v)
                              ELSE raw END) AS BIGINT) AS nhood_est
-FROM est ORDER BY node
+FROM (SELECT node,
+             {alpha} * {m} * {m} /
+               (CAST(s_p + ({m} - nb) * CAST(power(2, 64) AS HUGEINT)
+                     AS DOUBLE) * power(2.0, -64)) AS raw,
+             {m} - nb AS v
+      FROM (SELECT node, SUM(CAST(power(2, 64 - r) AS HUGEINT)) AS s_p,
+                   COUNT(*)::BIGINT AS nb
+            FROM {it} GROUP BY node))"""
+
+
+def _anf_sql(radius: int = 3, p: int = 4) -> str:
+    """Full integer replay of q_anf_docs (functions/anf.py): the shared
+    prefix (_anf_prefix_sql) plus the exact HLL estimator over the
+    final round — nhood_est bit-exact."""
+    return (
+        _anf_prefix_sql(radius, p)
+        + f"""
+SELECT node, nhood_est FROM ({_anf_est_sql(f"it{radius}", p)})
+ORDER BY node
 """
-    return sql
+    )
+
+
+def _anf_ddist_sql(max_radius: int = 4, p: int = 4) -> str:
+    """Full integer replay of q_anf_distance_distribution_docs: the
+    shared prefix, then per round k the SUM over nodes of the per-node
+    estimates (each rounded to BIGINT exactly as the engine does before
+    summing) — the neighborhood function N(k), UNION ALL over
+    k = 0..max_radius."""
+    sql = _anf_prefix_sql(max_radius, p)
+    parts = []
+    for k in range(max_radius + 1):
+        parts.append(
+            f"""
+SELECT {k}::BIGINT AS radius,
+       CAST(SUM(nhood_est) AS BIGINT) AS pairs_est
+FROM ({_anf_est_sql(f"it{k}", p)})"""
+        )
+    return sql + "\nUNION ALL".join(parts) + "\nORDER BY radius\n"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4221,6 +4280,7 @@ def oracle_sql() -> dict[str, str]:
     out["pagerank_docs"] = _pagerank_sql()
     out["pagerank_personalized_docs"] = _pagerank_sql(iters=4, seed_mod=97)
     out["anf_docs"] = _anf_sql()
+    out["anf_distance_distribution_docs"] = _anf_ddist_sql()
     out["redact_documents"] = _redact_oracle()
     out["train_corpus_prep"] = _train_corpus_prep_oracle()
     # the distributed substring plan is output-identical to the broadcast

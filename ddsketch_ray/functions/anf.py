@@ -156,6 +156,65 @@ def _reg_cols(m: int) -> list[str]:
     return [f"rg{j}" for j in range(m)]
 
 
+def _broadcast_round(edges_proj, node_arr, regs, node_col, src_col, dst_col, rcols):
+    """One synchronous HyperANF round, broadcast plan: ship (node_arr,
+    regs) to the object store, emit each edge's R_dst keyed by src,
+    max-rollup, fold into the driver matrix. Returns the new matrix
+    (the same object if the round was a fixed point)."""
+    import ray
+
+    state = ray.put((node_arr, regs))
+
+    def emit(t: pa.Table, _state=state) -> pa.Table:
+        nodes_b, regs_b = ray.get(_state)  # zero-copy, node-local
+        dst = t.column(dst_col).to_numpy(zero_copy_only=False)
+        rr = regs_b[np.searchsorted(nodes_b, dst)]
+        cols = {node_col: t.column(src_col)}
+        for j, c in enumerate(rcols):
+            cols[c] = pa.array(rr[:, j].astype(np.int64))
+        return pa.table(cols)
+
+    rolled = sorted_max_rollup(
+        edges_proj.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        node_col,
+        rcols,
+    ).to_pandas()
+    if len(rolled) == 0:
+        return regs
+    idx = np.searchsorted(node_arr, rolled[node_col].to_numpy().astype(np.int64))
+    incoming = np.stack([rolled[c].to_numpy().astype(np.uint8) for c in rcols], axis=1)
+    new = regs.copy()
+    new[idx] = np.maximum(new[idx], incoming)
+    return regs if np.array_equal(new, regs) else new
+
+
+def _shuffle_round(state_ds, edges_proj, node_col, src_col, dst_col, rcols, num_buckets):
+    """One synchronous HyperANF round, shuffle plan: bucketed join
+    delivers R_dst to each edge's src, carry union keeps every node's
+    own registers, max-rollup folds. Returns the new materialized
+    state Dataset."""
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    delivered = equi_join_shuffle(
+        edges_proj,
+        state_ds,
+        dst_col,
+        node_col,
+        [src_col],
+        rcols,
+        num_buckets=num_buckets,
+        how="inner",
+        coalesce_blocks=True,
+    ).map_batches(
+        lambda t: pa.table(
+            {node_col: t.column(src_col), **{c: t.column(c) for c in rcols}}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return sorted_max_rollup(delivered.union(state_ds), node_col, rcols).materialize()
+
+
 def neighborhood_function(
     edges_ds,
     nodes_ds,
@@ -174,10 +233,7 @@ def neighborhood_function(
     layouts and plans. ``nodes_ds`` must list every node exactly once;
     src/dst must be drawn from the node set."""
     import pyarrow.compute as pc
-    import ray
     import ray.data as rd
-
-    from ddsketch_ray.functions.joins import equi_join_shuffle
 
     if not (4 <= p <= 8):
         raise ValueError("p must be in [4, 8] (m = 2^p registers per node)")
@@ -224,31 +280,10 @@ def neighborhood_function(
             raise ValueError("nodes_ds must list every node id exactly once")
         regs = _init_registers(node_arr, p)
         for _ in range(radius if n_edges else 0):
-            state = ray.put((node_arr, regs))
-
-            def emit(t: pa.Table, _state=state) -> pa.Table:
-                nodes_b, regs_b = ray.get(_state)  # zero-copy, node-local
-                dst = t.column(dst_col).to_numpy(zero_copy_only=False)
-                rr = regs_b[np.searchsorted(nodes_b, dst)]
-                cols = {node_col: t.column(src_col)}
-                for j, c in enumerate(rcols):
-                    cols[c] = pa.array(rr[:, j].astype(np.int64))
-                return pa.table(cols)
-
-            rolled = sorted_max_rollup(
-                edges_proj.map_batches(emit, batch_format="pyarrow", batch_size=None),
-                node_col,
-                rcols,
-            ).to_pandas()
-            if len(rolled) == 0:
-                break
-            idx = np.searchsorted(node_arr, rolled[node_col].to_numpy().astype(np.int64))
-            incoming = np.stack(
-                [rolled[c].to_numpy().astype(np.uint8) for c in rcols], axis=1
+            new = _broadcast_round(
+                edges_proj, node_arr, regs, node_col, src_col, dst_col, rcols
             )
-            new = regs.copy()
-            new[idx] = np.maximum(new[idx], incoming)
-            if np.array_equal(new, regs):
+            if new is regs:
                 break  # fixed point: further rounds are identity (max idempotent)
             regs = new
         return rd.from_arrow(
@@ -273,26 +308,9 @@ def neighborhood_function(
         init_map, batch_format="pyarrow", batch_size=None
     ).materialize()
     for _ in range(radius if n_edges else 0):
-        delivered = equi_join_shuffle(
-            edges_proj,
-            state_ds,
-            dst_col,
-            node_col,
-            [src_col],
-            rcols,
-            num_buckets=num_buckets,
-            how="inner",
-            coalesce_blocks=True,
-        ).map_batches(
-            lambda t: pa.table(
-                {node_col: t.column(src_col), **{c: t.column(c) for c in rcols}}
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
+        state_ds = _shuffle_round(
+            state_ds, edges_proj, node_col, src_col, dst_col, rcols, num_buckets
         )
-        state_ds = sorted_max_rollup(
-            delivered.union(state_ds), node_col, rcols
-        ).materialize()
 
     def est_map(t: pa.Table) -> pa.Table:
         rr = np.stack(
@@ -307,3 +325,141 @@ def neighborhood_function(
         )
 
     return state_ds.map_batches(est_map, batch_format="pyarrow", batch_size=None)
+
+
+def distance_distribution(
+    edges_ds,
+    nodes_ds,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_radius: int = 8,
+    p: int = 4,
+    mode: str = "auto",
+    broadcast_node_limit: int = 16_000_000,
+    num_buckets: int = 64,
+):
+    """Graph distance distribution via HyperANF — the statistic the
+    algorithm was published for (Boldi-Rosa-Vigna WWW'11 §1): the
+    neighborhood function N(r) = Σ_v |ball_out(v, r)| estimated for
+    every r in [0, max_radius]. The effective diameter is the smallest
+    r with N(r) >= 0.9·N(max_radius); average distance and the full
+    distance CDF are one subtraction away. Returns a pyarrow Table
+    (radius int64, pairs_est int64) with exactly max_radius + 1 rows —
+    after the register fixed point the totals repeat, matching the SQL
+    oracle's unrolled rounds bit-for-bit (max is idempotent).
+
+    Same two bit-identical plans as ``neighborhood_function``; per
+    round the shuffle plan adds ONE O(blocks)-driver integer partial
+    (the per-block sum of per-node estimates — each est <= n so the
+    total fits int64 for n <= 3B)."""
+    import pyarrow.compute as pc
+
+    if not (4 <= p <= 8):
+        raise ValueError("p must be in [4, 8] (m = 2^p registers per node)")
+    if max_radius < 0:
+        raise ValueError("max_radius must be >= 0")
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError("mode must be 'auto', 'broadcast' or 'shuffle'")
+    m = 1 << p
+    rcols = _reg_cols(m)
+
+    nodes_proj = nodes_ds.map_batches(
+        lambda t: pa.table({node_col: pc.cast(t.column(node_col), pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges_proj = edges_ds.map_batches(
+        lambda t: pa.table(
+            {
+                src_col: pc.cast(t.column(src_col), pa.int64()),
+                dst_col: pc.cast(t.column(dst_col), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # reused every round
+
+    n = nodes_proj.count()
+    if n == 0:
+        return pa.table(
+            {
+                "radius": pa.array(
+                    np.arange(max_radius + 1, dtype=np.int64)
+                ),
+                "pairs_est": pa.array(
+                    np.zeros(max_radius + 1, dtype=np.int64)
+                ),
+            }
+        )
+    if mode == "auto":
+        mode = "broadcast" if n <= broadcast_node_limit else "shuffle"
+    n_edges = edges_proj.count()
+    totals: list[int] = []
+
+    if mode == "broadcast":
+        node_arr = np.sort(nodes_proj.to_pandas()[node_col].to_numpy().astype(np.int64))
+        if len(node_arr) > 1 and (node_arr[1:] == node_arr[:-1]).any():
+            raise ValueError("nodes_ds must list every node id exactly once")
+        regs = _init_registers(node_arr, p)
+        totals.append(int(_estimate_rows(regs).sum()))
+        for _ in range(max_radius):
+            if n_edges:
+                new = _broadcast_round(
+                    edges_proj, node_arr, regs, node_col, src_col, dst_col, rcols
+                )
+                if new is not regs:
+                    regs = new
+                    totals.append(int(_estimate_rows(regs).sum()))
+                    continue
+            totals.append(totals[-1])  # fixed point: totals repeat
+    else:
+
+        def init_map(t: pa.Table) -> pa.Table:
+            ids = t.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            rr = _init_registers(ids, p)
+            cols = {node_col: t.column(node_col)}
+            for j, c in enumerate(rcols):
+                cols[c] = pa.array(rr[:, j].astype(np.int64))
+            return pa.table(cols)
+
+        state_ds = nodes_proj.map_batches(
+            init_map, batch_format="pyarrow", batch_size=None
+        ).materialize()
+
+        def block_total(t: pa.Table) -> int:
+            rr = np.stack(
+                [
+                    t.column(c).to_numpy(zero_copy_only=False).astype(np.uint8)
+                    for c in rcols
+                ],
+                axis=1,
+            )
+            return int(_estimate_rows(rr).sum())
+
+        totals.append(_int_partial_sum_anf(state_ds, block_total))
+        for _ in range(max_radius):
+            if n_edges:
+                state_ds = _shuffle_round(
+                    state_ds, edges_proj, node_col, src_col, dst_col, rcols, num_buckets
+                )
+                totals.append(_int_partial_sum_anf(state_ds, block_total))
+            else:
+                totals.append(totals[-1])
+
+    return pa.table(
+        {
+            "radius": pa.array(np.arange(max_radius + 1, dtype=np.int64)),
+            "pairs_est": pa.array(np.asarray(totals, dtype=np.int64)),
+        }
+    )
+
+
+def _int_partial_sum_anf(ds, expr_fn):
+    """O(blocks)-driver exact integer sum (the graph.py pattern)."""
+    part = ds.map_batches(
+        lambda t: pa.table({"p": pa.array([expr_fn(t)], type=pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()
+    return int(part["p"].sum()) if len(part) else 0

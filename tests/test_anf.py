@@ -164,3 +164,51 @@ def test_validation():
         neighborhood_function(eds, nodes, radius=-1)
     with pytest.raises(ValueError, match="mode"):
         neighborhood_function(eds, nodes, mode="bogus")
+
+
+def ddist_reference(edges, n, max_radius, p):
+    """Sequential neighborhood-function totals: Σ_v est_v per radius."""
+    out = []
+    for r in range(max_radius + 1):
+        out.append(sum(anf_reference(edges, n, r, p)))
+    return out
+
+
+def test_distance_distribution_matches_reference_both_plans():
+    from ddsketch_ray.functions.anf import distance_distribution
+
+    rng = np.random.default_rng(41)
+    n = 80
+    edges = list(zip(rng.integers(0, n, 200).tolist(), rng.integers(0, n, 200).tolist()))
+    ref = ddist_reference(edges, n, 4, 4)
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(3)
+    e = np.array(edges, dtype=np.int64)
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    ).repartition(3)
+    for mode in ("broadcast", "shuffle"):
+        t = distance_distribution(eds, nodes, max_radius=4, p=4, mode=mode, num_buckets=8)
+        assert t.column("radius").to_pylist() == [0, 1, 2, 3, 4]
+        assert t.column("pairs_est").to_pylist() == ref, mode
+
+
+def test_distance_distribution_fixed_point_repeats():
+    from ddsketch_ray.functions.anf import distance_distribution
+
+    # 0 -> 1: fixed point after round 1; totals must repeat (matching
+    # the SQL oracle's unrolled rounds), rows stay max_radius + 1
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(2, dtype=np.int64))})
+    )
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array([0], type=pa.int64()),
+                  "dst": pa.array([1], type=pa.int64())})
+    )
+    t = distance_distribution(eds, nodes, max_radius=5, p=4)
+    vals = t.column("pairs_est").to_pylist()
+    assert len(vals) == 6
+    assert vals[1] == vals[2] == vals[5]
+    ref = ddist_reference([(0, 1)], 2, 5, 4)
+    assert vals == ref
