@@ -332,6 +332,7 @@ def _int_partial_sum(ds, expr_fn):
 def _pagerank_broadcast(
     edges_ds, nodes_ds, node_col, src_col, dst_col,
     iters, dnum, dden, n, r0, base, seed_pred=None,
+    start_r=None, start_iteration=0, on_iteration=None,
 ):
     """Broadcast-rank PageRank plan (see ``pagerank``): rank state is
     driver-held numpy (size-gated by the caller — the kmeans-centroid
@@ -392,7 +393,12 @@ def _pagerank_broadcast(
 
     dangling = outdeg == 0
     safe_deg = np.where(dangling, 1, outdeg)
-    r = np.full(n, r0, dtype=np.int64)
+    if start_r is not None:
+        r = np.asarray(start_r, dtype=np.int64)
+        if len(r) != n:
+            raise ValueError(f"start_r has {len(r)} entries for n={n} nodes")
+    else:
+        r = np.full(n, r0, dtype=np.int64)
 
     if seed_pred is not None:
         seeds = np.asarray(seed_pred(node_arr), dtype=bool)
@@ -401,7 +407,11 @@ def _pagerank_broadcast(
             raise ValueError("seed_pred selects no nodes")
         tele = ((dden - dnum) * n * r0) // (dden * ns)
 
-    for _ in range(iters):
+    if on_iteration is not None:
+        # checkpoint hook: state as-of start_iteration (idempotent write)
+        on_iteration(start_iteration, node_arr, r, outdeg)
+
+    for _it in range(start_iteration, iters):
         dmass = int(r[dangling].sum())
         dshare = dmass // n
         s = np.zeros(n, dtype=np.int64)
@@ -437,6 +447,8 @@ def _pagerank_broadcast(
             r = np.where(seeds, tele, 0) + (
                 dnum * (s + np.where(seeds, dboost, 0))
             ) // dden
+        if on_iteration is not None:
+            on_iteration(_it + 1, node_arr, r, outdeg)
 
     denom = float(n) * float(r0)
     return rd.from_arrow(
@@ -525,11 +537,7 @@ def pagerank(
     set. Parallel edges and self-loops are honored (each contributes).
     Returns a Dataset (node, rank_fp int64, rank float64).
     """
-    import pyarrow.compute as pc
     import ray.data as rd
-
-    from ddsketch_ray.functions.analytics import sorted_sum_rollup
-    from ddsketch_ray.functions.joins import equi_join_shuffle
 
     dnum, dden = damping
     if not (0 < dnum < dden <= 200):
@@ -560,12 +568,36 @@ def pagerank(
             iters, dnum, dden, n, r0, base, seed_pred,
         )
 
-    nodes_proj = nodes_ds.map_batches(
+    nodes_proj = _pr_project_nodes(nodes_ds, node_col)
+    edges_proj = _pr_project_edges(edges_ds, src_col, dst_col)
+    n_edges = edges_proj.count()
+    ranks = _pr_shuffle_init(
+        nodes_proj, edges_proj, n_edges, node_col, src_col, dst_col, num_buckets, r0
+    )
+    has_dangling = _pr_has_dangling(ranks)
+    seed_ctx = _pr_seed_ctx(ranks, node_col, seed_pred, n, r0, dnum, dden)
+    for _ in range(iters):
+        ranks = _pr_shuffle_iteration(
+            ranks, edges_proj, n_edges, node_col, src_col, dst_col,
+            num_buckets, n, dnum, dden, base, has_dangling, seed_ctx,
+        )
+    return _pr_finalize_shuffle(ranks, node_col, n, r0)
+
+
+def _pr_project_nodes(nodes_ds, node_col):
+    import pyarrow.compute as pc
+
+    return nodes_ds.map_batches(
         lambda t: pa.table({node_col: pc.cast(t.column(node_col), pa.int64())}),
         batch_format="pyarrow",
         batch_size=None,
     )
-    edges_proj = edges_ds.map_batches(
+
+
+def _pr_project_edges(edges_ds, src_col, dst_col):
+    import pyarrow.compute as pc
+
+    return edges_ds.map_batches(
         lambda t: pa.table(
             {
                 src_col: pc.cast(t.column(src_col), pa.int64()),
@@ -576,7 +608,17 @@ def pagerank(
         batch_size=None,
     ).materialize()  # reused every iteration
 
-    n_edges = edges_proj.count()
+
+def _pr_shuffle_init(
+    nodes_proj, edges_proj, n_edges, node_col, src_col, dst_col, num_buckets, r0
+):
+    """Initial (node, r=r0, outdeg) rank rows for the shuffle plan: one
+    out-degree rollup left-joined onto the node set."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
     if n_edges:
         ones = edges_proj.map_batches(
             lambda t: pa.table(
@@ -610,29 +652,31 @@ def pagerank(
                 }
             )
 
-        ranks = joined0.map_batches(
+        return joined0.map_batches(
             init_map, batch_format="pyarrow", batch_size=None
         ).materialize()
-    else:
-        # no edges: every node is dangling; skip the joins entirely
-        ranks = nodes_proj.map_batches(
-            lambda t: pa.table(
-                {
-                    node_col: t.column(node_col),
-                    "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64)),
-                    "outdeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ).materialize()
+    # no edges: every node is dangling; skip the joins entirely
+    return nodes_proj.map_batches(
+        lambda t: pa.table(
+            {
+                node_col: t.column(node_col),
+                "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64)),
+                "outdeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
 
-    def _dang_mass(t: pa.Table) -> int:
-        od = t.column("outdeg").to_numpy(zero_copy_only=False)
-        r = t.column("r").to_numpy(zero_copy_only=False)
-        return int(r[od == 0].sum())
 
-    has_dangling = (
+def _dang_mass(t: pa.Table) -> int:
+    od = t.column("outdeg").to_numpy(zero_copy_only=False)
+    r = t.column("r").to_numpy(zero_copy_only=False)
+    return int(r[od == 0].sum())
+
+
+def _pr_has_dangling(ranks) -> bool:
+    return (
         _int_partial_sum(
             ranks,
             lambda t: int(
@@ -642,108 +686,120 @@ def pagerank(
         > 0
     )
 
-    if seed_pred is not None:
-        # |S|: one O(blocks) integer partial over the node rows
-        ns = _int_partial_sum(
+
+def _pr_seed_ctx(ranks, node_col, seed_pred, n, r0, dnum, dden):
+    """None for standard PageRank, else (seed_pred, ns, tele) — |S|
+    counted with one O(blocks) integer partial over the node rows."""
+    if seed_pred is None:
+        return None
+    ns = _int_partial_sum(
+        ranks,
+        lambda t: int(
+            np.asarray(
+                seed_pred(t.column(node_col).to_numpy(zero_copy_only=False)),
+                dtype=bool,
+            ).sum()
+        ),
+    )
+    if ns == 0:
+        raise ValueError("seed_pred selects no nodes")
+    tele = ((dden - dnum) * n * r0) // (dden * ns)
+    return (seed_pred, ns, tele)
+
+
+def _pr_shuffle_iteration(
+    ranks, edges_proj, n_edges, node_col, src_col, dst_col,
+    num_buckets, n, dnum, dden, base, has_dangling, seed_ctx,
+):
+    """One PageRank round, shuffle plan — a pure function of the rank
+    rows (the property the checkpointed job's bit-identical resume
+    relies on). Returns the new materialized rank Dataset."""
+    from ddsketch_ray.functions.analytics import sorted_sum_rollup
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    dmass = _int_partial_sum(ranks, _dang_mass) if has_dangling else 0
+    dshare = dmass // n
+
+    contribs = None
+    if n_edges:
+        contribs = equi_join_shuffle(
+            edges_proj,
             ranks,
-            lambda t: int(
-                np.asarray(
-                    seed_pred(
-                        t.column(node_col).to_numpy(zero_copy_only=False)
-                    ),
-                    dtype=bool,
-                ).sum()
-            ),
-        )
-        if ns == 0:
-            raise ValueError("seed_pred selects no nodes")
-        tele = ((dden - dnum) * n * r0) // (dden * ns)
-
-    for _ in range(iters):
-        dmass = _int_partial_sum(ranks, _dang_mass) if has_dangling else 0
-        dshare = dmass // n
-
-        contribs = None
-        if n_edges:
-            contribs = equi_join_shuffle(
-                edges_proj,
-                ranks,
-                src_col,
-                node_col,
-                [dst_col],
-                ["r", "outdeg"],
-                num_buckets=num_buckets,
-                how="inner",
-                coalesce_blocks=True,
-            ).map_batches(
-                lambda t: pa.table(
-                    {
-                        node_col: t.column(dst_col),
-                        "contrib": pa.array(
-                            (
-                                t.column("r").to_numpy(zero_copy_only=False)
-                                // t.column("outdeg").to_numpy(zero_copy_only=False)
-                            ).astype(np.int64)
-                        ),
-                        "odeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                    }
-                ),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
-        carry = ranks.map_batches(
+            src_col,
+            node_col,
+            [dst_col],
+            ["r", "outdeg"],
+            num_buckets=num_buckets,
+            how="inner",
+            coalesce_blocks=True,
+        ).map_batches(
             lambda t: pa.table(
                 {
-                    node_col: t.column(node_col),
-                    "contrib": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                    "odeg": t.column("outdeg"),
+                    node_col: t.column(dst_col),
+                    "contrib": pa.array(
+                        (
+                            t.column("r").to_numpy(zero_copy_only=False)
+                            // t.column("outdeg").to_numpy(zero_copy_only=False)
+                        ).astype(np.int64)
+                    ),
+                    "odeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
                 }
             ),
             batch_format="pyarrow",
             batch_size=None,
         )
-        pool = contribs.union(carry) if contribs is not None else carry
-        rolled = sorted_sum_rollup(pool, node_col, ["contrib", "odeg"])
+    carry = ranks.map_batches(
+        lambda t: pa.table(
+            {
+                node_col: t.column(node_col),
+                "contrib": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "odeg": t.column("outdeg"),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    pool = contribs.union(carry) if contribs is not None else carry
+    rolled = sorted_sum_rollup(pool, node_col, ["contrib", "odeg"])
 
-        if seed_pred is None:
+    if seed_ctx is None:
 
-            def update(t: pa.Table, _dsh=dshare) -> pa.Table:
-                s = t.column("contrib").to_numpy(zero_copy_only=False)
-                newr = base + (dnum * (s + _dsh)) // dden
-                return pa.table(
-                    {
-                        node_col: t.column(node_col),
-                        "r": pa.array(newr.astype(np.int64)),
-                        "outdeg": t.column("odeg"),
-                    }
-                )
+        def update(t: pa.Table, _dsh=dshare) -> pa.Table:
+            s = t.column("contrib").to_numpy(zero_copy_only=False)
+            newr = base + (dnum * (s + _dsh)) // dden
+            return pa.table(
+                {
+                    node_col: t.column(node_col),
+                    "r": pa.array(newr.astype(np.int64)),
+                    "outdeg": t.column("odeg"),
+                }
+            )
 
-        else:
-            dboost = dmass // ns
+    else:
+        seed_pred, ns, tele = seed_ctx
+        dboost = dmass // ns
 
-            def update(t: pa.Table, _db=dboost) -> pa.Table:
-                s = t.column("contrib").to_numpy(zero_copy_only=False)
-                mask = np.asarray(
-                    seed_pred(
-                        t.column(node_col).to_numpy(zero_copy_only=False)
-                    ),
-                    dtype=bool,
-                )
-                newr = np.where(mask, tele, 0) + (
-                    dnum * (s + np.where(mask, _db, 0))
-                ) // dden
-                return pa.table(
-                    {
-                        node_col: t.column(node_col),
-                        "r": pa.array(newr.astype(np.int64)),
-                        "outdeg": t.column("odeg"),
-                    }
-                )
+        def update(t: pa.Table, _db=dboost) -> pa.Table:
+            s = t.column("contrib").to_numpy(zero_copy_only=False)
+            mask = np.asarray(
+                seed_pred(t.column(node_col).to_numpy(zero_copy_only=False)),
+                dtype=bool,
+            )
+            newr = np.where(mask, tele, 0) + (
+                dnum * (s + np.where(mask, _db, 0))
+            ) // dden
+            return pa.table(
+                {
+                    node_col: t.column(node_col),
+                    "r": pa.array(newr.astype(np.int64)),
+                    "outdeg": t.column("odeg"),
+                }
+            )
 
-        ranks = rolled.map_batches(
-            update, batch_format="pyarrow", batch_size=None
-        ).materialize()
+    return rolled.map_batches(update, batch_format="pyarrow", batch_size=None).materialize()
 
+
+def _pr_finalize_shuffle(ranks, node_col, n, r0):
     denom = float(n) * float(r0)
     return ranks.map_batches(
         lambda t: pa.table(
@@ -758,3 +814,213 @@ def pagerank(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def pagerank_checkpointed(
+    edges_ds,
+    nodes_ds,
+    ckpt_dir: str,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping: tuple = (85, 100),
+    num_buckets: int = 64,
+    mode: str = "auto",
+    broadcast_node_limit: int = 16_000_000,
+    seed_mod: int | None = None,
+    input_desc: str = "",
+) -> dict:
+    """``pagerank`` with per-ITERATION checkpoints — the resumable shape
+    for iterative algorithms (the kmeans_fit_checkpointed / logreg
+    contract, functions/cluster.py:234): after every round the full
+    rank state lands in ``{ckpt_dir}/rank-{i:04d}/`` (i=0 is the
+    deterministic init) as parquet plus a ``meta.json`` completion
+    marker written LAST — a killed run leaves either a complete
+    iteration or a marker-less partial that the restart wipes. A re-run
+    with the same ckpt_dir resumes from the highest complete iteration
+    ≤ ``iters`` and — because every round is a pure integer function of
+    the rank rows (``_pr_shuffle_iteration`` / the broadcast loop) —
+    produces the BIT-IDENTICAL result a cold run would. Parameter
+    mismatches against the stored metadata raise instead of silently
+    diverging.
+
+    The checkpoint is O(n) rows: the broadcast plan writes it from the
+    driver matrix (one file), the shuffle plan writes the rank Dataset
+    distributed (``write_parquet`` — nothing O(n) crosses the driver).
+    Personalization uses ``seed_mod`` (seeds = node % seed_mod == 0), an
+    integer so the lineage metadata can pin it (a callable could not be
+    fingerprinted).
+
+    Returns {"result": Dataset(node, rank_fp, rank),
+    "resumed_from_iteration": int, "iterations_run": int}.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    dnum, dden = damping
+    if not (0 < dnum < dden <= 200):
+        raise ValueError("damping must satisfy 0 < dnum < dden <= 200")
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError("mode must be 'auto', 'broadcast' or 'shuffle'")
+    if seed_mod is not None and seed_mod < 1:
+        raise ValueError("seed_mod must be >= 1")
+    n = nodes_ds.count()
+    if n == 0:
+        return {
+            "result": rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], type=pa.int64()),
+                        "rank_fp": pa.array([], type=pa.int64()),
+                        "rank": pa.array([], type=pa.float64()),
+                    }
+                )
+            ),
+            "resumed_from_iteration": 0,
+            "iterations_run": 0,
+        }
+    r0 = min(1 << 26, (1 << 55) // n)
+    base = ((dden - dnum) * r0) // dden
+    params = {
+        "dnum": int(dnum),
+        "dden": int(dden),
+        "n": int(n),
+        "r0": int(r0),
+        "seed_mod": int(seed_mod) if seed_mod is not None else 0,
+        "input_desc": input_desc,
+        "node_col": node_col,
+    }
+    _os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _dir(i: int) -> str:
+        return _os.path.join(ckpt_dir, f"rank-{i:04d}")
+
+    def _meta_path(i: int) -> str:
+        return _os.path.join(_dir(i), "meta.json")
+
+    def _complete(i: int) -> bool:
+        return _os.path.exists(_meta_path(i))
+
+    def _check_meta(i: int) -> None:
+        with open(_meta_path(i)) as f:
+            meta = _json.load(f)
+        for k, v in params.items():
+            if meta.get(k) != v:
+                raise ValueError(
+                    f"checkpoint {ckpt_dir} iteration {i} was written with "
+                    f"{k}={meta.get(k)!r}, current run has {v!r} — refusing to resume"
+                )
+
+    def _write_meta(i: int, wall_s: float) -> None:
+        meta = dict(params, iteration=i, wall_s=round(wall_s, 3))
+        tmp = _meta_path(i) + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        _os.replace(tmp, _meta_path(i))  # marker lands atomically, LAST
+
+    def _fresh_dir(i: int) -> str:
+        d = _dir(i)
+        if _os.path.exists(d):
+            _shutil.rmtree(d)  # marker-less partial from a killed run
+        return d
+
+    start = -1
+    for i in range(int(iters), -1, -1):
+        if _complete(i):
+            start = i
+            break
+    if start >= 0:
+        _check_meta(start)
+
+    seed_pred = None
+    if seed_mod is not None:
+        _sm = int(seed_mod)
+        seed_pred = lambda ids, _m=_sm: ids % _m == 0  # noqa: E731
+
+    if mode == "auto":
+        mode = "broadcast" if n <= broadcast_node_limit else "shuffle"
+
+    if mode == "broadcast":
+        start_r, start_it = None, 0
+        if start >= 0:
+            files = sorted(_glob.glob(_os.path.join(_dir(start), "*.parquet")))
+            t = _pq.read_table(files, columns=[node_col, "r"])
+            order = np.argsort(t.column(node_col).to_numpy(zero_copy_only=False))
+            start_r = t.column("r").to_numpy(zero_copy_only=False)[order]
+            start_it = start
+
+        t_iter = _time.perf_counter()
+
+        def on_iteration(i, node_arr, r, outdeg, _t=[t_iter]):
+            if not _complete(i):
+                d = _fresh_dir(i)
+                _os.makedirs(d)
+                tbl = pa.table(
+                    {
+                        node_col: pa.array(node_arr),
+                        "r": pa.array(np.asarray(r, dtype=np.int64)),
+                        "outdeg": pa.array(np.asarray(outdeg, dtype=np.int64)),
+                    }
+                )
+                _pq.write_table(tbl, _os.path.join(d, "data.parquet"))
+                _write_meta(i, _time.perf_counter() - _t[0])
+            _t[0] = _time.perf_counter()
+
+        result = _pagerank_broadcast(
+            edges_ds, nodes_ds, node_col, src_col, dst_col,
+            int(iters), dnum, dden, n, r0, base, seed_pred,
+            start_r=start_r, start_iteration=start_it, on_iteration=on_iteration,
+        )
+        resumed = max(start, 0)
+        return {
+            "result": result,
+            "resumed_from_iteration": resumed,
+            "iterations_run": int(iters) - start_it,
+        }
+
+    # shuffle plan: the rank state never crosses the driver
+    nodes_proj = _pr_project_nodes(nodes_ds, node_col)
+    edges_proj = _pr_project_edges(edges_ds, src_col, dst_col)
+    n_edges = edges_proj.count()
+
+    def _write_state_ds(i: int, ranks_ds, wall_s: float) -> None:
+        if _complete(i):
+            return
+        d = _fresh_dir(i)
+        ranks_ds.write_parquet(d)
+        _write_meta(i, wall_s)
+
+    if start >= 0:
+        files = sorted(_glob.glob(_os.path.join(_dir(start), "*.parquet")))
+        ranks = rd.read_parquet(files).materialize()
+        start_it = start
+    else:
+        t0 = _time.perf_counter()
+        ranks = _pr_shuffle_init(
+            nodes_proj, edges_proj, n_edges, node_col, src_col, dst_col,
+            num_buckets, r0,
+        )
+        _write_state_ds(0, ranks, _time.perf_counter() - t0)
+        start_it = 0
+
+    has_dangling = _pr_has_dangling(ranks)
+    seed_ctx = _pr_seed_ctx(ranks, node_col, seed_pred, n, r0, dnum, dden)
+    for i in range(start_it + 1, int(iters) + 1):
+        t0 = _time.perf_counter()
+        ranks = _pr_shuffle_iteration(
+            ranks, edges_proj, n_edges, node_col, src_col, dst_col,
+            num_buckets, n, dnum, dden, base, has_dangling, seed_ctx,
+        )
+        _write_state_ds(i, ranks, _time.perf_counter() - t0)
+    return {
+        "result": _pr_finalize_shuffle(ranks, node_col, n, r0),
+        "resumed_from_iteration": max(start, 0),
+        "iterations_run": int(iters) - start_it,
+    }

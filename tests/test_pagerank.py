@@ -286,3 +286,86 @@ def test_personalized_all_seeds_equals_standard():
     std = _run(edges, n, iters=3)
     allseed = _run_ppr(edges, n, lambda ids: np.ones(len(ids), dtype=bool), iters=3)
     assert std["rank_fp"].tolist() == allseed["rank_fp"].tolist()
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    from ddsketch_ray.functions.graph import pagerank_checkpointed
+
+    rng = np.random.default_rng(53)
+    n = 200
+    edges = list(zip(rng.integers(0, n, 600).tolist(), rng.integers(0, n, 600).tolist()))
+    cold = pagerank_reference(edges, n, iters=4)
+
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(3)
+    e = np.array(edges, dtype=np.int64)
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    ).repartition(3)
+
+    for mode in ("broadcast", "shuffle"):
+        ck = str(tmp_path / f"pr-{mode}")
+        first = pagerank_checkpointed(eds, nodes, ck, iters=2, mode=mode, num_buckets=8)
+        assert first["resumed_from_iteration"] == 0
+        assert first["iterations_run"] == 2
+        resumed = pagerank_checkpointed(eds, nodes, ck, iters=4, mode=mode, num_buckets=8)
+        assert resumed["resumed_from_iteration"] == 2
+        assert resumed["iterations_run"] == 2
+        got = resumed["result"].to_pandas().sort_values("node")
+        assert got["rank_fp"].tolist() == cold, mode
+
+        # fully-complete checkpoint: zero iterations on re-run
+        again = pagerank_checkpointed(eds, nodes, ck, iters=4, mode=mode, num_buckets=8)
+        assert again["iterations_run"] == 0
+        got = again["result"].to_pandas().sort_values("node")
+        assert got["rank_fp"].tolist() == cold, mode
+
+        # parameter mismatch refuses to resume
+        with pytest.raises(ValueError, match="refusing to resume"):
+            pagerank_checkpointed(
+                eds, nodes, ck, iters=4, mode=mode, damping=(17, 20), num_buckets=8
+            )
+
+
+def test_checkpoint_cross_mode_resume(tmp_path):
+    # state format is mode-independent: a shuffle-written checkpoint
+    # resumes under the broadcast plan bit-identically (and vice versa)
+    from ddsketch_ray.functions.graph import pagerank_checkpointed
+
+    rng = np.random.default_rng(59)
+    n = 100
+    edges = list(zip(rng.integers(0, n, 300).tolist(), rng.integers(0, n, 300).tolist()))
+    cold = pagerank_reference(edges, n, iters=3)
+    nodes = rd.from_arrow(pa.table({"node": pa.array(np.arange(n, dtype=np.int64))}))
+    e = np.array(edges, dtype=np.int64)
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    )
+    ck = str(tmp_path / "pr-x")
+    pagerank_checkpointed(eds, nodes, ck, iters=1, mode="shuffle", num_buckets=8)
+    out = pagerank_checkpointed(eds, nodes, ck, iters=3, mode="broadcast", num_buckets=8)
+    got = out["result"].to_pandas().sort_values("node")
+    assert got["rank_fp"].tolist() == cold
+
+
+def test_checkpoint_personalized_seed_mod(tmp_path):
+    from ddsketch_ray.functions.graph import pagerank_checkpointed
+
+    n = 60
+    edges = [(i, (i * 7 + 1) % n) for i in range(n)]
+    seeds = {v for v in range(n) if v % 9 == 0}
+    ref = ppr_reference(edges, n, seeds, iters=3)
+    nodes = rd.from_arrow(pa.table({"node": pa.array(np.arange(n, dtype=np.int64))}))
+    e = np.array(edges, dtype=np.int64)
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    )
+    ck = str(tmp_path / "ppr")
+    pagerank_checkpointed(eds, nodes, ck, iters=1, seed_mod=9, num_buckets=8)
+    out = pagerank_checkpointed(eds, nodes, ck, iters=3, seed_mod=9, num_buckets=8)
+    got = out["result"].to_pandas().sort_values("node")
+    assert got["rank_fp"].tolist() == ref
+    # seed_mod is pinned in the lineage metadata
+    with pytest.raises(ValueError, match="refusing to resume"):
+        pagerank_checkpointed(eds, nodes, ck, iters=3, seed_mod=5, num_buckets=8)
