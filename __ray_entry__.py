@@ -3819,6 +3819,26 @@ def q_anf_distance_distribution_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("radius").reset_index(drop=True)
 
 
+def q_label_propagation_docs(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round min-label community propagation
+    (functions/graph.py::label_propagation) over the undirected
+    hash-link graph: 4 synchronous rounds, label = min node id within
+    4 hops. The oracle unrolls the rounds as MIN GROUP BYs over the
+    (delivered ∪ carry) rows in DuckDB — label bit-exact."""
+    from ddsketch_ray.functions.graph import hash_link_edges, label_propagation
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = hash_link_edges(docs, n)
+    out = label_propagation(edges, nodes, rounds=4, num_buckets=16).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_pagerank_personalized_docs(sf_dir: str) -> pd.DataFrame:
     """Personalized PageRank (functions/graph.py::pagerank with
     seed_pred) over the same hash-link graph: teleport + dangling mass
@@ -3917,6 +3937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized_docs": q_pagerank_personalized_docs,
         "anf_docs": q_anf_docs,
         "anf_distance_distribution_docs": q_anf_distance_distribution_docs,
+        "label_propagation_docs": q_label_propagation_docs,
         "orders_left_segment": q_orders_left_segment,
         "kmv_sample_by_lang": q_kmv_sample_by_lang,
         "dds_cdf_price": q_dds_cdf_price,
@@ -4243,6 +4264,38 @@ FROM (SELECT node,
             FROM {it} GROUP BY node))"""
 
 
+def _lp_sql(rounds: int = 4) -> str:
+    """Full integer replay of q_label_propagation_docs: the hash-link
+    edge derivation, undirected expansion (both directions), and
+    ``rounds`` unrolled synchronous min-label rounds — each one a MIN
+    GROUP BY over (neighbor-delivered labels UNION ALL carry)."""
+    sm_link = _splitmix_sql("CAST(7777 + j AS UBIGINT)")
+    sm_edge = _splitmix_sql(f"xor(CAST(doc_id AS UBIGINT), {sm_link})")
+    sql = f"""
+WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+deg AS (SELECT doc_id::BIGINT AS doc_id,
+               (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + (doc_id % 3) END)::BIGINT AS outdeg
+        FROM documents),
+ej AS (SELECT doc_id, outdeg, unnest(generate_series(1, 3)) AS j FROM deg),
+edges AS (SELECT doc_id AS src,
+                 CAST(({sm_edge}) % (SELECT CAST(n AS UBIGINT) FROM cnt) AS BIGINT) AS dst
+          FROM ej WHERE j <= outdeg),
+ee AS (SELECT src AS a, dst AS b FROM edges
+       UNION ALL SELECT dst AS a, src AS b FROM edges),
+lab0 AS (SELECT doc_id::BIGINT AS node, doc_id::BIGINT AS lab FROM documents)"""
+    for k in range(1, rounds + 1):
+        p = k - 1
+        sql += f""",
+lab{k} AS (SELECT node, MIN(lab) AS lab FROM (
+             SELECT e.b AS node, l.lab FROM ee e JOIN lab{p} l ON l.node = e.a
+             UNION ALL
+             SELECT node, lab FROM lab{p}) GROUP BY node)"""
+    sql += f"""
+SELECT node, lab AS label FROM lab{rounds} ORDER BY node
+"""
+    return sql
+
+
 def _anf_sql(radius: int = 3, p: int = 4) -> str:
     """Full integer replay of q_anf_docs (functions/anf.py): the shared
     prefix (_anf_prefix_sql) plus the exact HLL estimator over the
@@ -4281,6 +4334,7 @@ def oracle_sql() -> dict[str, str]:
     out["pagerank_personalized_docs"] = _pagerank_sql(iters=4, seed_mod=97)
     out["anf_docs"] = _anf_sql()
     out["anf_distance_distribution_docs"] = _anf_ddist_sql()
+    out["label_propagation_docs"] = _lp_sql()
     out["redact_documents"] = _redact_oracle()
     out["train_corpus_prep"] = _train_corpus_prep_oracle()
     # the distributed substring plan is output-identical to the broadcast

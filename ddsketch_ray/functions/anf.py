@@ -90,17 +90,17 @@ def _estimate_rows(regs: np.ndarray) -> np.ndarray:
     return np.asarray([int(round(float(x))) for x in est], dtype=np.int64)
 
 
-def sorted_max_rollup(ds, key_col: str, max_cols: list[str]):
-    """Per-key integer MAX via the sort plan — the elementwise-max
-    sibling of ``analytics.sorted_sum_rollup`` (same stitch: one
-    distributed sort, ``np.maximum.reduceat`` per adjacent key run,
-    only each block's first/last key groups — ≤ 2 partial rows per
-    block — re-maxed on the driver). Returns a Dataset
-    (key_col, *max_cols int64)."""
+def _sorted_ufunc_rollup(ds, key_col: str, cols: list[str], ufunc, pd_agg: str):
+    """Per-key integer reduction via the sort plan — the
+    associative-ufunc generalization of ``analytics.sorted_sum_rollup``
+    (same stitch: one distributed sort, ``ufunc.reduceat`` per adjacent
+    key run, only each block's first/last key groups — ≤ 2 partial rows
+    per block — re-reduced on the driver with the matching pandas
+    aggregate). Returns a Dataset (key_col, *cols int64)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    max_cols = list(max_cols)
+    cols = list(cols)
     s = ds.sort(key_col)
 
     def block_rollup(t: pa.Table) -> pa.Table:
@@ -109,7 +109,7 @@ def sorted_max_rollup(ds, key_col: str, max_cols: list[str]):
             return pa.table(
                 {
                     key_col: pa.array([], type=ktype),
-                    **{c: pa.array([], type=pa.int64()) for c in max_cols},
+                    **{c: pa.array([], type=pa.int64()) for c in cols},
                     "boundary": pa.array([], type=pa.bool_()),
                 }
             )
@@ -118,14 +118,14 @@ def sorted_max_rollup(ds, key_col: str, max_cols: list[str]):
         boundary = np.zeros(len(starts), dtype=bool)
         boundary[0] = boundary[-1] = True
         out = {key_col: t.column(key_col).take(pa.array(starts))}
-        for c in max_cols:
+        for c in cols:
             v = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
-            out[c] = pa.array(np.maximum.reduceat(v, starts).astype(np.int64))
+            out[c] = pa.array(ufunc.reduceat(v, starts).astype(np.int64))
         out["boundary"] = pa.array(boundary)
         return pa.table(out)
 
     rep = s.map_batches(block_rollup, batch_format="pyarrow", batch_size=None).materialize()
-    keep = [key_col] + max_cols
+    keep = [key_col] + cols
     internal = rep.map_batches(
         lambda t: t.filter(pc.invert(t.column("boundary"))).select(keep),
         batch_format="pyarrow",
@@ -137,19 +137,32 @@ def sorted_max_rollup(ds, key_col: str, max_cols: list[str]):
         batch_size=None,
     ).to_pandas()  # ≤ 2 partial rows per block
     if len(edge):
-        edge = edge.groupby(key_col, as_index=False)[max_cols].max()
+        edge = edge.groupby(key_col, as_index=False)[cols].agg(pd_agg)
         ktype = getattr(rep.schema(), "base_schema", rep.schema()).field(key_col).type
         fix = pa.table(
             {
                 key_col: pa.array(edge[key_col].to_numpy(), type=ktype),
                 **{
                     c: pa.array(edge[c].to_numpy().astype(np.int64), pa.int64())
-                    for c in max_cols
+                    for c in cols
                 },
             }
         )
         return internal.union(rd.from_arrow(fix))
     return internal
+
+
+def sorted_max_rollup(ds, key_col: str, max_cols: list[str]):
+    """Per-key integer MAX via the sort plan (``_sorted_ufunc_rollup``
+    with np.maximum — the elementwise-max sibling of
+    ``analytics.sorted_sum_rollup``)."""
+    return _sorted_ufunc_rollup(ds, key_col, max_cols, np.maximum, "max")
+
+
+def sorted_min_rollup(ds, key_col: str, min_cols: list[str]):
+    """Per-key integer MIN via the sort plan (``_sorted_ufunc_rollup``
+    with np.minimum — used by ``graph.label_propagation``)."""
+    return _sorted_ufunc_rollup(ds, key_col, min_cols, np.minimum, "min")
 
 
 def _reg_cols(m: int) -> list[str]:

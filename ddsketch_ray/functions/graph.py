@@ -1024,3 +1024,157 @@ def pagerank_checkpointed(
         "resumed_from_iteration": max(start, 0),
         "iterations_run": int(iters) - start_it,
     }
+
+
+def label_propagation(
+    edges_ds,
+    nodes_ds,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 5,
+    mode: str = "auto",
+    broadcast_node_limit: int = 16_000_000,
+    num_buckets: int = 64,
+    directed: bool = False,
+):
+    """Bounded-round synchronous min-label propagation — community /
+    local-cluster labels over the link graph (the spam-farm /
+    mirror-site detector's workhorse). Every node starts with its own
+    id as label; each round it takes the MIN of its own label and its
+    neighbors' (both directions unless ``directed=True``, where labels
+    flow src → dst only). After k rounds label_v = min node id within
+    k propagation steps of v; run enough rounds and labels converge to
+    connected components — ``connected_components`` (above) remains
+    the full-convergence star-contraction path, while this variant has
+    deterministic BOUNDED-ROUND state that an SQL oracle can unroll
+    (gate query ``label_propagation_docs``) and per-round semantics
+    (radius-k communities).
+
+    Pure integer min state → bit-identical across layouts and the two
+    plans (the pagerank/ANF gating):
+
+    - **broadcast** (n <= limit): labels are a driver-held int64
+      vector, ``ray.put`` once per round; ONE ``sorted_min_rollup``
+      shuffle per round; early-exits on the fixed point (min is
+      idempotent — identical output, fewer rounds).
+    - **shuffle** (beyond the limit, nothing O(n) on the driver):
+      label rows ride a Dataset; per round one bucketed join delivers
+      neighbor labels + carry union + min-rollup.
+
+    ``nodes_ds`` must list every node id exactly once (int64); src/dst
+    drawn from the node set. Returns a Dataset (node, label), label =
+    the minimum reachable node id within ``rounds`` steps.
+    """
+    import ray
+    import ray.data as rd
+
+    from ddsketch_ray.functions.anf import sorted_min_rollup
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError("mode must be 'auto', 'broadcast' or 'shuffle'")
+
+    nodes_proj = _pr_project_nodes(nodes_ds, node_col)
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if directed:
+            return pa.table({"a": pa.array(a), "b": pa.array(b)})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, b])),
+                "b": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    ee = edges_ds.map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    ).materialize()  # reused every round; 2|E| rows undirected
+    n = nodes_proj.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    if mode == "auto":
+        mode = "broadcast" if n <= broadcast_node_limit else "shuffle"
+    n_edges = ee.count()
+
+    if mode == "broadcast":
+        node_arr = np.sort(nodes_proj.to_pandas()[node_col].to_numpy().astype(np.int64))
+        if len(node_arr) > 1 and (node_arr[1:] == node_arr[:-1]).any():
+            raise ValueError("nodes_ds must list every node id exactly once")
+        labels = node_arr.copy()
+        for _ in range(rounds if n_edges else 0):
+            state = ray.put((node_arr, labels))
+
+            def emit(t: pa.Table, _state=state) -> pa.Table:
+                nodes_b, labs_b = ray.get(_state)  # zero-copy, node-local
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        node_col: t.column("b"),
+                        "lab": pa.array(labs_b[np.searchsorted(nodes_b, a)]),
+                    }
+                )
+
+            rolled = sorted_min_rollup(
+                ee.map_batches(emit, batch_format="pyarrow", batch_size=None),
+                node_col,
+                ["lab"],
+            ).to_pandas()
+            new = labels.copy()
+            if len(rolled):
+                idx = np.searchsorted(
+                    node_arr, rolled[node_col].to_numpy().astype(np.int64)
+                )
+                new[idx] = np.minimum(new[idx], rolled["lab"].to_numpy().astype(np.int64))
+            if np.array_equal(new, labels):
+                break  # fixed point: min is idempotent
+            labels = new
+        return rd.from_arrow(
+            pa.table({"node": pa.array(node_arr), "label": pa.array(labels)})
+        )
+
+    # shuffle plan: label rows never cross the driver
+    state_ds = nodes_proj.map_batches(
+        lambda t: pa.table(
+            {node_col: t.column(node_col), "lab": t.column(node_col)}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    for _ in range(rounds if n_edges else 0):
+        delivered = equi_join_shuffle(
+            ee,
+            state_ds,
+            "a",
+            node_col,
+            ["b"],
+            ["lab"],
+            num_buckets=num_buckets,
+            how="inner",
+            coalesce_blocks=True,
+        ).map_batches(
+            lambda t: pa.table({node_col: t.column("b"), "lab": t.column("lab")}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        state_ds = sorted_min_rollup(
+            delivered.union(state_ds), node_col, ["lab"]
+        ).materialize()
+    return state_ds.map_batches(
+        lambda t: pa.table(
+            {"node": t.column(node_col), "label": t.column("lab")}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
