@@ -802,6 +802,68 @@ def stress_anf1m() -> dict:
     }
 
 
+def stress_lp1m() -> dict:
+    """label_propagation at 1M nodes / ~1.71M hash-link edges (3.43M
+    undirected-expanded rows), 5 rounds. Exactness: labels BIT-EQUAL to
+    a sequential numpy reference of the identical min recurrence."""
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.graph import hash_link_edges, label_propagation
+    from ddsketch_ray.hashing import hash_ints
+
+    n = 1_000_000
+    ids = rd.range(n, override_num_blocks=64).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    nodes = ids.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = hash_link_edges(ids, n)
+    t0 = time.perf_counter()
+    out = (
+        label_propagation(edges, nodes, rounds=5, num_buckets=4 * CPUS)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    wall = time.perf_counter() - t0
+
+    v = np.arange(n, dtype=np.int64)
+    deg = np.where(v % 7 == 0, 0, 1 + v % 3).astype(np.int64)
+    srcs, dsts = [], []
+    for j in (1, 2, 3):
+        m = deg >= j
+        srcs.append(v[m])
+        dsts.append((hash_ints(v[m], seed=7777 + j) % np.uint64(n)).astype(np.int64))
+    es, ed = np.concatenate(srcs), np.concatenate(dsts)
+    ea = np.concatenate([es, ed])
+    eb = np.concatenate([ed, es])
+    lab = v.copy()
+    for _ in range(5):
+        new = lab.copy()
+        np.minimum.at(new, eb, lab[ea])
+        lab = new
+    assert np.array_equal(out["label"].to_numpy(), lab), "distributed != sequential"
+    n_comm = len(np.unique(lab))
+    log(
+        f"lp1m: {wall:.1f}s ({n/wall:.0f} nodes/s, {len(ea)} expanded rows, 5 rounds,"
+        f" {n_comm} labels, bit-equal to sequential reference)"
+    )
+    return {
+        "nodes": n,
+        "expanded_rows": int(len(ea)),
+        "rounds": 5,
+        "labels": int(n_comm),
+        "wall_s": round(wall, 1),
+        "nodes_per_sec": round(n / wall),
+    }
+
+
 def main() -> None:
     if "_dedup-leg" in sys.argv:
         i = sys.argv.index("_dedup-leg")
@@ -831,6 +893,8 @@ def main() -> None:
         results["pagerank5m"] = stress_pagerank5m()
     if not which or "anf1m" in which:
         results["anf1m"] = stress_anf1m()
+    if not which or "lp1m" in which:
+        results["lp1m"] = stress_lp1m()
     print(json.dumps(results, indent=2))
 
 
