@@ -4251,9 +4251,9 @@ def _anf_est_sql(it: str, p: int) -> str:
     m = 1 << p
     alpha = {16: "0.673", 32: "0.697", 64: "0.709"}[m]
     return f"""
-SELECT node, CAST(round(CASE WHEN raw <= 2.5 * {m} AND v > 0
-                             THEN {m} * ln({m}.0 / v)
-                             ELSE raw END) AS BIGINT) AS nhood_est
+SELECT node, CAST(round_even(CASE WHEN raw <= 2.5 * {m} AND v > 0
+                                  THEN {m} * ln({m}.0 / v)
+                                  ELSE raw END, 0) AS BIGINT) AS nhood_est
 FROM (SELECT node,
              {alpha} * {m} * {m} /
                (CAST(s_p + ({m} - nb) * CAST(power(2, 64) AS HUGEINT)
@@ -4613,9 +4613,9 @@ est AS (SELECT {grp_sel}
                        AS DOUBLE) * power(2.0, -64)) AS raw,
                16384 - nb AS v
         FROM s)
-SELECT {grp_sel}CAST(round(CASE WHEN raw <= 2.5 * 16384 AND v > 0
-                                THEN 16384 * ln(16384.0 / v)
-                                ELSE raw END) AS BIGINT) AS {out_name}
+SELECT {grp_sel}CAST(round_even(CASE WHEN raw <= 2.5 * 16384 AND v > 0
+                                     THEN 16384 * ln(16384.0 / v)
+                                     ELSE raw END, 0) AS BIGINT) AS {out_name}
 FROM est {order}
 """
 

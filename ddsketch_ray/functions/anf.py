@@ -176,12 +176,14 @@ def _broadcast_round(edges_proj, node_arr, regs, node_col, src_col, dst_col, rco
     (the same object if the round was a fixed point)."""
     import ray
 
+    from ddsketch_ray.functions.graph import _member_idx
+
     state = ray.put((node_arr, regs))
 
     def emit(t: pa.Table, _state=state) -> pa.Table:
         nodes_b, regs_b = ray.get(_state)  # zero-copy, node-local
         dst = t.column(dst_col).to_numpy(zero_copy_only=False)
-        rr = regs_b[np.searchsorted(nodes_b, dst)]
+        rr = regs_b[_member_idx(nodes_b, dst, "edge dst")]
         cols = {node_col: t.column(src_col)}
         for j, c in enumerate(rcols):
             cols[c] = pa.array(rr[:, j].astype(np.int64))
@@ -194,38 +196,46 @@ def _broadcast_round(edges_proj, node_arr, regs, node_col, src_col, dst_col, rco
     ).to_pandas()
     if len(rolled) == 0:
         return regs
-    idx = np.searchsorted(node_arr, rolled[node_col].to_numpy().astype(np.int64))
+    idx = _member_idx(
+        node_arr, rolled[node_col].to_numpy().astype(np.int64), "edge src"
+    )
     incoming = np.stack([rolled[c].to_numpy().astype(np.uint8) for c in rcols], axis=1)
     new = regs.copy()
     new[idx] = np.maximum(new[idx], incoming)
     return regs if np.array_equal(new, regs) else new
 
 
-def _shuffle_round(state_ds, edges_proj, node_col, src_col, dst_col, rcols, num_buckets):
-    """One synchronous HyperANF round, shuffle plan: bucketed join
-    delivers R_dst to each edge's src, carry union keeps every node's
-    own registers, max-rollup folds. Returns the new materialized
-    state Dataset."""
-    from ddsketch_ray.functions.joins import equi_join_shuffle
+def _shuffle_round(state_ds, layout_dir, node_col, src_col, dst_col, rcols, num_buckets):
+    """One synchronous HyperANF round, shuffle plan — r5: runs on the
+    persisted edge layout (bucketed by dst, the join key that delivers
+    R_dst to each edge's src; ``edgelayout.propagation_round``).  Phase
+    A is a zero-shuffle map over the register state (per-bucket edge
+    reads + searchsorted + per-src register MAX pre-reduction), phase B
+    the round's single ``[bucket, node]`` sort.  Elementwise MAX is
+    order-independent, so the state stays bit-identical to the r4
+    join-plan and to the broadcast plan.  Returns the new materialized
+    state Dataset (bucket, node, *rcols)."""
+    from ddsketch_ray.functions.edgelayout import propagation_round
 
-    delivered = equi_join_shuffle(
-        edges_proj,
+    def msg_fn(t: pa.Table) -> dict:
+        return {
+            c: t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in rcols
+        }
+
+    return propagation_round(
         state_ds,
-        dst_col,
-        node_col,
-        [src_col],
-        rcols,
+        layout_dir=layout_dir,
         num_buckets=num_buckets,
-        how="inner",
-        coalesce_blocks=True,
-    ).map_batches(
-        lambda t: pa.table(
-            {node_col: t.column(src_col), **{c: t.column(c) for c in rcols}}
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    return sorted_max_rollup(delivered.union(state_ds), node_col, rcols).materialize()
+        key_col=dst_col,
+        payload_col=src_col,
+        node_col=node_col,
+        msg_cols=rcols,
+        msg_fn=msg_fn,
+        carry_fn=msg_fn,
+        ufunc=np.maximum,
+        pd_agg="max",
+    ).materialize()
 
 
 def neighborhood_function(
@@ -271,7 +281,7 @@ def neighborhood_function(
         ),
         batch_format="pyarrow",
         batch_size=None,
-    ).materialize()  # reused every round
+    )  # materialized only by the broadcast plan
 
     n = nodes_proj.count()
     if n == 0:
@@ -288,6 +298,7 @@ def neighborhood_function(
     n_edges = edges_proj.count()
 
     if mode == "broadcast":
+        edges_proj = edges_proj.materialize()  # reused every round
         node_arr = np.sort(nodes_proj.to_pandas()[node_col].to_numpy().astype(np.int64))
         if len(node_arr) > 1 and (node_arr[1:] == node_arr[:-1]).any():
             raise ValueError("nodes_ds must list every node id exactly once")
@@ -308,7 +319,13 @@ def neighborhood_function(
             )
         )
 
-    # shuffle plan: register rows ride a Dataset; driver holds O(blocks)
+    # shuffle plan: register rows ride a Dataset; driver holds O(blocks);
+    # static edges persisted once, bucketed by dst (edgelayout substrate)
+    import shutil
+    import tempfile
+
+    from ddsketch_ray.functions.edgelayout import cluster_state, write_edge_layout
+
     def init_map(t: pa.Table) -> pa.Table:
         ids = t.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
         rr = _init_registers(ids, p)
@@ -317,13 +334,21 @@ def neighborhood_function(
             cols[c] = pa.array(rr[:, j].astype(np.int64))
         return pa.table(cols)
 
-    state_ds = nodes_proj.map_batches(
-        init_map, batch_format="pyarrow", batch_size=None
-    ).materialize()
-    for _ in range(radius if n_edges else 0):
-        state_ds = _shuffle_round(
-            state_ds, edges_proj, node_col, src_col, dst_col, rcols, num_buckets
-        )
+    state_ds = cluster_state(
+        nodes_proj.map_batches(init_map, batch_format="pyarrow", batch_size=None),
+        node_col,
+        num_buckets,
+    )
+    layout_dir = tempfile.mkdtemp(prefix="ddsr-anf-edges-")
+    try:
+        if n_edges:
+            write_edge_layout(edges_proj, dst_col, src_col, layout_dir, num_buckets)
+        for _ in range(radius if n_edges else 0):
+            state_ds = _shuffle_round(
+                state_ds, layout_dir, node_col, src_col, dst_col, rcols, num_buckets
+            )
+    finally:
+        shutil.rmtree(layout_dir, ignore_errors=True)
 
     def est_map(t: pa.Table) -> pa.Table:
         rr = np.stack(
@@ -391,7 +416,7 @@ def distance_distribution(
         ),
         batch_format="pyarrow",
         batch_size=None,
-    ).materialize()  # reused every round
+    )  # materialized only by the broadcast plan
 
     n = nodes_proj.count()
     if n == 0:
@@ -411,13 +436,15 @@ def distance_distribution(
     totals: list[int] = []
 
     if mode == "broadcast":
+        edges_proj = edges_proj.materialize()  # reused every round
         node_arr = np.sort(nodes_proj.to_pandas()[node_col].to_numpy().astype(np.int64))
         if len(node_arr) > 1 and (node_arr[1:] == node_arr[:-1]).any():
             raise ValueError("nodes_ds must list every node id exactly once")
         regs = _init_registers(node_arr, p)
         totals.append(int(_estimate_rows(regs).sum()))
+        done = n_edges == 0
         for _ in range(max_radius):
-            if n_edges:
+            if not done:
                 new = _broadcast_round(
                     edges_proj, node_arr, regs, node_col, src_col, dst_col, rcols
                 )
@@ -425,8 +452,16 @@ def distance_distribution(
                     regs = new
                     totals.append(int(_estimate_rows(regs).sum()))
                     continue
+                # register fixed point: every further round is a full
+                # distributed emit+sort+rollup that provably returns the
+                # same matrix (max is idempotent) — stop executing them
+                done = True
             totals.append(totals[-1])  # fixed point: totals repeat
     else:
+        import shutil
+        import tempfile
+
+        from ddsketch_ray.functions.edgelayout import cluster_state, write_edge_layout
 
         def init_map(t: pa.Table) -> pa.Table:
             ids = t.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -436,9 +471,11 @@ def distance_distribution(
                 cols[c] = pa.array(rr[:, j].astype(np.int64))
             return pa.table(cols)
 
-        state_ds = nodes_proj.map_batches(
-            init_map, batch_format="pyarrow", batch_size=None
-        ).materialize()
+        state_ds = cluster_state(
+            nodes_proj.map_batches(init_map, batch_format="pyarrow", batch_size=None),
+            node_col,
+            num_buckets,
+        )
 
         def block_total(t: pa.Table) -> int:
             rr = np.stack(
@@ -451,14 +488,23 @@ def distance_distribution(
             return int(_estimate_rows(rr).sum())
 
         totals.append(_int_partial_sum_anf(state_ds, block_total))
-        for _ in range(max_radius):
+        layout_dir = tempfile.mkdtemp(prefix="ddsr-anf-edges-")
+        try:
             if n_edges:
-                state_ds = _shuffle_round(
-                    state_ds, edges_proj, node_col, src_col, dst_col, rcols, num_buckets
+                write_edge_layout(
+                    edges_proj, dst_col, src_col, layout_dir, num_buckets
                 )
-                totals.append(_int_partial_sum_anf(state_ds, block_total))
-            else:
-                totals.append(totals[-1])
+            for _ in range(max_radius):
+                if n_edges:
+                    state_ds = _shuffle_round(
+                        state_ds, layout_dir, node_col, src_col, dst_col, rcols,
+                        num_buckets,
+                    )
+                    totals.append(_int_partial_sum_anf(state_ds, block_total))
+                else:
+                    totals.append(totals[-1])
+        finally:
+            shutil.rmtree(layout_dir, ignore_errors=True)
 
     return pa.table(
         {

@@ -329,10 +329,28 @@ def _int_partial_sum(ds, expr_fn):
     return int(part["p"].sum()) if len(part) else 0
 
 
+def _member_idx(nodes_b: np.ndarray, ids: np.ndarray, what: str) -> np.ndarray:
+    """``searchsorted`` with membership validation: every id must exist
+    in the sorted node array (the edges-drawn-from-the-node-set
+    contract, ``pagerank``/``label_propagation``/ANF docstrings).  An
+    unvalidated searchsorted on a contract-violating input either
+    raises IndexError (id beyond max) or SILENTLY credits mass/labels/
+    registers to the wrong node — one vectorized check per batch makes
+    the broadcast plans fail fast instead (r4 ADVICE)."""
+    idx = np.searchsorted(nodes_b, ids)
+    bad = idx >= len(nodes_b)
+    if bad.any() or (nodes_b[np.minimum(idx, len(nodes_b) - 1)] != ids).any():
+        raise ValueError(
+            f"{what} references node ids not present in nodes_ds "
+            "(every edge endpoint must be drawn from the node set)"
+        )
+    return idx
+
+
 def _pagerank_broadcast(
     edges_ds, nodes_ds, node_col, src_col, dst_col,
     iters, dnum, dden, n, r0, base, seed_pred=None,
-    start_r=None, start_iteration=0, on_iteration=None,
+    start_r=None, start_iteration=0, on_iteration=None, start_nodes=None,
 ):
     """Broadcast-rank PageRank plan (see ``pagerank``): rank state is
     driver-held numpy (size-gated by the caller — the kmeans-centroid
@@ -359,6 +377,17 @@ def _pagerank_broadcast(
     )
     if len(node_arr) > 1 and (node_arr[1:] == node_arr[:-1]).any():
         raise ValueError("nodes_ds must list every node id exactly once")
+    if start_nodes is not None and not np.array_equal(
+        np.asarray(start_nodes, dtype=np.int64), node_arr
+    ):
+        # a node file changed in place (same glob, same count, different
+        # ids) would otherwise resume with silently misassigned ranks —
+        # the checkpointed r vector aligns with nodes purely by sort
+        # order (r4 ADVICE)
+        raise ValueError(
+            "refusing to resume: checkpointed node ids do not match the "
+            "current nodes_ds"
+        )
 
     edges_proj = edges_ds.map_batches(
         lambda t: pa.table(
@@ -388,7 +417,9 @@ def _pagerank_broadcast(
             batch_size=None,
         )
         od = sorted_sum_rollup(ones, src_col, ["one"]).to_pandas()
-        idx = np.searchsorted(node_arr, od[src_col].to_numpy().astype(np.int64))
+        idx = _member_idx(
+            node_arr, od[src_col].to_numpy().astype(np.int64), "edge src"
+        )
         outdeg[idx] = od["one"].to_numpy().astype(np.int64)
 
     dangling = outdeg == 0
@@ -426,7 +457,7 @@ def _pagerank_broadcast(
                     {
                         dst_col: t.column(dst_col),
                         "contrib": pa.array(
-                            vals_b[np.searchsorted(nodes_b, src)]
+                            vals_b[_member_idx(nodes_b, src, "edge src")]
                         ),
                     }
                 )
@@ -436,8 +467,8 @@ def _pagerank_broadcast(
             )
             rolled = sorted_sum_rollup(contribs, dst_col, ["contrib"]).to_pandas()
             if len(rolled):
-                idx = np.searchsorted(
-                    node_arr, rolled[dst_col].to_numpy().astype(np.int64)
+                idx = _member_idx(
+                    node_arr, rolled[dst_col].to_numpy().astype(np.int64), "edge dst"
                 )
                 s[idx] = rolled["contrib"].to_numpy().astype(np.int64)
         if seed_pred is None:
@@ -507,14 +538,17 @@ def pagerank(
     Measured 500k nodes / 860k edges / 5 iters: 77 s → ~5 s vs the
     shuffle plan (per-iteration fixed cost of 3 all-to-alls removed).
 
-    **shuffle** (beyond the limit) — nothing O(n) on the driver: per
-    iteration one bucketed shuffle join (``equi_join_shuffle``: ranks ⋈
-    edges on src, carrying three int64 columns) plus one
-    ``sorted_sum_rollup`` over the (contribution ∪ carry) rows;
-    out-degrees ride the rank rows as a summed carry column so they
-    never re-join. Dangling mass is an O(blocks) integer partial,
-    skipped when the init pass proves no dangling node exists; the
-    driver never holds more than O(blocks) rows.
+    **shuffle** (beyond the limit) — nothing O(n) on the driver: the
+    static edge list is persisted ONCE as a hash-bucketed, key-sorted
+    parquet layout (``edgelayout.write_edge_layout`` — the amortized
+    shuffle); per iteration phase A joins each rank block against only
+    its ``bucket=i/`` edge directories (zero shuffle, vectorized
+    searchsorted, contributions pre-summed per dst) and phase B pays
+    the round's SINGLE all-to-all, a ``[bucket, node]`` sort of ≲ 2n
+    small integer rows.  Out-degrees ride the rank rows as a summed
+    carry column so they never re-join.  Dangling mass is an O(blocks)
+    integer partial, skipped when the init pass proves no dangling
+    node exists; the driver never holds more than O(blocks) rows.
 
     **Personalized PageRank**: pass ``seed_pred``, a VECTORIZED pure
     predicate ``(node_ids int64 ndarray) -> bool ndarray`` naming the
@@ -568,19 +602,36 @@ def pagerank(
             iters, dnum, dden, n, r0, base, seed_pred,
         )
 
+    import shutil
+    import tempfile
+
+    from ddsketch_ray.functions.edgelayout import cluster_state, write_edge_layout
+
     nodes_proj = _pr_project_nodes(nodes_ds, node_col)
     edges_proj = _pr_project_edges(edges_ds, src_col, dst_col)
     n_edges = edges_proj.count()
-    ranks = _pr_shuffle_init(
-        nodes_proj, edges_proj, n_edges, node_col, src_col, dst_col, num_buckets, r0
-    )
-    has_dangling = _pr_has_dangling(ranks)
-    seed_ctx = _pr_seed_ctx(ranks, node_col, seed_pred, n, r0, dnum, dden)
-    for _ in range(iters):
-        ranks = _pr_shuffle_iteration(
-            ranks, edges_proj, n_edges, node_col, src_col, dst_col,
-            num_buckets, n, dnum, dden, base, has_dangling, seed_ctx,
+    layout_dir = tempfile.mkdtemp(prefix="ddsr-pr-edges-")
+    try:
+        if n_edges:
+            # the one-time edge shuffle the persisted layout amortizes
+            write_edge_layout(edges_proj, src_col, dst_col, layout_dir, num_buckets)
+        ranks = cluster_state(
+            _pr_shuffle_init(
+                nodes_proj, edges_proj, n_edges, node_col, src_col, dst_col,
+                num_buckets, r0,
+            ),
+            node_col,
+            num_buckets,
         )
+        has_dangling = _pr_has_dangling(ranks)
+        seed_ctx = _pr_seed_ctx(ranks, node_col, seed_pred, n, r0, dnum, dden)
+        for _ in range(iters):
+            ranks = _pr_shuffle_iteration(
+                ranks, layout_dir if n_edges else None, node_col, src_col, dst_col,
+                num_buckets, n, dnum, dden, base, has_dangling, seed_ctx,
+            )
+    finally:
+        shutil.rmtree(layout_dir, ignore_errors=True)
     return _pr_finalize_shuffle(ranks, node_col, n, r0)
 
 
@@ -595,6 +646,10 @@ def _pr_project_nodes(nodes_ds, node_col):
 
 
 def _pr_project_edges(edges_ds, src_col, dst_col):
+    """Lazy int64 edge projection — the shuffle plan streams it a fixed
+    number of times at INIT only (count, layout write, out-degree
+    rollup); iterations read the persisted edge layout instead, so the
+    projection is never materialized in the object store."""
     import pyarrow.compute as pc
 
     return edges_ds.map_batches(
@@ -606,7 +661,7 @@ def _pr_project_edges(edges_ds, src_col, dst_col):
         ),
         batch_format="pyarrow",
         batch_size=None,
-    ).materialize()  # reused every iteration
+    )
 
 
 def _pr_shuffle_init(
@@ -708,59 +763,56 @@ def _pr_seed_ctx(ranks, node_col, seed_pred, n, r0, dnum, dden):
 
 
 def _pr_shuffle_iteration(
-    ranks, edges_proj, n_edges, node_col, src_col, dst_col,
+    ranks, layout_dir, node_col, src_col, dst_col,
     num_buckets, n, dnum, dden, base, has_dangling, seed_ctx,
 ):
     """One PageRank round, shuffle plan — a pure function of the rank
     rows (the property the checkpointed job's bit-identical resume
-    relies on). Returns the new materialized rank Dataset."""
-    from ddsketch_ray.functions.analytics import sorted_sum_rollup
-    from ddsketch_ray.functions.joins import equi_join_shuffle
+    relies on).  r5: runs on the persisted edge layout
+    (``edgelayout.propagation_round``) — phase A joins each rank block
+    against only its ``bucket=i/`` edge directories (zero shuffle,
+    contributions pre-summed per dst inside the block), phase B is the
+    round's single all-to-all: one ``[bucket, node]`` sort of ≲ 2n
+    small integer rows.  The r4 plan re-shuffled the static edge list
+    through ``equi_join_shuffle`` every round (measured 59 s/iter at 5M
+    nodes — BASELINE.md); integer sums are order-independent, so this
+    plan is bit-identical to it and to the broadcast plan.  Returns the
+    new materialized rank Dataset (bucket, node, r, outdeg)."""
+    from ddsketch_ray.functions.edgelayout import propagation_round
 
     dmass = _int_partial_sum(ranks, _dang_mass) if has_dangling else 0
     dshare = dmass // n
 
-    contribs = None
-    if n_edges:
-        contribs = equi_join_shuffle(
-            edges_proj,
-            ranks,
-            src_col,
-            node_col,
-            [dst_col],
-            ["r", "outdeg"],
-            num_buckets=num_buckets,
-            how="inner",
-            coalesce_blocks=True,
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    node_col: t.column(dst_col),
-                    "contrib": pa.array(
-                        (
-                            t.column("r").to_numpy(zero_copy_only=False)
-                            // t.column("outdeg").to_numpy(zero_copy_only=False)
-                        ).astype(np.int64)
-                    ),
-                    "odeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    carry = ranks.map_batches(
-        lambda t: pa.table(
-            {
-                node_col: t.column(node_col),
-                "contrib": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                "odeg": t.column("outdeg"),
-            }
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
+    def msg_fn(t: pa.Table) -> dict:
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        od = t.column("outdeg").to_numpy(zero_copy_only=False)
+        # outdeg==0 rows never match an edge keyed by src (the layout
+        # holds exactly the edges the degree counted) — the guard only
+        # keeps the vectorized division defined
+        return {
+            "contrib": np.where(od > 0, r // np.maximum(od, 1), 0).astype(np.int64),
+            "odeg": np.zeros(t.num_rows, dtype=np.int64),
+        }
+
+    def carry_fn(t: pa.Table) -> dict:
+        return {
+            "contrib": np.zeros(t.num_rows, dtype=np.int64),
+            "odeg": t.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64),
+        }
+
+    rolled = propagation_round(
+        ranks,
+        layout_dir=layout_dir,
+        num_buckets=num_buckets,
+        key_col=src_col,
+        payload_col=dst_col,
+        node_col=node_col,
+        msg_cols=["contrib", "odeg"],
+        msg_fn=msg_fn,
+        carry_fn=carry_fn,
+        ufunc=np.add,
+        pd_agg="sum",
     )
-    pool = contribs.union(carry) if contribs is not None else carry
-    rolled = sorted_sum_rollup(pool, node_col, ["contrib", "odeg"])
 
     if seed_ctx is None:
 
@@ -769,6 +821,7 @@ def _pr_shuffle_iteration(
             newr = base + (dnum * (s + _dsh)) // dden
             return pa.table(
                 {
+                    "bucket": t.column("bucket"),
                     node_col: t.column(node_col),
                     "r": pa.array(newr.astype(np.int64)),
                     "outdeg": t.column("odeg"),
@@ -790,6 +843,7 @@ def _pr_shuffle_iteration(
             ) // dden
             return pa.table(
                 {
+                    "bucket": t.column("bucket"),
                     node_col: t.column(node_col),
                     "r": pa.array(newr.astype(np.int64)),
                     "outdeg": t.column("odeg"),
@@ -948,12 +1002,14 @@ def pagerank_checkpointed(
         mode = "broadcast" if n <= broadcast_node_limit else "shuffle"
 
     if mode == "broadcast":
-        start_r, start_it = None, 0
+        start_r, start_nodes, start_it = None, None, 0
         if start >= 0:
             files = sorted(_glob.glob(_os.path.join(_dir(start), "*.parquet")))
             t = _pq.read_table(files, columns=[node_col, "r"])
-            order = np.argsort(t.column(node_col).to_numpy(zero_copy_only=False))
+            ckpt_nodes = t.column(node_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(ckpt_nodes)
             start_r = t.column("r").to_numpy(zero_copy_only=False)[order]
+            start_nodes = ckpt_nodes[order]  # validated vs nodes_ds inside
             start_it = start
 
         t_iter = _time.perf_counter()
@@ -977,6 +1033,7 @@ def pagerank_checkpointed(
             edges_ds, nodes_ds, node_col, src_col, dst_col,
             int(iters), dnum, dden, n, r0, base, seed_pred,
             start_r=start_r, start_iteration=start_it, on_iteration=on_iteration,
+            start_nodes=start_nodes,
         )
         resumed = max(start, 0)
         return {
@@ -986,9 +1043,17 @@ def pagerank_checkpointed(
         }
 
     # shuffle plan: the rank state never crosses the driver
+    from ddsketch_ray.functions.edgelayout import cluster_state, write_edge_layout
+
     nodes_proj = _pr_project_nodes(nodes_ds, node_col)
     edges_proj = _pr_project_edges(edges_ds, src_col, dst_col)
     n_edges = edges_proj.count()
+    # the persisted edge layout lives WITH the checkpoints so a resumed
+    # run reuses it (write_edge_layout is marker-idempotent: a complete
+    # layout is kept, a partial one from a killed run is rebuilt)
+    layout_dir = _os.path.join(ckpt_dir, "edges-layout")
+    if n_edges:
+        write_edge_layout(edges_proj, src_col, dst_col, layout_dir, num_buckets)
 
     def _write_state_ds(i: int, ranks_ds, wall_s: float) -> None:
         if _complete(i):
@@ -999,13 +1064,19 @@ def pagerank_checkpointed(
 
     if start >= 0:
         files = sorted(_glob.glob(_os.path.join(_dir(start), "*.parquet")))
-        ranks = rd.read_parquet(files).materialize()
+        # cluster_state re-establishes the [bucket, node] invariant and
+        # adds the bucket column when resuming a broadcast-written state
+        ranks = cluster_state(rd.read_parquet(files), node_col, num_buckets)
         start_it = start
     else:
         t0 = _time.perf_counter()
-        ranks = _pr_shuffle_init(
-            nodes_proj, edges_proj, n_edges, node_col, src_col, dst_col,
-            num_buckets, r0,
+        ranks = cluster_state(
+            _pr_shuffle_init(
+                nodes_proj, edges_proj, n_edges, node_col, src_col, dst_col,
+                num_buckets, r0,
+            ),
+            node_col,
+            num_buckets,
         )
         _write_state_ds(0, ranks, _time.perf_counter() - t0)
         start_it = 0
@@ -1015,7 +1086,7 @@ def pagerank_checkpointed(
     for i in range(start_it + 1, int(iters) + 1):
         t0 = _time.perf_counter()
         ranks = _pr_shuffle_iteration(
-            ranks, edges_proj, n_edges, node_col, src_col, dst_col,
+            ranks, layout_dir if n_edges else None, node_col, src_col, dst_col,
             num_buckets, n, dnum, dden, base, has_dangling, seed_ctx,
         )
         _write_state_ds(i, ranks, _time.perf_counter() - t0)
@@ -1070,7 +1141,6 @@ def label_propagation(
     import ray.data as rd
 
     from ddsketch_ray.functions.anf import sorted_min_rollup
-    from ddsketch_ray.functions.joins import equi_join_shuffle
 
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
@@ -1093,7 +1163,7 @@ def label_propagation(
 
     ee = edges_ds.map_batches(
         expand, batch_format="pyarrow", batch_size=None
-    ).materialize()  # reused every round; 2|E| rows undirected
+    )  # 2|E| rows undirected; materialized only by the broadcast plan
     n = nodes_proj.count()
     if n == 0:
         return rd.from_arrow(
@@ -1109,6 +1179,7 @@ def label_propagation(
     n_edges = ee.count()
 
     if mode == "broadcast":
+        ee = ee.materialize()  # reused every round
         node_arr = np.sort(nodes_proj.to_pandas()[node_col].to_numpy().astype(np.int64))
         if len(node_arr) > 1 and (node_arr[1:] == node_arr[:-1]).any():
             raise ValueError("nodes_ds must list every node id exactly once")
@@ -1122,7 +1193,7 @@ def label_propagation(
                 return pa.table(
                     {
                         node_col: t.column("b"),
-                        "lab": pa.array(labs_b[np.searchsorted(nodes_b, a)]),
+                        "lab": pa.array(labs_b[_member_idx(nodes_b, a, "edge src")]),
                     }
                 )
 
@@ -1133,8 +1204,8 @@ def label_propagation(
             ).to_pandas()
             new = labels.copy()
             if len(rolled):
-                idx = np.searchsorted(
-                    node_arr, rolled[node_col].to_numpy().astype(np.int64)
+                idx = _member_idx(
+                    node_arr, rolled[node_col].to_numpy().astype(np.int64), "edge dst"
                 )
                 new[idx] = np.minimum(new[idx], rolled["lab"].to_numpy().astype(np.int64))
             if np.array_equal(new, labels):
@@ -1144,33 +1215,54 @@ def label_propagation(
             pa.table({"node": pa.array(node_arr), "label": pa.array(labels)})
         )
 
-    # shuffle plan: label rows never cross the driver
-    state_ds = nodes_proj.map_batches(
-        lambda t: pa.table(
-            {node_col: t.column(node_col), "lab": t.column(node_col)}
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()
-    for _ in range(rounds if n_edges else 0):
-        delivered = equi_join_shuffle(
-            ee,
-            state_ds,
-            "a",
-            node_col,
-            ["b"],
-            ["lab"],
-            num_buckets=num_buckets,
-            how="inner",
-            coalesce_blocks=True,
-        ).map_batches(
-            lambda t: pa.table({node_col: t.column("b"), "lab": t.column("lab")}),
+    # shuffle plan: label rows never cross the driver; the static
+    # expanded edge list is persisted ONCE (edgelayout substrate) and
+    # each round pays a single [bucket, node] label-row sort instead of
+    # re-shuffling 2|E| edges through equi_join_shuffle
+    import shutil
+    import tempfile
+
+    from ddsketch_ray.functions.edgelayout import (
+        cluster_state,
+        propagation_round,
+        write_edge_layout,
+    )
+
+    state_ds = cluster_state(
+        nodes_proj.map_batches(
+            lambda t: pa.table(
+                {node_col: t.column(node_col), "lab": t.column(node_col)}
+            ),
             batch_format="pyarrow",
             batch_size=None,
-        )
-        state_ds = sorted_min_rollup(
-            delivered.union(state_ds), node_col, ["lab"]
-        ).materialize()
+        ),
+        node_col,
+        num_buckets,
+    )
+
+    def msg_fn(t: pa.Table) -> dict:
+        return {"lab": t.column("lab").to_numpy(zero_copy_only=False).astype(np.int64)}
+
+    layout_dir = tempfile.mkdtemp(prefix="ddsr-lp-edges-")
+    try:
+        if n_edges:
+            write_edge_layout(ee, "a", "b", layout_dir, num_buckets)
+        for _ in range(rounds if n_edges else 0):
+            state_ds = propagation_round(
+                state_ds,
+                layout_dir=layout_dir,
+                num_buckets=num_buckets,
+                key_col="a",
+                payload_col="b",
+                node_col=node_col,
+                msg_cols=["lab"],
+                msg_fn=msg_fn,
+                carry_fn=msg_fn,
+                ufunc=np.minimum,
+                pd_agg="min",
+            ).materialize()
+    finally:
+        shutil.rmtree(layout_dir, ignore_errors=True)
     return state_ds.map_batches(
         lambda t: pa.table(
             {"node": t.column(node_col), "label": t.column("lab")}
