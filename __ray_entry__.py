@@ -4327,6 +4327,246 @@ FROM ({_anf_est_sql(f"it{k}", p)})"""
     return sql + "\nUNION ALL".join(parts) + "\nORDER BY radius\n"
 
 
+def _lsh_topk_sql(n_planes: int = 4, d: int = 64, k: int = 5, max_qid: int = 10) -> str:
+    """REAL SQL replay of q_lsh_topk_embeddings (functions/ann.py::
+    lsh_bucketed_topk, seed=0): the Gaussian hyperplanes regenerated
+    from the two splitmix lanes via Box-Muller (h1 = splitmix64(i+13),
+    h2 = splitmix64(i+17) — seed*7919+13 / seed*104729+17 at seed 0),
+    sign-bit buckets per vector (sign of the raw dot: normalization is
+    a positive scale, so bucket bits are identical), candidates =
+    vectors sharing any query's bucket, exact cosine + (score DESC, id)
+    ranking — the same ranking expression the ann_topk oracle uses."""
+    sm1 = _splitmix_sql("CAST(i + 13 AS UBIGINT)")
+    sm2 = _splitmix_sql("CAST(i + 17 AS UBIGINT)")
+    return f"""
+WITH hh AS (
+  SELECT i, {sm1} AS h1, {sm2} AS h2
+  FROM generate_series(0, {n_planes * d - 1}) t(i)
+),
+pl AS (
+  SELECT i // {d} AS p, i % {d} AS j,
+         sqrt(-2 * ln(GREATEST((h1 >> 11) / 9007199254740992.0, 1e-12)))
+         * cos(2 * pi() * ((h2 >> 11) / 9007199254740992.0)) AS g
+  FROM hh
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dots AS (SELECT v.vec_id, pl.p, SUM(v.e[(pl.j + 1)::INT] * pl.g) AS dp
+         FROM emb v CROSS JOIN pl GROUP BY v.vec_id, pl.p),
+buck AS (SELECT vec_id, SUM(CASE WHEN dp >= 0 THEN 1 << p::INT ELSE 0 END)::BIGINT AS b
+         FROM dots GROUP BY vec_id),
+qb AS (SELECT DISTINCT b FROM buck WHERE vec_id < {max_qid}),
+cand AS (SELECT e.vec_id, e.e FROM emb e JOIN buck USING (vec_id)
+         WHERE buck.b IN (SELECT b FROM qb)),
+q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < {max_qid}),
+sims AS (SELECT q.qid, c.vec_id AS nid, list_cosine_similarity(q.qe, c.e) AS s
+         FROM q CROSS JOIN cand c WHERE c.vec_id <> q.qid),
+ranked AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+           FROM sims)
+SELECT qid AS query_id, nid AS neighbor_id, r::BIGINT AS rank
+FROM ranked WHERE r <= {k} ORDER BY query_id, rank
+"""
+
+
+def _ivf_topk_sql(
+    n_centroids: int = 16, n_probe: int = 4, iters: int = 5, k: int = 5,
+    d: int = 64, max_qid: int = 10,
+) -> str:
+    """REAL SQL replay of q_ivf_topk_embeddings (functions/ann.py::
+    ivf_topk, seed=0): the WHOLE deterministic spherical-k-means
+    training replayed — hash-ordered sample (splitmix64(id ^ 97), all
+    rows at gate scale since frac = 1), init rows splitmix64(j+7) % n
+    with the sequential walk-forward dedup UNROLLED as {n} chained CTEs
+    (no recursion: DuckDB inlines recursive CTE bodies, exploding the
+    Lloyd chain), 5 Lloyd rounds (argmax assignment with the engine's
+    first-max tie-break = ORDER BY dp DESC, c; mean + L2 normalize;
+    empty cluster keeps its centroid), then probe lists (top n_probe
+    centroids per query), assignment-filtered candidates, exact cosine
+    ranking.  Every CTE is MATERIALIZED — cen{{r}} is referenced three
+    times per round and would otherwise inline exponentially."""
+    sm_h = _splitmix_sql("xor(CAST(vec_id AS UBIGINT), CAST(97 AS UBIGINT))")
+    sm_init = _splitmix_sql("CAST(j + 7 AS UBIGINT)")
+    init_parts = [
+        f"""raw AS MATERIALIZED (SELECT j, CAST({sm_init} % nt.n AS BIGINT) AS r, nt.n AS n
+        FROM generate_series(0, {n_centroids - 1}) t(j) CROSS JOIN nn_total nt)"""
+    ]
+    for j in range(n_centroids):
+        if j == 0:
+            init_parts.append("c0 AS MATERIALIZED (SELECT r AS v FROM raw WHERE j = 0)")
+        else:
+            prev = " UNION ALL ".join(f"SELECT v FROM c{i}" for i in range(j))
+            init_parts.append(
+                f"""c{j} AS MATERIALIZED (
+  SELECT (r0.r + tt.t) % r0.n AS v
+  FROM raw r0 CROSS JOIN generate_series(0, {n_centroids}) tt(t)
+  WHERE r0.j = {j} AND (r0.r + tt.t) % r0.n NOT IN ({prev})
+  ORDER BY tt.t LIMIT 1)"""
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS c, v AS srank FROM c{i}" for i in range(n_centroids)
+    )
+    init_sql = ",\n".join(init_parts) + f",\ninits AS MATERIALIZED ({sel})"
+
+    rounds = []
+    for r in range(1, iters + 1):
+        p = r - 1
+        rounds.append(f"""
+dot{r} AS MATERIALIZED (SELECT ev.vec_id, c.c, SUM(ev.v * c.v) AS dp
+           FROM ev JOIN cen{p} c ON c.j = ev.j GROUP BY ev.vec_id, c.c),
+asg{r} AS MATERIALIZED (SELECT vec_id, c FROM (
+             SELECT vec_id, c,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c) AS rn
+             FROM dot{r}) WHERE rn = 1),
+sums{r} AS MATERIALIZED (SELECT a.c, ev.j, SUM(ev.v) AS s
+            FROM asg{r} a JOIN ev ON ev.vec_id = a.vec_id GROUP BY a.c, ev.j),
+cnorm{r} AS MATERIALIZED (SELECT c, sqrt(SUM(s * s)) AS nn FROM sums{r} GROUP BY c),
+cen{r} AS MATERIALIZED (
+  SELECT s.c, s.j, CASE WHEN n.nn > 0 THEN s.s / n.nn ELSE p.v END AS v
+  FROM sums{r} s JOIN cnorm{r} n USING (c) JOIN cen{p} p ON p.c = s.c AND p.j = s.j
+  UNION ALL
+  SELECT p.c, p.j, p.v FROM cen{p} p
+  WHERE p.c NOT IN (SELECT c FROM sums{r}))""")
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH
+emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+embn AS MATERIALIZED (
+  SELECT vec_id, e, GREATEST(sqrt(list_dot_product(e, e)), 1e-30) AS nn FROM emb),
+ev AS MATERIALIZED (SELECT vec_id, j.j AS j, e[j.j::INT] / nn AS v
+       FROM embn CROSS JOIN generate_series(1, {d}) j(j)),
+hashed AS MATERIALIZED (SELECT vec_id, {sm_h} AS sh FROM emb),
+ranks AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY sh) - 1 AS rk FROM hashed),
+nn_total AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM emb),
+{init_sql},
+cen0 AS MATERIALIZED (SELECT i.c, ev.j, ev.v
+         FROM inits i JOIN ranks r ON r.rk = i.srank
+         JOIN ev ON ev.vec_id = r.vec_id),
+{rounds_sql},
+qv AS MATERIALIZED (SELECT vec_id AS qid, j, v FROM ev WHERE vec_id < {max_qid}),
+qd AS MATERIALIZED (SELECT qv.qid, c.c, SUM(qv.v * c.v) AS dp
+       FROM qv JOIN cen{iters} c ON c.j = qv.j GROUP BY qv.qid, c.c),
+probe AS MATERIALIZED (SELECT qid, c FROM (
+            SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dp DESC, c) AS rn
+            FROM qd) WHERE rn <= {n_probe}),
+fdot AS MATERIALIZED (SELECT ev.vec_id, c.c, SUM(ev.v * c.v) AS dp
+         FROM ev JOIN cen{iters} c ON c.j = ev.j GROUP BY ev.vec_id, c.c),
+fasg AS MATERIALIZED (SELECT vec_id, c FROM (
+           SELECT vec_id, c,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c) AS rn
+           FROM fdot) WHERE rn = 1),
+sims AS MATERIALIZED (SELECT p.qid, a.vec_id AS nid,
+                list_cosine_similarity(q.e, e.e) AS s
+         FROM probe p JOIN fasg a ON a.c = p.c
+         JOIN emb q ON q.vec_id = p.qid
+         JOIN emb e ON e.vec_id = a.vec_id
+         WHERE a.vec_id <> p.qid),
+ranked AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+           FROM sims)
+SELECT qid AS query_id, nid AS neighbor_id, r::BIGINT AS rank
+FROM ranked WHERE r <= {k} ORDER BY query_id, rank
+"""
+
+
+# splitmix lane offsets of the fake-media fixtures: media_table(200,
+# seed=42) hashes i ^ (42*2654435761) = i ^ 111486301962; video_table(120,
+# seed=7) hashes i ^ (7*40503) = i ^ 283521. Payload words are
+# splitmix64(widx + (h & 0xFFFF)); bytes are the little-endian word bytes
+# ((w >> 8k) & 255). Byte sums are exact integers < 2^53, so CAST(SUM AS
+# DOUBLE)/n is order-independent and bit-identical to numpy's mean;
+# round_even(x, 6) mirrors np.round's half-to-even.
+def _media_decode_sql() -> str:
+    """REAL SQL replay of q_media_decode_report (stages/multimodal.py::
+    media_table + MediaDecodeStage, the deterministic DDSM fake codec):
+    per-row dims from the splitmix header hash, mean_value recomputed
+    from the regenerated payload byte stream."""
+    sm_i = _splitmix_sql("xor(CAST(i AS UBIGINT), CAST(111486301962 AS UBIGINT))")
+    sm_w = _splitmix_sql("CAST(widx + pseed AS UBIGINT)")
+    return f"""
+WITH m AS (
+  SELECT i, {sm_i} AS h FROM generate_series(0, 199) t(i)
+),
+rows_ AS (
+  SELECT i AS media_id,
+         CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CASE WHEN i % 2 = 0 THEN 16 + (h % 48)::BIGINT ELSE 16000 END AS dim_a,
+         CASE WHEN i % 2 = 0 THEN 16 + ((h >> 8) % 48)::BIGINT
+              ELSE 2048 + ((h >> 16) % 4096)::BIGINT END AS dim_b,
+         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS dim_c,
+         (h & 65535)::BIGINT AS pseed
+  FROM m
+),
+sized AS (
+  SELECT *, (CASE WHEN kind = 'image' THEN dim_a * dim_b * dim_c ELSE dim_b END) AS n
+  FROM rows_
+),
+words AS (
+  SELECT s.media_id, s.n, g.widx, {sm_w} AS w
+  FROM (SELECT media_id, n, pseed FROM sized) s
+  JOIN (SELECT unnest(generate_series(0, 20000)) AS widx) g
+    ON g.widx < (s.n + 7) // 8
+),
+bytes_ AS (
+  SELECT media_id, n, SUM(((w >> (8 * k.k)) & 255)::BIGINT) AS bsum
+  FROM words JOIN (SELECT unnest(generate_series(0, 7)) AS k) k
+    ON 8 * widx + k.k < n
+  GROUP BY media_id, n
+)
+SELECT s.media_id, s.kind, s.dim_a, s.dim_b, s.dim_c,
+       (17 + s.n)::BIGINT AS byte_len,
+       round_even(CAST(b.bsum AS DOUBLE) / s.n, 6) AS mean_value
+FROM sized s JOIN bytes_ b USING (media_id)
+ORDER BY media_id
+"""
+
+
+def _video_frames_sql() -> str:
+    """REAL SQL replay of q_video_frames_report (stages/multimodal.py::
+    video_table + VideoFrameSampleStage stride=4 max_frames=8): frame
+    byte ranges [f·h·w, (f+1)·h·w) re-read from the regenerated word
+    stream; frame means are exact integer sums, one float division."""
+    sm_v = _splitmix_sql("xor(CAST(i AS UBIGINT), CAST(283521 AS UBIGINT))")
+    sm_w = _splitmix_sql("CAST(widx + pseed AS UBIGINT)")
+    return f"""
+WITH m AS (
+  SELECT i, {sm_v} AS h FROM generate_series(0, 119) t(i)
+),
+rows_ AS (
+  SELECT i AS media_id,
+         8 + (h % 24)::BIGINT AS w,
+         8 + ((h >> 8) % 24)::BIGINT AS ht,
+         6 + ((h >> 16) % 26)::BIGINT AS frames,
+         (h & 65535)::BIGINT AS pseed
+  FROM m
+),
+sel AS (
+  SELECT r.*, f.f * 4 AS frame_idx,
+         f.f * 4 * ht * w AS b0, (f.f * 4 + 1) * ht * w AS b1
+  FROM rows_ r JOIN (SELECT unnest(generate_series(0, 7)) AS f) f
+    ON f.f * 4 < r.frames
+),
+words AS (
+  SELECT s.media_id, s.frame_idx, s.b0, s.b1, g.widx, {sm_w} AS w
+  FROM (SELECT media_id, frame_idx, b0, b1, pseed FROM sel) s
+  JOIN (SELECT unnest(generate_series(0, 3000)) AS widx) g
+    ON g.widx >= s.b0 // 8 AND g.widx <= (s.b1 - 1) // 8
+),
+bytes_ AS (
+  SELECT media_id, frame_idx,
+         SUM(((w >> (8 * k.k)) & 255)::BIGINT) AS bsum,
+         COUNT(*)::BIGINT AS nb
+  FROM words JOIN (SELECT unnest(generate_series(0, 7)) AS k) k
+    ON 8 * widx + k.k >= b0 AND 8 * widx + k.k < b1
+  GROUP BY media_id, frame_idx
+)
+SELECT media_id, frame_idx,
+       round_even(CAST(bsum AS DOUBLE) / nb, 6) AS frame_mean
+FROM bytes_
+ORDER BY media_id, frame_idx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"({q})" for q in QS)
     out = _recomputed_oracles(qs_values)
@@ -4335,6 +4575,13 @@ def oracle_sql() -> dict[str, str]:
     out["anf_docs"] = _anf_sql()
     out["anf_distance_distribution_docs"] = _anf_ddist_sql()
     out["label_propagation_docs"] = _lp_sql()
+    # converted from frozen determinism oracles in round 5 — full
+    # independent SQL replays (plane generation / quantizer training /
+    # fake-codec byte streams recomputed from the splitmix streams)
+    out["lsh_topk_embeddings"] = _lsh_topk_sql()
+    out["ivf_topk_embeddings"] = _ivf_topk_sql()
+    out["media_decode_report"] = _media_decode_sql()
+    out["video_frames_report"] = _video_frames_sql()
     out["redact_documents"] = _redact_oracle()
     out["train_corpus_prep"] = _train_corpus_prep_oracle()
     # the distributed substring plan is output-identical to the broadcast

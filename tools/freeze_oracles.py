@@ -53,11 +53,14 @@ FREEZE = [
     "lang_id_documents",
     # doc_fingerprints: converted to a REAL recomputed-SQL oracle in
     # round 4 (poly hash family + rotate/xor/finalize replay)
-    "lsh_topk_embeddings",
-    "ivf_topk_embeddings",
+    # lsh_topk_embeddings / ivf_topk_embeddings: converted to REAL
+    # recomputed-SQL oracles in round 5 (Box-Muller plane regeneration /
+    # full spherical-k-means training replay with unrolled init dedup +
+    # 5 Lloyd rounds — see __ray_entry__._lsh_topk_sql/_ivf_topk_sql)
     "webpages_report",
-    "media_decode_report",
-    "video_frames_report",
+    # media_decode_report / video_frames_report: converted in round 5 —
+    # the DDSM fake-codec byte streams are splitmix-regenerable in SQL
+    # and byte sums are exact integers (order-independent means)
     # logreg_quality_lang: converted to a REAL recomputed-SQL oracle in
     # round 4 (20 unrolled GD rounds, fixed-point gradient replay)
     "tdigest_quantiles_price",
