@@ -343,6 +343,35 @@ def q_ivf_persisted_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ivf_append_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF incremental ingest (functions/ann.py:append_to_ivf — r4
+    verdict item 3): build the layout on vec_id < 400, APPEND the rest
+    as a second ingest batch assigned to the already-trained centroids,
+    then serve with full probing — which is mathematically brute force
+    over base ∪ appended, so the REAL exact-cosine SQL oracle checks
+    the grown layout end-to-end. Probe-pruned ingest equivalence is
+    pinned by pytest (test_ivf_append_ingest)."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.functions.ann import append_to_ivf, read_ivf_probe, write_ivf
+
+    queries = _embedding_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = ds.filter(expr="vec_id < 400")
+    extra = ds.filter(expr="vec_id >= 400")
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_ivf_append_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_ivf(base, out_dir, n_centroids=16)
+    append_to_ivf(extra, out_dir)
+    out = read_ivf_probe(out_dir, queries, k=5, n_probe=16).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 # ------------------------------ rows-only (approximate / non-SQL) ----------
 
 
@@ -3885,6 +3914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_custkeys": q_distinct_custkeys,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_persisted_topk_embeddings": q_ivf_persisted_topk_embeddings,
+        "ivf_append_topk_embeddings": q_ivf_append_topk_embeddings,
         "hll_distinct_custkeys": q_hll_distinct_custkeys,
         "cms_top_event_types": q_cms_top_event_types,
         "tdigest_quantiles_price": q_tdigest_quantiles_price,
@@ -6733,6 +6763,23 @@ SELECT qid AS query_id, nid AS neighbor_id, r::BIGINT AS rank
 FROM ranked WHERE r <= 5 ORDER BY query_id, rank
 """,
         "ivf_persisted_topk_embeddings": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS s
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+  FROM sims
+)
+SELECT qid AS query_id, nid AS neighbor_id, r::BIGINT AS rank
+FROM ranked WHERE r <= 5 ORDER BY query_id, rank
+""",
+        # full probing over the appended layout scores every vector of
+        # base ∪ appended — same exact-cosine oracle as the persisted
+        # query (quantizer/ingest mechanics are pinned by pytest)
+        "ivf_append_topk_embeddings": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
 sims AS (
   SELECT q.qid, e.vec_id AS nid,

@@ -387,6 +387,36 @@ def _ivf_query(ds, queries, centroids, id_col, emb_col, k, n_probe, exclude_self
     return _topk_finalize(cands, k, exclude_self)
 
 
+def _ivf_assign_map(centroids: np.ndarray, id_col: str, emb_col: str):
+    """Batch map assigning vectors to their nearest trained centroid
+    (argmax cosine, first-max tie-break) and packing embeddings as
+    fixed_size_binary(d×8) row-major float64 — probe reads then decode
+    zero-copy (frombuffer) instead of paying the parquet list<double>
+    reassembly that dominated the probe path (measured ≥2× of the
+    round cost). Shared by ``write_ivf`` and ``append_to_ivf`` so an
+    appended vector lands in exactly the list an initial write would
+    have chosen."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        raw = _embedding_matrix(t, emb_col)
+        emb = _normalize(raw)
+        a = np.argmax(emb @ centroids.T, axis=1)
+        d = raw.shape[1]
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(d * 8), len(a),
+            [None, pa.py_buffer(np.ascontiguousarray(raw).tobytes())],
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "_pemb": packed,
+                "list": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return assign
+
+
 def write_ivf(
     ds,
     out_dir: str,
@@ -415,27 +445,7 @@ def write_ivf(
     centroids = _train_ivf_centroids(
         ds, id_col, emb_col, n_centroids, sample_size, iters, seed
     )
-
-    def assign(t: pa.Table) -> pa.Table:
-        raw = _embedding_matrix(t, emb_col)
-        emb = _normalize(raw)
-        a = np.argmax(emb @ centroids.T, axis=1)
-        # store embeddings PACKED (fixed_size_binary(d×8), row-major
-        # float64): probe reads then decode zero-copy (frombuffer)
-        # instead of paying the parquet list<double> reassembly that
-        # dominated the probe path (measured ≥2× of the round cost)
-        d = raw.shape[1]
-        packed = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(d * 8), len(a),
-            [None, pa.py_buffer(np.ascontiguousarray(raw).tobytes())],
-        )
-        return pa.table(
-            {
-                id_col: t.column(id_col),
-                "_pemb": packed,
-                "list": pa.array(a.astype(np.int64)),
-            }
-        )
+    assign = _ivf_assign_map(centroids, id_col, emb_col)
 
     # Sort by list id before the hive write: an unsorted partitioned
     # write emits one file per (block × list) pair — measured 11,221
@@ -460,6 +470,43 @@ def write_ivf(
             f,
         )
     return centroids
+
+
+def append_to_ivf(new_ds, out_dir: str) -> int:
+    """Incremental ingest into a persisted ``write_ivf`` layout — the
+    ANN counterpart of ``dedup_index.dedup_against_index``'s
+    grow-without-rebuild contract (r4 verdict item 3): new vectors are
+    assigned to the EXISTING trained centroids (no retraining — the
+    coarse quantizer is the index's identity; a re-train would silently
+    re-shape every list) with the exact ``write_ivf`` assignment kernel,
+    sorted by list id, and appended as new parquet parts inside the
+    ``list=<cid>/`` hive directories (Ray's write UUIDs per-run file
+    names, so appends never collide; a previously-empty list gains its
+    directory on first append).  ``read_ivf_probe`` serves the union
+    corpus unchanged — with full probing it is bit-identical to
+    ``brute_force_topk`` over base ∪ appended (gate query
+    ``ivf_append_topk_embeddings``).
+
+    The caller owns id-uniqueness across ingest batches (same as
+    ``write_bucketed`` tables).  Centroid drift under a large append is
+    a recall concern, not a correctness one — every vector remains in
+    exactly one list; re-run ``write_ivf`` when the corpus has grown
+    enough that quantization quality matters.  Returns the number of
+    vectors appended."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.load(os.path.join(out_dir, "_ivf_centroids.npy"))
+    n_new = new_ds.count()
+    if n_new == 0:
+        return 0
+    assign = _ivf_assign_map(centroids, meta["id_col"], meta["emb_col"])
+    new_ds.map_batches(assign, batch_format="pyarrow", batch_size=None).sort(
+        "list"
+    ).write_parquet(out_dir, partition_cols=["list"])
+    return int(n_new)
 
 
 def read_ivf_probe(

@@ -2060,6 +2060,89 @@ def test_ivf_persisted_layout_matches_inline(ray_session, tmp_path):
     pd.testing.assert_frame_equal(full, bf)
 
 
+def test_ivf_append_ingest(ray_session, tmp_path):
+    """append_to_ivf (incremental ingest, r4 verdict item 3): new
+    vectors assigned to the EXISTING centroids and appended as parquet
+    parts; full probing over the grown layout equals brute force over
+    the union corpus; appended vectors land in the same list an initial
+    write would choose; probe-pruned serving equals the inline kernel
+    with the base-trained centroids; an empty append is a no-op."""
+    import glob
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.ann import (
+        _ivf_query,
+        _normalize,
+        append_to_ivf,
+        brute_force_topk,
+        read_ivf_probe,
+        write_ivf,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d, n_base = 500, 16, 350
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+
+    def make_ds(lo, hi):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(lo, hi), type=pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat[lo:hi].ravel(), type=pa.float32()), d
+                    ),
+                }
+            )
+        ).repartition(4)
+
+    base, extra, union = make_ds(0, n_base), make_ds(n_base, n), make_ds(0, n)
+    queries = {"ids": np.arange(6, dtype=np.int64), "mat": mat[:6]}
+
+    out_dir = str(tmp_path / "ivf_append")
+    centroids = write_ivf(base, out_dir, n_centroids=16, sample_size=256)
+    files_before = set(glob.glob(f"{out_dir}/list=*/*.parquet"))
+    assert append_to_ivf(extra, out_dir) == n - n_base
+    files_after = set(glob.glob(f"{out_dir}/list=*/*.parquet"))
+    assert files_before < files_after  # parts appended, none rewritten
+
+    def norm(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    # full probing over base ∪ appended == brute force over the union
+    bf = norm(brute_force_topk(union, queries, k=7).to_pandas())
+    full = norm(read_ivf_probe(out_dir, queries, k=7, n_probe=16).to_pandas())
+    pd.testing.assert_frame_equal(full, bf)
+
+    # probe-pruned serving == the inline kernel with the SAME
+    # (base-trained) centroids over the union corpus
+    pruned = norm(read_ivf_probe(out_dir, queries, k=7, n_probe=4).to_pandas())
+    inline = norm(
+        _ivf_query(union, queries, centroids, "vec_id", "embedding", 7, 4, True)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(pruned, inline)
+
+    # appended vectors sit in the list of their nearest base centroid
+    emb = _normalize(mat[n_base:].astype(np.float64))
+    want = np.argmax(emb @ centroids.T, axis=1)
+    got = np.full(n - n_base, -1, dtype=np.int64)
+    import pyarrow.parquet as pq
+
+    for ld in glob.glob(f"{out_dir}/list=*"):
+        c = int(os.path.basename(ld).split("=")[1])
+        ids = pq.read_table(ld, columns=["vec_id"]).column("vec_id").to_numpy()
+        sel = ids >= n_base
+        got[ids[sel] - n_base] = c
+    assert np.array_equal(got, want)
+
+    # empty append: no-op
+    assert append_to_ivf(make_ds(0, 0), out_dir) == 0
+    assert set(glob.glob(f"{out_dir}/list=*/*.parquet")) == files_after
+
+
 def test_embedding_near_dup_assignments_modes_match(ray_session):
     """Dedup flavor #5 completed to assignments: planted near-dup
     clusters, driver vs distributed plan equality, and rep = min id of
