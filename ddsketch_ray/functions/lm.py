@@ -85,16 +85,24 @@ def _target_bigram_counts(target_ds, text_col: str):
     return sorted_sum_rollup(partials, "bg", ["n"])
 
 
-def fit_bigram_lm(target_ds, text_col: str = "text"):
+def fit_bigram_lm(target_ds, text_col: str = "text", _bg_counts_ds=None):
     """Driver-side quantized-nll tables from the target corpus. Returns
     a dict {"bg": polars(bg, q), "pre": polars(pre, qu), "q0": int}
     with q = rint(−ln((c(bg)+1)/(c(pre)+V))·2^20), qu = the unseen-
     bigram value for a SEEN prefix, q0 = the unseen-prefix constant.
     Driver bound: O(distinct target bigrams) — the trusted-target
-    shape; use ``hashed`` mode for unbounded targets."""
+    shape; ``bigram_nll``'s ``mode="auto"`` measures that bound
+    distributed and falls over to the hashed estimator before this
+    table is ever pulled (``_bg_counts_ds`` lets the gate hand down the
+    rollup it already materialized)."""
     from ddsketch_ray.functions.selection import _token_counts
 
-    bg = _target_bigram_counts(target_ds, text_col).to_pandas()
+    bg_ds = (
+        _bg_counts_ds
+        if _bg_counts_ds is not None
+        else _target_bigram_counts(target_ds, text_col)
+    )
+    bg = bg_ds.to_pandas()
     V = int(_token_counts(target_ds, text_col).count())
     if V == 0:
         raise ValueError("fit_bigram_lm: empty target corpus")
@@ -122,14 +130,40 @@ def bigram_nll(
     target_ds,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "auto",
+    exact_bigram_limit: int = 2_000_000,
+    n_buckets: int = 1 << 16,
+    seed: int = 0,
 ):
     """Score every raw doc under the target bigram LM. Returns a
     Dataset (id_col, n_bigrams:int64, avg_nll:float64 — mean quantized
     negative log-likelihood per bigram, rounded to 6; 0.0 for docs with
-    < 2 tokens). Lower = more target-like."""
+    < 2 tokens). Lower = more target-like.
+
+    ``mode`` (the dedup-substrate ``auto`` pattern, r4 verdict item 4):
+    ``"exact"`` always builds the O(distinct target bigrams) driver
+    tables; ``"hashed"`` always routes to ``bigram_nll_hashed``;
+    ``"auto"`` (default) counts the target's distinct bigrams
+    DISTRIBUTED (one ``count()`` over the materialized rollup) and
+    falls over to the hashed estimator above ``exact_bigram_limit``
+    (default 2M — a "trusted target" that large is web-scale raw text,
+    exactly what the constant-size hashed tables exist for).  Hashed
+    scores differ from exact by design; pass ``mode="exact"`` to force
+    the exact formulation knowingly."""
     import ray
 
-    lm = fit_bigram_lm(target_ds, text_col)
+    if mode not in ("auto", "exact", "hashed"):
+        raise ValueError("mode must be 'auto', 'exact' or 'hashed'")
+    if mode == "hashed":
+        return bigram_nll_hashed(raw_ds, target_ds, id_col, text_col, n_buckets, seed)
+    bg_ds = None
+    if mode == "auto":
+        bg_ds = _target_bigram_counts(target_ds, text_col).materialize()
+        if bg_ds.count() > exact_bigram_limit:
+            return bigram_nll_hashed(
+                raw_ds, target_ds, id_col, text_col, n_buckets, seed
+            )
+    lm = fit_bigram_lm(target_ds, text_col, _bg_counts_ds=bg_ds)
     ref = ray.put(lm)
 
     def score(t: pa.Table) -> pa.Table:

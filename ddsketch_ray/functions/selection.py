@@ -61,16 +61,46 @@ def unigram_importance(
     id_col: str = "doc_id",
     text_col: str = "text",
     frac_bits: int = 20,
+    mode: str = "auto",
+    exact_vocab_limit: int = 2_000_000,
+    n_buckets: int = 1 << 18,
+    seed: int = 0,
 ):
     """Returns a Dataset (id_col, n_tokens:int64, iw:float64) scoring
     every raw doc: iw = Σ_occurrences lr_q(token) / (2^frac_bits ·
     n_tokens), lr(t) = ln((ct(t)+1)/(Tt+V)) − ln((cr(t)+1)/(Tr+V))
     with V = |union vocab|; zero-token docs get iw = 0. Both corpora
-    are scanned once for counts; raw is scanned again for scoring."""
+    are scanned once for counts; raw is scanned again for scoring.
+
+    ``mode`` (the dedup-substrate ``auto`` pattern, r4 verdict item 4):
+    ``"exact"`` always pulls the O(vocab) ratio table to the driver;
+    ``"hashed"`` always routes to ``hashed_unigram_importance``;
+    ``"auto"`` (default) counts the raw corpus's distinct tokens
+    DISTRIBUTED first (one O(blocks) ``count()`` over the materialized
+    rollup — the vocabulary never crosses the driver to be measured)
+    and falls over to the hashed estimator above ``exact_vocab_limit``
+    (default 2M distinct tokens ≈ ~0.3 GB of driver table + broadcast —
+    measured in BASELINE.md's dsir-gate stress row; raw web text
+    exceeds this fast, which is exactly the accidental-OOM this gate
+    removes).  The hashed route is the estimator Xie et al. 2023 run
+    at scale — scores differ from exact by design; callers that need
+    the exact formulation on a big vocab must pass ``mode="exact"``
+    knowingly."""
     import ray
 
+    if mode not in ("auto", "exact", "hashed"):
+        raise ValueError("mode must be 'auto', 'exact' or 'hashed'")
+    if mode == "hashed":
+        return hashed_unigram_importance(
+            raw_ds, target_ds, id_col, text_col, n_buckets, frac_bits, seed
+        )
+    cr_ds = _token_counts(raw_ds, text_col).materialize()
+    if mode == "auto" and cr_ds.count() > exact_vocab_limit:
+        return hashed_unigram_importance(
+            raw_ds, target_ds, id_col, text_col, n_buckets, frac_bits, seed
+        )
     ct = _token_counts(target_ds, text_col).to_pandas()
-    cr = _token_counts(raw_ds, text_col).to_pandas()
+    cr = cr_ds.to_pandas()
     merged = cr.merge(ct, on="tok", how="outer", suffixes=("_r", "_t")).fillna(0)
     V = len(merged)
     Tt = int(merged["n_t"].sum())

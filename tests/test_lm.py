@@ -121,3 +121,37 @@ def test_bigram_nll_hashed_properties(ray_session):
     # hashed smoothing (cp + B in the denominator) compresses the
     # range relative to exact mode, but the ordering must hold clearly
     assert gibberish > target_like + 0.2  # the filter separates
+
+
+def test_bigram_nll_auto_gate(ray_session):
+    """mode="auto" (r4 verdict item 4): small targets take the exact
+    path; above exact_bigram_limit distinct target bigrams the gated
+    entry point routes to the hashed estimator."""
+    import pandas as pd
+    import pytest
+
+    target = ["the cat sat", "the cat ran", "a dog sat"]
+    raw = {0: "the cat sat", 1: "zz qq ww", 2: ""}
+    tgt_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(target)), pa.int64()),
+                  "text": pa.array(target, pa.string())})
+    )
+    raw_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(sorted(raw), pa.int64()),
+                  "text": pa.array([raw[i] for i in sorted(raw)], pa.string())})
+    ).repartition(2)
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    auto = norm(bigram_nll(raw_ds, tgt_ds))
+    exact = norm(bigram_nll(raw_ds, tgt_ds, mode="exact"))
+    pd.testing.assert_frame_equal(auto, exact)
+
+    # target has 6 distinct bigrams: a limit of 3 forces the fallover
+    routed = norm(bigram_nll(raw_ds, tgt_ds, exact_bigram_limit=3))
+    hashed = norm(bigram_nll_hashed(raw_ds, tgt_ds))
+    pd.testing.assert_frame_equal(routed, hashed)
+
+    with pytest.raises(ValueError, match="mode"):
+        bigram_nll(raw_ds, tgt_ds, mode="bogus")

@@ -141,3 +141,36 @@ def test_hashed_unigram_importance_bounded_and_layout_stable(ray_session):
     toks0 = raw.loc[0, "text"].split()
     want = sum(int(lrq[bucket(t)]) for t in toks0) / (scale * len(toks0))
     assert o.loc[0, "iw"] == want
+
+
+def test_unigram_importance_auto_gate(ray_session):
+    """mode="auto" (r4 verdict item 4): below the vocab limit the gated
+    entry point IS the exact path; above it, it routes to the hashed
+    estimator without pulling the vocabulary to the driver."""
+    target = pd.DataFrame(
+        {"doc_id": np.arange(2, dtype=np.int64), "text": ["alpha beta", "beta gamma"]}
+    )
+    raw = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["alpha beta gamma", "alpha uniq1 uniq2 uniq3", "zzz qqq"],
+        }
+    )
+    raw_ds, tgt_ds = rd.from_pandas(raw).repartition(2), rd.from_pandas(target)
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    from ddsketch_ray.functions.selection import hashed_unigram_importance
+
+    auto = norm(unigram_importance(raw_ds, tgt_ds))
+    exact = norm(unigram_importance(raw_ds, tgt_ds, mode="exact"))
+    pd.testing.assert_frame_equal(auto, exact)  # small vocab -> exact route
+
+    # raw corpus has 8 distinct tokens: a limit of 4 forces the fallover
+    routed = norm(unigram_importance(raw_ds, tgt_ds, exact_vocab_limit=4))
+    hashed = norm(hashed_unigram_importance(raw_ds, tgt_ds))
+    pd.testing.assert_frame_equal(routed, hashed)
+
+    with pytest.raises(ValueError, match="mode"):
+        unigram_importance(raw_ds, tgt_ds, mode="bogus")
