@@ -44,9 +44,19 @@ BIN_LIMIT = 4096  # large enough that no collapse occurs on test corpora
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned read with an EXPLICIT metadata-free schema — the
+    pandas metadata blob in the testdata parquet makes pyarrow-16
+    schemas unhashable, which made every read/shuffle/union log
+    `Failed to hash the schemas (for deduplication)` and take the slow
+    unify path; passing ``schema=`` silences it at the source (inside
+    the read tasks, where a post-read strip map cannot reach)."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(n) for n in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def _embedding_queries(sf_dir: str, max_id: int = 10) -> dict:
@@ -2919,6 +2929,11 @@ def q_dds_quantiles_price_pushdown(sf_dir: str) -> pd.DataFrame:
 
     from ddsketch_ray.agg import DDSketchAgg
 
+    # NOTE: no metadata-free ``schema=`` here (the _read contract) —
+    # ray 2.49's fragment sampler needs the filter column in the schema
+    # while the reader requires output-only columns, so the two can't
+    # compose; this one query keeps the pandas-metadata schema and its
+    # single benign "Failed to hash the schemas" read-task log line.
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice"],

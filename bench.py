@@ -469,8 +469,27 @@ def _per_pipeline_eff(r_lo: dict, r_hi: dict, lo: int, hi: int) -> dict:
 def run_scaling() -> dict:
     import subprocess
 
+    # Default pair 4 -> 16: both legs fit inside the VM's reliably
+    # available capacity (the host hypervisor steals 10-25% CPU in bursts
+    # and pure-multiprocessing scaling itself caps at 0.77 for 8 -> 32 on
+    # this box — measured; see BASELINE.md). Override with
+    # GRAFT_SCALE_LO/GRAFT_SCALE_HI to reproduce the 8 -> 32 pair.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    # --scale-sf (r4 verdict item 6): WEAK scaling — each leg generates
+    # page volume proportional to its CPU count (hi runs the full
+    # GRAFT_WEBPAGES_N, lo runs N·lo/hi), so the sub-second fixed
+    # per-execution costs (plan/scheduling, measured 0.10-0.20 s per
+    # entry) are amortized identically on both legs instead of diluting
+    # the small leg. This matches the cluster criterion's intent (N →
+    # 4N NODES carry 4× the corpus); the classic fixed-size pair
+    # remains the default.
+    weak = "--scale-sf" in sys.argv or os.environ.get("GRAFT_SCALE_WEAK") == "1"
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if weak:
+            env["GRAFT_WEBPAGES_N"] = str(WEBPAGES_N * ncpu // hi)
         start_load = _wait_quiet()
         log(f"--- scaling run at num_cpus={ncpu} (loadavg {start_load:.1f}) ---")
         out = subprocess.run(
@@ -486,13 +505,6 @@ def run_scaling() -> dict:
         parsed["start_loadavg"] = round(start_load, 2)
         return parsed
 
-    # Default pair 4 -> 16: both legs fit inside the VM's reliably
-    # available capacity (the host hypervisor steals 10-25% CPU in bursts
-    # and pure-multiprocessing scaling itself caps at 0.77 for 8 -> 32 on
-    # this box — measured; see BASELINE.md). Override with
-    # GRAFT_SCALE_LO/GRAFT_SCALE_HI to reproduce the 8 -> 32 pair.
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     dps_lo, dps_hi = r_lo["webpages_docs_per_sec"], r_hi["webpages_docs_per_sec"]
@@ -519,6 +531,8 @@ def run_scaling() -> dict:
         "queries_hi": r_hi["queries"],
         "per_pipeline": _per_pipeline_eff(r_lo, r_hi, lo, hi),
         "start_loadavg": {"lo": r_lo["start_loadavg"], "hi": r_hi["start_loadavg"]},
+        "scale_mode": "weak" if weak else "strong",
+        "webpages_n": {"lo": r_lo["webpages_n"], "hi": r_hi["webpages_n"]},
         "sf": SF_DIR,
     }
 

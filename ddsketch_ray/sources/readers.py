@@ -73,13 +73,30 @@ def read_jsonl(paths, schema: pa.Schema | None = None):
     return ds.map_batches(conform, batch_format="pyarrow", batch_size=None)
 
 
+def strip_schema_metadata(ds):
+    """Drop schema-level metadata from every block (zero-copy map).
+
+    Parquet written through pandas carries a ``pandas`` metadata blob in
+    its Arrow schema; pyarrow 16's ``Schema.__hash__`` raises on any
+    metadata ("unhashable type: 'dict'"), so Ray's schema unification
+    logs ``Failed to hash the schemas (for deduplication)`` on every
+    union/shuffle over such blocks and falls back to the slow unify
+    path.  Stripping at the read boundary gives downstream stages a
+    clean, hashable, typed schema — no behavior change."""
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ds.map_batches(strip, batch_format="pyarrow", batch_size=None)
+
+
 def read_webpages(paths, columns=None, **kwargs):
     """Pruned read of the Common-Crawl-style table (BASELINE input_hint).
     Always pass ``columns`` in production — reading 4 MiB html blobs for
     a length-only pipeline is the canonical scale mistake."""
     import ray.data as rd
 
-    return rd.read_parquet(paths, columns=columns, **kwargs)
+    return strip_schema_metadata(rd.read_parquet(paths, columns=columns, **kwargs))
 
 
 def _row_to_arrays(row: dict) -> dict:

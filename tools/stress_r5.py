@@ -231,11 +231,209 @@ def stress_labelprop20m() -> dict:
     }
 
 
+def stress_dsir_gate() -> dict:
+    """The unigram_importance auto-gate threshold measurement (r4
+    verdict item 4): a 400k-doc corpus whose raw vocabulary is ~3.2M
+    distinct tokens (8 unique tokens per doc + shared head words).
+    mode='auto' must route to the hashed estimator — wall and driver
+    RSS recorded; the exact path at this vocab would pull a ~3.2M-row
+    string table to the driver, which is the OOM shape the gate
+    removes."""
+    ray_init()
+    import ray.data as rd
+
+    from ddsketch_ray.functions.selection import unigram_importance
+
+    n = 400_000
+    head = np.array([f"word{i:03d}" for i in range(200)])
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy()
+        texts = [
+            " ".join(
+                [head[int(i) % 200], head[int(i) % 199]]
+                + [f"u{int(i)}x{j}" for j in range(8)]
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)),
+             "text": pa.array(texts, pa.string())}
+        )
+
+    raw = rd.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    target = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                "text": pa.array([f"word{i:03d} word{(i+1)%200:03d}" for i in range(200)]),
+            }
+        )
+    )
+    rss0 = rss_gb()
+    t0 = time.perf_counter()
+    out = unigram_importance(raw, target).materialize()  # mode="auto"
+    wall = time.perf_counter() - t0
+    rss1 = rss_gb()
+    assert out.count() == n
+    # routing proof: identical output to the forced-hashed estimator
+    a = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        unigram_importance(raw, target, mode="hashed")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b), "auto did not route to hashed above the limit"
+    log(
+        f"dsir_gate: 400k docs / ~3.2M-token vocab auto-routed to hashed in"
+        f" {wall:.1f}s, driver RSS {rss0:.2f}->{rss1:.2f} GB"
+    )
+    return {"docs": n, "wall_s": round(wall, 1), "driver_rss_gb": round(rss1, 2)}
+
+
+PRETRAIN_DIR = "/tmp/ddsr_stress_pretrain"
+
+
+def _ensure_pretrain_docs(n_docs: int = 1_000_000, n_files: int = 32) -> list[str]:
+    """1M deterministic ~60-word letter-token docs with a lang column
+    (en/zh/es), 20% near-dup pairs, a shared boilerplate sentence and
+    2% short docs — the full pretrain-chain input shape."""
+    marker = os.path.join(PRETRAIN_DIR, ".complete")
+    if os.path.exists(marker):
+        return sorted(
+            os.path.join(PRETRAIN_DIR, f)
+            for f in os.listdir(PRETRAIN_DIR)
+            if f.endswith(".parquet")
+        )
+    import shutil
+
+    import ray.data as rd
+
+    from ddsketch_ray.hashing import splitmix64
+
+    ray_init()
+    shutil.rmtree(PRETRAIN_DIR, ignore_errors=True)
+    os.makedirs(PRETRAIN_DIR)
+    # letter-only vocab: the prep stage's PII redaction rewrites digits
+    vocab = np.array(
+        ["".join(chr(97 + (v // (26 ** p)) % 26) for p in range(4)) for v in range(5000)]
+    )
+    boiler = "subscribe to our newsletter for updates every single day"
+    langs = np.array(["en", "en", "zh", "es"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        base = np.where(ids % 5 == 4, ids - 1, ids)  # 20% near-dup pairs
+        w = 60
+        seeds = (base[:, None] * np.int64(w) + np.arange(w)[None, :]).astype(np.uint64)
+        widx = (splitmix64(seeds.ravel()) % np.uint64(len(vocab))).astype(np.int64)
+        words = vocab[widx].reshape(len(ids), w)
+        words[ids % 5 == 4, -1] = "changedword"  # near-dup, not exact
+        texts = np.array(
+            [" ".join(r) + " " + boiler for r in words], dtype=object
+        )
+        texts[ids % 50 == 17] = "tiny doc"  # gated out by min_tokens
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(langs[(ids % 4).astype(np.int64)], type=pa.string()),
+            }
+        )
+
+    rd.range(n_docs, override_num_blocks=n_files).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    ).write_parquet(PRETRAIN_DIR, min_rows_per_file=n_docs // n_files)
+    open(marker, "w").write("ok")
+    return sorted(
+        os.path.join(PRETRAIN_DIR, f)
+        for f in os.listdir(PRETRAIN_DIR)
+        if f.endswith(".parquet")
+    )
+
+
+def stress_pretrain1m() -> dict:
+    """The full pretrain chain (prep → substring dedup → MinHash dedup
+    → mixture resample → tokenize-pack) at 1M docs, cold then resumed
+    (stage-4/5 markers dropped, as after a mid-chain kill): the resumed
+    run must rebuild only those stages and land a BIT-IDENTICAL pack
+    manifest (r4 verdict item 8)."""
+    import glob as _glob
+    import hashlib
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from ddsketch_ray.pipelines.pretrain_corpus import pretrain_corpus_job
+
+    files = _ensure_pretrain_docs()
+    ray_init()
+    root = "/tmp/ddsr_pretrain_run"
+    shutil.rmtree(root, ignore_errors=True)
+    kw = dict(
+        min_tokens=10,
+        window=8,
+        mixture=[("en", 2), ("zh", 1), ("es", 1)],
+        num_merges=20,
+        seq_len=512,
+        seqs_per_shard=4096,
+        concurrency=CPUS,
+        files_per_partition=1,
+        num_buckets=2 * CPUS,
+    )
+
+    def manifest_digest(mdir: str) -> tuple[str, int]:
+        fs = sorted(_glob.glob(os.path.join(mdir, "**", "*.parquet"), recursive=True))
+        df = pd.concat([pq_.read_table(f).to_pandas() for f in fs], ignore_index=True)
+        df = df.sort_values(["seq_id", "seq_off"]).reset_index(drop=True)
+        h = hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+        return h, len(df)
+
+    t0 = time.perf_counter()
+    cold = pretrain_corpus_job(
+        files, ckpt_dir=os.path.join(root, "ck"), out_dir=os.path.join(root, "out"),
+        run_id="stress1m", **kw,
+    )
+    wall_cold = time.perf_counter() - t0
+    h_cold, n_rows = manifest_digest(cold["manifest_dir"])
+
+    os.remove(os.path.join(root, "out", "stage4-corpus", "_STAGE_COMPLETE.json"))
+    os.remove(os.path.join(root, "out", "stage5-pack", "_STAGE_COMPLETE.json"))
+    t0 = time.perf_counter()
+    res = pretrain_corpus_job(
+        files, ckpt_dir=os.path.join(root, "ck"), out_dir=os.path.join(root, "out"),
+        run_id="stress1m", **kw,
+    )
+    wall_res = time.perf_counter() - t0
+    assert res["stages"]["stage1-prep"]["skipped"]
+    assert res["stages"]["stage2-substring"]["skipped"]
+    assert res["stages"]["stage3-minhash"]["skipped"]
+    h_res, _ = manifest_digest(res["manifest_dir"])
+    assert h_res == h_cold, "resumed manifest != cold manifest"
+    stage_walls = {k: v["wall_s"] for k, v in cold["stages"].items()}
+    log(
+        f"pretrain1m: cold {wall_cold:.1f}s (stages: {stage_walls}),"
+        f" resumed-from-stage-4 {wall_res:.1f}s, manifest {n_rows} rows"
+        " bit-identical"
+    )
+    return {
+        "docs": 1_000_000,
+        "wall_cold_s": round(wall_cold, 1),
+        "wall_resumed_s": round(wall_res, 1),
+        "stage_walls": stage_walls,
+        "manifest_rows": int(n_rows),
+    }
+
+
 LEGS = {
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "pagerank20m": stress_pagerank20m,
     "anf20m": stress_anf20m,
     "labelprop20m": stress_labelprop20m,
+    "dsir_gate": stress_dsir_gate,
+    "pretrain1m": stress_pretrain1m,
 }
 
 
