@@ -642,9 +642,13 @@ def q_minhash_index_lookup_documents(sf_dir: str) -> pd.DataFrame:
     (functions/dedup_index.py): build the index once over documents,
     then probe it with a deterministic ingest batch — 30 near-copies
     (one token mutated) that must match their source and 10 disjoint-
-    vocabulary gibberish docs that must not. Frozen oracle (xxhash
-    signatures, like the other minhash queries); the match/reject
-    SEMANTICS are pinned by tests/test_dedup_index.py."""
+    vocabulary gibberish docs that must not. ``token_hash="poly"``
+    (pinned in the index metadata), so the ENTIRE lookup — ingest-batch
+    derivation, signatures of corpus and new docs, shared-band
+    candidates, agreement verify, best-match selection — is recomputed
+    independently in DuckDB (converted from a frozen oracle in round
+    5); xxhash-default SEMANTICS stay pinned by
+    tests/test_dedup_index.py."""
     import shutil
 
     from ddsketch_ray.functions.dedup_index import (
@@ -663,6 +667,7 @@ def q_minhash_index_lookup_documents(sf_dir: str) -> pd.DataFrame:
         ),
         idx_dir,
         num_buckets=16,
+        token_hash="poly",
     )
 
     src = (
@@ -4627,6 +4632,7 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_topk_embeddings"] = _ivf_topk_sql()
     out["media_decode_report"] = _media_decode_sql()
     out["video_frames_report"] = _video_frames_sql()
+    out["minhash_index_lookup_documents"] = _minhash_index_oracle()
     out["redact_documents"] = _redact_oracle()
     out["train_corpus_prep"] = _train_corpus_prep_oracle()
     # the distributed substring plan is output-identical to the broadcast
@@ -4867,6 +4873,110 @@ reach(a, b) AS (
 comp AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
 SELECT doc_id, rep::BIGINT AS rep, (doc_id = rep) AS is_survivor
 FROM comp ORDER BY doc_id
+"""
+
+
+def _minhash_index_oracle() -> str:
+    """REAL end-to-end SQL replay of q_minhash_index_lookup_documents
+    (functions/dedup_index.py with token_hash="poly"): the ingest batch
+    is DERIVED in SQL (first 30 docs with n_chars >= 150 by doc_id,
+    token at position min(8, n) swapped for 'MUTATED', rebuilt with
+    single spaces — exactly the query's python split/join; plus 10
+    disjoint-vocabulary gibberish docs), then the identical signature
+    machinery as _minhash_sqlhash_oracle over corpus ∪ ingest,
+    candidates = (new, corpus) pairs sharing a (band, band-hash),
+    agreement = matching permutations / 128 (an exact binary fraction —
+    round_even(·, 6) mirrors np.round's half-to-even), best match per
+    new doc = max agreement then smallest corpus id, null below the
+    0.7 threshold."""
+    _sm = _splitmix_sql
+    empty_sh = _sm(f"CAST({_SPLITMIX_ZERO} AS UBIGINT)")
+    bchain = [f"SELECT doc_id, band, {_sm('v0')} AS acc, v1, v2, v3, v4, v5, v6, v7 FROM bb"]
+    for j in range(1, 8):
+        rest = ", ".join(f"v{i}" for i in range(j + 1, 8))
+        rest = (", " + rest) if rest else ""
+        bchain.append(
+            f"SELECT doc_id, band, {_sm(f'xor(acc, v{j})')} AS acc{rest} FROM b{j - 1}"
+        )
+    bchain_ctes = ",\n".join(f"b{j} AS ({q})" for j, q in enumerate(bchain))
+    pivot_cols = ",\n  ".join(
+        f"MAX(CASE WHEN p % 8 = {j} THEN v END) AS v{j}" for j in range(8)
+    )
+    return rf"""
+-- dedup_against_index(token_hash="poly") recomputed END-TO-END:
+-- ingest derivation, signatures, band candidates, verify, best match
+WITH RECURSIVE
+src0 AS (SELECT doc_id, coalesce(text, '') AS text
+         FROM documents WHERE n_chars >= 150 ORDER BY doc_id LIMIT 30),
+src AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS j FROM src0),
+stok AS (SELECT j, unnest(generate_series(1, len(ts)))::BIGINT AS i, unnest(ts) AS tok,
+                len(ts)::BIGINT AS n
+         FROM (SELECT j, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS ts FROM src)),
+mut AS (SELECT j, string_agg(CASE WHEN i = LEAST(8, n) THEN 'MUTATED' ELSE tok END,
+                             ' ' ORDER BY i) AS mtext
+        FROM stok GROUP BY j),
+gib AS (SELECT j.j,
+               string_agg('zzq' || j.j || 'x' || i.i, ' ' ORDER BY i.i) AS gtext
+        FROM generate_series(0, 9) j(j) CROSS JOIN generate_series(0, 39) i(i)
+        GROUP BY j.j),
+docs AS (
+  SELECT doc_id::BIGINT AS doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT 1000000 + j, mtext FROM mut
+  UNION ALL
+  SELECT 2000000 + j, gtext FROM gib
+),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+') AS toks FROM docs),
+tp AS (SELECT doc_id, unnest(generate_series(1, len(toks)))::BIGINT AS i, unnest(toks) AS tok FROM tl),
+ntok AS (SELECT d.doc_id, COUNT(tp.i)::BIGINT AS n FROM docs d LEFT JOIN tp ON d.doc_id = tp.doc_id GROUP BY d.doc_id),
+toksd AS (SELECT DISTINCT tok FROM tp),
+{_polyhash_ctes().strip()},
+tph AS (SELECT tp.doc_id, tp.i, th.ph FROM tp JOIN th USING (tok)),
+wins AS (SELECT doc_id,
+               unnest(generate_series(1, CASE WHEN n >= 5 THEN n - 4 ELSE 1 END))::BIGINT AS s,
+               CASE WHEN n >= 5 THEN 5 ELSE n END AS wlen
+        FROM ntok WHERE n >= 1),
+rc(doc_id, s, j, acc) AS (
+  SELECT w.doc_id, w.s, 1::BIGINT, {_sm("p.ph")}
+  FROM wins w JOIN tph p ON p.doc_id = w.doc_id AND p.i = w.s
+  UNION ALL
+  SELECT r.doc_id, r.s, r.j + 1, {_sm("xor(r.acc, p.ph)")}
+  FROM rc r
+  JOIN wins w ON w.doc_id = r.doc_id AND w.s = r.s AND r.j < w.wlen
+  JOIN tph p ON p.doc_id = r.doc_id AND p.i = r.s + r.j
+),
+sh AS (
+  SELECT DISTINCT r.doc_id, r.acc AS shv
+  FROM rc r JOIN wins w ON w.doc_id = r.doc_id AND w.s = r.s AND r.j = w.wlen
+  UNION
+  SELECT doc_id, {empty_sh} FROM ntok WHERE n = 0
+),
+perms AS (SELECT p::BIGINT AS p, {_sm("CAST(p + 1 AS UBIGINT)")} AS pseed
+          FROM generate_series(0, 127) g(p)),
+sig AS (SELECT s.doc_id, pm.p, MIN({_sm("xor(s.shv, pm.pseed)")}) AS v
+        FROM sh s CROSS JOIN perms pm GROUP BY s.doc_id, pm.p),
+bb AS (SELECT doc_id, p // 8 AS band,
+  {pivot_cols}
+  FROM sig GROUP BY doc_id, p // 8),
+{bchain_ctes},
+cand AS (SELECT DISTINCT n.doc_id AS a, c.doc_id AS b
+         FROM b7 n JOIN b7 c ON n.band = c.band AND n.acc = c.acc
+         WHERE n.doc_id >= 1000000 AND c.doc_id < 1000000),
+agree AS (SELECT c.a, c.b, COUNT(*) FILTER (WHERE sa.v = sb.v) AS ag
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+          GROUP BY c.a, c.b),
+best AS (SELECT a, b, ag FROM (
+           SELECT a, b, ag,
+                  row_number() OVER (PARTITION BY a ORDER BY ag DESC, b) AS rn
+           FROM agree WHERE ag / 128.0 >= 0.7) WHERE rn = 1)
+SELECT d.doc_id AS new_id,
+       best.b::BIGINT AS match_id,
+       coalesce(round_even(best.ag / 128.0, 6), 0.0) AS agreement
+FROM (SELECT doc_id FROM docs WHERE doc_id >= 1000000) d
+LEFT JOIN best ON best.a = d.doc_id
+ORDER BY new_id
 """
 
 

@@ -67,15 +67,21 @@ def write_minhash_index(
     bands: int = 16,
     seed: int = 0,
     num_buckets: int = 64,
+    token_hash: str = "xx",
 ) -> None:
     """Build the persisted LSH index: one signature pass over the
     corpus, then the two hive layouts. The signature pass is the
-    dominant cost — paid once, amortized over every future ingest."""
+    dominant cost — paid once, amortized over every future ingest.
+    ``token_hash`` ("xx" default, "poly" for the SQL-replayable family)
+    is pinned in the index metadata — every future lookup must hash
+    identically, so it travels with the index, never as a lookup
+    argument."""
     from ddsketch_ray.sources.sinks import write_bucketed
 
     def sig_fn(t: pa.Table) -> pa.Table:
         return minhash_signature_batch(
-            t, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed
+            t, text_col=text_col, k_shingle=k_shingle, num_perm=num_perm, seed=seed,
+            token_hash=token_hash,
         ).select([id_col, "minhash_sig"])
 
     sigs = ds.map_batches(sig_fn, batch_format="pyarrow", batch_size=None).materialize()
@@ -120,6 +126,7 @@ def write_minhash_index(
                 "bands": bands,
                 "seed": seed,
                 "num_buckets": num_buckets,
+                "token_hash": token_hash,
             },
             f,
         )
@@ -172,6 +179,7 @@ def dedup_against_index(
             k_shingle=meta["k_shingle"],
             num_perm=num_perm,
             seed=seed,
+            token_hash=meta.get("token_hash", "xx"),
         ).select([id_col, "minhash_sig"])
 
     nsigs = new_ds.map_batches(sig_fn, batch_format="pyarrow", batch_size=None).to_pandas()

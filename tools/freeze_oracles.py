@@ -47,7 +47,10 @@ FREEZE = [
     # positions + bit membership replayed in HUGEINT SQL)
     "minhash_dedup_documents",
     "minhash_dedup_distributed_documents",
-    "minhash_index_lookup_documents",
+    # minhash_index_lookup_documents: converted in round 5 — the gate
+    # query's index is built with token_hash="poly", and the ENTIRE
+    # lookup (ingest derivation, signatures, band candidates, verify,
+    # best match) is recomputed in DuckDB (_minhash_index_oracle)
     "simhash_dedup_documents",
     "simhash_dedup_distributed_documents",
     "lang_id_documents",
