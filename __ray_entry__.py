@@ -1627,6 +1627,55 @@ def q_ams_join_size(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_moments_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """Moments-sketch quantiles (sketches/moments.py — Gan et al.,
+    VLDB 2018): per-returnflag price summary (mean/std/skew/kurt +
+    Cornish-Fisher q50/q95/q99) from a constant-size sketch of EXACT
+    big-int power sums — the only quantile sketch in the library whose
+    whole estimate chain a SQL oracle can replay bit-for-bit (t-digest/
+    KLL carry sequential centroid state and stay determinism-frozen).
+    Merge is elementwise integer addition ⇒ bit-identical under any
+    Ray aggregate tree order. Exact SQL oracle: HUGEINT power sums per
+    group + the mirrored double expression chain
+    (moments_sql_exprs/cf_quantile_sql)."""
+    from ddsketch_ray.agg import MomentsAgg, sketch_from_result
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    ds = li.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    # one row per returnflag (3) — driver materialization is O(groups)
+    rows = ds.groupby("l_returnflag").aggregate(
+        MomentsAgg(on="price_c", alias_name="mo")
+    ).to_pandas()
+    recs = []
+    for _, r in rows.iterrows():
+        sk = sketch_from_result(r["mo"])
+        mo = sk.moments()
+        recs.append(
+            {
+                "l_returnflag": r["l_returnflag"],
+                "n_rows": int(mo["n"]),
+                "mean_price": round(mo["mean"] / 100.0, 6),
+                "std_price": round(mo["std"] / 100.0, 6),
+                "skew_price": round(mo["skew"], 6),
+                "kurt_price": round(mo["kurt"], 6),
+                "est_q50": round(sk.quantile(0.5) / 100.0, 6),
+                "est_q95": round(sk.quantile(0.95) / 100.0, 6),
+                "est_q99": round(sk.quantile(0.99) / 100.0, 6),
+            }
+        )
+    return pd.DataFrame(sorted(recs, key=lambda d: d["l_returnflag"]))
+
+
 def q_kmv_setops_custkeys(sf_dir: str) -> pd.DataFrame:
     """KMV set algebra (sketches/kmv.py::kmv_set_ops — Beyer et al.
     SIGMOD 2007): union / intersection / difference cardinality
@@ -3964,6 +4013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
         "kmv_setops_custkeys": q_kmv_setops_custkeys,
         "ams_join_size": q_ams_join_size,
+        "moments_quantiles_price": q_moments_quantiles_price,
         "logreg_quality_lang": q_logreg_quality_lang,
         "quality_model_scores": q_quality_model_scores,
         "dsir_importance_docs": q_dsir_importance_docs,
@@ -4357,6 +4407,51 @@ SELECT node, nhood_est FROM ({_anf_est_sql(f"it{radius}", p)})
 ORDER BY node
 """
     )
+
+
+def _moments_sql() -> str:
+    """Moments-sketch oracle: the per-group power sums are exact big
+    integers (HUGEINT in SQL, Python ints in the engine), so SQL's
+    unordered SUM replays them bit-for-bit; every float estimate then
+    follows the engine's own mirrored expression chain
+    (sketches/moments.py::moments_sql_exprs / cf_quantile_sql)."""
+    from ddsketch_ray.sketches.moments import (
+        Z_SCORES,
+        cf_quantile_sql,
+        moments_sql_exprs,
+    )
+
+    e = moments_sql_exprs("")
+
+    def cf(q: float) -> str:
+        return cf_quantile_sql(
+            e["mean"], e["std"], e["g1"], e["g2"], Z_SCORES[q],
+            "CAST(vmin AS DOUBLE)", "CAST(vmax AS DOUBLE)",
+        )
+
+    return f"""
+WITH c AS (
+  SELECT l_returnflag AS rf,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem),
+s AS (
+  SELECT rf, COUNT(*)::BIGINT AS n,
+         SUM(CAST(v AS HUGEINT)) AS s1,
+         SUM(CAST(v AS HUGEINT)*v) AS s2,
+         SUM(CAST(v AS HUGEINT)*v*v) AS s3,
+         SUM(CAST(v AS HUGEINT)*v*v*v) AS s4,
+         MIN(v) AS vmin, MAX(v) AS vmax
+  FROM c GROUP BY rf)
+SELECT rf AS l_returnflag, n AS n_rows,
+  ROUND(({e['mean']}) / 100.0, 6) AS mean_price,
+  ROUND(({e['std']}) / 100.0, 6) AS std_price,
+  ROUND({e['g1']}, 6) AS skew_price,
+  ROUND({e['g2']}, 6) AS kurt_price,
+  ROUND(({cf(0.5)}) / 100.0, 6) AS est_q50,
+  ROUND(({cf(0.95)}) / 100.0, 6) AS est_q95,
+  ROUND(({cf(0.99)}) / 100.0, 6) AS est_q99
+FROM s ORDER BY l_returnflag
+"""
 
 
 def _anf_ddist_sql(max_radius: int = 4, p: int = 4) -> str:
@@ -6167,6 +6262,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 ORDER BY c_custkey
 """,
+        "moments_quantiles_price": _moments_sql(),
         "ams_join_size": f"""
 -- every AMS counter recomputed: h_r = SplitMix64(k ^ SplitMix64(r)) in
 -- mod-2^64 SQL; bucket = h % 512, sign = top bit; estimates = median

@@ -439,3 +439,29 @@ class AMSAgg(_SketchAggBase):
         else:
             v = np.asarray(col)
         sk.add_hashed(v.astype(np.int64, copy=False).view(np.uint64))
+
+
+class MomentsAgg(_SketchAggBase):
+    """Moments sketch (sketches/moments.py — Gan et al., VLDB 2018) over
+    an INTEGER-QUANTIZED column (e.g. prices in cents): exact big-int
+    power sums S1..S4 + min/max; merge is elementwise addition, so the
+    distributed result is bit-identical under any tree order. finalize
+    -> serialized sketch (use ``sketch_from_result``); every downstream
+    estimate (mean/std/skew/kurt, Cornish-Fisher quantiles) is exactly
+    reproducible by a SQL oracle (HUGEINT sums + the mirrored double
+    expression chain in ``moments_sql_exprs``/``cf_quantile_sql``)."""
+
+    def __init__(self, on: str, alias_name=None):
+        from ddsketch_ray.sketches.moments import MomentsSketch
+
+        super().__init__(
+            factory=MomentsSketch,
+            name=alias_name or f"moments({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        col = drop_nulls(col, is_arrow)
+        v = col.to_numpy(zero_copy_only=False) if is_arrow else np.asarray(col)
+        sk.add_array(v)

@@ -17,6 +17,7 @@ from ddsketch_ray.sketches.ddsketch import (
 from ddsketch_ray.sketches.hll import HyperLogLog
 from ddsketch_ray.sketches.kll import KLL
 from ddsketch_ray.sketches.kmv import KMV
+from ddsketch_ray.sketches.moments import MomentsSketch
 from ddsketch_ray.sketches.minhash import (
     MinHashSketch,
     hamming64,
@@ -42,6 +43,7 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLL",
+    "MomentsSketch",
     "MinHashSketch",
     "minhash_signatures",
     "simhash64",
