@@ -808,7 +808,12 @@ def q_epoch_shuffle_docs(sf_dir: str) -> pd.DataFrame:
 
 def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
     """Fit profiles on a labeled driver-side sample, broadcast, predict
-    in an actor pool — the canonical model-scoring stage shape."""
+    in an actor pool — the canonical model-scoring stage shape. REAL
+    SQL oracle since round 5: profiles are exact integer token counts
+    with a total-ordered top-64 tie-break, and scoring is one integer
+    dot product + one mirrored float division (functions/text.py::
+    LangId), so DuckDB replays fit AND predict verbatim
+    (_lang_id_sql)."""
     import ray
 
     from ddsketch_ray.functions.text import LangId, fit_lang_profiles
@@ -823,7 +828,10 @@ def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
         seen += b.num_rows
         if seen >= 2000:
             break
-    sample = pa.Table.from_batches(batches).to_pandas()
+    # slice to EXACTLY 2000 (batch granularity can overshoot) so the SQL
+    # oracle's ORDER BY doc_id LIMIT 2000 is the same set — testdata
+    # parquet is doc_id-ascending in file order
+    sample = pa.Table.from_batches(batches).to_pandas().iloc[:2000]
     profiles = fit_lang_profiles(sample["text"], sample["lang"])
     ref = ray.put(profiles)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -4409,6 +4417,68 @@ ORDER BY node
     )
 
 
+def _lang_id_sql() -> str:
+    """lang-ID oracle: replays the WHOLE chain — bounded labeled sample
+    (first 2000 file-order rows == ORDER BY doc_id LIMIT 2000 on the
+    doc_id-ascending testdata), per-language token-count profiles with
+    the engine's total-ordered top-64 tie-break (cnt DESC, first global
+    token position ASC), then scoring as exact integer dot products
+    divided by sqrt(Σcnt²) — the single float op, mirrored. Ties break
+    toward the first sorted language on both sides (np.argmax /
+    ROW_NUMBER ... lang ASC). Token definition: lower + ASCII-space
+    split (testdata text is printable ASCII, no tabs/newlines; 128
+    bounds tokens/doc, measured max 99)."""
+    return """
+WITH rng AS (SELECT i FROM generate_series(1, 128) t(i)),
+sample AS (
+  SELECT doc_id, lang,
+         list_filter(str_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+  FROM documents ORDER BY doc_id LIMIT 2000),
+stok AS (
+  SELECT s.lang, s.doc_id, r.i, s.toks[r.i] AS tok
+  FROM sample s JOIN rng r ON r.i <= len(s.toks)),
+spos AS (
+  SELECT lang, tok,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id, i) AS gp
+  FROM stok),
+scnt AS (
+  SELECT lang, tok, COUNT(*)::BIGINT AS cnt, MIN(gp) AS fp
+  FROM spos GROUP BY lang, tok),
+top AS (
+  SELECT lang, tok, cnt
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY cnt DESC, fp ASC) AS rn
+        FROM scnt)
+  WHERE rn <= 64),
+normsq AS (SELECT lang, SUM(cnt * cnt)::BIGINT AS nsq FROM top GROUP BY lang),
+dtok AS (
+  SELECT d.doc_id, d.toks[r.i] AS tok
+  FROM (SELECT doc_id,
+               list_filter(str_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+        FROM documents) d
+  JOIN rng r ON r.i <= len(d.toks)),
+dcnt AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM dtok GROUP BY doc_id, tok),
+dots AS (
+  SELECT dc.doc_id, p.lang, SUM(dc.c * p.cnt)::BIGINT AS dot
+  FROM dcnt dc JOIN top p ON p.tok = dc.tok
+  GROUP BY dc.doc_id, p.lang),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nsq AS DOUBLE)) AS score, d.dot
+  FROM dots d JOIN normsq n ON n.lang = d.lang),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored WHERE dot > 0)
+SELECT doc.doc_id::BIGINT AS doc_id, COALESCE(b.lang, 'und') AS lang_pred
+FROM documents doc
+LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+  ON b.doc_id = doc.doc_id
+ORDER BY doc_id
+"""
+
+
 def _moments_sql() -> str:
     """Moments-sketch oracle: the per-group power sums are exact big
     integers (HUGEINT in SQL, Python ints in the engine), so SQL's
@@ -6263,6 +6333,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 ORDER BY c_custkey
 """,
         "moments_quantiles_price": _moments_sql(),
+        "lang_id_documents": _lang_id_sql(),
         "ams_join_size": f"""
 -- every AMS counter recomputed: h_r = SplitMix64(k ^ SplitMix64(r)) in
 -- mod-2^64 SQL; bucket = h % 512, sign = top bit; estimates = median

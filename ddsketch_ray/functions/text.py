@@ -138,18 +138,39 @@ def doc_fingerprint_batch(
 
 
 def fit_lang_profiles(texts, langs, n_top: int = 64, seed: int = 0) -> dict:
-    """Fit per-language token-frequency profiles from a labeled sample.
-    Returns {lang: {token: weight}} — small, broadcastable via ray.put."""
-    import collections
+    """Fit per-language token-COUNT profiles from a labeled sample.
+    Returns {lang: {token: count}} — the top ``n_top`` tokens per
+    language by (count DESC, first-occurrence ASC), where first
+    occurrence is the token's position in that language's concatenated
+    token stream (sample rows in input order). Small, broadcastable
+    via ray.put.
 
-    by_lang: dict[str, collections.Counter] = {}
+    Counts are exact integers and the tie-break is a total order, so a
+    SQL oracle can replay the fit verbatim (ROW_NUMBER OVER (PARTITION
+    BY lang ORDER BY cnt DESC, first_pos)). ``LangId`` scores with the
+    raw counts directly: cosine's per-language 1/total and 1/norm
+    factors reduce to one exact-integer dot product and one mirrored
+    float division (see LangId.__call__), so no weight floats exist
+    anywhere in the chain. The sample is bounded by the caller (the
+    design contract: a full-text driver read is an OOM at scale), so
+    the per-token Python loop here is O(sample), not O(corpus)."""
+    by_lang: dict[str, dict] = {}
+    pos_by_lang: dict[str, int] = {}
     for t, lg in zip(texts, langs):
-        c = by_lang.setdefault(lg, collections.Counter())
-        c.update(str(t).lower().split())
+        cnts = by_lang.setdefault(lg, {})
+        p = pos_by_lang.get(lg, 0)
+        for w in str(t).lower().split():
+            e = cnts.get(w)
+            if e is None:
+                cnts[w] = [1, p]
+            else:
+                e[0] += 1
+            p += 1
+        pos_by_lang[lg] = p
     profiles = {}
-    for lg, counter in by_lang.items():
-        total = sum(counter.values()) or 1
-        profiles[lg] = {w: n / total for w, n in counter.most_common(n_top)}
+    for lg, cnts in by_lang.items():
+        top = sorted(cnts.items(), key=lambda kv: (-kv[1][0], kv[1][1]))[:n_top]
+        profiles[lg] = {w: c for w, (c, _) in top}
     return profiles
 
 
@@ -174,12 +195,23 @@ class LangId:
         self.langs = sorted(profiles_ref)
         vocab = sorted({w for p in profiles_ref.values() for w in p})
         self.vocab_index = {w: i for i, w in enumerate(vocab)}
-        mat = np.zeros((len(self.langs), len(vocab)), dtype=np.float64)
+        # exact-integer profile counts: score_l = dot_l / sqrt(normsq_l)
+        # where dot_l = Σ_w doc_count_w · profile_count_{l,w} (int64,
+        # exact) and normsq_l = Σ_w profile_count² (int64, exact) — the
+        # per-language 1/total and 1/||profile|| cosine factors reduce
+        # to this single mirrored division, so a DuckDB oracle replays
+        # every score bit-for-bit (CAST(dot AS DOUBLE)/sqrt(CAST(normsq
+        # AS DOUBLE))). Ties in score break toward the first (sorted)
+        # language on both sides.
+        mat = np.zeros((len(self.langs), len(vocab)), dtype=np.int64)
         for li, lg in enumerate(self.langs):
-            for w, wt in profiles_ref[lg].items():
-                mat[li, self.vocab_index[w]] = wt
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        self.mat = mat / np.maximum(norms, 1e-12)
+            for w, cnt in profiles_ref[lg].items():
+                mat[li, self.vocab_index[w]] = int(cnt)
+        self.cnt_mat = mat
+        normsq = (mat * mat).sum(axis=1)  # cnt ≤ sample tokens ⇒ exact
+        sq = np.sqrt(normsq.astype(np.float64))
+        sq[normsq == 0] = 1.0  # empty profile: dot is 0 anyway
+        self._sqrt_normsq = sq
         # vocab lookup table for the vectorized __call__: sorted 64-bit
         # token hashes -> vocab column (hash equality stands in for string
         # equality; a 64-bit collision inside the tiny vocab is ~impossible)
@@ -191,12 +223,13 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Fully vectorized: explode tokens → hash → binary-search the
         vocab table → scatter-add a (docs × vocab) count matrix → one
-        matmul against the profile matrix. No per-document Python."""
+        integer matmul against the profile counts. No per-document
+        Python, no float until the single mirrored division."""
         s = _text_series(batch, self.text_col)
         toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
         lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
         n_docs = len(lens)
-        counts = np.zeros((n_docs, self.mat.shape[1]), dtype=np.float64)
+        counts = np.zeros((n_docs, self.cnt_mat.shape[1]), dtype=np.int64)
         flat = toks.explode().drop_nulls()
         if flat.len() and len(self._vocab_hashes):
             th = hash_strings(flat.to_arrow())
@@ -204,11 +237,15 @@ class LangId:
             idx = np.searchsorted(self._vocab_hashes, th)
             idx = np.minimum(idx, len(self._vocab_hashes) - 1)
             hit = self._vocab_hashes[idx] == th
-            np.add.at(counts, (doc_of[hit], self._vocab_cols[idx[hit]]), 1.0)
-        nv = np.linalg.norm(counts, axis=1)
-        sims = counts @ self.mat.T  # (docs, langs); argmax is norm-invariant
+            np.add.at(counts, (doc_of[hit], self._vocab_cols[idx[hit]]), 1)
+        dots = counts @ self.cnt_mat.T  # (docs, langs) int64, exact
+        # one int64→double conversion + one division per cell — the SQL
+        # oracle's CAST(dot AS DOUBLE)/sqrt(CAST(normsq AS DOUBLE))
+        sims = dots.astype(np.float64) / self._sqrt_normsq[None, :]
         lang_arr = np.array(self.langs, dtype=object)
-        preds = np.where(nv > 0, lang_arr[np.argmax(sims, axis=1)], "und")
+        preds = np.where(
+            dots.max(axis=1) > 0, lang_arr[np.argmax(sims, axis=1)], "und"
+        )
         return batch.append_column(
             self.out_col, pa.array(preds.tolist(), type=pa.string())
         )

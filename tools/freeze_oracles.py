@@ -53,7 +53,10 @@ FREEZE = [
     # best match) is recomputed in DuckDB (_minhash_index_oracle)
     "simhash_dedup_documents",
     "simhash_dedup_distributed_documents",
-    "lang_id_documents",
+    # lang_id_documents: converted to a REAL recomputed-SQL oracle in
+    # round 5 — profiles are exact integer token counts with a
+    # total-ordered top-64 tie-break, scoring is one integer dot product
+    # + one mirrored float division (__ray_entry__._lang_id_sql)
     # doc_fingerprints: converted to a REAL recomputed-SQL oracle in
     # round 4 (poly hash family + rotate/xor/finalize replay)
     # lsh_topk_embeddings / ivf_topk_embeddings: converted to REAL
