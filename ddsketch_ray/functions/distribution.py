@@ -37,11 +37,77 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
+    "grouped_sketch_partials",
     "grouped_sketches",
     "ks_distance",
     "percentile_rank",
     "range_partition_by_quantiles",
 ]
+
+
+def grouped_sketch_partials(ds, factory, value_col: str, group_col: str) -> dict:
+    """Low-cardinality grouped sketch build WITHOUT Ray's Aggregate
+    operator: {group: sketch} via the two-level small-key plan
+    (analytics.py::small_key_rollup's measured rationale — Ray's
+    ``groupby().aggregate`` costs ~20 µs/row regardless of group count).
+    Each block sorts its rows by group once (np.argsort) and builds one
+    partial sketch per group present in the block; the driver merges the
+    O(blocks × groups) pickled partials in deterministic block-major
+    order. Contract: distinct groups ≤ ~10³ (else use Ray's groupby),
+    and the sketch's merge must be associative — exactly true for
+    integer-sum sketches (MomentsSketch, HLL, CMS), true-within-bound
+    for collapsing sketches.
+
+    Measured (tools/stress_r5.py moments50m, 32 CPUs): 50M rows / 8
+    groups 32.8 s via Ray groupby → 0.8 s on this plan (41.8×, 63.7M
+    rows/s), bit-identical result for MomentsSketch."""
+    import pickle
+
+    import ray
+
+    from ddsketch_ray.sketches.base import from_bytes
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        cuts = np.flatnonzero(gs[1:] != gs[:-1]) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(gs)]))
+        keys, blobs = [], []
+        for s, e in zip(starts, ends):
+            if e == s:
+                continue
+            sk = factory()
+            sk.add_array(vs[s:e])
+            keys.append(gs[s])
+            blobs.append(pickle.dumps(sk, protocol=pickle.HIGHEST_PROTOCOL))
+        return pa.table(
+            {
+                group_col: pa.array(keys, type=t.schema.field(group_col).type),
+                "_sk": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .materialize()  # single execution (to_arrow_refs double-run rule)
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    out: dict = {}
+    for t in parts:  # O(blocks × groups) tiny rows on the driver
+        for gval, blob in zip(t.column(group_col).to_pylist(), t.column("_sk").to_pylist()):
+            sk = from_bytes(blob)
+            if gval in out:
+                out[gval].merge(sk)
+            else:
+                out[gval] = sk
+    return out
 
 
 def grouped_sketches(ds, value_col: str, group_col: str, alpha: float = 0.008, bin_limit: int = 2048) -> dict:

@@ -176,3 +176,44 @@ def test_range_partition_nulls_get_minus_one(ray_session):
     pids = with_pid.to_pandas()["pid"].tolist()
     assert pids[1] == -1 and pids[3] == -1
     assert all(p >= 0 for i, p in enumerate(pids) if i not in (1, 3))
+
+
+def test_grouped_sketch_partials_bit_equal_plans(ray_session):
+    """grouped_sketch_partials (two-level small-key plan) must be
+    bit-identical to Ray's groupby().aggregate AND to a driver-side
+    reference for the exactly-mergeable MomentsSketch."""
+    import ray.data as rd
+
+    from ddsketch_ray.agg import MomentsAgg, sketch_from_result
+    from ddsketch_ray.functions.distribution import grouped_sketch_partials
+    from ddsketch_ray.sketches.moments import MomentsSketch
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.integers(-1000, 100_000, n)
+    t = pa.table({"g": pa.array(g.tolist(), type=pa.string()),
+                  "v": pa.array(v, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(7)
+
+    sks = grouped_sketch_partials(ds, MomentsSketch, "v", "g")
+    rows = ds.groupby("g").aggregate(MomentsAgg(on="v", alias_name="mo")).to_pandas()
+    via_agg = {r["g"]: sketch_from_result(r["mo"]) for _, r in rows.iterrows()}
+    assert set(sks) == {"a", "b", "c"} == set(via_agg)
+    for k in sks:
+        ref = MomentsSketch()
+        ref.add_array(v[g == k])
+        assert sks[k].to_row() == ref.to_row() == via_agg[k].to_row()
+
+
+def test_grouped_sketch_partials_empty_blocks(ray_session):
+    import ray.data as rd
+
+    from ddsketch_ray.functions.distribution import grouped_sketch_partials
+    from ddsketch_ray.sketches.moments import MomentsSketch
+
+    t = pa.table({"g": pa.array(["x"] * 5, type=pa.string()),
+                  "v": pa.array(range(5), type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)  # most blocks empty
+    sks = grouped_sketch_partials(ds, MomentsSketch, "v", "g")
+    assert list(sks) == ["x"] and sks["x"].n == 5 and sks["x"].s1 == 10

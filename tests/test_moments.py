@@ -133,3 +133,40 @@ def test_cf_formula_mirrors_z_table():
         assert got == z
     # and mean_std_cf at zero skew/kurt is the plain normal quantile
     assert mean_std_cf(10.0, 2.0, 0.0, 0.0, 1.5) == 10.0 + 2.0 * 1.5
+
+
+# ------------------------------------------------------- property tests
+from hypothesis import given, settings, strategies as st
+
+_vals = st.lists(
+    st.integers(min_value=-(1 << 24) + 1, max_value=(1 << 24) - 1),
+    min_size=0, max_size=300,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_vals, st.integers(min_value=1, max_value=7))
+def test_prop_power_sums_exact(vals, nparts):
+    sk = MomentsSketch()
+    arr = np.array(vals, dtype=np.int64)
+    for chunk in np.array_split(arr, nparts):
+        sk.add_array(chunk)
+    assert sk.n == len(vals)
+    assert sk.s1 == sum(vals)
+    assert sk.s2 == sum(x * x for x in vals)
+    assert sk.s3 == sum(x**3 for x in vals)
+    assert sk.s4 == sum(x**4 for x in vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_vals, _vals, _vals)
+def test_prop_merge_associative_commutative(a, b, c):
+    def mk(v):
+        sk = MomentsSketch()
+        sk.add_array(np.array(v, dtype=np.int64))
+        return sk
+
+    left = mk(a).merge(mk(b)).merge(mk(c))
+    right = mk(c).merge(mk(b).merge(mk(a)))
+    single = mk(a + b + c)
+    assert left.to_row() == right.to_row() == single.to_row()

@@ -427,8 +427,73 @@ def stress_pretrain1m() -> dict:
     }
 
 
+def stress_moments50m() -> dict:
+    """50M-row moments-sketch build (sketches/moments.py): grouped
+    power-sum aggregation throughput + the constant-size-state claim.
+    Values are synthetic int cents (lognormal-ish), 8 groups; result is
+    cross-checked bit-exact against a driver-side big-int reference on
+    a 1M-row sample group."""
+    ray_init()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import MomentsAgg, sketch_from_result
+    from ddsketch_ray.sketches.moments import MomentsSketch
+
+    n = 50_000_000
+    n_blocks = 4 * CPUS
+
+    def gen(b):
+        i = np.asarray(b["id"], dtype=np.int64)
+        h = (i * np.int64(2654435761)) & np.int64((1 << 62) - 1)
+        v = ((h % np.int64(9_900_000)) + np.int64(100_000)).astype(np.int64)
+        return pa.table({"g": (i % 8).astype(np.int64), "v": v})
+
+    ds = rd.range(n, override_num_blocks=n_blocks).map_batches(
+        gen, batch_format="numpy", batch_size=None
+    )
+    t0 = time.perf_counter()
+    rows = ds.groupby("g").aggregate(MomentsAgg(on="v", alias_name="mo")).to_pandas()
+    wall = time.perf_counter() - t0
+    assert len(rows) == 8
+    sks = {int(r["g"]): sketch_from_result(r["mo"]) for _, r in rows.iterrows()}
+    total = sum(sk.n for sk in sks.values())
+    assert total == n, total
+    # two-level partial plan (grouped_sketch_partials) on the same input
+    from ddsketch_ray.functions.distribution import grouped_sketch_partials
+
+    t0 = time.perf_counter()
+    sks2 = grouped_sketch_partials(ds, MomentsSketch, "v", "g")
+    wall2 = time.perf_counter() - t0
+    assert {int(k): v.to_row() for k, v in sks2.items()} == {
+        k: v.to_row() for k, v in sks.items()
+    }, "partial plan != groupby plan"
+    # full bit-exact reference for group 0 rebuilt on the driver (all
+    # n/8 = 6.25M g==0 rows; one vectorized limb pass)
+    ids = np.arange(0, n, 8, dtype=np.int64)
+    h = (ids * np.int64(2654435761)) & np.int64((1 << 62) - 1)
+    v = ((h % np.int64(9_900_000)) + np.int64(100_000)).astype(np.int64)
+    ref = MomentsSketch()
+    ref.add_array(v)
+    assert sks[0].to_row() == ref.to_row(), "distributed != driver reference"
+    log(
+        f"moments50m: groupby {wall:.1f}s ({n/wall/1e6:.1f}M rows/s) vs"
+        f" partial plan {wall2:.1f}s ({n/wall2/1e6:.1f}M rows/s,"
+        f" {wall/wall2:.1f}x), 8 groups bit-equal, sketch state = 7"
+        f" scalars/group, driver rss {rss_gb():.2f} GB)"
+    )
+    return {
+        "rows": n, "groups": 8, "groupby_wall_s": round(wall, 1),
+        "partial_wall_s": round(wall2, 1),
+        "partial_mrows_per_sec": round(n / wall2 / 1e6, 2),
+        "speedup": round(wall / wall2, 2),
+        "driver_rss_gb": round(rss_gb(), 2),
+    }
+
+
 LEGS = {
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
+    "moments50m": stress_moments50m,
     "pagerank20m": stress_pagerank20m,
     "anf20m": stress_anf20m,
     "labelprop20m": stress_labelprop20m,
