@@ -2866,6 +2866,28 @@ def q_embedding_near_dup_assignments(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "rep", "is_survivor"]]
 
 
+def q_semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup (functions/ann.py::semantic_dedup
+    — Abbas et al. 2023): the deterministic spherical-k-means clusters
+    (shared with ivf_topk) ARE the blocking structure; exact cosine ≥
+    0.4 verifies within each cluster only; unified substrate emit
+    (vec_id, rep, is_survivor). REAL SQL oracle: the ivf training
+    replay prefix + same-cluster pairs + recursive-CTE closure — the
+    blocking itself is replayed, not idealized away."""
+    from ddsketch_ray.functions.ann import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        semantic_dedup(ds, threshold=0.4, n_clusters=16, iters=5, seed=0)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["rep"] = out["rep"].astype(np.int64)
+    return out[["vec_id", "rep", "is_survivor"]]
+
+
 def q_tdigest_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
     """Grouped t-digest, deterministic variant (frozen oracle): one
     sketch per event_type built from the group's sorted values — no
@@ -4091,6 +4113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dds_turnstile_delete": q_dds_turnstile_delete,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_assignments": q_embedding_near_dup_assignments,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "tdigest_quantiles_by_event_type": q_tdigest_quantiles_by_event_type,
         "hll_users_by_event_type": q_hll_users_by_event_type,
         "union_filter_orders": q_union_filter_orders,
@@ -4583,22 +4606,20 @@ FROM ranked WHERE r <= {k} ORDER BY query_id, rank
 """
 
 
-def _ivf_topk_sql(
-    n_centroids: int = 16, n_probe: int = 4, iters: int = 5, k: int = 5,
-    d: int = 64, max_qid: int = 10,
-) -> str:
-    """REAL SQL replay of q_ivf_topk_embeddings (functions/ann.py::
-    ivf_topk, seed=0): the WHOLE deterministic spherical-k-means
-    training replayed — hash-ordered sample (splitmix64(id ^ 97), all
-    rows at gate scale since frac = 1), init rows splitmix64(j+7) % n
-    with the sequential walk-forward dedup UNROLLED as {n} chained CTEs
-    (no recursion: DuckDB inlines recursive CTE bodies, exploding the
-    Lloyd chain), 5 Lloyd rounds (argmax assignment with the engine's
-    first-max tie-break = ORDER BY dp DESC, c; mean + L2 normalize;
-    empty cluster keeps its centroid), then probe lists (top n_probe
-    centroids per query), assignment-filtered candidates, exact cosine
-    ranking.  Every CTE is MATERIALIZED — cen{{r}} is referenced three
-    times per round and would otherwise inline exponentially."""
+def _ivf_train_ctes(n_centroids: int = 16, iters: int = 5, d: int = 64) -> str:
+    """Shared CTE prefix (no WITH keyword): the WHOLE deterministic
+    spherical-k-means training replay — hash-ordered sample
+    (splitmix64(id ^ 97), all rows at gate scale since frac = 1), init
+    rows splitmix64(j+7) % n with the sequential walk-forward dedup
+    UNROLLED as n chained CTEs (no recursion: DuckDB inlines recursive
+    CTE bodies, exploding the Lloyd chain), ``iters`` Lloyd rounds
+    (argmax assignment with the engine's first-max tie-break = ORDER BY
+    dp DESC, c; mean + L2 normalize; empty cluster keeps its centroid)
+    — ending at ``fasg`` (per-vector final cluster assignment). Every
+    CTE is MATERIALIZED — cen{r} is referenced three times per round
+    and would otherwise inline exponentially. Used by _ivf_topk_sql
+    (probe/rank suffix) and _semantic_dedup_sql (same-cluster pair
+    suffix)."""
     sm_h = _splitmix_sql("xor(CAST(vec_id AS UBIGINT), CAST(97 AS UBIGINT))")
     sm_init = _splitmix_sql("CAST(j + 7 AS UBIGINT)")
     init_parts = [
@@ -4643,7 +4664,6 @@ cen{r} AS MATERIALIZED (
   WHERE p.c NOT IN (SELECT c FROM sums{r}))""")
     rounds_sql = ",".join(rounds)
     return f"""
-WITH
 emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 embn AS MATERIALIZED (
   SELECT vec_id, e, GREATEST(sqrt(list_dot_product(e, e)), 1e-30) AS nn FROM emb),
@@ -4658,18 +4678,31 @@ cen0 AS MATERIALIZED (SELECT i.c, ev.j, ev.v
          FROM inits i JOIN ranks r ON r.rk = i.srank
          JOIN ev ON ev.vec_id = r.vec_id),
 {rounds_sql},
+fdot AS MATERIALIZED (SELECT ev.vec_id, c.c, SUM(ev.v * c.v) AS dp
+         FROM ev JOIN cen{iters} c ON c.j = ev.j GROUP BY ev.vec_id, c.c),
+fasg AS MATERIALIZED (SELECT vec_id, c FROM (
+           SELECT vec_id, c,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c) AS rn
+           FROM fdot) WHERE rn = 1)"""
+
+
+def _ivf_topk_sql(
+    n_centroids: int = 16, n_probe: int = 4, iters: int = 5, k: int = 5,
+    d: int = 64, max_qid: int = 10,
+) -> str:
+    """REAL SQL replay of q_ivf_topk_embeddings (functions/ann.py::
+    ivf_topk, seed=0): the shared training prefix (_ivf_train_ctes),
+    then probe lists (top n_probe centroids per query),
+    assignment-filtered candidates, exact cosine ranking."""
+    return f"""
+WITH
+{_ivf_train_ctes(n_centroids, iters, d)},
 qv AS MATERIALIZED (SELECT vec_id AS qid, j, v FROM ev WHERE vec_id < {max_qid}),
 qd AS MATERIALIZED (SELECT qv.qid, c.c, SUM(qv.v * c.v) AS dp
        FROM qv JOIN cen{iters} c ON c.j = qv.j GROUP BY qv.qid, c.c),
 probe AS MATERIALIZED (SELECT qid, c FROM (
             SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dp DESC, c) AS rn
             FROM qd) WHERE rn <= {n_probe}),
-fdot AS MATERIALIZED (SELECT ev.vec_id, c.c, SUM(ev.v * c.v) AS dp
-         FROM ev JOIN cen{iters} c ON c.j = ev.j GROUP BY ev.vec_id, c.c),
-fasg AS MATERIALIZED (SELECT vec_id, c FROM (
-           SELECT vec_id, c,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c) AS rn
-           FROM fdot) WHERE rn = 1),
 sims AS MATERIALIZED (SELECT p.qid, a.vec_id AS nid,
                 list_cosine_similarity(q.e, e.e) AS s
          FROM probe p JOIN fasg a ON a.c = p.c
@@ -4681,6 +4714,41 @@ ranked AS (SELECT qid, nid,
            FROM sims)
 SELECT qid AS query_id, nid AS neighbor_id, r::BIGINT AS rank
 FROM ranked WHERE r <= {k} ORDER BY query_id, rank
+"""
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.4, n_centroids: int = 16, iters: int = 5, d: int = 64
+) -> str:
+    """REAL SQL replay of q_semantic_dedup_embeddings (functions/ann.py::
+    semantic_dedup): the shared spherical-k-means training/assignment
+    prefix (_ivf_train_ctes), then SAME-CLUSTER pairs with exact cosine
+    ≥ threshold, recursive-CTE transitive closure, rep = MIN reachable
+    id. The oracle replays the CLUSTER BLOCKING itself — a pair
+    straddling two clusters is correctly absent on BOTH sides, so the
+    gate checks SemDeDup's real semantics, not an all-pairs
+    idealization."""
+    return f"""
+WITH RECURSIVE
+{_ivf_train_ctes(n_centroids, iters, d)},
+e AS MATERIALIZED (
+  SELECT fa.vec_id AS a, fb.vec_id AS b
+  FROM fasg fa JOIN fasg fb ON fa.c = fb.c AND fa.vec_id < fb.vec_id
+  JOIN emb ea ON ea.vec_id = fa.vec_id
+  JOIN emb eb ON eb.vec_id = fb.vec_id
+  WHERE list_cosine_similarity(ea.e, eb.e) >= {threshold}),
+ed AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(s, nd) AS (
+  SELECT DISTINCT a, a FROM ed
+  UNION
+  SELECT r.s, ed.b FROM reach r JOIN ed ON r.nd = ed.a
+),
+comp AS (SELECT s AS vec_id, MIN(nd) AS rep FROM reach GROUP BY s)
+SELECT v.vec_id::BIGINT AS vec_id,
+       coalesce(c.rep, v.vec_id)::BIGINT AS rep,
+       (coalesce(c.rep, v.vec_id) = v.vec_id) AS is_survivor
+FROM (SELECT vec_id FROM embeddings) v
+LEFT JOIN comp c USING (vec_id) ORDER BY vec_id
 """
 
 
@@ -6334,6 +6402,7 @@ ORDER BY c_custkey
 """,
         "moments_quantiles_price": _moments_sql(),
         "lang_id_documents": _lang_id_sql(),
+        "semantic_dedup_embeddings": _semantic_dedup_sql(),
         "ams_join_size": f"""
 -- every AMS counter recomputed: h_r = SplitMix64(k ^ SplitMix64(r)) in
 -- mod-2^64 SQL; bucket = h % 512, sign = top bit; estimates = median

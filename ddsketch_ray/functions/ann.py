@@ -555,6 +555,137 @@ def read_ivf_probe(
     return _ivf_query(ds, queries, centroids, id_col, "_pemb", k, n_probe, exclude_self)
 
 
+def _pack_normalized(ds, id_col: str, emb_col: str):
+    """(feats, d): materialized narrow Dataset (id, nemb) with each
+    embedding L2-normalized and packed as fixed_size_binary(d×8)
+    float64 — the verify-join payload shape shared by every
+    cosine-verified dedup flavor (fixed-width cells, never Python
+    lists)."""
+    first = ds.limit(1).take_batch(1, batch_format="pyarrow")
+    d = len(first.column(emb_col)[0])
+    width = d * 8
+
+    def pack_norm(t: pa.Table) -> pa.Table:
+        emb = np.ascontiguousarray(_normalize(_embedding_matrix(t, emb_col)))
+        arr = pa.Array.from_buffers(
+            pa.binary(width), t.num_rows, [None, pa.py_buffer(emb.tobytes())]
+        )
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()), "nemb": arr})
+
+    feats = ds.map_batches(
+        pack_norm, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    return feats, d
+
+
+def _cosine_verifiers(d: int, threshold: float, id_col: str):
+    """(verify_driver, verify_dist) closures for the banded substrate:
+    exact cosine ≥ threshold over the packed normalized payloads, on
+    the driver (candidate gather) and distributed (pair shuffle-join)
+    paths respectively. Shared by embedding_near_dup and
+    semantic_dedup so both flavors verify with the identical kernel."""
+    from ddsketch_ray.functions.dedup import _unpack_fsb
+
+    def verify_driver(pairs, cand):
+        order = np.argsort(cand[id_col].to_numpy(), kind="stable")
+        sorted_ids = cand[id_col].to_numpy()[order]
+        mat = np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in cand["nemb"].to_numpy()[order]]
+        )
+        ai = np.searchsorted(sorted_ids, pairs["a"].to_numpy())
+        bi = np.searchsorted(sorted_ids, pairs["b"].to_numpy())
+        cos = (mat[ai] * mat[bi]).sum(axis=1)
+        return pairs[cos >= threshold]
+
+    def verify_dist(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ma = _unpack_fsb(t.column("nemb_a"), d).view(np.float64)
+        mb = _unpack_fsb(t.column("nemb_b"), d).view(np.float64)
+        cos = (ma * mb).sum(axis=1) if len(a) else np.empty(0)
+        keep = (cos >= threshold) & (a != b)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return verify_driver, verify_dist
+
+
+def semantic_dedup(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 0,
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+    num_buckets: int = 64,
+    max_cluster_size: int = 4096,
+    bloom_fp_rate: float = 0.001,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): cluster the corpus with the SAME deterministic
+    spherical-k-means coarse quantizer ivf_topk/write_ivf train
+    (_train_ivf_centroids — hash-ordered sample, unrolled init, argmax
+    assignment with first-max tie-break), then verify exact cosine ≥
+    ``threshold`` WITHIN each cluster only. The clustering IS the
+    blocking structure: pair search is all-pairs-per-cluster, never
+    corpus-all-pairs, and runs on the unified size-gated dedup
+    substrate (band 0, band_hash = cluster id) with the identical
+    (id, rep, is_survivor) output contract as minhash/simhash/LSH
+    near-dup — union-find over verified pairs, rep = min id
+    (deterministic keep-first; the paper keeps a centroid-distance
+    representative — a documented deviation that keeps the emit
+    contract uniform and SQL-replayable).
+
+    Scale contract (SemDeDup's own prescription): choose ``n_clusters``
+    ∝ n / target_cluster_size so per-cluster all-pairs stays bounded;
+    clusters above ``max_cluster_size`` members fall back to
+    sorted-chain pairing (counted by the substrate — no silent
+    truncation; transitivity through verified chain links still merges
+    what it can). A pair straddling two clusters is NOT a candidate —
+    that recall loss is the algorithm's published tradeoff, and the SQL
+    oracle replays the same clustering so the gate checks the real
+    semantics, not an all-pairs idealization."""
+    from ddsketch_ray.functions.dedup import _banded_dedup_assignments, _unpack_fsb
+
+    centroids = _train_ivf_centroids(
+        ds, id_col, emb_col, n_clusters, sample_size, iters, seed
+    )
+    feats, d = _pack_normalized(ds, id_col, emb_col)
+
+    def band_fn(t: pa.Table) -> pa.Table:
+        emb = _unpack_fsb(t.column("nemb"), d).view(np.float64)
+        ids = t.column(id_col).combine_chunks()
+        a = np.argmax(emb @ centroids.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(len(a), dtype=np.int64)),
+                "band_hash": pa.array(a),
+                id_col: ids,
+            }
+        )
+
+    verify_driver, verify_dist = _cosine_verifiers(d, threshold, id_col)
+
+    return _banded_dedup_assignments(
+        feats,
+        band_fn,
+        id_col,
+        verify_driver=verify_driver,
+        pack_fn=lambda t: t,
+        payload_name="nemb",
+        verify_dist=verify_dist,
+        mode=mode,
+        driver_threshold=driver_threshold,
+        max_bucket_pairs=max_cluster_size,
+        num_buckets=num_buckets,
+        bloom_fp_rate=bloom_fp_rate,
+        seed=seed,
+    )
+
+
 def embedding_near_dup(
     ds,
     id_col: str = "vec_id",
@@ -583,19 +714,8 @@ def embedding_near_dup(
     sizing guidance."""
     from ddsketch_ray.functions.dedup import _banded_dedup_assignments, _unpack_fsb
 
-    first = ds.limit(1).take_batch(1, batch_format="pyarrow")
-    d = len(first.column(emb_col)[0])
+    feats, d = _pack_normalized(ds, id_col, emb_col)
     planes = random_planes(n_bands * planes_per_band, d, seed=seed)
-    width = d * 8
-
-    def pack_norm(t: pa.Table) -> pa.Table:
-        emb = np.ascontiguousarray(_normalize(_embedding_matrix(t, emb_col)))
-        arr = pa.Array.from_buffers(
-            pa.binary(width), t.num_rows, [None, pa.py_buffer(emb.tobytes())]
-        )
-        return pa.table({id_col: t.column(id_col).cast(pa.int64()), "nemb": arr})
-
-    feats = ds.map_batches(pack_norm, batch_format="pyarrow", batch_size=None).materialize()
 
     def band_fn(t: pa.Table) -> pa.Table:
         emb = _unpack_fsb(t.column("nemb"), d).view(np.float64)
@@ -614,25 +734,7 @@ def embedding_near_dup(
             }
         )
 
-    def verify_driver(pairs, cand):
-        order = np.argsort(cand[id_col].to_numpy(), kind="stable")
-        sorted_ids = cand[id_col].to_numpy()[order]
-        mat = np.stack(
-            [np.frombuffer(b, dtype=np.float64) for b in cand["nemb"].to_numpy()[order]]
-        )
-        ai = np.searchsorted(sorted_ids, pairs["a"].to_numpy())
-        bi = np.searchsorted(sorted_ids, pairs["b"].to_numpy())
-        cos = (mat[ai] * mat[bi]).sum(axis=1)
-        return pairs[cos >= threshold]
-
-    def verify_dist(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        ma = _unpack_fsb(t.column("nemb_a"), d).view(np.float64)
-        mb = _unpack_fsb(t.column("nemb_b"), d).view(np.float64)
-        cos = (ma * mb).sum(axis=1) if len(a) else np.empty(0)
-        keep = (cos >= threshold) & (a != b)
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+    verify_driver, verify_dist = _cosine_verifiers(d, threshold, id_col)
 
     return _banded_dedup_assignments(
         feats,

@@ -2194,3 +2194,53 @@ def test_embedding_near_dup_assignments_modes_match(ray_session):
     want = driver.set_index("vec_id")["rep"].to_dict()
     for i in ids.tolist():
         assert want[i] == rep.get(i, i)
+
+
+def test_semantic_dedup_cluster_blocked(ray_session):
+    """SemDeDup-style dedup (functions/ann.py::semantic_dedup): kmeans
+    clusters are the blocking structure, exact cosine verifies inside
+    them; plans bit-equal; rep = min id of each verified component."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.ann import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    d, per = 16, 40
+    rows = []
+    vid = 0
+    dup_groups = []
+    for axis in range(4):  # DIRECTIONAL clusters (one-hot + noise)
+        base = np.zeros(d)
+        base[axis] = 1.0
+        for j in range(per):
+            v = base * 10.0 + rng.normal(0, 0.45, d)
+            rows.append((vid, v))
+            vid += 1
+        # plant one near-dup pair per cluster: copy of the last vector
+        src = rows[-1]
+        dup = (vid, src[1] + rng.normal(0, 1e-3, d))
+        rows.append(dup)
+        dup_groups.append((src[0], vid))
+        vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "embedding": pa.array([r[1].tolist() for r in rows],
+                                  type=pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    kw = dict(threshold=0.995, n_clusters=4, sample_size=4096, iters=5, seed=0)
+    out = semantic_dedup(ds, mode="driver", **kw).to_pandas().sort_values("vec_id")
+    out_d = semantic_dedup(ds, mode="distributed", **kw).to_pandas().sort_values("vec_id")
+    # plans identical
+    assert out.reset_index(drop=True).equals(out_d.reset_index(drop=True))
+    by_id = out.set_index("vec_id")
+    for keep_id, dup_id in dup_groups:
+        assert by_id.loc[dup_id, "rep"] == keep_id  # keep-first by min id
+        assert not by_id.loc[dup_id, "is_survivor"]
+        assert by_id.loc[keep_id, "is_survivor"]
+    # everything not planted survives as its own rep
+    planted = {i for _, i in dup_groups}
+    others = by_id.drop(index=list(planted))
+    assert (others["rep"] == others.index).all() and others["is_survivor"].all()
