@@ -623,6 +623,8 @@ def semantic_dedup(
     num_buckets: int = 64,
     max_cluster_size: int = 4096,
     bloom_fp_rate: float = 0.001,
+    plan: str = "auto",
+    matrix_pair_limit: int = 5_000_000,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al.,
     arXiv:2303.09540): cluster the corpus with the SAME deterministic
@@ -639,51 +641,146 @@ def semantic_dedup(
     representative — a documented deviation that keeps the emit
     contract uniform and SQL-replayable).
 
-    Scale contract (SemDeDup's own prescription): choose ``n_clusters``
-    ∝ n / target_cluster_size so per-cluster all-pairs stays bounded;
-    clusters above ``max_cluster_size`` members fall back to
-    sorted-chain pairing (counted by the substrate — no silent
-    truncation; transitivity through verified chain links still merges
-    what it can). A pair straddling two clusters is NOT a candidate —
-    that recall loss is the algorithm's published tradeoff, and the SQL
-    oracle replays the same clustering so the gate checks the real
-    semantics, not an all-pairs idealization."""
-    from ddsketch_ray.functions.dedup import _banded_dedup_assignments, _unpack_fsb
+    Two physical plans, identical output (pytest equality):
 
+    - ``plan="pairs"`` — cluster-id band rows through the unified
+      substrate: every within-cluster pair is MATERIALIZED as a
+      candidate, then cosine-verified. Exact, but pair volume is
+      Σ m_c²/2 ≈ n·(n/k)/2 — intrinsic to dense buckets (unlike LSH,
+      where buckets are mostly singletons), so it is the small-corpus
+      plan. Clusters above ``max_cluster_size`` fall back to
+      sorted-chain pairing (counted, no silent truncation).
+    - ``plan="matrix"`` — the SemDeDup-at-scale shape: one groupby
+      shuffle co-locates each cluster, then a tiled m×m cosine runs
+      INSIDE the group and only pairs ≥ threshold ever exist as rows.
+      No unverified pair is materialized anywhere, so cost is one
+      packed-vector shuffle + per-cluster matmul flops.
+    - ``plan="auto"`` (default) gates on the estimated pair volume
+      n·(n/k)/2 > ``matrix_pair_limit``.
+
+    A pair straddling two clusters is NOT a candidate under either plan
+    — that recall loss is the algorithm's published tradeoff, and the
+    SQL oracle replays the same clustering so the gate checks the real
+    semantics, not an all-pairs idealization."""
+    from ddsketch_ray.functions.dedup import (
+        _banded_dedup_assignments,
+        _emit_assignments_distributed,
+        _unpack_fsb,
+        cluster_pairs,
+        emit_cluster_assignments,
+    )
+
+    if plan not in ("auto", "pairs", "matrix"):
+        raise ValueError("plan must be 'auto', 'pairs' or 'matrix'")
     centroids = _train_ivf_centroids(
         ds, id_col, emb_col, n_clusters, sample_size, iters, seed
     )
     feats, d = _pack_normalized(ds, id_col, emb_col)
-
-    def band_fn(t: pa.Table) -> pa.Table:
-        emb = _unpack_fsb(t.column("nemb"), d).view(np.float64)
-        ids = t.column(id_col).combine_chunks()
-        a = np.argmax(emb @ centroids.T, axis=1).astype(np.int64)
-        return pa.table(
-            {
-                "band": pa.array(np.zeros(len(a), dtype=np.int64)),
-                "band_hash": pa.array(a),
-                id_col: ids,
-            }
-        )
+    if plan == "auto":
+        n_total = feats.count()
+        est_pairs = n_total * max(n_total // max(n_clusters, 1), 1) // 2
+        plan = "matrix" if est_pairs > matrix_pair_limit else "pairs"
 
     verify_driver, verify_dist = _cosine_verifiers(d, threshold, id_col)
 
-    return _banded_dedup_assignments(
-        feats,
-        band_fn,
-        id_col,
-        verify_driver=verify_driver,
-        pack_fn=lambda t: t,
-        payload_name="nemb",
-        verify_dist=verify_dist,
-        mode=mode,
-        driver_threshold=driver_threshold,
-        max_bucket_pairs=max_cluster_size,
-        num_buckets=num_buckets,
-        bloom_fp_rate=bloom_fp_rate,
-        seed=seed,
+    if plan == "pairs":
+
+        def band_fn(t: pa.Table) -> pa.Table:
+            emb = _unpack_fsb(t.column("nemb"), d).view(np.float64)
+            ids = t.column(id_col).combine_chunks()
+            a = np.argmax(emb @ centroids.T, axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    "band": pa.array(np.zeros(len(a), dtype=np.int64)),
+                    "band_hash": pa.array(a),
+                    id_col: ids,
+                }
+            )
+
+        return _banded_dedup_assignments(
+            feats,
+            band_fn,
+            id_col,
+            verify_driver=verify_driver,
+            pack_fn=lambda t: t,
+            payload_name="nemb",
+            verify_dist=verify_dist,
+            mode=mode,
+            driver_threshold=driver_threshold,
+            max_bucket_pairs=max_cluster_size,
+            num_buckets=num_buckets,
+            bloom_fp_rate=bloom_fp_rate,
+            seed=seed,
+        )
+
+    # ---- matrix plan: co-locate clusters, tiled in-group cosine ----
+    def assign_fn(t: pa.Table) -> pa.Table:
+        emb = _unpack_fsb(t.column("nemb"), d).view(np.float64)
+        a = np.argmax(emb @ centroids.T, axis=1).astype(np.int64)
+        return pa.table(
+            {"cid": pa.array(a), id_col: t.column(id_col), "nemb": t.column("nemb")}
+        )
+
+    assigned = feats.map_batches(assign_fn, batch_format="pyarrow", batch_size=None)
+
+    def verify_cluster(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(ids)
+        if m < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        mat = _unpack_fsb(g.column("nemb"), d).view(np.float64)
+        # tile rows so a tile×m sim block stays ≤ ~256 MB
+        tile = max(1, (32 << 20) // max(m, 1))
+        outs_a, outs_b = [], []
+        for s in range(0, m, tile):
+            e = min(s + tile, m)
+            sims = mat[s:e] @ mat.T  # (e-s, m)
+            ii, jj = np.nonzero(sims >= threshold)
+            ii += s
+            keep = jj > ii  # upper triangle only (a < b after id sort below)
+            if keep.any():
+                a = ids[ii[keep]]
+                b = ids[jj[keep]]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                outs_a.append(lo)
+                outs_b.append(hi)
+        if not outs_a:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(outs_a)),
+                "b": pa.array(np.concatenate(outs_b)),
+            }
+        )
+
+    pairs_ds = assigned.groupby("cid").map_groups(
+        verify_cluster, batch_format="pyarrow"
+    ).materialize()  # verified pairs ONLY — O(true dups) rows
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        from ddsketch_ray.functions.dedup import _all_survivors_table
+
+        return feats.map_batches(
+            lambda t: _all_survivors_table(t, id_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    ids_ds = feats.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow", batch_size=None
     )
+    if n_pairs <= driver_threshold:
+        import pandas as pd
+
+        pdf = pairs_ds.to_pandas()  # ≤ driver_threshold verified rows
+        pair_ids = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
+        rep = cluster_pairs(pdf, pair_ids)
+        return emit_cluster_assignments(feats, rep, id_col)
+    return _emit_assignments_distributed(ids_ds, pairs_ds, id_col, num_buckets)
 
 
 def embedding_near_dup(

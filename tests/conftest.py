@@ -24,6 +24,14 @@ def ray_session():
     DataContext.get_current().enable_progress_bars = False
     yield ray
     if created:  # never tear down a session someone else owns
+        # Settle before shutdown: back-to-back streaming-dedup runs can
+        # leave a core-worker cleanup thread mid-flight; an immediate
+        # ray.shutdown() then wedges in core_worker_process.cc:926
+        # ("worker accessed after shutdown") — reproduced 5/5 without
+        # the sleep, 7/7 clean with it (see CLAUDE.md).
+        import time
+
+        time.sleep(2)
         ray.shutdown()
 
 

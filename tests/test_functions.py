@@ -2231,10 +2231,12 @@ def test_semantic_dedup_cluster_blocked(ray_session):
     )
     ds = rd.from_arrow(t).repartition(5)
     kw = dict(threshold=0.995, n_clusters=4, sample_size=4096, iters=5, seed=0)
-    out = semantic_dedup(ds, mode="driver", **kw).to_pandas().sort_values("vec_id")
-    out_d = semantic_dedup(ds, mode="distributed", **kw).to_pandas().sort_values("vec_id")
-    # plans identical
+    out = semantic_dedup(ds, plan="pairs", mode="driver", **kw).to_pandas().sort_values("vec_id")
+    out_d = semantic_dedup(ds, plan="pairs", mode="distributed", **kw).to_pandas().sort_values("vec_id")
+    out_m = semantic_dedup(ds, plan="matrix", **kw).to_pandas().sort_values("vec_id")
+    # all three physical plans identical
     assert out.reset_index(drop=True).equals(out_d.reset_index(drop=True))
+    assert out.reset_index(drop=True).equals(out_m.reset_index(drop=True))
     by_id = out.set_index("vec_id")
     for keep_id, dup_id in dup_groups:
         assert by_id.loc[dup_id, "rep"] == keep_id  # keep-first by min id
