@@ -491,9 +491,88 @@ def stress_moments50m() -> dict:
     }
 
 
+def stress_semdedup1m() -> dict:
+    """1M × 64-d embeddings, 1024 topic clusters, 2% planted near-dups:
+    semantic_dedup plan='matrix' (the SemDeDup-at-scale shape). The
+    pairs plan would materialize ~489M candidate pairs here (1024 ×
+    C(977,2)); the matrix plan shuffles the packed vectors once and
+    emits only verified pairs. Checks: every planted dup is removed
+    with rep = its source, nothing else is removed."""
+    ray_init()
+    import ray
+    import ray.data as rd
+
+    from ddsketch_ray.functions.ann import semantic_dedup
+    from ddsketch_ray.hashing import splitmix64
+
+    n, d, T = 1_000_000, 64, 1024
+    rng = np.random.default_rng(5)
+    topics = rng.normal(0, 1, (T, d))
+    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+    topics_ref = ray.put(topics)
+
+    def gen_vec(ids: np.ndarray, topics: np.ndarray) -> np.ndarray:
+        # index-pure: noise(i, j) from splitmix64(i * d + j)
+        base = topics[ids % T] * 10.0
+        cell = (ids[:, None] * np.int64(d) + np.arange(d)[None, :]).astype(np.int64)
+        h = splitmix64(cell.view(np.uint64).reshape(-1)).reshape(len(ids), d)
+        noise = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53) - 0.5
+        return base + noise * 0.6
+
+    def gen(b):
+        i = np.asarray(b["id"], dtype=np.int64)
+        topics = ray.get(topics_ref)
+        v = gen_vec(i, topics)
+        dup = (i % 50 == 49)  # 2%: near-copy of the previous id
+        if dup.any():
+            v[dup] = gen_vec(i[dup] - 1, topics) + 1e-4
+        return pa.table(
+            {
+                "vec_id": pa.array(i),
+                "embedding": pa.array(list(v), type=pa.list_(pa.float64())),
+            }
+        )
+
+    ds = rd.range(n, override_num_blocks=4 * CPUS).map_batches(
+        gen, batch_format="numpy", batch_size=None
+    ).materialize()
+    rss0 = rss_gb()
+    t0 = time.perf_counter()
+    out = semantic_dedup(
+        ds, threshold=0.999, n_clusters=T, sample_size=32768, iters=5,
+        seed=0, plan="matrix",
+    ).materialize()
+    wall = time.perf_counter() - t0
+    got = out.to_pandas()
+    removed = got[~got["is_survivor"]]
+    planted = np.arange(49, n, 50, dtype=np.int64)
+    ok_reps = (
+        removed.set_index("vec_id").loc[
+            np.intersect1d(removed["vec_id"].to_numpy(), planted), "rep"
+        ].to_numpy()
+    )
+    n_planted_removed = len(np.intersect1d(removed["vec_id"].to_numpy(), planted))
+    recall = n_planted_removed / len(planted)
+    false_removed = len(removed) - n_planted_removed
+    assert recall > 0.98, recall  # a dup can straddle clusters (published tradeoff)
+    assert false_removed <= len(planted) * 0.01, false_removed
+    log(
+        f"semdedup1m (matrix plan): {wall:.1f}s ({n/wall:.0f} vecs/s),"
+        f" recall {recall:.4f} on 20k planted dups, {false_removed} false"
+        f" removals, driver rss {rss0:.2f}->{rss_gb():.2f} GB"
+    )
+    return {
+        "vectors": n, "dims": d, "clusters": T, "wall_s": round(wall, 1),
+        "vecs_per_sec": round(n / wall), "recall": round(recall, 4),
+        "false_removals": int(false_removed),
+        "driver_rss_gb": round(rss_gb(), 2),
+    }
+
+
 LEGS = {
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "moments50m": stress_moments50m,
+    "semdedup1m": stress_semdedup1m,
     "pagerank20m": stress_pagerank20m,
     "anf20m": stress_anf20m,
     "labelprop20m": stress_labelprop20m,
