@@ -2888,6 +2888,30 @@ def q_semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "rep", "is_survivor"]]
 
 
+def q_semantic_dedup_matrix_embeddings(sf_dir: str) -> pd.DataFrame:
+    """The matrix physical plan of semantic_dedup (groupby co-locates
+    each cluster, tiled in-group cosine, only verified pairs are ever
+    materialized — the SemDeDup-at-scale shape; 1M × 64-d in 15.6 s
+    with recall 1.0, BASELINE.md). Paired with
+    `semantic_dedup_embeddings` (pairs plan) against the SAME SQL
+    oracle — the gate proves the two plans bit-equal, like the paired
+    minhash driver/distributed queries."""
+    from ddsketch_ray.functions.ann import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        semantic_dedup(
+            ds, threshold=0.4, n_clusters=16, iters=5, seed=0, plan="matrix"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["rep"] = out["rep"].astype(np.int64)
+    return out[["vec_id", "rep", "is_survivor"]]
+
+
 def q_tdigest_quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
     """Grouped t-digest, deterministic variant (frozen oracle): one
     sketch per event_type built from the group's sorted values — no
@@ -4114,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_assignments": q_embedding_near_dup_assignments,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "semantic_dedup_matrix_embeddings": q_semantic_dedup_matrix_embeddings,
         "tdigest_quantiles_by_event_type": q_tdigest_quantiles_by_event_type,
         "hll_users_by_event_type": q_hll_users_by_event_type,
         "union_filter_orders": q_union_filter_orders,
@@ -6403,6 +6428,7 @@ ORDER BY c_custkey
         "moments_quantiles_price": _moments_sql(),
         "lang_id_documents": _lang_id_sql(),
         "semantic_dedup_embeddings": _semantic_dedup_sql(),
+        "semantic_dedup_matrix_embeddings": _semantic_dedup_sql(),
         "ams_join_size": f"""
 -- every AMS counter recomputed: h_r = SplitMix64(k ^ SplitMix64(r)) in
 -- mod-2^64 SQL; bucket = h % 512, sign = top bit; estimates = median
