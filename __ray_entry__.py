@@ -410,6 +410,88 @@ def q_cms_top_event_types(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# dyadic-range count-min over events.value cents (sketches/dyadic.py):
+# fixed parameters shared by the engine queries and the SQL oracle
+_DCM_LEVELS = 16
+_DCM_WIDTH = 1024
+_DCM_DEPTH = 5
+_DCM_RANGES = [
+    (0, 999),
+    (1000, 4999),
+    (5000, 9999),
+    (10000, 24999),
+    (25000, 65535),
+    (123, 45678),
+    (0, 65535),
+]
+_DCM_QS = (0.5, 0.95, 0.99)
+
+
+def _events_cents(sf_dir: str):
+    """events.value → integer cents (np.rint == DuckDB round_even)."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        return pa.table({"cents": np.rint(v * 100.0).astype(np.int64)})
+
+    return ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+
+def _dcm_sketch(sf_dir: str):
+    from ddsketch_ray.agg import DyadicCMAgg, sketch_from_result
+
+    res = _events_cents(sf_dir).aggregate(
+        DyadicCMAgg(
+            on="cents",
+            levels=_DCM_LEVELS,
+            width=_DCM_WIDTH,
+            depth=_DCM_DEPTH,
+            seed=0,
+            alias_name="dcm",
+        )
+    )
+    return sketch_from_result(res["dcm"])
+
+
+def q_cm_range_counts_events(sf_dir: str) -> pd.DataFrame:
+    """Dyadic-range count-min range counts (sketches/dyadic.py — Cormode
+    & Muthukrishnan 2005 §4.2): per-level CM stack over value cents,
+    fixed inclusive ranges decomposed into ≤2·levels dyadic nodes, est =
+    Σ node CM estimates. REAL SQL oracle: per-level SplitMix64 +
+    double-hash bucket totals summed exactly in HUGEINT, MIN over depth
+    per node, constant node lists — the whole chain is exact integers."""
+    sk = _dcm_sketch(sf_dir)
+    return pd.DataFrame(
+        {
+            "range_id": np.arange(len(_DCM_RANGES), dtype=np.int64),
+            "lo": np.array([lo for lo, _ in _DCM_RANGES], dtype=np.int64),
+            "hi": np.array([hi for _, hi in _DCM_RANGES], dtype=np.int64),
+            "est": np.array(
+                [sk.range_count(lo, hi) for lo, hi in _DCM_RANGES], dtype=np.int64
+            ),
+        }
+    )
+
+
+def q_cm_quantiles_value_events(sf_dir: str) -> pd.DataFrame:
+    """Quantiles BY COUNT from the dyadic CM stack: tree descent from the
+    root, at each level comparing the left child's CM estimate against
+    the remaining target rank — ``levels`` exact integer comparisons.
+    REAL SQL oracle: the descent is unrolled as ``levels`` chained CTEs
+    over the same exact bucket-total table."""
+    sk = _dcm_sketch(sf_dir)
+    return pd.DataFrame(
+        {
+            "q": np.array(_DCM_QS, dtype=np.float64),
+            "est_cents": np.array(
+                [sk.quantile_value(q) for q in _DCM_QS], dtype=np.int64
+            ),
+        }
+    )
+
+
 def _lineitem_rowkey(batch: pa.Table) -> np.ndarray:
     """Deterministic per-row key for lineitem: hash of the unique
     (l_orderkey, l_linenumber) pair — independent of block layout."""
@@ -2942,6 +3024,49 @@ def q_hll_users_by_event_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_hll_daily_users_events(sf_dir: str) -> pd.DataFrame:
+    """Windowed distinct: HLL distinct users per tumbling day window —
+    the sketch × window composition a per-crawl-day dashboard runs.
+    Derive the day key vectorized (strftime), then grouped HLL; SQL
+    oracle replays the register math per day via _hll_sql over the same
+    derived-day subquery."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.agg import HLLAgg
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+                "user_id": t.column("user_id"),
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .aggregate(HLLAgg(on="user_id", alias_name="distinct_users"))
+        .to_pandas()
+    )
+    out["distinct_users"] = out["distinct_users"].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_hhh_lang_source_docs(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical heavy hitters (functions/analytics.py::
+    hierarchical_heavy_hitters — exact discounted variant of Cormode et
+    al. VLDB 2003) over the (lang) → (lang, source) corpus hierarchy at
+    φ=0.025: which subpopulations exceed φ·N after discounting the mass
+    already reported below them. One distributed leaf rollup; every
+    number an exact integer."""
+    from ddsketch_ray.functions.analytics import hierarchical_heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return hierarchical_heavy_hitters(ds, ["lang", "source"], phi=0.025)
+
+
 def q_union_filter_orders(sf_dir: str) -> pd.DataFrame:
     """filter + union + grouped count (vectorized predicate inside
     map_batches, then partial-count pre-aggregation)."""
@@ -4040,6 +4165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_append_topk_embeddings": q_ivf_append_topk_embeddings,
         "hll_distinct_custkeys": q_hll_distinct_custkeys,
         "cms_top_event_types": q_cms_top_event_types,
+        "cm_range_counts_events": q_cm_range_counts_events,
+        "cm_quantiles_value_events": q_cm_quantiles_value_events,
         "tdigest_quantiles_price": q_tdigest_quantiles_price,
         "kll_quantiles_price": q_kll_quantiles_price,
         "bloom_customer_membership": q_bloom_customer_membership,
@@ -4141,6 +4268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_matrix_embeddings": q_semantic_dedup_matrix_embeddings,
         "tdigest_quantiles_by_event_type": q_tdigest_quantiles_by_event_type,
         "hll_users_by_event_type": q_hll_users_by_event_type,
+        "hll_daily_users_events": q_hll_daily_users_events,
+        "hhh_lang_source_docs": q_hhh_lang_source_docs,
         "union_filter_orders": q_union_filter_orders,
         "text_stats_documents": q_text_stats_documents,
         "dds_quantiles_price_lastmode": q_dds_quantiles_price_lastmode,
@@ -4905,8 +5034,19 @@ def oracle_sql() -> dict[str, str]:
     out["hll_users_by_event_type"] = _hll_sql(
         "events", "user_id", "event_type", "distinct_users"
     )
+    out["hll_daily_users_events"] = _hll_sql(
+        "(SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events)",
+        "user_id",
+        "day",
+        "distinct_users",
+    )
+    out["hhh_lang_source_docs"] = _hhh_sql()
     out["bloom_customer_membership"] = _bloom_sql()
     out["cms_top_event_types"] = _cms_top_sql()
+    # dyadic-range CM: per-level bucket totals are exact sums; node lists
+    # and the quantile tree-descent are constant/unrolled — full replay
+    out["cm_range_counts_events"] = _dcm_ranges_sql()
+    out["cm_quantiles_value_events"] = _dcm_quantiles_sql()
     # epoch-1 shuffle: hash_ints(doc_id, seed=1) = splitmix64(id ^
     # splitmix64(1)); rank = ROW_NUMBER over (int64-view hash, id)
     _eh = _splitmix_sql(
@@ -5322,6 +5462,170 @@ est AS (SELECT tok, MIN(total)::BIGINT AS est
         FROM cols JOIN tot USING (d, c) GROUP BY tok)
 SELECT tok AS event_type, est FROM est ORDER BY est DESC, tok LIMIT 5
 """
+
+
+def _hhh_sql(phi: float = 0.025) -> str:
+    """REAL SQL replay of hhh_lang_source_docs (functions/analytics.py::
+    hierarchical_heavy_hitters): exact leaf GROUP BY, bottom-up
+    discounting as chained per-level CTEs (an HHH child passes 0 upward,
+    a non-HHH child passes its discounted count), T = max(1, ceil(φ·N)),
+    root reports with path ''. Every value an exact integer."""
+    return f"""
+WITH nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+tt AS MATERIALIZED (SELECT GREATEST(1, CAST(ceil({phi!r} * n) AS BIGINT)) AS t FROM nn),
+l2 AS (SELECT lang, source, COUNT(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+l2f AS MATERIALIZED (
+  SELECT lang, source, cnt, cnt AS disc,
+         cnt >= (SELECT t FROM tt) AS is_hhh
+  FROM l2),
+l1 AS (SELECT lang, SUM(cnt)::BIGINT AS cnt,
+              SUM(CASE WHEN is_hhh THEN 0 ELSE disc END)::BIGINT AS disc
+       FROM l2f GROUP BY 1),
+l1f AS MATERIALIZED (
+  SELECT lang, cnt, disc, disc >= (SELECT t FROM tt) AS is_hhh FROM l1),
+l0 AS (SELECT SUM(cnt)::BIGINT AS cnt,
+              SUM(CASE WHEN is_hhh THEN 0 ELSE disc END)::BIGINT AS disc
+       FROM l1f)
+SELECT * FROM (
+  SELECT 2::BIGINT AS level, lang || '/' || source AS path, cnt, disc
+  FROM l2f WHERE is_hhh
+  UNION ALL
+  SELECT 1::BIGINT, lang, cnt, disc FROM l1f WHERE is_hhh
+  UNION ALL
+  SELECT 0::BIGINT, '', cnt, disc FROM l0 WHERE disc >= (SELECT t FROM tt)
+) ORDER BY level, path
+"""
+
+
+def _dcm_col_sql(h: str, d: str, width: int) -> str:
+    """CountMin double-hash column position of hash expression ``h`` at
+    depth ``d``: ((h + d·((h>>32)|1)) mod 2^64) mod width, in HUGEINT."""
+    return (
+        f"CAST(CAST((CAST({h} AS HUGEINT) + {d} * CAST(({h} >> 32) | 1 AS HUGEINT))"
+        f" % 18446744073709551616 AS UBIGINT) % {width} AS BIGINT)"
+    )
+
+
+def _dcm_common_sql() -> str:
+    """Shared CTE prefix for the dyadic-CM oracles: cents key (clamped
+    into the domain exactly as DyadicCountMin.add_values), per-level
+    SplitMix64 seeds (splitmix64(level) for seed=0, folded to
+    constants), per-(level, depth, column) EXACT bucket totals, and the
+    exact row count. Replays sketches/dyadic.py bit-for-bit."""
+    from ddsketch_ray.hashing import splitmix64 as _sm
+
+    L, W, D = _DCM_LEVELS, _DCM_WIDTH, _DCM_DEPTH
+    maxv = (1 << L) - 1
+    seed_rows = ", ".join(
+        f"({l}, CAST({int(_sm(np.uint64(l)))} AS UBIGINT))" for l in range(L)
+    )
+    kh = _splitmix_sql("xor(CAST(k.key >> s.level AS UBIGINT), s.z)")
+    return f"""
+k AS MATERIALIZED (
+  SELECT GREATEST(0, LEAST({maxv}, CAST(round_even(value * 100, 0) AS BIGINT))) AS key
+  FROM events WHERE value IS NOT NULL),
+seeds AS (SELECT * FROM (VALUES {seed_rows}) s(level, z)),
+kh AS (SELECT s.level AS level, {kh} AS h FROM k, seeds s),
+kc AS (SELECT level, d.i AS d, {_dcm_col_sql('h', 'd.i', W)} AS c
+       FROM kh, generate_series(0, {D - 1}) d(i)),
+tot AS MATERIALIZED (SELECT level, d, c, COUNT(*)::BIGINT AS total
+                     FROM kc GROUP BY 1, 2, 3),
+cnt AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM k)"""
+
+
+def _dcm_ranges_sql() -> str:
+    """REAL SQL replay of cm_range_counts_events: the dyadic node list of
+    each constant range is itself a constant (dyadic_decompose is a pure
+    function of (lo, hi, levels)) embedded verbatim; each node's CM
+    estimate is MIN over depth of the exact bucket totals (missing
+    bucket → 0); the full-domain node is the exact count."""
+    from ddsketch_ray.sketches.dyadic import dyadic_decompose
+
+    L, W, D = _DCM_LEVELS, _DCM_WIDTH, _DCM_DEPTH
+    cm_nodes, full_rids = [], []
+    for rid, (lo, hi) in enumerate(_DCM_RANGES):
+        for level, prefix in dyadic_decompose(lo, hi, L):
+            if level == L:
+                full_rids.append(rid)
+            else:
+                cm_nodes.append((rid, level, prefix))
+    node_rows = ", ".join(f"({r}, {l}, {p})" for r, l, p in cm_nodes)
+    range_rows = ", ".join(
+        f"({rid}, {lo}, {hi})" for rid, (lo, hi) in enumerate(_DCM_RANGES)
+    )
+    nh = _splitmix_sql("xor(CAST(n.prefix AS UBIGINT), s.z)")
+    full_arm = (
+        "UNION ALL SELECT f.rid, (SELECT n FROM cnt) AS est FROM (VALUES "
+        + ", ".join(f"({r})" for r in full_rids)
+        + ") f(rid)"
+        if full_rids
+        else ""
+    )
+    return f"""
+WITH {_dcm_common_sql()},
+nodes AS (SELECT * FROM (VALUES {node_rows}) nd(rid, level, prefix)),
+nh AS (SELECT n.rid, n.level AS level, n.prefix, {nh} AS h
+       FROM nodes n JOIN seeds s ON s.level = n.level),
+nc AS (SELECT rid, level, prefix, d.i AS d, {_dcm_col_sql('h', 'd.i', W)} AS c
+       FROM nh, generate_series(0, {D - 1}) d(i)),
+nest AS (SELECT nc.rid, nc.level, nc.prefix, MIN(coalesce(t.total, 0))::BIGINT AS est
+         FROM nc LEFT JOIN tot t ON t.level = nc.level AND t.d = nc.d AND t.c = nc.c
+         GROUP BY 1, 2, 3),
+per_range AS (
+  SELECT rid, SUM(est)::BIGINT AS est FROM (
+    SELECT rid, est FROM nest
+    {full_arm}
+  ) GROUP BY rid),
+ranges AS (SELECT * FROM (VALUES {range_rows}) r(range_id, lo, hi))
+SELECT r.range_id::BIGINT AS range_id, r.lo::BIGINT AS lo, r.hi::BIGINT AS hi,
+       coalesce(p.est, 0)::BIGINT AS est
+FROM ranges r LEFT JOIN per_range p ON p.rid = r.range_id
+ORDER BY range_id
+"""
+
+
+def _dcm_quantiles_sql() -> str:
+    """REAL SQL replay of cm_quantiles_value_events: per q, the
+    levels-deep tree descent unrolled as chained CTEs — at each level
+    the left child's estimate (MIN over depth of exact totals) decides
+    the branch, mirroring DyadicCountMin.quantile_value step-for-step
+    (target = max(1, ceil(q·n)); all comparisons exact integers)."""
+    from ddsketch_ray.hashing import splitmix64 as _sm
+
+    L, W, D = _DCM_LEVELS, _DCM_WIDTH, _DCM_DEPTH
+    parts = [_dcm_common_sql().lstrip()]
+    arms = []
+    for t, q in enumerate(_DCM_QS):
+        parts.append(
+            f"tgt{t} AS (SELECT GREATEST(1, CAST(ceil({q!r} * n) AS BIGINT)) AS target FROM cnt)"
+        )
+        parts.append(f"s{t}_{L} AS (SELECT 0::BIGINT AS prefix, 0::BIGINT AS cum)")
+        for lvl in range(L - 1, -1, -1):
+            z = int(_sm(np.uint64(lvl)))
+            h = _splitmix_sql(
+                f"xor(CAST(prefix * 2 AS UBIGINT), CAST({z} AS UBIGINT))"
+            )
+            parts.append(
+                f"""pc{t}_{lvl} AS (
+  SELECT prefix * 2 AS lft, cum, d.i AS d, {_dcm_col_sql(h, 'd.i', W)} AS c
+  FROM s{t}_{lvl + 1}, generate_series(0, {D - 1}) d(i))"""
+            )
+            parts.append(
+                f"""el{t}_{lvl} AS (
+  SELECT lft, cum, MIN(coalesce(t.total, 0))::BIGINT AS e
+  FROM pc{t}_{lvl} p LEFT JOIN tot t ON t.level = {lvl} AND t.d = p.d AND t.c = p.c
+  GROUP BY lft, cum)"""
+            )
+            parts.append(
+                f"""s{t}_{lvl} AS (
+  SELECT CASE WHEN cum + e >= (SELECT target FROM tgt{t}) THEN lft ELSE lft + 1 END AS prefix,
+         CASE WHEN cum + e >= (SELECT target FROM tgt{t}) THEN cum ELSE cum + e END AS cum
+  FROM el{t}_{lvl})"""
+            )
+        arms.append(
+            f"SELECT {q!r} AS q, (SELECT prefix FROM s{t}_0)::BIGINT AS est_cents"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(arms) + "\nORDER BY q"
 
 
 def _bloom_sql() -> str:

@@ -441,6 +441,43 @@ class AMSAgg(_SketchAggBase):
         sk.add_hashed(v.astype(np.int64, copy=False).view(np.uint64))
 
 
+class DyadicCMAgg(_SketchAggBase):
+    """Dyadic-range count-min (sketches/dyadic.py — Cormode &
+    Muthukrishnan 2005 §4.2) over an INTEGER column in [0, 2^levels):
+    range counts / ranks / tree-descent quantiles by COUNT. Merge is
+    elementwise table addition, so the distributed sketch is
+    bit-identical under any tree order; every downstream estimate is an
+    exact-integer chain reproducible by a SQL oracle (SplitMix64 +
+    double-hash columns in mod-2^64 arithmetic, exact bucket sums, MIN
+    over depth, constant dyadic node lists). finalize -> serialized
+    sketch (use ``sketch_from_result``)."""
+
+    def __init__(
+        self,
+        on: str,
+        levels: int = 16,
+        width: int = 1024,
+        depth: int = 5,
+        seed: int = 0,
+        alias_name=None,
+    ):
+        from ddsketch_ray.sketches.dyadic import DyadicCountMin
+
+        super().__init__(
+            factory=lambda: DyadicCountMin(
+                levels=levels, width=width, depth=depth, seed=seed
+            ),
+            name=alias_name or f"dyadic_cm({on})",
+            on=on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._target_col_name)
+        col = drop_nulls(col, is_arrow)
+        v = col.to_numpy(zero_copy_only=False) if is_arrow else np.asarray(col)
+        sk.add_values(v.astype(np.int64, copy=False))
+
+
 class MomentsAgg(_SketchAggBase):
     """Moments sketch (sketches/moments.py — Gan et al., VLDB 2018) over
     an INTEGER-QUANTIZED column (e.g. prices in cents): exact big-int

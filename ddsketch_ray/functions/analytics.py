@@ -677,3 +677,107 @@ def equiwidth_histogram(ds, value_col: str, lo: float, hi: float, n_bins: int) -
 
     keyed = ds.map_batches(bins, batch_format="pyarrow", batch_size=None)
     return small_key_rollup(keyed, ["bin"], count_alias="n")
+
+
+def hierarchical_heavy_hitters(
+    ds,
+    level_cols: list[str],
+    phi: float,
+    weight_col: str | None = None,
+):
+    """Deterministic discounted hierarchical heavy hitters (the exact
+    variant of Cormode et al., "Finding Hierarchical Heavy Hitters in
+    Data Streams", VLDB 2003) over a column-prefix hierarchy: the node
+    at level ``l`` is the tuple of the first ``l`` columns of
+    ``level_cols`` (level 0 = the root = the whole stream, leaves =
+    the full tuple). The corpus-governance question this answers: which
+    (lang), (lang, source), ... subpopulations exceed ``phi`` of the
+    corpus AFTER discounting the mass already reported below them.
+
+    Bottom-up discounting: a leaf's discounted count is its exact
+    count; an inner node's is the sum of its children's NOT-reported
+    mass (a reported HHH child passes 0 upward, a non-HHH child passes
+    its own discounted count). A node is an HHH iff disc >= T where
+    T = max(1, ceil(phi * N)). All counts are exact integers from ONE
+    distributed leaf rollup — no sketch error; every number is
+    reproducible by a SQL oracle as chained per-level GROUP BYs.
+
+    ``weight_col`` switches the mass from row count to an integer
+    weight sum (e.g. token counts — the unit corpus mixtures are
+    specified in). Keys must be non-null (null keys would need a
+    path encoding; callers filter or fill first).
+
+    Scale: the leaf rollup is small_key_rollup (distinct leaf tuples
+    must fit its ~10^5-group contract — true for lang x source style
+    governance hierarchies; for unbounded leaf domains use the
+    count-min + dyadic machinery instead). Driver holds O(leaf groups)
+    rows; every upper level shrinks.
+
+    Returns a pandas DataFrame (level:int64, path:str, cnt:int64,
+    disc:int64) of the HHH nodes, path = "/".join(key values), sorted
+    by (level, path). The root reports with path "".
+    """
+    import pandas as pd
+
+    if not level_cols:
+        raise ValueError("level_cols must name at least one column")
+    if not (0.0 < phi <= 1.0):
+        raise ValueError("phi must be in (0, 1]")
+    sums = [("cnt", weight_col)] if weight_col else []
+    leaf = small_key_rollup(
+        ds,
+        list(level_cols),
+        sums=sums,
+        count_alias=None if weight_col else "cnt",
+    ).to_pandas()
+    for c in level_cols:
+        if leaf[c].isna().any():
+            raise ValueError(f"hierarchical_heavy_hitters: null keys in {c!r}")
+    n_total = int(leaf["cnt"].sum())
+    if n_total == 0:
+        return pd.DataFrame(
+            {
+                "level": np.array([], dtype=np.int64),
+                "path": np.array([], dtype=object),
+                "cnt": np.array([], dtype=np.int64),
+                "disc": np.array([], dtype=np.int64),
+            }
+        )
+    import math
+
+    thresh = max(1, int(math.ceil(phi * n_total)))
+
+    out_rows = []
+    # leaves: disc == cnt
+    cur = leaf.copy()
+    cur["disc"] = cur["cnt"].astype(np.int64)
+    for level in range(len(level_cols), 0, -1):
+        cols = list(level_cols[:level])
+        is_hhh = cur["disc"].to_numpy() >= thresh
+        paths = cur[cols[0]].astype(str)
+        for c in cols[1:]:
+            paths = paths + "/" + cur[c].astype(str)
+        for p, c_, d_ in zip(
+            paths.to_numpy()[is_hhh],
+            cur["cnt"].to_numpy()[is_hhh],
+            cur["disc"].to_numpy()[is_hhh],
+        ):
+            out_rows.append((level, p, int(c_), int(d_)))
+        passed = np.where(is_hhh, 0, cur["disc"].to_numpy())
+        cur = cur.assign(_passed=passed)
+        parent_cols = cols[:-1]
+        if parent_cols:
+            cur = (
+                cur.groupby(parent_cols, as_index=False, sort=False)
+                .agg(cnt=("cnt", "sum"), disc=("_passed", "sum"))
+            )
+        else:
+            root_cnt = int(cur["cnt"].sum())
+            root_disc = int(cur["_passed"].sum())
+            if root_disc >= thresh:
+                out_rows.append((0, "", root_cnt, root_disc))
+    out = pd.DataFrame(out_rows, columns=["level", "path", "cnt", "disc"])
+    out["level"] = out["level"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["disc"] = out["disc"].astype(np.int64)
+    return out.sort_values(["level", "path"]).reset_index(drop=True)

@@ -14,6 +14,7 @@ from ddsketch_ray.sketches.ddsketch import (
     MODE_FIRST,
     MODE_LAST,
 )
+from ddsketch_ray.sketches.dyadic import DyadicCountMin, dyadic_decompose
 from ddsketch_ray.sketches.hll import HyperLogLog
 from ddsketch_ray.sketches.kll import KLL
 from ddsketch_ray.sketches.kmv import KMV
@@ -39,6 +40,8 @@ __all__ = [
     "MODE_FIRST",
     "HyperLogLog",
     "CountMin",
+    "DyadicCountMin",
+    "dyadic_decompose",
     "HeavyHitters",
     "BloomFilter",
     "TDigest",
