@@ -569,8 +569,54 @@ def stress_semdedup1m() -> dict:
     }
 
 
+def stress_dyadic20m() -> dict:
+    """20M-row dyadic-range count-min build (sketches/dyadic.py,
+    16 levels x depth 5 x width 1024) on the full CPU count: build
+    throughput, then range-count / quantile error checks against exact
+    numpy counts (one-sided CM bound must hold)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import DyadicCMAgg, sketch_from_result
+
+    ray_init()
+    n = 20_000_000
+    L, W, D = 16, 1024, 5
+    rng = np.random.default_rng(11)
+    # log-uniform-ish skew over the 16-bit domain (web-latency shape)
+    v = np.minimum(
+        np.exp(rng.uniform(0, np.log(1 << L), n)).astype(np.int64), (1 << L) - 1
+    )
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(4 * CPUS).materialize()
+    t0 = time.perf_counter()
+    res = ds.aggregate(DyadicCMAgg(on="v", levels=L, width=W, depth=D, seed=0))
+    sk = sketch_from_result(res["dyadic_cm(v)"])
+    wall = time.perf_counter() - t0
+    assert sk.n == n
+    eps = np.e / W
+    worst = 0.0
+    for lo, hi in [(0, 99), (100, 4999), (5000, 20000), (3, 60000)]:
+        true = int(((v >= lo) & (v <= hi)).sum())
+        est = sk.range_count(lo, hi)
+        assert true <= est <= true + 2 * L * eps * n, (lo, hi, true, est)
+        worst = max(worst, (est - true) / n)
+    q50 = sk.quantile_value(0.5)
+    log(
+        f"dyadic20m: build {wall:.1f}s ({n/wall/1e6:.1f}M rows/s), "
+        f"worst range overcount {worst*100:.3f}% of N, q50={q50}"
+    )
+    return {
+        "rows": n, "levels": L, "width": W, "depth": D,
+        "build_wall_s": round(wall, 1),
+        "mrows_per_sec": round(n / wall / 1e6, 2),
+        "worst_range_overcount_pct_of_n": round(worst * 100, 4),
+        "q50": int(q50),
+    }
+
+
 LEGS = {
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
+    "dyadic20m": stress_dyadic20m,
     "moments50m": stress_moments50m,
     "semdedup1m": stress_semdedup1m,
     "pagerank20m": stress_pagerank20m,
