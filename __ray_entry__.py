@@ -3054,6 +3054,123 @@ def q_hll_daily_users_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
+def _events_day_ds(sf_dir: str, value_cols: list[str]):
+    """events with a derived 'YYYY-MM-DD' day key (vectorized strftime)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"] + value_cols)
+
+    def derive(t: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": t.column("event_type"),
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+        }
+        for c in value_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    return ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+
+def _events_hll_cube(sf_dir: str) -> str:
+    """Build the (event_type × day) HLL(user_id) cube under /tmp —
+    write once, then every query below is a cell merge."""
+    import os
+    import shutil
+
+    from ddsketch_ray.agg import HLLAgg
+    from ddsketch_ray.functions.cube import write_sketch_cube
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_cube_hll_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_sketch_cube(
+        _events_day_ds(sf_dir, ["user_id"]),
+        ["event_type", "day"],
+        HLLAgg(on="user_id", raw=True, alias_name="cell"),
+        out_dir,
+    )
+    return out_dir
+
+
+def q_cube_hll_users_by_type_events(sf_dir: str) -> pd.DataFrame:
+    """Sketch cube slice (functions/cube.py): per-(event_type, day) HLL
+    cells persisted ONCE, per-type answers served by register-max cell
+    merges — bit-identical to a direct grouped build by merge algebra,
+    so the SAME SQL register replay oracles both paths. The cube is the
+    materialized-aggregate layer a 100-TB telemetry store queries
+    instead of raw rows."""
+    from ddsketch_ray.functions.cube import grouped_cube_merge
+
+    out_dir = _events_hll_cube(sf_dir)
+    groups = grouped_cube_merge(out_dir, ["event_type"])
+    types = sorted(k[0] for k in groups)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "distinct_users": np.array(
+                [groups[(t,)].cardinality() for t in types], dtype=np.int64
+            ),
+        }
+    )
+
+
+def q_cube_hll_rolling7_users_events(sf_dir: str) -> pd.DataFrame:
+    """Rolling 7-day distinct users from the SAME persisted cube: for
+    each day, merge the cells of the closed calendar window [d-6, d] —
+    no raw-data re-read, any window for free. Oracle: register replay
+    over the equivalent day×window row expansion."""
+    from ddsketch_ray.functions.cube import rolling_cube_merge
+
+    out_dir = _events_hll_cube(sf_dir)
+    rolled = rolling_cube_merge(out_dir, "day", window=7)
+    days = sorted(rolled)
+    return pd.DataFrame(
+        {
+            "day": days,
+            "distinct_users": np.array(
+                [rolled[d].cardinality() for d in days], dtype=np.int64
+            ),
+        }
+    )
+
+
+def q_cube_dds_quantiles_by_type_events(sf_dir: str) -> pd.DataFrame:
+    """DDSketch cube: per-(event_type, day) sketch cells merged per type
+    (bucket-count addition — bit-identical to the direct grouped build
+    below the collapse limit, pytest-proven), quantiles from the merged
+    sketches. Same SQL bucket-replay oracle as the direct query."""
+    from ddsketch_ray.agg import DDSketchAgg
+    from ddsketch_ray.functions.cube import grouped_cube_merge, write_sketch_cube
+    import os
+    import shutil
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_cube_dds_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_sketch_cube(
+        _events_day_ds(sf_dir, ["value"]),
+        ["event_type", "day"],
+        DDSketchAgg(on="value", qs=None, alpha=ALPHA, bin_limit=BIN_LIMIT, alias_name="cell"),
+        out_dir,
+    )
+    groups = grouped_cube_merge(out_dir, ["event_type"])
+    types = sorted(k[0] for k in groups)
+    rows = {
+        "event_type": [],
+        "q": [],
+        "est": [],
+    }
+    for t in types:
+        for q in QS:
+            rows["event_type"].append(t)
+            rows["q"].append(q)
+            rows["est"].append(groups[(t,)].quantile(q))
+    out = pd.DataFrame(rows)
+    out["est"] = _round6(out["est"])
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def q_hhh_lang_source_docs(sf_dir: str) -> pd.DataFrame:
     """Hierarchical heavy hitters (functions/analytics.py::
     hierarchical_heavy_hitters — exact discounted variant of Cormode et
@@ -4270,6 +4387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_event_type": q_hll_users_by_event_type,
         "hll_daily_users_events": q_hll_daily_users_events,
         "hhh_lang_source_docs": q_hhh_lang_source_docs,
+        "cube_hll_users_by_type_events": q_cube_hll_users_by_type_events,
+        "cube_hll_rolling7_users_events": q_cube_hll_rolling7_users_events,
+        "cube_dds_quantiles_by_type_events": q_cube_dds_quantiles_by_type_events,
         "union_filter_orders": q_union_filter_orders,
         "text_stats_documents": q_text_stats_documents,
         "dds_quantiles_price_lastmode": q_dds_quantiles_price_lastmode,
@@ -5041,6 +5161,26 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users",
     )
     out["hhh_lang_source_docs"] = _hhh_sql()
+    # sketch cube: cell merges are bit-identical to direct builds (merge
+    # algebra: HLL register max / DDSketch bucket add below the collapse
+    # limit) — so the cube paths replay against the SAME register /
+    # bucket-math oracles as the direct queries
+    out["cube_hll_users_by_type_events"] = _hll_sql(
+        "events", "user_id", "event_type", "distinct_users"
+    )
+    out["cube_hll_rolling7_users_events"] = _hll_sql(
+        "(SELECT d.day AS day, e.user_id FROM "
+        "(SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, "
+        "date_trunc('day', ts) AS dd FROM events) d "
+        "JOIN events e ON date_trunc('day', e.ts) "
+        "BETWEEN d.dd - INTERVAL 6 DAY AND d.dd)",
+        "user_id",
+        "day",
+        "distinct_users",
+    )
+    out["cube_dds_quantiles_by_type_events"] = _dds_sql(
+        "events", "value", group="event_type"
+    )
     out["bloom_customer_membership"] = _bloom_sql()
     out["cms_top_event_types"] = _cms_top_sql()
     # dyadic-range CM: per-level bucket totals are exact sums; node lists

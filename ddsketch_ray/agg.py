@@ -244,10 +244,14 @@ class KLLAgg(_SketchAggBase):
 
 
 class HLLAgg(_SketchAggBase):
-    """Distinct count of any column. finalize → int64 estimate."""
+    """Distinct count of any column. finalize → int64 estimate, or the
+    serialized sketch when ``raw=True`` (cube cells / re-mergeable
+    partials — use ``sketch_from_result``)."""
 
-    def __init__(self, on: str, p: int = 14, seed: int = 0, alias_name=None):
+    def __init__(self, on: str, p: int = 14, seed: int = 0, alias_name=None,
+                 raw: bool = False):
         self._seed = seed
+        self._raw = bool(raw)
         super().__init__(
             factory=lambda: HyperLogLog(p=p),
             name=alias_name or f"hll({on})",
@@ -259,7 +263,9 @@ class HLLAgg(_SketchAggBase):
         col = drop_nulls(col, is_arrow)
         sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
 
-    def finalize(self, accumulator: bytes) -> int:
+    def finalize(self, accumulator: bytes):
+        if self._raw:
+            return accumulator
         return pickle.loads(accumulator).cardinality()
 
 
