@@ -212,3 +212,108 @@ def rolling_cube_merge(
                 acc = sk if acc is None else acc.merge(sk)
         out[t[0]] = acc
     return out
+
+
+class CellMap:
+    """A mergeable MAP of sketches keyed by cell tuple — the cube as a
+    single MergeableSketch, so the per-partition checkpoint machinery
+    (state/checkpoint.py) runs cube builds unchanged: build a CellMap
+    per partition, merge = per-key sketch merge (associative and
+    commutative because each cell's merge is). Cell count must honor
+    the cube contract (cells ≪ rows; dashboards, not raw keys)."""
+
+    __slots__ = ("cells",)
+
+    def __init__(self, cells: dict | None = None):
+        self.cells = cells or {}
+
+    def merge(self, other: "CellMap") -> "CellMap":
+        for k, sk in other.cells.items():
+            mine = self.cells.get(k)
+            if mine is None:
+                self.cells[k] = sk
+            else:
+                mine.merge(sk)
+        return self
+
+    @property
+    def size(self) -> int:
+        return len(self.cells)
+
+
+def build_cell_map(tbl: pa.Table, dims: list[str], make_sketch, add) -> CellMap:
+    """One partition's CellMap from an Arrow table: pyarrow C++ hash
+    group assignment, then one vectorized ``add(sketch, values)`` per
+    cell slice (sorted indices — no Python row loop)."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return CellMap()
+    keys = list(zip(*(tbl.column(d).to_pylist() for d in dims)))
+    # group rows by cell via sort indices over the dim columns
+    order = pc.sort_indices(tbl, sort_keys=[(d, "ascending") for d in dims])
+    order_np = order.to_numpy()
+    sorted_keys = [keys[i] for i in order_np]
+    cells: dict = {}
+    start = 0
+    for i in range(1, len(sorted_keys) + 1):
+        if i == len(sorted_keys) or sorted_keys[i] != sorted_keys[start]:
+            sk = make_sketch()
+            add(sk, tbl, order_np[start:i])
+            cells[sorted_keys[start]] = sk
+            start = i
+    return CellMap(cells)
+
+
+def write_cube_from_map(cmap: CellMap, dims: list[str], out_dir: str) -> dict:
+    """Persist a merged CellMap as a functions/cube.py-compatible layout
+    (sorted (dims, sketch) parquet + manifest) — the final step of a
+    checkpointed cube job."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ks = sorted(cmap.cells)
+    cols = {d: pa.array([k[i] for k in ks]) for i, d in enumerate(dims)}
+    cols["sketch"] = pa.array(
+        [pickle.dumps(cmap.cells[k], protocol=pickle.HIGHEST_PROTOCOL) for k in ks],
+        type=pa.binary(),
+    )
+    pq.write_table(pa.table(cols), os.path.join(out_dir, "cells-00000.parquet"))
+    manifest = {"dims": list(dims), "sketch_col": "sketch", "n_cells": len(ks)}
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def append_to_sketch_cube(ds, agg, out_dir: str) -> dict:
+    """Incremental ingest: aggregate NEW rows into cell partials and
+    append them as extra parquet files — the query paths merge duplicate
+    cell keys across files, so cube-after-append ≡ cube-over-union with
+    no rebuild (the grow-without-rebuild contract of the MinHash index /
+    IVF append). Dims come from the manifest; returns the updated
+    manifest (``n_cells`` counts cell ROWS, ≥ distinct cells after an
+    append)."""
+    manifest = read_cube_manifest(out_dir)
+    dims = manifest["dims"]
+    name = agg.name
+    cells = ds.groupby(dims).aggregate(agg)
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        cols = {d: t.column(d) for d in dims}
+        sk = t.column(name)
+        if not pa.types.is_binary(sk.type) and not pa.types.is_large_binary(sk.type):
+            sk = sk.cast(pa.binary())
+        cols["sketch"] = sk
+        return pa.table(cols)
+
+    cells = cells.map_batches(to_binary, batch_format="pyarrow", batch_size=None)
+    cells = cells.sort(dims)
+    n_new = cells.count()
+    cells.write_parquet(out_dir)
+    manifest["n_cells"] = int(manifest["n_cells"]) + int(n_new)
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest

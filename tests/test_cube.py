@@ -147,3 +147,108 @@ def test_validation(ray_session, tmp_path):
     ds = rd.from_arrow(pa.table({"a": ["x"], "u": [1]}))
     with pytest.raises(ValueError):
         write_sketch_cube(ds, [], HLLAgg(on="u", raw=True), str(tmp_path / "c"))
+
+
+def test_append_equals_union(cube_dirs, ray_session, tmp_path):
+    import ray.data as rd
+
+    from ddsketch_ray.agg import HLLAgg
+    from ddsketch_ray.functions.cube import append_to_sketch_cube, write_sketch_cube
+    from ddsketch_ray.hashing import hash_ints
+    from ddsketch_ray.sketches import HyperLogLog
+
+    base = _events_tbl(n=8000, seed=1)
+    extra = _events_tbl(n=6000, seed=2)
+    d = str(tmp_path / "appendcube")
+    agg = lambda: HLLAgg(on="user", raw=True, alias_name="cell")  # noqa: E731
+    write_sketch_cube(rd.from_arrow(base).repartition(4), ["etype"], agg(), d)
+    m = append_to_sketch_cube(rd.from_arrow(extra).repartition(3), agg(), d)
+    assert m["n_cells"] >= 3
+    groups = grouped_cube_merge(d, ["etype"])
+    both = pa.concat_tables([base, extra]).to_pandas()
+    for (et,), sk in groups.items():
+        direct = HyperLogLog(p=14)
+        direct.add_hashed(
+            hash_ints(both.loc[both["etype"] == et, "user"].to_numpy().astype(np.int64))
+        )
+        assert np.array_equal(sk.registers, direct.registers), et
+
+
+def test_cell_map_job_cold_equals_resumed(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ddsketch_ray.agg import drop_nulls, hash_any_column
+    from ddsketch_ray.functions.cube import (
+        CellMap,
+        build_cell_map,
+        write_cube_from_map,
+    )
+    from ddsketch_ray.hashing import hash_ints
+    from ddsketch_ray.sketches import HyperLogLog
+    from ddsketch_ray.state import CheckpointedSketchJob
+
+    tbl = _events_tbl(n=9000, seed=8)
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(tbl.slice(i * 3000, 3000), p)
+        files.append(p)
+
+    make = lambda: HyperLogLog(p=14)  # noqa: E731
+
+    def add(sk, t, idx):
+        c = drop_nulls(t.column("user").take(idx), True)
+        sk.add_hashed(hash_any_column(c, True))
+
+    def build(t):
+        return build_cell_map(t, ["etype"], make, add)
+
+    def run(out):
+        job = CheckpointedSketchJob(
+            files, build, columns=["etype", "user"],
+            ckpt_dir=str(tmp_path / "ckpt"), run_id="cube-r",
+        )
+        pending = len(job.pending_partitions())
+        cmap = job.run(concurrency=2)
+        write_cube_from_map(cmap, ["etype"], out)
+        return pending
+
+    p1 = run(str(tmp_path / "cube1"))
+    p2 = run(str(tmp_path / "cube2"))
+    assert p1 == 3 and p2 == 0  # second run resumes fully
+    t1 = pq.read_table(str(tmp_path / "cube1" / "cells-00000.parquet"))
+    t2 = pq.read_table(str(tmp_path / "cube2" / "cells-00000.parquet"))
+    assert t1.equals(t2)
+    # and the cube equals a direct build
+    df = tbl.to_pandas()
+    groups = grouped_cube_merge(str(tmp_path / "cube1"), ["etype"])
+    for (et,), sk in groups.items():
+        direct = HyperLogLog(p=14)
+        direct.add_hashed(
+            hash_ints(df.loc[df["etype"] == et, "user"].to_numpy().astype(np.int64))
+        )
+        assert np.array_equal(sk.registers, direct.registers)
+
+
+def test_cell_map_merge_order_independent():
+    from ddsketch_ray.functions.cube import CellMap
+    from ddsketch_ray.sketches import HyperLogLog
+    from ddsketch_ray.hashing import hash_ints
+
+    def mk(vals):
+        sk = HyperLogLog(p=10)
+        sk.add_hashed(hash_ints(np.asarray(vals, dtype=np.int64)))
+        return sk
+
+    a = CellMap({("x",): mk([1, 2]), ("y",): mk([3])})
+    b = CellMap({("x",): mk([2, 5]), ("z",): mk([9])})
+    ab = CellMap({k: mk_v for k, mk_v in a.cells.items()})
+    import pickle
+
+    a2 = pickle.loads(pickle.dumps(a))
+    b2 = pickle.loads(pickle.dumps(b))
+    m1 = a2.merge(b2)
+    m2 = pickle.loads(pickle.dumps(b)).merge(pickle.loads(pickle.dumps(a)))
+    assert m1.size == m2.size == 3
+    for k in m1.cells:
+        assert np.array_equal(m1.cells[k].registers, m2.cells[k].registers)
