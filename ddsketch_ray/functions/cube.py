@@ -317,3 +317,49 @@ def append_to_sketch_cube(ds, agg, out_dir: str) -> dict:
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def hll_cell(col: str, p: int = 14, seed: int = 0):
+    """(make, add) pair for HLL cells over ``col`` — the distinct-count
+    cube kind. Mirrors HLLAgg's null/hash semantics exactly."""
+    from ddsketch_ray.agg import drop_nulls, hash_any_column
+    from ddsketch_ray.sketches import HyperLogLog
+
+    def make():
+        return HyperLogLog(p=p)
+
+    def add(sk, tbl, idx):
+        c = drop_nulls(tbl.column(col).take(pa.array(idx)), True)
+        sk.add_hashed(hash_any_column(c, True, seed=seed))
+
+    return make, add
+
+
+def dds_cell(col: str, alpha: float = 0.008, bin_limit: int = 4096):
+    """(make, add) pair for DDSketch cells over a numeric ``col``."""
+    from ddsketch_ray.sketches import DDSketch
+
+    def make():
+        return DDSketch(alpha=alpha, bin_limit=bin_limit)
+
+    def add(sk, tbl, idx):
+        sk.add_array(tbl.column(col).take(pa.array(idx)).to_numpy(zero_copy_only=False))
+
+    return make, add
+
+
+def write_sketch_cube_partials(ds, dims: list[str], make_sketch, add, out_dir: str) -> dict:
+    """The at-scale cube build: per-block CellMaps tree-merged by Ray's
+    GLOBAL aggregate — no row shuffle (Ray's groupby costs ~20 µs/row
+    regardless of group count; the cube contract is low cell
+    cardinality, so shuffling rows to co-locate cells is pure waste).
+    Only KB–MB CellMap accumulators ever move. Produces the identical
+    layout (and bit-identical cells, tested) as `write_sketch_cube`."""
+    from ddsketch_ray.agg import CellMapAgg
+
+    dims = list(dims)
+    if not dims:
+        raise ValueError("cube needs at least one dim column")
+    res = ds.aggregate(CellMapAgg(dims, make_sketch, add, alias_name="cmap"))
+    cmap = pickle.loads(res["cmap"])
+    return write_cube_from_map(cmap, dims, out_dir)

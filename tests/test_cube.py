@@ -252,3 +252,33 @@ def test_cell_map_merge_order_independent():
     assert m1.size == m2.size == 3
     for k in m1.cells:
         assert np.array_equal(m1.cells[k].registers, m2.cells[k].registers)
+
+
+def test_partials_plan_equals_groupby_plan(cube_dirs, ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ddsketch_ray.functions.cube import (
+        dds_cell,
+        hll_cell,
+        write_sketch_cube_partials,
+    )
+
+    tbl, hll_dir, dds_dir, _, _ = cube_dirs
+    ds = rd.from_arrow(tbl).repartition(6)
+    d1 = str(tmp_path / "p_hll")
+    write_sketch_cube_partials(ds, ["etype", "day"], *hll_cell("user"), out_dir=d1)
+    d2 = str(tmp_path / "p_dds")
+    write_sketch_cube_partials(
+        ds, ["etype", "day"], *dds_cell("val", alpha=0.01, bin_limit=4096), out_dir=d2
+    )
+    for part_dir, gb_dir in [(d1, hll_dir), (d2, dds_dir)]:
+        a = grouped_cube_merge(part_dir, ["etype", "day"])
+        b = grouped_cube_merge(gb_dir, ["etype", "day"])
+        assert set(a) == set(b)
+        for k in a:
+            sa, sb = a[k], b[k]
+            if hasattr(sa, "registers"):
+                assert np.array_equal(sa.registers, sb.registers), k
+            else:
+                assert sa.bins == sb.bins, k

@@ -614,9 +614,81 @@ def stress_dyadic20m() -> dict:
     }
 
 
+def stress_cube20m() -> dict:
+    """20M-event sketch cube (8 types × 90 days = 720 HLL cells, p=14):
+    ONE partial-plan build (CellMapAgg — per-block cell maps tree-merged,
+    no row shuffle), then the dashboard question battery — per-type
+    slices, per-day rolling 7-day windows — answered from cell merges
+    alone. The amortization claim measured: Q cube answers vs Q direct
+    full scans."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import CellMapAgg
+    from ddsketch_ray.functions.cube import (
+        grouped_cube_merge,
+        hll_cell,
+        rolling_cube_merge,
+        write_sketch_cube_partials,
+    )
+
+    ray_init()
+    n = 20_000_000
+    rng = np.random.default_rng(13)
+    days = np.array(
+        [str(np.datetime64("2025-01-01") + d) for d in range(90)]
+    )
+    tbl = pa.table(
+        {
+            "etype": np.array([f"t{i}" for i in range(8)])[rng.integers(0, 8, n)],
+            "day": days[rng.integers(0, 90, n)],
+            "user": rng.integers(0, 2_000_000, n),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4 * CPUS).materialize()
+    out = "/tmp/stress_cube20m"
+    t0 = time.perf_counter()
+    write_sketch_cube_partials(ds, ["etype", "day"], *hll_cell("user"), out_dir=out)
+    build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    by_type = grouped_cube_merge(out, ["etype"])
+    rolled = rolling_cube_merge(out, "day", window=7)
+    q_cube_s = time.perf_counter() - t0
+    n_answers = len(by_type) + len(rolled)
+
+    # one direct full-scan equivalent (what EACH dashboard refresh would
+    # cost without the cube): a fresh global cell-map aggregate
+    t0 = time.perf_counter()
+    res = ds.aggregate(CellMapAgg(["etype"], *hll_cell("user"), alias_name="m"))
+    direct_s = time.perf_counter() - t0
+    import pickle as _p
+
+    direct = _p.loads(res["m"]).cells
+    for (et,), sk in by_type.items():
+        assert np.array_equal(sk.registers, direct[(et,)].registers), et
+
+    log(
+        f"cube20m: build {build_s:.1f}s ({n/build_s/1e6:.1f}M rows/s), "
+        f"{n_answers} dashboard answers from cells in {q_cube_s:.2f}s "
+        f"({q_cube_s/n_answers*1000:.0f} ms each) vs {direct_s:.1f}s per "
+        f"direct scan — {direct_s/(q_cube_s/n_answers):.0f}x per answer"
+    )
+    return {
+        "rows": n, "cells": 720, "build_wall_s": round(build_s, 1),
+        "mrows_per_sec": round(n / build_s / 1e6, 2),
+        "answers": n_answers,
+        "cube_answers_wall_s": round(q_cube_s, 2),
+        "per_answer_ms": round(q_cube_s / n_answers * 1000, 1),
+        "direct_scan_s": round(direct_s, 1),
+        "amortization_x": round(direct_s / (q_cube_s / n_answers), 1),
+    }
+
+
 LEGS = {
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "dyadic20m": stress_dyadic20m,
+    "cube20m": stress_cube20m,
     "moments50m": stress_moments50m,
     "semdedup1m": stress_semdedup1m,
     "pagerank20m": stress_pagerank20m,
