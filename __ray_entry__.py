@@ -492,6 +492,75 @@ def q_cm_quantiles_value_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_cbloom_turnstile_membership(sf_dir: str) -> pd.DataFrame:
+    """Counting-Bloom turnstile membership (sketches/bloom.py::
+    CountingBloomFilter — Fan et al. 1998): every order INSERTS its
+    custkey (+1), every fulfilled ('F') order then DELETES it (−1); the
+    two streams run as ONE distributed signed-weight aggregate pass
+    (the membership analogue of the reference's DDS_DeleteCollapse
+    delete streams). Customers probe the merged counters. REAL SQL
+    oracle: per-position counter sums (probe multiplicity preserved)
+    + min-over-k membership replayed exactly."""
+    import pyarrow.compute as pc
+
+    from ddsketch_ray.agg import CountingBloomAgg, sketch_from_result
+    from ddsketch_ray.hashing import hash_ints
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    n_orders = orders.count()
+
+    def inserts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("o_custkey"),
+                "w": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def deletes(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("o_orderstatus"), "F")
+        keys = t.column("o_custkey").filter(mask)
+        return pa.table(
+            {
+                "key": keys,
+                "w": pa.array(np.full(len(keys), -1, dtype=np.int64)),
+            }
+        )
+
+    stream = orders.map_batches(
+        inserts, batch_format="pyarrow", batch_size=None
+    ).union(orders.map_batches(deletes, batch_format="pyarrow", batch_size=None))
+    res = stream.aggregate(
+        CountingBloomAgg(
+            on="key", weight_col="w", capacity=max(n_orders, 64), alias_name="cbf"
+        )
+    )
+    cbf = sketch_from_result(res["cbf"])
+    import ray
+
+    ref = ray.put(cbf)
+
+    class Probe:
+        def __init__(self):
+            self.cbf = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = self.cbf.contains_hashed(hash_ints(keys))
+            return pa.table(
+                {
+                    "c_custkey": pa.array(keys),
+                    "maybe_present": pa.array(hit.astype(np.int64)),
+                }
+            )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    out = cust.map_batches(
+        Probe, batch_format="pyarrow", batch_size=None, concurrency=2
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def _lineitem_rowkey(batch: pa.Table) -> np.ndarray:
     """Deterministic per-row key for lineitem: hash of the unique
     (l_orderkey, l_linenumber) pair — independent of block layout."""
@@ -4287,6 +4356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_quantiles_price": q_tdigest_quantiles_price,
         "kll_quantiles_price": q_kll_quantiles_price,
         "bloom_customer_membership": q_bloom_customer_membership,
+        "cbloom_turnstile_membership": q_cbloom_turnstile_membership,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_distributed_documents": q_minhash_dedup_distributed_documents,
         "minhash_dedup_sqlhash_documents": q_minhash_dedup_sqlhash_documents,
@@ -5182,6 +5252,7 @@ def oracle_sql() -> dict[str, str]:
         "events", "value", group="event_type"
     )
     out["bloom_customer_membership"] = _bloom_sql()
+    out["cbloom_turnstile_membership"] = _cbloom_sql()
     out["cms_top_event_types"] = _cms_top_sql()
     # dyadic-range CM: per-level bucket totals are exact sums; node lists
     # and the quantile tree-descent are constant/unrolled — full replay
@@ -5805,6 +5876,48 @@ SELECT c.key AS c_custkey,
        CASE WHEN COUNT(*) FILTER (WHERE ins.p IS NOT NULL) = (SELECT k FROM par)
             THEN 1 ELSE 0 END::BIGINT AS maybe_present
 FROM cpos c LEFT JOIN ins ON ins.p = c.p
+GROUP BY c.key ORDER BY c.key
+"""
+
+
+def _cbloom_sql() -> str:
+    """REAL SQL replay of cbloom_turnstile_membership: same sizing and
+    double-hash probe geometry as _bloom_sql, but per-position COUNTERS
+    — net weight per key = Σ(+1 per order, −1 per 'F' order), probe
+    multiplicity preserved (a key whose probes collide contributes its
+    weight twice, exactly as np.add.at does) — and membership = all k
+    probe counters > 0 via MIN over the customer's probe rows."""
+    h = _splitmix_sql("xor(CAST(key AS UBIGINT), CAST({z} AS UBIGINT))").replace(
+        "{z}", str(_SPLITMIX_ZERO)
+    )
+    pos = (
+        "CAST(CAST((CAST(h AS HUGEINT) + i.i * CAST((h >> 32) | 1 AS HUGEINT))"
+        " % 18446744073709551616 AS UBIGINT) % CAST(m AS UBIGINT) AS BIGINT)"
+    )
+    return f"""
+WITH par0 AS (SELECT GREATEST(COUNT(*), 64)::BIGINT AS cap FROM orders),
+par1 AS (SELECT cap,
+                GREATEST(64, CAST(ceil(-cap * ln(0.01) / (ln(2) * ln(2)))
+                                  AS BIGINT)) AS m
+         FROM par0),
+par AS (SELECT cap, m,
+               GREATEST(1, CAST(round(m / cap * ln(2)) AS BIGINT)) AS k
+        FROM par1),
+net AS (SELECT o_custkey::BIGINT AS key,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)::BIGINT AS w
+        FROM orders GROUP BY 1),
+oh AS (SELECT key, w, {h} AS h FROM net),
+cnts AS (SELECT {pos} AS p, SUM(w)::BIGINT AS total
+         FROM oh, par, generate_series(0, 31) i(i) WHERE i.i < par.k
+         GROUP BY 1),
+ckeys AS (SELECT c_custkey::BIGINT AS key FROM customer),
+ch AS (SELECT key, {h} AS h FROM ckeys),
+cpos AS (SELECT key, {pos} AS p
+         FROM ch, par, generate_series(0, 31) i(i) WHERE i.i < par.k)
+SELECT c.key AS c_custkey,
+       CASE WHEN MIN(coalesce(cnts.total, 0)) > 0 THEN 1 ELSE 0 END::BIGINT
+         AS maybe_present
+FROM cpos c LEFT JOIN cnts ON cnts.p = c.p
 GROUP BY c.key ORDER BY c.key
 """
 

@@ -399,6 +399,55 @@ class BloomAgg(_SketchAggBase):
         sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
 
 
+class CountingBloomAgg(_SketchAggBase):
+    """Counting Bloom (turnstile membership — sketches/bloom.py::
+    CountingBloomFilter) of a key column, with optional SIGNED weights
+    from ``weight_col`` (+1 insert / −1 delete rows in one distributed
+    pass — the membership analogue of the reference's delete streams).
+    finalize → serialized filter bytes (``sketch_from_result``)."""
+
+    def __init__(
+        self,
+        on: str,
+        capacity: int,
+        weight_col: Optional[str] = None,
+        fp_rate: float = 0.01,
+        seed: int = 0,
+        alias_name=None,
+    ):
+        from ddsketch_ray.sketches.bloom import CountingBloomFilter
+
+        self._seed = seed
+        self._key_col = on
+        self._weight_col = weight_col
+        super().__init__(
+            factory=lambda: CountingBloomFilter.from_capacity(capacity, fp_rate),
+            name=alias_name or f"cbloom({on})",
+            on=on if weight_col is None else None,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._key_col)
+        if self._weight_col is None:
+            col = drop_nulls(col, is_arrow)
+            sk.add_hashed(hash_any_column(col, is_arrow, seed=self._seed))
+            return
+        w_col, _ = _column_values(block, self._weight_col)
+        if is_arrow:
+            valid = pa.compute.and_(
+                pa.compute.is_valid(col), pa.compute.is_valid(w_col)
+            )
+            keys = col.filter(valid)
+            ws = w_col.filter(valid).to_numpy(zero_copy_only=False)
+        else:
+            keys = col
+            ws = np.asarray(w_col)
+        sk.add_hashed(
+            hash_any_column(keys, is_arrow, seed=self._seed),
+            np.asarray(ws, dtype=np.int64),
+        )
+
+
 class MinHashAgg(_SketchAggBase):
     """MinHash signature of a column-as-set (e.g. corpus-level similarity)."""
 

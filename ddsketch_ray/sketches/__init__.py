@@ -6,7 +6,7 @@ All sketches follow the ``MergeableSketch`` protocol (base.py): vectorized
 """
 
 from ddsketch_ray.sketches.base import MergeableSketch, from_bytes, to_bytes
-from ddsketch_ray.sketches.bloom import BloomFilter
+from ddsketch_ray.sketches.bloom import BloomFilter, CountingBloomFilter
 from ddsketch_ray.sketches.countmin import CountMin, HeavyHitters
 from ddsketch_ray.sketches.ddsketch import (
     DDSketch,
@@ -44,6 +44,7 @@ __all__ = [
     "dyadic_decompose",
     "HeavyHitters",
     "BloomFilter",
+    "CountingBloomFilter",
     "TDigest",
     "KLL",
     "MomentsSketch",

@@ -497,3 +497,99 @@ def test_wrs_weight_bias_and_dedup():
     from ddsketch_ray.sketches.wrs import WeightedReservoir as W
     rt = W.from_row(sk.to_row())
     assert rt.sample()[0].tolist() == [7] and rt.n_seen == sk.n_seen
+
+
+# ------------------------- counting Bloom (turnstile) ----------------------
+
+
+def test_counting_bloom_insert_delete_membership():
+    from ddsketch_ray.hashing import hash_ints
+    from ddsketch_ray.sketches.bloom import CountingBloomFilter
+
+    import numpy as np
+
+    keys = np.arange(1000, dtype=np.int64)
+    h = hash_ints(keys)
+    cbf = CountingBloomFilter.from_capacity(2000)
+    cbf.add_hashed(h)
+    assert cbf.contains_hashed(h).all()  # no false negatives
+    # delete the even keys: they must drop out (their counters return to
+    # the pre-insert state exactly, so no residue can keep them present
+    # unless colliding ODD keys do — checked via the exact counter state)
+    even, odd = h[::2], h[1::2]
+    cbf.delete_hashed(even)
+    only_odd = CountingBloomFilter(m=cbf.m, k=cbf.k)
+    only_odd.add_hashed(odd)
+    assert np.array_equal(cbf.counters, only_odd.counters)
+    assert cbf.contains_hashed(odd).all()
+
+
+def test_counting_bloom_merge_and_signed_pass_equal():
+    from ddsketch_ray.hashing import hash_ints
+    from ddsketch_ray.sketches.bloom import CountingBloomFilter
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 5000, 20_000)
+    w = rng.choice(np.array([1, 1, 1, -1], dtype=np.int64), 20_000)
+    h = hash_ints(keys.astype(np.int64))
+
+    one = CountingBloomFilter.from_capacity(5000)
+    one.add_hashed(h, w)
+
+    # chunked + permuted merges are bit-identical
+    acc = None
+    for idx in np.array_split(rng.permutation(20_000), 7):
+        part = CountingBloomFilter.from_capacity(5000)
+        part.add_hashed(h[idx], w[idx])
+        acc = part if acc is None else acc.merge(part)
+    assert np.array_equal(one.counters, acc.counters)
+    assert one.n_added == acc.n_added
+
+    # two-phase insert-then-delete equals the signed single pass
+    two = CountingBloomFilter.from_capacity(5000)
+    two.add_hashed(h[w > 0], w[w > 0])
+    two.delete_hashed(h[w < 0], -w[w < 0])
+    assert np.array_equal(one.counters, two.counters)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        one.merge(CountingBloomFilter(m=128, k=2))
+
+
+def test_counting_bloom_negative_contract_visible():
+    from ddsketch_ray.hashing import hash_ints
+    from ddsketch_ray.sketches.bloom import CountingBloomFilter
+
+    import numpy as np
+
+    cbf = CountingBloomFilter.from_capacity(100)
+    h = hash_ints(np.array([42], dtype=np.int64))
+    cbf.delete_hashed(h)  # deleting a never-inserted key
+    assert (cbf.counters < 0).any()  # visible, not masked
+    assert not cbf.contains_hashed(h).any()
+
+
+def test_counting_bloom_agg_distributed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import CountingBloomAgg, sketch_from_result
+    from ddsketch_ray.hashing import hash_ints
+    from ddsketch_ray.sketches.bloom import CountingBloomFilter
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 800, 6000).astype(np.int64)
+    w = rng.choice(np.array([1, 1, -1], dtype=np.int64), 6000)
+    ds = rd.from_arrow(pa.table({"key": keys, "w": w})).repartition(5)
+    res = ds.aggregate(
+        CountingBloomAgg(on="key", weight_col="w", capacity=1000, alias_name="c")
+    )
+    dist = sketch_from_result(res["c"])
+    seq = CountingBloomFilter.from_capacity(1000)
+    seq.add_hashed(hash_ints(keys), w)
+    assert np.array_equal(dist.counters, seq.counters)
+    assert dist.n_added == seq.n_added
