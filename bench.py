@@ -334,6 +334,69 @@ def bench_kmeans() -> float:
     return time.perf_counter() - t0
 
 
+def bench_dyadic_cm() -> float:
+    """Dyadic-range count-min build over events.value cents + the range /
+    rank / quantile query battery (sketches/dyadic.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import DyadicCMAgg, sketch_from_result
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"cents": np.rint(v * 100.0).astype(np.int64)})
+
+    res = ds.map_batches(derive, batch_format="pyarrow", batch_size=None).aggregate(
+        DyadicCMAgg(on="cents", levels=16, width=1024, depth=5, alias_name="d")
+    )
+    sk = sketch_from_result(res["d"])
+    for lo, hi in [(0, 999), (1000, 9999), (123, 45678)]:
+        sk.range_count(lo, hi)
+    for q in (0.5, 0.95, 0.99):
+        sk.quantile_value(q)
+    return time.perf_counter() - t0
+
+
+def bench_cube() -> float:
+    """Sketch-cube lifecycle (functions/cube.py): partial-plan build of
+    the (event_type × day) HLL cube, then the dashboard battery —
+    per-type slices + rolling 7-day windows — from cell merges."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ddsketch_ray.functions.cube import (
+        grouped_cube_merge,
+        hll_cell,
+        rolling_cube_merge,
+        write_sketch_cube_partials,
+    )
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts", "event_type", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+                "user_id": t.column("user_id"),
+            }
+        )
+
+    keyed = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    out = "/tmp/bench_cube_hll"
+    write_sketch_cube_partials(keyed, ["event_type", "day"], *hll_cell("user_id"), out_dir=out)
+    grouped_cube_merge(out, ["event_type"])
+    rolling_cube_merge(out, "day", window=7)
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
     import ray
 
@@ -408,6 +471,8 @@ def run_bench() -> dict:
         ("kmeans_1m_embeddings", bench_kmeans),
         ("pack_documents", bench_pack),
         ("mixture_documents", bench_mixture),
+        ("dyadic_cm_events", bench_dyadic_cm),
+        ("cube_hll_events", bench_cube),
     ]:
         fn()  # warm pass
         queries[name] = round(min(fn() for _ in range(2)), 3)
