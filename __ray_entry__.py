@@ -3253,6 +3253,58 @@ def q_hhh_lang_source_docs(sf_dir: str) -> pd.DataFrame:
     return hierarchical_heavy_hitters(ds, ["lang", "source"], phi=0.025)
 
 
+def q_frequent_tokens_docs(sf_dir: str) -> pd.DataFrame:
+    """EXACT φ-frequent tokens via the two-pass Misra-Gries plan
+    (sketches/mg.py + functions/analytics.py::frequent_items): pass 1
+    builds the deterministic-superset MG summary through the aggregate
+    protocol, pass 2 exact-counts only the ≤k broadcast candidates —
+    no full-vocab groupby, O(blocks × k) driver traffic. Output is
+    exact and layout-invariant, so the oracle is a plain GROUP BY /
+    HAVING over the exploded tokens."""
+    from ddsketch_ray.functions.analytics import frequent_items
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (
+            pl.DataFrame(
+                {"token": pl.from_arrow(t.column("text")).fill_null("").str.extract_all(r"[^ \t\n\r\f\v]+")}
+            )
+            .explode("token")
+            .filter(pl.col("token").is_not_null())
+        )
+        return pa.table({"token": toks["token"].to_arrow().cast(pa.string())})
+
+    tok = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+    out = frequent_items(tok, "token", phi=0.03).to_pandas()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_frequent_langs_weighted_docs(sf_dir: str) -> pd.DataFrame:
+    """Token-weighted φ-frequent languages (the 'which subcorpora carry
+    ≥φ of total token mass' curation question) through the same two-pass
+    Misra-Gries plan, weighted flavor: per-block pyarrow hash-agg sums
+    n_tokens per lang into the summary; candidate verification sums
+    exactly. n = total token mass (exact int)."""
+    from ddsketch_ray.functions.analytics import frequent_items
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    keyed = ds.map_batches(
+        lambda t: token_count_batch(t).select(["lang", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = frequent_items(keyed, "lang", phi=0.05, weight_col="n_tokens").to_pandas()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_union_filter_orders(sf_dir: str) -> pd.DataFrame:
     """filter + union + grouped count (vectorized predicate inside
     map_batches, then partial-count pre-aggregation)."""
@@ -4457,6 +4509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_event_type": q_hll_users_by_event_type,
         "hll_daily_users_events": q_hll_daily_users_events,
         "hhh_lang_source_docs": q_hhh_lang_source_docs,
+        "frequent_tokens_docs": q_frequent_tokens_docs,
+        "frequent_langs_weighted_docs": q_frequent_langs_weighted_docs,
         "cube_hll_users_by_type_events": q_cube_hll_users_by_type_events,
         "cube_hll_rolling7_users_events": q_cube_hll_rolling7_users_events,
         "cube_dds_quantiles_by_type_events": q_cube_dds_quantiles_by_type_events,
@@ -5231,6 +5285,31 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users",
     )
     out["hhh_lang_source_docs"] = _hhh_sql()
+    # two-pass Misra-Gries frequent items are EXACT and layout-invariant
+    # (mg.py superset guarantee + exact candidate recount), so the oracle
+    # is a plain GROUP BY / HAVING; the ceil threshold multiplies in
+    # DOUBLE on both sides (DuckDB decimal-literal ceil would diverge
+    # from Python float64 ceil when phi*n lands on an exact integer)
+    out["frequent_tokens_docs"] = """
+WITH tok AS (SELECT unnest(list_filter(
+    regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+    x -> x <> '')) AS token FROM documents),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM tok)
+SELECT token AS item, COUNT(*)::BIGINT AS cnt, (SELECT n FROM nn) AS n
+FROM tok GROUP BY token
+HAVING COUNT(*) >= CAST(ceil(CAST(0.03 AS DOUBLE) * (SELECT n FROM nn)) AS BIGINT)
+ORDER BY cnt DESC, item
+"""
+    out["frequent_langs_weighted_docs"] = """
+WITH d AS (SELECT lang, len(list_filter(
+    regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+    x -> x <> ''))::BIGINT AS w FROM documents),
+nn AS (SELECT SUM(w)::BIGINT AS n FROM d)
+SELECT lang AS item, SUM(w)::BIGINT AS cnt, (SELECT n FROM nn) AS n
+FROM d GROUP BY lang
+HAVING SUM(w) >= CAST(ceil(CAST(0.05 AS DOUBLE) * (SELECT n FROM nn)) AS BIGINT)
+ORDER BY cnt DESC, item
+"""
     # sketch cube: cell merges are bit-identical to direct builds (merge
     # algebra: HLL register max / DDSketch bucket add below the collapse
     # limit) — so the cube paths replay against the SAME register /

@@ -36,6 +36,7 @@ from ddsketch_ray.sketches import (
     KLL,
     KMV,
     MinHashSketch,
+    MisraGries,
     TDigest,
     WeightedReservoir,
 )
@@ -378,6 +379,57 @@ class HeavyHittersAgg(_SketchAggBase):
             labels = [col[i] for i in first_idx.tolist()]
         sk.candidates.update(zip(labels, hashes[first_idx].tolist()))
         sk._prune()
+
+
+class MisraGriesAgg(_SketchAggBase):
+    """Misra-Gries frequent-items summary (sketches/mg.py) over a key
+    column, optionally weighted. finalize → serialized sketch (use
+    ``sketch_from_result``): at most ``k`` candidate values + counter
+    lower bounds + the realized undercount ``offset``; every value with
+    true weight > n/(k+1) is guaranteed present — the exact-superset
+    pass-1 of ``functions.analytics.frequent_items``. Hash-free: the
+    candidate VALUES travel in the summary, so there are no collision
+    overcounts (contrast HeavyHittersAgg)."""
+
+    def __init__(self, on: str, k: int = 256, weight_col: str | None = None, alias_name=None):
+        self._weight_col = weight_col
+        self._key_col = on
+        super().__init__(
+            factory=lambda: MisraGries(k=k),
+            name=alias_name or f"misra_gries({on})",
+            # weighted needs two columns in the block: Ray projects to
+            # `on` when set, so pass on=None there (the WRSAgg pattern)
+            on=None if weight_col is not None else on,
+        )
+
+    def _accumulate(self, sk, block):
+        col, is_arrow = _column_values(block, self._key_col)
+        if self._weight_col is None:
+            col = drop_nulls(col, is_arrow)
+            if is_arrow:
+                vc = pa.compute.value_counts(
+                    col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                )
+                vals = vc.field("values").to_numpy(zero_copy_only=False)
+                cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+            else:
+                vals, cnts = np.unique(np.asarray(col), return_counts=True)
+            sk.add_counts(vals, cnts)
+            return
+        w_col, _ = _column_values(block, self._weight_col)
+        if is_arrow:
+            t = pa.table({"v": col, "w": pa.compute.cast(w_col, pa.int64())})
+            t = t.drop_null()
+            g = t.group_by("v").aggregate([("w", "sum")])
+            sk.add_counts(
+                g.column("v").to_numpy(zero_copy_only=False),
+                g.column("w_sum").to_numpy(zero_copy_only=False),
+            )
+        else:
+            import pandas as pd
+
+            s = pd.Series(np.asarray(w_col), index=np.asarray(col)).groupby(level=0).sum()
+            sk.add_counts(s.index.to_numpy(), s.to_numpy())
 
 
 class BloomAgg(_SketchAggBase):

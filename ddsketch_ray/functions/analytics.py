@@ -781,3 +781,103 @@ def hierarchical_heavy_hitters(
     out["cnt"] = out["cnt"].astype(np.int64)
     out["disc"] = out["disc"].astype(np.int64)
     return out.sort_values(["level", "path"]).reset_index(drop=True)
+
+
+def frequent_items(
+    ds,
+    col: str,
+    phi: float,
+    k: int | None = None,
+    weight_col: str | None = None,
+):
+    """EXACT φ-frequent items over an unbounded-cardinality column in two
+    distributed passes — no full groupby, no hashing, O(blocks × k)
+    driver traffic.
+
+    Pass 1 builds a Misra-Gries summary (sketches/mg.py, k counters) via
+    the aggregate protocol: its candidate set provably contains every
+    value with total weight > n/(k+1), so with ``k >= ceil(1/phi)`` it
+    is a superset of the φ-frequent set. Pass 2 broadcasts the sorted
+    candidate array (ray.put, ≤ k values) and counts ONLY candidates
+    exactly per block (pyarrow hash-agg per block → ``small_key_rollup``
+    over candidate INDICES); values with exact weight ≥ ceil(φ·n)
+    survive. The output is therefore exact and layout-invariant even
+    though the pass-1 summary state depends on block boundaries — a
+    plain GROUP BY / HAVING recomputes it, which is what the gate's SQL
+    oracle does (``frequent_tokens_documents``).
+
+    At 100 TB this is the "frequent hosts / tokens / shingles" shape:
+    two streaming passes, KB-sized summary in the shuffle, candidate
+    list ≤ k values broadcast once.
+
+    Returns a pyarrow Table (item, cnt:int64, n:int64) sorted by
+    (cnt DESC, item ASC); ``n`` is the exact total weight (same value
+    every row — kept so callers and oracles share the denominator).
+    """
+    import math
+
+    import ray
+
+    from ddsketch_ray.agg import MisraGriesAgg, sketch_from_result
+
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    k_min = math.ceil(1.0 / phi)
+    if k is None:
+        k = 2 * k_min  # slack halves the summary's realized offset
+    if k < k_min:
+        raise ValueError(
+            f"k={k} cannot cover phi={phi}: need k >= ceil(1/phi) = {k_min} "
+            "for the Misra-Gries superset guarantee"
+        )
+
+    res = ds.aggregate(MisraGriesAgg(on=col, k=k, weight_col=weight_col, alias_name="_mg"))
+    sk = sketch_from_result(res["_mg"])
+    n = sk.n
+    cand = sk.candidates()  # sorted object array, <= k values
+    if n == 0 or len(cand) == 0:
+        return pa.table(
+            {"item": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+    threshold = math.ceil(phi * n)
+    cand_ref = ray.put(cand)
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        vcol = t.column(col)
+        if weight_col is None:
+            vc = pa.compute.value_counts(vcol.combine_chunks().drop_null())
+            vals = vc.field("values").to_numpy(zero_copy_only=False)
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            g = (
+                pa.table({"v": vcol, "w": pc.cast(t.column(weight_col), pa.int64())})
+                .drop_null()
+                .group_by("v")
+                .aggregate([("w", "sum")])
+            )
+            vals = g.column("v").to_numpy(zero_copy_only=False)
+            cnts = g.column("w_sum").to_numpy(zero_copy_only=False)
+        vals = np.asarray(vals, dtype=object)
+        idx = np.searchsorted(c, vals)
+        idx_c = np.minimum(idx, len(c) - 1)
+        hit = c[idx_c] == vals
+        return pa.table(
+            {"idx": pa.array(idx_c[hit], pa.int64()), "cnt": pa.array(cnts[hit], pa.int64())}
+        )
+
+    counted = ds.map_batches(count_candidates, batch_format="pyarrow", batch_size=None)
+    rolled = small_key_rollup(counted, ["idx"], sums=[("cnt", "cnt")])
+    idx_arr = rolled.column("idx").to_numpy(zero_copy_only=False)
+    cnt_arr = rolled.column("cnt").to_numpy(zero_copy_only=False)
+    keep = cnt_arr >= threshold
+    items, cnts = cand[idx_arr[keep]], cnt_arr[keep]
+    order = sorted(range(len(items)), key=lambda i: (-int(cnts[i]), items[i]))
+    return pa.table(
+        {
+            "item": pa.array([items[i] for i in order]),
+            "cnt": pa.array([int(cnts[i]) for i in order], pa.int64()),
+            "n": pa.array([n] * len(order), pa.int64()),
+        }
+    )

@@ -18,6 +18,7 @@ from ddsketch_ray.sketches.dyadic import DyadicCountMin, dyadic_decompose
 from ddsketch_ray.sketches.hll import HyperLogLog
 from ddsketch_ray.sketches.kll import KLL
 from ddsketch_ray.sketches.kmv import KMV
+from ddsketch_ray.sketches.mg import MisraGries
 from ddsketch_ray.sketches.moments import MomentsSketch
 from ddsketch_ray.sketches.minhash import (
     MinHashSketch,
@@ -47,6 +48,7 @@ __all__ = [
     "CountingBloomFilter",
     "TDigest",
     "KLL",
+    "MisraGries",
     "MomentsSketch",
     "MinHashSketch",
     "minhash_signatures",

@@ -1,0 +1,169 @@
+"""Misra-Gries frequent-items summary (sketches/mg.py — Misra & Gries
+1982; mergeability per Agarwal et al., PODS 2012) and the two-pass exact
+``frequent_items`` plan (functions/analytics.py): superset + undercount
+guarantees under arbitrary splits/merge trees, weighted streams, and
+exactness/layout-invariance of the distributed plan vs a Python oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ddsketch_ray.sketches.mg import MisraGries
+
+
+def _zipf_stream(n=60_000, vocab=5_000, seed=3) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    vals = np.minimum(rng.zipf(1.3, n), vocab)
+    return np.array([f"tok{v}" for v in vals], dtype=object)
+
+
+def _true_counts(stream) -> dict:
+    vals, cnts = np.unique(stream, return_counts=True)
+    return dict(zip(vals.tolist(), cnts.tolist()))
+
+
+def _feed(sk: MisraGries, chunk: np.ndarray) -> None:
+    vals, cnts = np.unique(chunk, return_counts=True)
+    sk.add_counts(vals.astype(object), cnts)
+
+
+def test_mg_guarantees_single_stream():
+    stream = _zipf_stream()
+    true = _true_counts(stream)
+    k = 64
+    sk = MisraGries(k)
+    for chunk in np.array_split(stream, 17):
+        _feed(sk, chunk)
+    n = len(stream)
+    assert sk.n == n
+    assert sk.size <= k
+    # realized offset within the published bound
+    assert sk.offset <= n // (k + 1)
+    cand = set(sk.candidates().tolist())
+    for v, c in true.items():
+        if c > n // (k + 1):
+            assert v in cand, f"{v} (count {c}) missing from candidates"
+        lo, hi = sk.estimate(v)
+        assert lo <= c <= hi
+
+
+def test_mg_merge_tree_guarantees():
+    stream = _zipf_stream(seed=9)
+    true = _true_counts(stream)
+    n, k = len(stream), 48
+    rng = np.random.default_rng(1)
+    # random permutation, random 12-way split, pairwise merge tree
+    perm = stream[rng.permutation(n)]
+    parts = np.array_split(perm, 12)
+    sks = []
+    for p in parts:
+        sk = MisraGries(k)
+        _feed(sk, p)
+        sks.append(sk)
+    while len(sks) > 1:
+        a, b = sks.pop(0), sks.pop(0)
+        sks.append(a.merge(b))
+    sk = sks[0]
+    assert sk.n == n
+    assert sk.offset <= n // (k + 1)
+    cand = set(sk.candidates().tolist())
+    for v, c in true.items():
+        if c > n // (k + 1):
+            assert v in cand
+        lo, hi = sk.estimate(v)
+        assert lo <= c <= hi
+
+
+def test_mg_int_keys_and_exact_below_k():
+    sk = MisraGries(16)
+    vals = np.array([1, 2, 3, 2, 1, 1], dtype=np.int64)
+    u, c = np.unique(vals, return_counts=True)
+    sk.add_counts(u.astype(object), c)
+    assert sk.offset == 0  # never pruned -> exact
+    assert sk.estimate(1) == (3, 3)
+    assert sk.estimate(2) == (2, 2)
+    assert sk.estimate(99) == (0, 0)
+
+
+def test_mg_validation():
+    with pytest.raises(ValueError):
+        MisraGries(0)
+    sk = MisraGries(4)
+    with pytest.raises(ValueError):
+        sk.add_counts(np.array(["a"], dtype=object), np.array([-1]))
+    other = MisraGries(5)
+    with pytest.raises(ValueError):
+        sk.merge(other)
+    # zero-weight rows are dropped, not an error
+    sk.add_counts(np.array(["a", "b"], dtype=object), np.array([0, 2]))
+    assert sk.estimate("a") == (0, 0) and sk.estimate("b") == (2, 2)
+
+
+# ------------------------------------------------- distributed two-pass plan
+
+
+def _exact_frequent(stream, phi, weights=None):
+    if weights is None:
+        true = _true_counts(stream)
+        n = len(stream)
+    else:
+        true = {}
+        for v, w in zip(stream.tolist(), weights.tolist()):
+            true[v] = true.get(v, 0) + int(w)
+        n = int(np.sum(weights))
+    import math
+
+    thr = math.ceil(phi * n)
+    rows = [(v, c) for v, c in true.items() if c >= thr]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows, n
+
+
+@pytest.mark.parametrize("num_blocks", [3, 11])
+def test_frequent_items_exact_and_layout_invariant(ray_session, num_blocks):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import frequent_items
+
+    stream = _zipf_stream(n=40_000, seed=5)
+    ds = rd.from_arrow(pa.table({"tok": stream.astype(str)})).repartition(num_blocks)
+    phi = 0.02
+    out = frequent_items(ds, "tok", phi, k=128)
+    got = list(zip(out.column("item").to_pylist(), out.column("cnt").to_pylist()))
+    want, n = _exact_frequent(stream, phi)
+    assert got == want
+    assert set(out.column("n").to_pylist()) == {n}
+
+
+def test_frequent_items_weighted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import frequent_items
+
+    rng = np.random.default_rng(7)
+    stream = _zipf_stream(n=20_000, vocab=800, seed=8)
+    weights = rng.integers(1, 5, len(stream)).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"tok": stream.astype(str), "w": weights})
+    ).repartition(7)
+    phi = 0.03
+    out = frequent_items(ds, "tok", phi, weight_col="w")
+    got = list(zip(out.column("item").to_pylist(), out.column("cnt").to_pylist()))
+    want, _ = _exact_frequent(stream, phi, weights)
+    assert got == want
+
+
+def test_frequent_items_validation(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import frequent_items
+
+    ds = rd.from_arrow(pa.table({"tok": ["a", "b", "a"]}))
+    with pytest.raises(ValueError):
+        frequent_items(ds, "tok", 0.0)
+    with pytest.raises(ValueError):
+        frequent_items(ds, "tok", 0.01, k=10)  # k < ceil(1/phi)
