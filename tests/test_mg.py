@@ -167,3 +167,40 @@ def test_frequent_items_validation(ray_session):
         frequent_items(ds, "tok", 0.0)
     with pytest.raises(ValueError):
         frequent_items(ds, "tok", 0.01, k=10)  # k < ceil(1/phi)
+
+
+def test_mg_groupby_per_group_summaries(ray_session):
+    """MisraGriesAgg through ds.groupby().aggregate(): one summary per
+    group, each honoring the superset + bound guarantees for its own
+    substream (the per-language frequent-token profile shape)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import MisraGriesAgg, sketch_from_result
+
+    rng = np.random.default_rng(2)
+    langs = np.array(["en", "fr", "de"], dtype=object)[rng.integers(0, 3, 30_000)]
+    toks = _zipf_stream(n=30_000, vocab=400, seed=4)
+    ds = rd.from_arrow(
+        pa.table({"lang": langs.astype(str), "tok": toks.astype(str)})
+    ).repartition(9)
+    k = 32
+    rows = (
+        ds.groupby("lang")
+        .aggregate(MisraGriesAgg(on="tok", k=k, alias_name="mg"))
+        .to_pandas()
+    )
+    assert sorted(rows["lang"]) == ["de", "en", "fr"]
+    for _, row in rows.iterrows():
+        sk = sketch_from_result(row["mg"])
+        sub = toks[langs == row["lang"]]
+        true = _true_counts(sub)
+        n = len(sub)
+        assert sk.n == n
+        assert sk.offset <= n // (k + 1)
+        cand = set(sk.candidates().tolist())
+        for v, c in true.items():
+            if c > n // (k + 1):
+                assert v in cand
+            lo, hi = sk.estimate(v)
+            assert lo <= c <= hi

@@ -685,8 +685,74 @@ def stress_cube20m() -> dict:
     }
 
 
+def stress_frequent50m() -> dict:
+    """50M-row two-pass exact frequent items (sketches/mg.py +
+    functions/analytics.py::frequent_items): Pareto-skewed host strings
+    over a ~3M vocab, φ=0.01. The plan's answer is checked EXACTLY
+    against a driver-side bincount of the deterministically regenerated
+    key stream (same splitmix bits) — the MG superset pass must not
+    have lost any φ-frequent host, and every reported count is exact."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import frequent_items
+    from ddsketch_ray.hashing import splitmix64
+
+    ray_init()
+    n, vocab, phi = 50_000_000, 3_000_000, 0.01
+
+    def _v_of(ids: np.ndarray) -> np.ndarray:
+        u = (splitmix64(ids.astype(np.uint64)) >> np.uint64(11)).astype(np.float64) / float(
+            1 << 53
+        )
+        u = np.maximum(u, 1e-12)
+        return np.minimum((u ** -2.0).astype(np.int64), vocab)
+
+    def derive(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        v = _v_of(t.column("id").to_numpy(zero_copy_only=False))
+        host = ("h" + pl.Series(v).cast(pl.Utf8)).to_arrow().cast(pa.string())
+        return pa.table({"host": host})
+
+    ds = (
+        rd.range(n, override_num_blocks=4 * CPUS)
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    rss0 = rss_gb()
+    t0 = time.perf_counter()
+    out = frequent_items(ds, "host", phi=phi)
+    wall = time.perf_counter() - t0
+    got = list(zip(out.column("item").to_pylist(), out.column("cnt").to_pylist()))
+
+    # exact reference: regenerate the key stream chunked, full bincount
+    counts = np.zeros(vocab + 1, dtype=np.int64)
+    for lo in range(0, n, 10_000_000):
+        ids = np.arange(lo, min(lo + 10_000_000, n), dtype=np.uint64)
+        counts += np.bincount(_v_of(ids), minlength=vocab + 1)
+    thr = math.ceil(phi * n)
+    want = [(f"h{v}", int(c)) for v, c in enumerate(counts) if c >= thr]
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert got == want, f"frequent50m mismatch: got {got[:5]}… want {want[:5]}…"
+    log(
+        f"frequent50m: {wall:.1f}s ({n/wall/1e6:.1f}M rows/s, two passes), "
+        f"{len(got)} frequent hosts, driver RSS +{rss_gb()-rss0:.2f} GB"
+    )
+    return {
+        "rows": n, "vocab": vocab, "phi": phi,
+        "wall_s": round(wall, 1),
+        "mrows_per_sec": round(n / wall / 1e6, 2),
+        "n_frequent": len(got),
+        "driver_rss_delta_gb": round(rss_gb() - rss0, 2),
+    }
+
+
 LEGS = {
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
+    "frequent50m": stress_frequent50m,
     "dyadic20m": stress_dyadic20m,
     "cube20m": stress_cube20m,
     "moments50m": stress_moments50m,
