@@ -3284,6 +3284,47 @@ def q_frequent_tokens_docs(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_frequent_tokens_by_lang_docs(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-language φ-frequent tokens (functions/analytics.py::
+    frequent_items_by_group): one Misra-Gries summary per lang via the
+    two-level small-key plan, then broadcast per-group candidates and
+    exact-recount into composite (group, candidate) partials; each
+    group's threshold is ceil(φ·n_g) over its OWN token total. The
+    per-language stopword/boilerplate-discovery shape."""
+    from ddsketch_ray.functions.analytics import frequent_items_by_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (
+            pl.DataFrame(
+                {
+                    "lang": pl.from_arrow(t.column("lang").cast(pa.string())),
+                    "token": pl.from_arrow(t.column("text")).fill_null("").str.extract_all(
+                        r"[^ \t\n\r\f\v]+"
+                    ),
+                }
+            )
+            .explode("token")
+            .filter(pl.col("token").is_not_null())
+        )
+        return pa.table(
+            {
+                "lang": toks["lang"].to_arrow().cast(pa.string()),
+                "token": toks["token"].to_arrow().cast(pa.string()),
+            }
+        )
+
+    tok = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+    out = frequent_items_by_group(tok, "lang", "token", phi=0.035).to_pandas()
+    out = out.rename(columns={"group": "lang"})
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_frequent_langs_weighted_docs(sf_dir: str) -> pd.DataFrame:
     """Token-weighted φ-frequent languages (the 'which subcorpora carry
     ≥φ of total token mass' curation question) through the same two-pass
@@ -4510,6 +4551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_daily_users_events": q_hll_daily_users_events,
         "hhh_lang_source_docs": q_hhh_lang_source_docs,
         "frequent_tokens_docs": q_frequent_tokens_docs,
+        "frequent_tokens_by_lang_docs": q_frequent_tokens_by_lang_docs,
         "frequent_langs_weighted_docs": q_frequent_langs_weighted_docs,
         "cube_hll_users_by_type_events": q_cube_hll_users_by_type_events,
         "cube_hll_rolling7_users_events": q_cube_hll_rolling7_users_events,
@@ -5299,6 +5341,17 @@ SELECT token AS item, COUNT(*)::BIGINT AS cnt, (SELECT n FROM nn) AS n
 FROM tok GROUP BY token
 HAVING COUNT(*) >= CAST(ceil(CAST(0.03 AS DOUBLE) * (SELECT n FROM nn)) AS BIGINT)
 ORDER BY cnt DESC, item
+"""
+    out["frequent_tokens_by_lang_docs"] = """
+WITH tok AS (SELECT lang, unnest(list_filter(
+    regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+    x -> x <> '')) AS token FROM documents),
+gt AS (SELECT lang, COUNT(*)::BIGINT AS n FROM tok GROUP BY lang)
+SELECT t.lang, t.token AS item, COUNT(*)::BIGINT AS cnt, g.n AS n
+FROM tok t JOIN gt g USING (lang)
+GROUP BY t.lang, t.token, g.n
+HAVING COUNT(*) >= CAST(ceil(CAST(0.035 AS DOUBLE) * g.n) AS BIGINT)
+ORDER BY lang, cnt DESC, item
 """
     out["frequent_langs_weighted_docs"] = """
 WITH d AS (SELECT lang, len(list_filter(

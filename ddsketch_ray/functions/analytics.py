@@ -881,3 +881,109 @@ def frequent_items(
             "n": pa.array([n] * len(order), pa.int64()),
         }
     )
+
+
+def frequent_items_by_group(
+    ds,
+    group_col: str,
+    col: str,
+    phi: float,
+    k: int | None = None,
+):
+    """EXACT per-group φ-frequent items (per-language frequent tokens,
+    per-host frequent shingles) — ``frequent_items`` with a group key.
+
+    Pass 1 builds one Misra-Gries summary per group through the
+    two-level small-key plan (``distribution.grouped_sketch_partials``:
+    per-block group-sorted partials, O(blocks × groups) driver merge —
+    inherits its distinct-groups ≤ ~10³ contract; for high-cardinality
+    groups use ``groupby().aggregate(MisraGriesAgg(...))`` and shuffle
+    the recount instead). Pass 2 broadcasts each group's sorted
+    candidate array (≤k values per group) and exact-counts ONLY
+    candidates per block into composite (group_idx, cand_idx) partials
+    rolled by ``small_key_rollup``. Each group's threshold is
+    ceil(φ · n_g) over its OWN total weight n_g, so the output is exact
+    and layout-invariant — the gate oracle is a grouped HAVING.
+
+    Returns a pyarrow Table (group, item, cnt:int64, n:int64) sorted by
+    (group ASC, cnt DESC, item ASC); ``n`` is the group's exact total.
+    """
+    import math
+
+    import ray
+
+    from ddsketch_ray.functions.distribution import grouped_sketch_partials
+    from ddsketch_ray.sketches.mg import MisraGries
+
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    k_min = math.ceil(1.0 / phi)
+    if k is None:
+        k = 2 * k_min
+    if k < k_min:
+        raise ValueError(
+            f"k={k} cannot cover phi={phi}: need k >= ceil(1/phi) = {k_min}"
+        )
+
+    sketches = grouped_sketch_partials(ds, lambda: MisraGries(k=k), col, group_col)
+    groups = sorted(sketches)
+    if not groups:
+        return pa.table(
+            {"group": pa.array([], pa.string()), "item": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    cand_by_group = {g: sketches[g].candidates() for g in groups}
+    n_by_group = {g: sketches[g].n for g in groups}
+    group_arr = np.array(groups, dtype=object)
+    cand_ref = ray.put((group_arr, [cand_by_group[g] for g in groups]))
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        garr, cands = ray.get(cand_ref)
+        g = np.asarray(t.column(group_col).to_numpy(zero_copy_only=False), dtype=object)
+        v = np.asarray(t.column(col).to_numpy(zero_copy_only=False), dtype=object)
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        cuts = np.flatnonzero(gs[1:] != gs[:-1]) + 1
+        starts = np.concatenate(([0], cuts)) if len(gs) else np.empty(0, np.int64)
+        ends = np.concatenate((cuts, [len(gs)])) if len(gs) else np.empty(0, np.int64)
+        out_key, out_cnt = [], []
+        for s, e in zip(starts, ends):
+            gi = np.searchsorted(garr, gs[s])
+            if gi >= len(garr) or garr[gi] != gs[s]:
+                continue  # group had only null/zero mass in pass 1
+            c = cands[gi]
+            if len(c) == 0:
+                continue
+            vals, cnts = np.unique(vs[s:e], return_counts=True)
+            idx = np.minimum(np.searchsorted(c, vals), len(c) - 1)
+            hit = c[idx] == vals
+            # composite int64 key: group_idx * 2^32 + cand_idx
+            out_key.append(gi * (1 << 32) + idx[hit].astype(np.int64))
+            out_cnt.append(cnts[hit].astype(np.int64))
+        if out_key:
+            key = np.concatenate(out_key)
+            cnt = np.concatenate(out_cnt)
+        else:
+            key = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        return pa.table({"key": pa.array(key, pa.int64()), "cnt": pa.array(cnt, pa.int64())})
+
+    counted = ds.map_batches(count_candidates, batch_format="pyarrow", batch_size=None)
+    rolled = small_key_rollup(counted, ["key"], sums=[("cnt", "cnt")])
+    keys = rolled.column("key").to_numpy(zero_copy_only=False)
+    cnts = rolled.column("cnt").to_numpy(zero_copy_only=False)
+    rows = []
+    for key, cnt in zip(keys.tolist(), cnts.tolist()):
+        gi, ci = key >> 32, key & 0xFFFFFFFF
+        g = groups[gi]
+        if cnt >= math.ceil(phi * n_by_group[g]):
+            rows.append((g, cand_by_group[g][ci], int(cnt), n_by_group[g]))
+    rows.sort(key=lambda r: (r[0], -r[2], r[1]))
+    return pa.table(
+        {
+            "group": pa.array([r[0] for r in rows]),
+            "item": pa.array([r[1] for r in rows]),
+            "cnt": pa.array([r[2] for r in rows], pa.int64()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

@@ -88,6 +88,12 @@ class MisraGries:
             uniq_v, sums = uniq_v[keep], sums[keep]
         self.values, self.counts = uniq_v, sums
 
+    def add_array(self, values: np.ndarray) -> None:
+        """Raw-row insert (the ``grouped_sketch_partials`` protocol):
+        pre-reduce with one value_counts, then the vectorized path."""
+        vals, cnts = np.unique(np.asarray(values), return_counts=True)
+        self.add_counts(vals.astype(object), cnts)
+
     def merge(self, other: "MisraGries") -> "MisraGries":
         """Counter addition + one prune — associative-in-guarantee
         (PODS 2012: the error bounds survive any merge tree)."""

@@ -204,3 +204,39 @@ def test_mg_groupby_per_group_summaries(ray_session):
                 assert v in cand
             lo, hi = sk.estimate(v)
             assert lo <= c <= hi
+
+
+@pytest.mark.parametrize("num_blocks", [4, 13])
+def test_frequent_items_by_group_exact(ray_session, num_blocks):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import frequent_items_by_group
+
+    rng = np.random.default_rng(6)
+    langs = np.array(["de", "en", "fr"], dtype=object)[rng.integers(0, 3, 35_000)]
+    toks = _zipf_stream(n=35_000, vocab=600, seed=12)
+    ds = rd.from_arrow(
+        pa.table({"lang": langs.astype(str), "tok": toks.astype(str)})
+    ).repartition(num_blocks)
+    phi = 0.03
+    out = frequent_items_by_group(ds, "lang", "tok", phi)
+    got = list(
+        zip(
+            out.column("group").to_pylist(),
+            out.column("item").to_pylist(),
+            out.column("cnt").to_pylist(),
+            out.column("n").to_pylist(),
+        )
+    )
+    import math
+
+    want = []
+    for g in ["de", "en", "fr"]:
+        sub = toks[langs == g]
+        n = len(sub)
+        thr = math.ceil(phi * n)
+        rows = [(g, v, c, n) for v, c in _true_counts(sub).items() if c >= thr]
+        rows.sort(key=lambda r: (r[0], -r[2], r[1]))
+        want.extend(rows)
+    assert got == want
