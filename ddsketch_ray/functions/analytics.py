@@ -874,9 +874,12 @@ def frequent_items(
     keep = cnt_arr >= threshold
     items, cnts = cand[idx_arr[keep]], cnt_arr[keep]
     order = sorted(range(len(items)), key=lambda i: (-int(cnts[i]), items[i]))
+    # typed even when empty (pa.array([]) would be null-typed and break
+    # schema comparison): infer the item type from the candidate values
+    item_type = pa.int64() if isinstance(cand[0], (int, np.integer)) else pa.string()
     return pa.table(
         {
-            "item": pa.array([items[i] for i in order]),
+            "item": pa.array([items[i] for i in order], item_type),
             "cnt": pa.array([int(cnts[i]) for i in order], pa.int64()),
             "n": pa.array([n] * len(order), pa.int64()),
         }
@@ -979,10 +982,18 @@ def frequent_items_by_group(
         if cnt >= math.ceil(phi * n_by_group[g]):
             rows.append((g, cand_by_group[g][ci], int(cnt), n_by_group[g]))
     rows.sort(key=lambda r: (r[0], -r[2], r[1]))
+    # typed even when empty (see frequent_items): infer from pass-1 state
+    grp_type = pa.int64() if isinstance(groups[0], (int, np.integer)) else pa.string()
+    sample_cands = next((c for c in cand_by_group.values() if len(c)), None)
+    item_type = (
+        pa.int64()
+        if sample_cands is not None and isinstance(sample_cands[0], (int, np.integer))
+        else pa.string()
+    )
     return pa.table(
         {
-            "group": pa.array([r[0] for r in rows]),
-            "item": pa.array([r[1] for r in rows]),
+            "group": pa.array([r[0] for r in rows], grp_type),
+            "item": pa.array([r[1] for r in rows], item_type),
             "cnt": pa.array([r[2] for r in rows], pa.int64()),
             "n": pa.array([r[3] for r in rows], pa.int64()),
         }

@@ -240,3 +240,30 @@ def test_frequent_items_by_group_exact(ray_session, num_blocks):
         rows.sort(key=lambda r: (r[0], -r[2], r[1]))
         want.extend(rows)
     assert got == want
+
+
+def test_frequent_items_int_keys_and_empty_typed(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import frequent_items
+
+    rng = np.random.default_rng(3)
+    vals = np.minimum(rng.zipf(1.5, 25_000), 1000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"uid": vals})).repartition(5)
+    out = frequent_items(ds, "uid", phi=0.05)
+    got = list(zip(out.column("item").to_pylist(), out.column("cnt").to_pylist()))
+    u, c = np.unique(vals, return_counts=True)
+    thr = math.ceil(0.05 * len(vals))
+    want = sorted(
+        [(int(v), int(n)) for v, n in zip(u, c) if n >= thr], key=lambda r: (-r[1], r[0])
+    )
+    assert got == want
+    assert out.schema.field("item").type == pa.int64()
+    # a phi no value reaches -> empty but TYPED output
+    out2 = frequent_items(ds, "uid", phi=0.9)
+    assert out2.num_rows == 0
+    assert out2.schema.field("item").type == pa.int64()
+    assert out2.schema.field("cnt").type == pa.int64()
