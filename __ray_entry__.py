@@ -3162,6 +3162,57 @@ def _events_hll_cube(sf_dir: str) -> str:
     return out_dir
 
 
+def q_cube_cm_range_by_type_events(sf_dir: str) -> pd.DataFrame:
+    """Range-count cube: per-event_type dyadic-CM cells
+    (functions/cube.py::dyadic_cell) persisted once via the partial
+    plan, latency-band counts for the fixed _DCM_RANGES served from
+    cell merges. Dyadic merge is exact per-level table ADDITION, so a
+    cube cell is bit-identical to a direct per-type build under any
+    block order — the oracle replays the direct per-type sketch in
+    exact-integer SQL (the _dcm machinery grouped by event_type)."""
+    import os
+    import shutil
+
+    from ddsketch_ray.functions.cube import (
+        dyadic_cell,
+        grouped_cube_merge,
+        write_sketch_cube_partials,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        return pa.table(
+            {
+                "event_type": t.column("event_type").filter(pa.array(ok)),
+                "cents": np.rint(v[ok] * 100.0).astype(np.int64),
+            }
+        )
+
+    keyed = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_cube_dcm_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_sketch_cube_partials(
+        keyed,
+        ["event_type"],
+        *dyadic_cell("cents", levels=_DCM_LEVELS, width=_DCM_WIDTH, depth=_DCM_DEPTH, seed=0),
+        out_dir=out_dir,
+    )
+    groups = grouped_cube_merge(out_dir, ["event_type"])
+    rows = []
+    for (et,) in sorted(groups):
+        sk = groups[(et,)]
+        for rid, (lo, hi) in enumerate(_DCM_RANGES):
+            rows.append((et, rid, lo, hi, int(sk.range_count(lo, hi))))
+    out = pd.DataFrame(rows, columns=["event_type", "range_id", "lo", "hi", "est"])
+    for c in ("range_id", "lo", "hi", "est"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_cube_hll_users_by_type_events(sf_dir: str) -> pd.DataFrame:
     """Sketch cube slice (functions/cube.py): per-(event_type, day) HLL
     cells persisted ONCE, per-type answers served by register-max cell
@@ -4445,6 +4496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_custkeys": q_hll_distinct_custkeys,
         "cms_top_event_types": q_cms_top_event_types,
         "cm_range_counts_events": q_cm_range_counts_events,
+        "cube_cm_range_by_type_events": q_cube_cm_range_by_type_events,
         "cm_quantiles_value_events": q_cm_quantiles_value_events,
         "tdigest_quantiles_price": q_tdigest_quantiles_price,
         "kll_quantiles_price": q_kll_quantiles_price,
@@ -5389,6 +5441,7 @@ ORDER BY cnt DESC, item
     # dyadic-range CM: per-level bucket totals are exact sums; node lists
     # and the quantile tree-descent are constant/unrolled — full replay
     out["cm_range_counts_events"] = _dcm_ranges_sql()
+    out["cube_cm_range_by_type_events"] = _dcm_ranges_by_type_sql()
     out["cm_quantiles_value_events"] = _dcm_quantiles_sql()
     # epoch-1 shuffle: hash_ints(doc_id, seed=1) = splitmix64(id ^
     # splitmix64(1)); rank = ROW_NUMBER over (int64-view hash, id)
@@ -5924,6 +5977,78 @@ SELECT r.range_id::BIGINT AS range_id, r.lo::BIGINT AS lo, r.hi::BIGINT AS hi,
        coalesce(p.est, 0)::BIGINT AS est
 FROM ranges r LEFT JOIN per_range p ON p.rid = r.range_id
 ORDER BY range_id
+"""
+
+
+def _dcm_ranges_by_type_sql() -> str:
+    """REAL SQL replay of cube_cm_range_by_type_events: the per-type
+    direct dyadic-CM estimates (which the cube cells equal bit-for-bit
+    by merge algebra — exact table addition) via the _dcm machinery
+    with every CTE grouped by event_type. Exact integers end-to-end."""
+    from ddsketch_ray.hashing import splitmix64 as _sm
+    from ddsketch_ray.sketches.dyadic import dyadic_decompose
+
+    L, W, D = _DCM_LEVELS, _DCM_WIDTH, _DCM_DEPTH
+    maxv = (1 << L) - 1
+    cm_nodes, full_rids = [], []
+    for rid, (lo, hi) in enumerate(_DCM_RANGES):
+        for level, prefix in dyadic_decompose(lo, hi, L):
+            if level == L:
+                full_rids.append(rid)
+            else:
+                cm_nodes.append((rid, level, prefix))
+    node_rows = ", ".join(f"({r}, {l}, {p})" for r, l, p in cm_nodes)
+    range_rows = ", ".join(
+        f"({rid}, {lo}, {hi})" for rid, (lo, hi) in enumerate(_DCM_RANGES)
+    )
+    seed_rows = ", ".join(
+        f"({l}, CAST({int(_sm(np.uint64(l)))} AS UBIGINT))" for l in range(L)
+    )
+    kh = _splitmix_sql("xor(CAST(k.key >> s.level AS UBIGINT), s.z)")
+    nh = _splitmix_sql("xor(CAST(n.prefix AS UBIGINT), s.z)")
+    full_arm = (
+        "UNION ALL SELECT c.event_type, f.rid, c.n AS est FROM (VALUES "
+        + ", ".join(f"({r})" for r in full_rids)
+        + ") f(rid) CROSS JOIN cnt c"
+        if full_rids
+        else ""
+    )
+    return f"""
+WITH k AS MATERIALIZED (
+  SELECT event_type,
+         GREATEST(0, LEAST({maxv}, CAST(round_even(value * 100, 0) AS BIGINT))) AS key
+  FROM events WHERE value IS NOT NULL),
+seeds AS (SELECT * FROM (VALUES {seed_rows}) s(level, z)),
+kh AS (SELECT k.event_type, s.level AS level, {kh} AS h FROM k, seeds s),
+kc AS (SELECT event_type, level, d.i AS d, {_dcm_col_sql('h', 'd.i', W)} AS c
+       FROM kh, generate_series(0, {D - 1}) d(i)),
+tot AS MATERIALIZED (SELECT event_type, level, d, c, COUNT(*)::BIGINT AS total
+                     FROM kc GROUP BY 1, 2, 3, 4),
+cnt AS MATERIALIZED (SELECT event_type, COUNT(*)::BIGINT AS n FROM k GROUP BY 1),
+nodes AS (SELECT * FROM (VALUES {node_rows}) nd(rid, level, prefix)),
+nh AS (SELECT n.rid, n.level AS level, n.prefix, {nh} AS h
+       FROM nodes n JOIN seeds s ON s.level = n.level),
+nc AS (SELECT rid, level, prefix, d.i AS d, {_dcm_col_sql('h', 'd.i', W)} AS c
+       FROM nh, generate_series(0, {D - 1}) d(i)),
+types AS (SELECT event_type FROM cnt),
+nest AS (SELECT ty.event_type, nc.rid, nc.level, nc.prefix,
+                MIN(coalesce(t.total, 0))::BIGINT AS est
+         FROM nc CROSS JOIN types ty
+         LEFT JOIN tot t ON t.event_type = ty.event_type
+                        AND t.level = nc.level AND t.d = nc.d AND t.c = nc.c
+         GROUP BY 1, 2, 3, 4),
+per_range AS (
+  SELECT event_type, rid, SUM(est)::BIGINT AS est FROM (
+    SELECT event_type, rid, est FROM nest
+    {full_arm}
+  ) GROUP BY 1, 2),
+ranges AS (SELECT * FROM (VALUES {range_rows}) r(range_id, lo, hi))
+SELECT ty.event_type AS event_type, r.range_id::BIGINT AS range_id,
+       r.lo::BIGINT AS lo, r.hi::BIGINT AS hi,
+       coalesce(p.est, 0)::BIGINT AS est
+FROM ranges r CROSS JOIN types ty
+LEFT JOIN per_range p ON p.rid = r.range_id AND p.event_type = ty.event_type
+ORDER BY ty.event_type, range_id
 """
 
 

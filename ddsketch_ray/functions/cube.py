@@ -348,6 +348,26 @@ def dds_cell(col: str, alpha: float = 0.008, bin_limit: int = 4096):
     return make, add
 
 
+def dyadic_cell(col: str, levels: int = 16, width: int = 1024, depth: int = 5, seed: int = 0):
+    """(make, add) pair for dyadic-range count-min cells over an integer
+    ``col`` — the range-count / rank / quantile-by-count cube kind
+    (latency-band dashboards). Merge is exact per-level table ADDITION
+    (sketches/dyadic.py), so a cube cell is BIT-IDENTICAL to a direct
+    build over that cell's rows under any block order — which makes the
+    cube servable estimates replayable by the SAME exact-integer SQL
+    oracle as the direct dyadic queries (grouped by the cube dims)."""
+    from ddsketch_ray.sketches import DyadicCountMin
+
+    def make():
+        return DyadicCountMin(levels=levels, width=width, depth=depth, seed=seed)
+
+    def add(sk, tbl, idx):
+        v = tbl.column(col).take(pa.array(idx)).to_numpy(zero_copy_only=False)
+        sk.add_values(v)
+
+    return make, add
+
+
 def write_sketch_cube_partials(ds, dims: list[str], make_sketch, add, out_dir: str) -> dict:
     """The at-scale cube build: per-block CellMaps tree-merged by Ray's
     GLOBAL aggregate — no row shuffle (Ray's groupby costs ~20 µs/row

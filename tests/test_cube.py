@@ -282,3 +282,37 @@ def test_partials_plan_equals_groupby_plan(cube_dirs, ray_session, tmp_path):
                 assert np.array_equal(sa.registers, sb.registers), k
             else:
                 assert sa.bins == sb.bins, k
+
+
+def test_dyadic_cube_equals_direct_per_group(ray_session, tmp_path):
+    """dyadic_cell cube: per-group cells must be BIT-IDENTICAL (per-level
+    CM tables) to direct builds over each group's rows — merge is exact
+    table addition — and range counts served from the cube must equal
+    the direct sketch's."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.cube import (
+        dyadic_cell,
+        grouped_cube_merge,
+        write_sketch_cube_partials,
+    )
+    from ddsketch_ray.sketches import DyadicCountMin
+
+    tbl = _events_tbl()
+    cents = np.rint(tbl.column("val").to_numpy() * 100.0).astype(np.int64)
+    tbl = tbl.append_column("cents", pa.array(cents, pa.int64()))
+    ds = rd.from_arrow(tbl).repartition(6)
+    d = str(tmp_path / "dcm")
+    write_sketch_cube_partials(
+        ds, ["etype", "day"], *dyadic_cell("cents", levels=16, width=256, depth=3), out_dir=d
+    )
+    groups = grouped_cube_merge(d, ["etype"])
+    df = tbl.to_pandas()
+    assert set(groups) == {("a",), ("b",), ("c",)}
+    for (et,), sk in groups.items():
+        direct = DyadicCountMin(levels=16, width=256, depth=3)
+        direct.add_values(df.loc[df["etype"] == et, "cents"].to_numpy())
+        assert sk.n == direct.n
+        assert np.array_equal(sk.tables, direct.tables)
+        for lo, hi in [(0, 999), (1000, 9999), (123, 45678)]:
+            assert sk.range_count(lo, hi) == direct.range_count(lo, hi)
