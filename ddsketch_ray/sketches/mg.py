@@ -138,3 +138,49 @@ class MisraGries:
         out.n = self.n
         out.offset = self.offset
         return out
+
+
+class CandidateCounts:
+    """EXACT counts of a FIXED candidate list — pass 2 of the two-pass
+    frequent-items plan packaged as a mergeable summary, so a resumable
+    job (jobs/frequent_items_job.py) can ride the same per-partition
+    checkpoint machinery (state/checkpoint.py) for both passes. Merge is
+    element-wise integer addition over the shared candidate order —
+    associative, commutative, bit-identical under any merge tree. ``n``
+    counts ALL observed weight (the threshold denominator), not just
+    candidate hits."""
+
+    __slots__ = ("values", "counts", "n")
+
+    def __init__(self, values: np.ndarray):
+        v = np.asarray(values, dtype=object)
+        if len(v) and not np.all(v[:-1] < v[1:]):
+            raise ValueError("CandidateCounts needs strictly sorted unique values")
+        self.values = v
+        self.counts = np.zeros(len(v), dtype=np.int64)
+        self.n = 0
+
+    def add_counts(self, vals: np.ndarray, cnts: np.ndarray) -> None:
+        vals = np.asarray(vals, dtype=object)
+        cnts = np.asarray(cnts, dtype=np.int64)
+        if vals.size == 0:
+            return
+        self.n += int(cnts.sum())
+        if len(self.values) == 0:
+            return
+        idx = np.minimum(np.searchsorted(self.values, vals), len(self.values) - 1)
+        hit = self.values[idx] == vals
+        np.add.at(self.counts, idx[hit], cnts[hit])
+
+    def add_array(self, values: np.ndarray) -> None:
+        vals, cnts = np.unique(np.asarray(values), return_counts=True)
+        self.add_counts(vals.astype(object), cnts)
+
+    def merge(self, other: "CandidateCounts") -> "CandidateCounts":
+        if len(self.values) != len(other.values) or not np.array_equal(
+            self.values, other.values
+        ):
+            raise ValueError("CandidateCounts merge: candidate lists differ")
+        self.counts += other.counts
+        self.n += other.n
+        return self

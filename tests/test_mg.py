@@ -267,3 +267,73 @@ def test_frequent_items_int_keys_and_empty_typed(ray_session):
     assert out2.num_rows == 0
     assert out2.schema.field("item").type == pa.int64()
     assert out2.schema.field("cnt").type == pa.int64()
+
+
+# ----------------------------------------------------- resumable two-pass job
+
+
+def test_frequent_items_job_cold_equals_resumed(ray_session, tmp_path):
+    """jobs/frequent_items_job.py: exact answer, cold ≡ resumed
+    bit-for-bit, resume recomputes 0 partitions, and a changed input
+    set invalidates the affected partitions of BOTH passes."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.frequent_items_job import run_job
+
+    rng = np.random.default_rng(10)
+    files = []
+    all_vals = []
+    for f in range(4):
+        vals = np.minimum(rng.zipf(1.4, 8000), 900)
+        all_vals.append(vals)
+        p = str(tmp_path / f"part-{f}.parquet")
+        pq.write_table(
+            pa.table({"host": pa.array([f"h{v}" for v in vals], pa.string())}), p
+        )
+        files.append(p)
+    ckpt = str(tmp_path / "ckpt")
+    phi = 0.02
+
+    cold = run_job(files, "host", phi, ckpt, run_id="t1", concurrency=2)
+    assert cold["recomputed_partitions_pass1"] == 4
+    assert cold["recomputed_partitions_pass2"] == 4
+
+    # exact oracle
+    stream = np.concatenate(all_vals)
+    u, c = np.unique(stream, return_counts=True)
+    thr = math.ceil(phi * len(stream))
+    want = sorted(
+        [(f"h{v}", int(n)) for v, n in zip(u, c) if n >= thr],
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert [(d["item"], d["cnt"]) for d in cold["frequent"]] == want
+    assert cold["n"] == len(stream)
+
+    resumed = run_job(files, "host", phi, ckpt, run_id="t1", concurrency=2)
+    assert resumed["recomputed_partitions_pass1"] == 0
+    assert resumed["recomputed_partitions_pass2"] == 0
+    assert resumed["frequent"] == cold["frequent"]
+    assert (resumed["n"], resumed["threshold"], resumed["mg_offset"]) == (
+        cold["n"], cold["threshold"], cold["mg_offset"]
+    )
+
+    # shrink the input file LIST -> partition lineage mismatches, pass 1
+    # recomputes, the changed pass-1 outcome re-keys the pass-2 digest so
+    # stale counts cannot be silently reused (same file-list lineage
+    # contract as jobs/sketch_job.py; content changes under identical
+    # paths are out of contract there too)
+    sub = run_job(files[:3], "host", phi, ckpt, run_id="t1", concurrency=2)
+    assert sub["recomputed_partitions_pass1"] == 0  # prefix partitions reused
+    assert sub["recomputed_partitions_pass2"] == 3  # new digest -> fresh counts
+    sub_stream = np.concatenate(all_vals[:3])
+    assert sub["n"] == len(sub_stream)
+    u3, c3 = np.unique(sub_stream, return_counts=True)
+    thr3 = math.ceil(phi * len(sub_stream))
+    want3 = sorted(
+        [(f"h{v}", int(n)) for v, n in zip(u3, c3) if n >= thr3],
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert [(d["item"], d["cnt"]) for d in sub["frequent"]] == want3
