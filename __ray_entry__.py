@@ -3376,6 +3376,30 @@ def q_frequent_tokens_by_lang_docs(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_frequent_sources_weighted_by_lang_docs(sf_dir: str) -> pd.DataFrame:
+    """Token-weighted per-language φ-frequent sources ("which sources
+    carry ≥φ of each language's token mass") — frequent_items_by_group
+    weighted flavor: weighted MG summaries per lang (pass 1) + exact
+    int64 weight recount of broadcast candidates (pass 2), per-group
+    ceil(φ·mass_g) thresholds. Oracle: grouped SUM/HAVING."""
+    from ddsketch_ray.functions.analytics import frequent_items_by_group
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "text"])
+    keyed = ds.map_batches(
+        lambda t: token_count_batch(t).select(["lang", "source", "n_tokens"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = frequent_items_by_group(
+        keyed, "lang", "source", phi=0.04, weight_col="n_tokens"
+    ).to_pandas()
+    out = out.rename(columns={"group": "lang", "item": "source"})
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_frequent_langs_weighted_docs(sf_dir: str) -> pd.DataFrame:
     """Token-weighted φ-frequent languages (the 'which subcorpora carry
     ≥φ of total token mass' curation question) through the same two-pass
@@ -4604,6 +4628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhh_lang_source_docs": q_hhh_lang_source_docs,
         "frequent_tokens_docs": q_frequent_tokens_docs,
         "frequent_tokens_by_lang_docs": q_frequent_tokens_by_lang_docs,
+        "frequent_sources_weighted_by_lang_docs": q_frequent_sources_weighted_by_lang_docs,
         "frequent_langs_weighted_docs": q_frequent_langs_weighted_docs,
         "cube_hll_users_by_type_events": q_cube_hll_users_by_type_events,
         "cube_hll_rolling7_users_events": q_cube_hll_rolling7_users_events,
@@ -5404,6 +5429,17 @@ FROM tok t JOIN gt g USING (lang)
 GROUP BY t.lang, t.token, g.n
 HAVING COUNT(*) >= CAST(ceil(CAST(0.035 AS DOUBLE) * g.n) AS BIGINT)
 ORDER BY lang, cnt DESC, item
+"""
+    out["frequent_sources_weighted_by_lang_docs"] = """
+WITH d AS (SELECT lang, source, len(list_filter(
+    regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v]+'),
+    x -> x <> ''))::BIGINT AS w FROM documents),
+gt AS (SELECT lang, SUM(w)::BIGINT AS n FROM d GROUP BY lang)
+SELECT d.lang, d.source, SUM(d.w)::BIGINT AS cnt, g.n AS n
+FROM d JOIN gt g USING (lang)
+GROUP BY d.lang, d.source, g.n
+HAVING SUM(d.w) >= CAST(ceil(CAST(0.04 AS DOUBLE) * g.n) AS BIGINT)
+ORDER BY d.lang, cnt DESC, d.source
 """
     out["frequent_langs_weighted_docs"] = """
 WITH d AS (SELECT lang, len(list_filter(

@@ -892,9 +892,12 @@ def frequent_items_by_group(
     col: str,
     phi: float,
     k: int | None = None,
+    weight_col: str | None = None,
 ):
     """EXACT per-group φ-frequent items (per-language frequent tokens,
     per-host frequent shingles) — ``frequent_items`` with a group key.
+    ``weight_col`` (int64) makes both passes weight-based: "which items
+    carry ≥φ of each group's token mass".
 
     Pass 1 builds one Misra-Gries summary per group through the
     two-level small-key plan (``distribution.grouped_sketch_partials``:
@@ -928,7 +931,9 @@ def frequent_items_by_group(
             f"k={k} cannot cover phi={phi}: need k >= ceil(1/phi) = {k_min}"
         )
 
-    sketches = grouped_sketch_partials(ds, lambda: MisraGries(k=k), col, group_col)
+    sketches = grouped_sketch_partials(
+        ds, lambda: MisraGries(k=k), col, group_col, weight_col=weight_col
+    )
     groups = sorted(sketches)
     if not groups:
         return pa.table(
@@ -944,8 +949,14 @@ def frequent_items_by_group(
         garr, cands = ray.get(cand_ref)
         g = np.asarray(t.column(group_col).to_numpy(zero_copy_only=False), dtype=object)
         v = np.asarray(t.column(col).to_numpy(zero_copy_only=False), dtype=object)
+        w = (
+            t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if weight_col is not None
+            else None
+        )
         order = np.argsort(g, kind="stable")
         gs, vs = g[order], v[order]
+        ws = w[order] if w is not None else None
         cuts = np.flatnonzero(gs[1:] != gs[:-1]) + 1
         starts = np.concatenate(([0], cuts)) if len(gs) else np.empty(0, np.int64)
         ends = np.concatenate((cuts, [len(gs)])) if len(gs) else np.empty(0, np.int64)
@@ -957,7 +968,12 @@ def frequent_items_by_group(
             c = cands[gi]
             if len(c) == 0:
                 continue
-            vals, cnts = np.unique(vs[s:e], return_counts=True)
+            if ws is None:
+                vals, cnts = np.unique(vs[s:e], return_counts=True)
+            else:  # exact int64 weight sums (bincount would go float64)
+                vals, inv = np.unique(vs[s:e], return_inverse=True)
+                cnts = np.zeros(len(vals), dtype=np.int64)
+                np.add.at(cnts, inv, ws[s:e])
             idx = np.minimum(np.searchsorted(c, vals), len(c) - 1)
             hit = c[idx] == vals
             # composite int64 key: group_idx * 2^32 + cand_idx

@@ -45,7 +45,9 @@ __all__ = [
 ]
 
 
-def grouped_sketch_partials(ds, factory, value_col: str, group_col: str) -> dict:
+def grouped_sketch_partials(
+    ds, factory, value_col: str, group_col: str, weight_col: str | None = None
+) -> dict:
     """Low-cardinality grouped sketch build WITHOUT Ray's Aggregate
     operator: {group: sketch} via the two-level small-key plan
     (analytics.py::small_key_rollup's measured rationale — Ray's
@@ -70,8 +72,17 @@ def grouped_sketch_partials(ds, factory, value_col: str, group_col: str) -> dict
     def partial(t: pa.Table) -> pa.Table:
         g = t.column(group_col).to_numpy(zero_copy_only=False)
         v = t.column(value_col).to_numpy(zero_copy_only=False)
+        # weighted variant: the sketch must expose add_counts(values,
+        # weights) — integer-weight summaries (MisraGries); raw-value
+        # sketches keep the add_array protocol
+        w = (
+            t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if weight_col is not None
+            else None
+        )
         order = np.argsort(g, kind="stable")
         gs, vs = g[order], v[order]
+        ws = w[order] if w is not None else None
         cuts = np.flatnonzero(gs[1:] != gs[:-1]) + 1
         starts = np.concatenate(([0], cuts))
         ends = np.concatenate((cuts, [len(gs)]))
@@ -80,7 +91,10 @@ def grouped_sketch_partials(ds, factory, value_col: str, group_col: str) -> dict
             if e == s:
                 continue
             sk = factory()
-            sk.add_array(vs[s:e])
+            if ws is None:
+                sk.add_array(vs[s:e])
+            else:
+                sk.add_counts(vs[s:e].astype(object), ws[s:e])
             keys.append(gs[s])
             blobs.append(pickle.dumps(sk, protocol=pickle.HIGHEST_PROTOCOL))
         return pa.table(

@@ -337,3 +337,42 @@ def test_frequent_items_job_cold_equals_resumed(ray_session, tmp_path):
         key=lambda r: (-r[1], r[0]),
     )
     assert [(d["item"], d["cnt"]) for d in sub["frequent"]] == want3
+
+
+def test_frequent_items_by_group_weighted(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import frequent_items_by_group
+
+    rng = np.random.default_rng(14)
+    langs = np.array(["en", "fr"], dtype=object)[rng.integers(0, 2, 12_000)]
+    toks = _zipf_stream(n=12_000, vocab=300, seed=15)
+    w = rng.integers(0, 6, 12_000).astype(np.int64)  # zeros exercise the drop
+    ds = rd.from_arrow(
+        pa.table({"lang": langs.astype(str), "tok": toks.astype(str), "w": w})
+    ).repartition(6)
+    phi = 0.04
+    out = frequent_items_by_group(ds, "lang", "tok", phi, weight_col="w")
+    got = list(
+        zip(
+            out.column("group").to_pylist(),
+            out.column("item").to_pylist(),
+            out.column("cnt").to_pylist(),
+            out.column("n").to_pylist(),
+        )
+    )
+    want = []
+    for g in ["en", "fr"]:
+        m = langs == g
+        true = {}
+        for v, ww in zip(toks[m].tolist(), w[m].tolist()):
+            true[v] = true.get(v, 0) + int(ww)
+        n = int(w[m].sum())
+        thr = math.ceil(phi * n)
+        rows = [(g, v, c, n) for v, c in true.items() if c >= thr]
+        rows.sort(key=lambda r: (r[0], -r[2], r[1]))
+        want.extend(rows)
+    assert got == want
