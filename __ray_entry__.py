@@ -4376,6 +4376,79 @@ def q_bm25_search_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _bm25_index_result(index_dir: str) -> pd.DataFrame:
+    from ddsketch_ray.functions.search_index import search_text_index
+
+    out = search_text_index(index_dir, _BM25_QUERIES, k=5).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_bm25_index_docs(sf_dir: str) -> pd.DataFrame:
+    """PERSISTED inverted-index BM25 serving
+    (functions/search_index.py — tokenize the corpus ONCE into a
+    term-hash-bucketed, term-sorted postings layout; serve queries by
+    reading only the matching buckets, the `write_ivf`/`write_minhash_
+    index` amortization pattern applied to keyword search). Scores use
+    the order-independent int64 fixed-point contribution chain (2^40
+    units) because a doc's terms span buckets, so its score is a
+    cross-block sum; the oracle replays that exact chain — quantize
+    each SQL-recomputed BM25 contribution with round_even, integer
+    SUM per (query, doc), one float conversion, round_even to 6."""
+    import os
+    import shutil
+
+    from ddsketch_ray.functions.search_index import write_text_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_tix_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_text_index(ds, out_dir, num_buckets=16)
+    return _bm25_index_result(out_dir)
+
+
+def q_bm25_index_append_docs(sf_dir: str) -> pd.DataFrame:
+    """Text-index incremental ingest (search_index.append_to_text_index
+    — the `append_to_ivf` contract): build the postings layout on the
+    even doc_ids only, APPEND the odd half as a second ingest batch
+    (sorted parts inside the same bucket dirs, manifest n_docs/sum_dl
+    bumped exactly), then serve. Because df is recounted from postings
+    and the manifest integers are exact sums, the served result is
+    bit-identical to an index built on the union — the oracle is the
+    full-corpus fixed-point recompute, same as bm25_index_docs."""
+    import os
+    import shutil
+
+    from ddsketch_ray.functions.search_index import (
+        append_to_text_index,
+        write_text_index,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_tix_app_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    even = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    odd = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    write_text_index(even, out_dir, num_buckets=16)
+    append_to_text_index(odd, out_dir)
+    return _bm25_index_result(out_dir)
+
+
 def q_pagerank_docs(sf_dir: str) -> pd.DataFrame:
     """Distributed PageRank (functions/graph.py::pagerank — exact
     fixed-point int64 with dangling-mass redistribution; per iteration
@@ -4649,6 +4722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "profile_lineitem": q_profile_lineitem,
         "bm25_search_docs": q_bm25_search_docs,
+        "bm25_index_docs": q_bm25_index_docs,
+        "bm25_index_append_docs": q_bm25_index_append_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
         "ks_value_click_purchase": q_ks_value_click_purchase,
         "range_partition_price": q_range_partition_price,
@@ -5388,6 +5463,10 @@ def oracle_sql() -> dict[str, str]:
     # the distributed substring plan is output-identical to the broadcast
     # plan (pytest equality) — same real SQL oracle
     out["substring_dedup_documents_distributed"] = out["substring_dedup_documents"]
+    # build-half-then-append serves the union corpus bit-identically to
+    # a fresh full build (manifest ints are exact sums, df recounted
+    # from postings) — same full-corpus fixed-point replay
+    out["bm25_index_append_docs"] = out["bm25_index_docs"]
     # HLL + Bloom: converted from frozen determinism oracles in round 4 —
     # register/bit math replayed exactly in SQL (splitmix hash, bin()
     # clz, HUGEINT dyadic register sum / double-hash probe positions)
@@ -7660,6 +7739,47 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
   FROM scores WHERE ROUND(score, 6) > 0)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        # persisted-index BM25: same tf/df/avgdl recompute as
+        # bm25_search_docs, but the scoring chain is the index path's
+        # order-independent fixed point — each contribution quantized
+        # ONCE to 2^40 int units (round_even == np.rint), exact integer
+        # SUM per (query, doc), one float conversion, round_even to 6
+        # (np.round is half-even). Both index gate queries (fresh build
+        # and build-half+append) must match this full-corpus replay.
+        "bm25_index_docs": rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f\v]+')) AS tok
+  FROM documents),
+q(query_id, term) AS (VALUES {_bm25_terms_values()}),
+stats AS (SELECT COUNT(*)::BIGINT AS n,
+                 CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM documents),
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT tok, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+       WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY tok),
+tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks
+       WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, tok),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round_even(
+           ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl)))
+           * 1099511627776.0, 0) AS BIGINT) AS cq
+  FROM q JOIN tf ON tf.tok = q.term
+         JOIN df ON df.tok = q.term
+         JOIN dl ON dl.doc_id = tf.doc_id
+         CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, SUM(cq)::BIGINT AS sq
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round_even(sq / 1099511627776.0, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY round_even(sq / 1099511627776.0, 6) DESC, doc_id) AS rank
+  FROM scores WHERE round_even(sq / 1099511627776.0, 6) > 0)
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,

@@ -1,0 +1,469 @@
+"""Persisted inverted-index layout for BM25 serving.
+
+`functions/search.py:bm25_search` tokenizes the corpus once PER CALL —
+the right plan for a one-shot query batch, and ~2.5 s/600k pages of pure
+tokenization that every refresh re-pays. This module is the
+amortization path, completing the persisted-index family
+(`dedup_index.write_minhash_index` for near-dup lookup,
+`ann.write_ivf` for vectors): tokenize the corpus ONCE into a
+term-hash-bucketed postings layout, then serve any number of query
+batches by reading ONLY the buckets (and, via the term-sorted files,
+only the row groups) that contain the query terms.
+
+Layout (``write_text_index``)::
+
+    out_dir/
+      _text_index_meta.json        # n_docs, sum_dl (exact ints),
+                                   # num_buckets, seed, doc_id/text cols
+      bucket=<b>/*.parquet         # postings (tok, doc_id, tf, dl),
+                                   # sorted by (bucket, tok) so a term
+                                   # predicate prunes row groups
+
+Postings are denormalized — each (doc, term) row carries the doc's
+token length ``dl`` — so serving never joins a doc-norms side table.
+``df`` per term is NOT stored: it is the row count of the term's
+postings, recounted exactly from the pruned read at query time, which
+keeps appends trivially correct (no stats to invalidate beyond the two
+manifest integers).
+
+Scoring (``search_text_index``) uses the same Okapi BM25 formula and
+(N, avgdl, df) statistics as the inline path, but sums per-document
+term contributions in **int64 fixed point** (each per-(doc, term)
+contribution quantized once at 2^40 units): a doc's query terms land in
+DIFFERENT hash buckets, so unlike the inline plan its score cannot be
+formed inside one source block — the cross-block sum must be
+order-independent to stay deterministic under any block layout, which
+float addition is not and exact integers are (the repo-wide fixed-point
+rule: CLAUDE.md, functions/cluster.py, functions/graph.py). The whole
+chain — idf/avgdl doubles from exact-int stats, one quantization per
+contribution, integer sums, one float conversion, round-half-even to 6
+decimals — is replayed bit-for-bit by the ``bm25_index_docs`` /
+``bm25_index_append_docs`` SQL oracles. Quantization at 2^40 bounds
+score magnitudes to < 2^23 (plenty: BM25 scores are O(terms × idf) ≤
+hundreds) with 9.1e-13 resolution, far below the 1e-6 ranking round.
+
+Serving plan (zero corpus pass, no all-to-all over the corpus)::
+
+    read    only the query terms' bucket dirs, filter tok ∈ terms
+            (row-group pruned via the term sort)
+    df      per-block per-term row counts → driver sums O(blocks×terms)
+    sort    pruned postings by doc_id — the ONLY shuffle, over the
+            matched rows (Σ df over query terms), not the corpus
+    score   per block: quantized contributions, dense (docs × terms)
+            int64 matrix × query membership; interior docs (fully
+            contained in the block — doc runs are contiguous after the
+            sort) emit block-local top-k candidates; the block's first/
+            last doc emits per-query integer partials (≤ 2×queries rows
+            per block) for the driver to re-sum exactly
+    merge   driver: fix boundary docs, global top-k per query —
+            O(blocks × queries × (k + 2)) rows, never the corpus
+
+Reference scope note: gmorleo/DDSketch has no text or retrieval
+operators (SURVEY.md §2.3) — this is a north-rule training-data
+addition, the serving counterpart of ``functions/search.py``.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ddsketch_ray.functions.text import TOKEN_PATTERN, _text_series
+
+__all__ = ["write_text_index", "append_to_text_index", "search_text_index"]
+
+META_NAME = "_text_index_meta.json"
+# 2^40 fixed-point units per 1.0 of BM25 score — exact in float64, so
+# `contrib * _SCALE` is one rounding-free double multiply on both the
+# numpy and the SQL side.
+_SCALE = float(1 << 40)
+
+
+def _term_bucket(terms_arr: pa.ChunkedArray | pa.Array, num_buckets: int, seed: int) -> np.ndarray:
+    """Bucket id per term — the same seeded string hash the MinHash
+    index layout uses (agg.hash_any_column), mod num_buckets."""
+    from ddsketch_ray.agg import hash_any_column
+
+    return (hash_any_column(terms_arr, is_arrow=True, seed=seed) % np.uint64(num_buckets)).astype(
+        np.int64
+    )
+
+
+def _postings_map(text_col: str, doc_id_col: str, num_buckets: int, seed: int):
+    """Per-block corpus → postings kernel: tokenize once (the shared
+    ASCII-whitespace TOKEN_PATTERN), group to (doc, tok) with exact tf,
+    carry dl per row, add the term-hash bucket column."""
+
+    def to_postings(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(doc_id_col).type
+        empty = pa.table(
+            {
+                "tok": pa.array([], pa.string()),
+                "doc_id": pa.array([], type=id_type),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        s = _text_series(t, text_col)
+        dl = s.str.count_matches(TOKEN_PATTERN).cast(pl.Int64).to_numpy()
+        rows = (
+            pl.DataFrame(
+                {
+                    "row": pl.arange(0, len(s), dtype=pl.Int64, eager=True),
+                    "tok": s.str.extract_all(TOKEN_PATTERN),
+                }
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+            .group_by(["row", "tok"])
+            .agg(tf=pl.len().cast(pl.Int64))
+        )
+        if not rows.height:
+            return empty
+        ridx = rows["row"].to_numpy()
+        tok = rows["tok"].to_arrow().cast(pa.string())
+        return pa.table(
+            {
+                "tok": tok,
+                "doc_id": t.column(doc_id_col).take(pa.array(ridx)),
+                "tf": pa.array(rows["tf"].to_numpy(), pa.int64()),
+                "dl": pa.array(np.asarray(dl)[ridx].astype(np.int64)),
+                "bucket": pa.array(_term_bucket(tok, num_buckets, seed)),
+            }
+        )
+
+    return to_postings
+
+
+def _corpus_totals(ds, text_col: str) -> tuple[int, int]:
+    """(n_docs, sum_dl) in one cheap count_matches pass (no explode) —
+    O(blocks) driver rows, same as the inline pass B."""
+    import ray
+
+    def totals(t: pa.Table) -> pa.Table:
+        s = _text_series(t, text_col)
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "sum_dl": pa.array(
+                    [int(s.str.count_matches(TOKEN_PATTERN).cast(pl.Int64).sum() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    n_docs = 0
+    sum_dl = 0
+    for tb in ray.get(
+        ds.map_batches(totals, batch_format="pyarrow", batch_size=None)
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if tb.num_rows == 0:
+            continue
+        n_docs += sum(tb.column("n_docs").to_pylist())
+        sum_dl += sum(tb.column("sum_dl").to_pylist())
+    return n_docs, sum_dl
+
+
+def write_text_index(
+    ds,
+    out_dir: str,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    num_buckets: int = 64,
+    seed: int = 0,
+) -> dict:
+    """Build the persisted postings layout. One corpus tokenization +
+    ONE sort by (bucket, tok) — the one-time shuffle the layout
+    amortizes (the `write_bucketed` sorted-write rule: an unsorted hive
+    write emits blocks × buckets tiny files and the re-read pays for
+    every one). Returns the manifest dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs, sum_dl = _corpus_totals(ds, text_col)
+    postings = ds.map_batches(
+        _postings_map(text_col, doc_id_col, num_buckets, seed),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    if n_docs:
+        postings.sort(["bucket", "tok"]).write_parquet(out_dir, partition_cols=["bucket"])
+    meta = {
+        "version": 1,
+        "n_docs": int(n_docs),
+        "sum_dl": int(sum_dl),
+        "num_buckets": int(num_buckets),
+        "seed": int(seed),
+        "text_col": text_col,
+        "doc_id_col": doc_id_col,
+    }
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def append_to_text_index(new_ds, out_dir: str) -> int:
+    """Incremental ingest — the `append_to_ivf` contract: tokenize ONLY
+    the new docs with the layout's recorded (num_buckets, seed, column)
+    identity, append sorted parquet parts inside the bucket dirs (Ray
+    UUIDs per-run file names, so appends never collide), and bump the
+    two exact manifest integers. Because df is recounted from postings
+    at query time and (n_docs, sum_dl) are exact sums, a served query
+    is bit-identical to one against an index built on the union corpus
+    (gate query ``bm25_index_append_docs``). The caller owns doc-id
+    uniqueness across ingest batches. Returns docs appended."""
+    with open(os.path.join(out_dir, META_NAME)) as f:
+        meta = json.load(f)
+    n_new, dl_new = _corpus_totals(new_ds, meta["text_col"])
+    if n_new == 0:
+        return 0
+    new_ds.map_batches(
+        _postings_map(meta["text_col"], meta["doc_id_col"], meta["num_buckets"], meta["seed"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).sort(["bucket", "tok"]).write_parquet(out_dir, partition_cols=["bucket"])
+    meta["n_docs"] = int(meta["n_docs"] + n_new)
+    meta["sum_dl"] = int(meta["sum_dl"] + dl_new)
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f)
+    return int(n_new)
+
+
+def _read_term_buckets(out_dir: str, terms: list[str], num_buckets: int, seed: int):
+    """Dataset over ONLY the query terms' bucket files, filtered to the
+    terms (row-group pruned — the files are tok-sorted). Returns None
+    when no matching bucket directory exists."""
+    import ray.data as rd
+
+    buckets = sorted(
+        set(_term_bucket(pa.array(terms, pa.string()), num_buckets, seed).tolist())
+    )
+    files: list[str] = []
+    for b in buckets:
+        files.extend(sorted(_glob.glob(f"{out_dir}/bucket={b}/*.parquet")))
+    if not files:
+        return None
+    return rd.read_parquet(
+        files,
+        columns=["tok", "doc_id", "tf", "dl"],
+        filter=pc.field("tok").isin(terms),
+    )
+
+
+def search_text_index(
+    out_dir: str,
+    queries: dict[str, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """Global BM25 top-k per query, served from the persisted layout.
+    Same output schema and ranking contract as
+    ``search.bm25_search``: (query_id, rank, doc_id, score), score
+    rounded half-even to 6 decimals BEFORE ordering, ties broken by
+    ascending doc_id. Scores come from the order-independent
+    fixed-point chain (module docstring) — ranks match the inline path
+    everywhere the two chains' 2^-40-resolution scores round alike
+    (pytest-asserted on the test corpora)."""
+    import ray
+
+    from ddsketch_ray.functions.search import tokenize_query
+
+    with open(os.path.join(out_dir, META_NAME)) as f:
+        meta = json.load(f)
+    n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+
+    q_ids = sorted(queries)
+    q_terms = {qid: tokenize_query(queries[qid]) for qid in q_ids}
+    terms = sorted({t for ts in q_terms.values() for t in ts})
+
+    def empty_result() -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+
+    if not terms or not q_ids or n_docs == 0:
+        return empty_result()
+    pruned = _read_term_buckets(out_dir, terms, meta["num_buckets"], meta["seed"])
+    if pruned is None:
+        return empty_result()
+    pruned = pruned.materialize()  # read once; reused by the df pass and the sort
+
+    # ---- df: exact per-term postings row counts, O(blocks×terms) ----
+    def df_batch(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["tok"])
+            .group_by("tok", use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["tok", "df"])
+        )
+
+    df: dict[str, int] = {t: 0 for t in terms}
+    for tb in ray.get(
+        pruned.map_batches(df_batch, batch_format="pyarrow", batch_size=None)
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if tb.num_rows == 0:  # empty input skips the UDF, keeps input schema
+            continue
+        for tok, d in zip(tb.column("tok").to_pylist(), tb.column("df").to_pylist()):
+            if tok in df:
+                df[tok] += d
+
+    # ---- broadcast scoring state (identical expressions to inline) ----
+    avgdl = sum_dl / n_docs if sum_dl else 1.0
+    dfv = np.array([df[t] for t in terms], dtype=np.float64)
+    idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+    term_idx = {t: i for i, t in enumerate(terms)}
+    member = np.zeros((len(terms), len(q_ids)), dtype=np.int64)
+    for j, qid in enumerate(q_ids):
+        for t in q_terms[qid]:
+            member[term_idx[t], j] = 1
+    bcast = ray.put(
+        {"term_idx": term_idx, "idf": idf, "member": member, "avgdl": float(avgdl)}
+    )
+    kk1, bb = float(k1), float(b)
+    n_q = len(q_ids)
+    n_t = len(terms)
+
+    # ---- the only shuffle: matched rows sorted by doc so each doc's
+    # cross-bucket rows become one contiguous run ----
+    s = pruned.sort("doc_id")
+
+    def block_score(t: pa.Table) -> pa.Table:
+        st = ray.get(bcast)
+        id_type = t.schema.field("doc_id").type
+        empty = pa.table(
+            {
+                "query_j": pa.array([], pa.int64()),
+                "doc_id": pa.array([], type=id_type),
+                "part": pa.array([], pa.int64()),
+                "boundary": pa.array([], pa.bool_()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids_all = np.asarray(t.column("doc_id").to_pylist(), dtype=object)
+        # sorted input → contiguous doc runs; np.unique keeps that order
+        uniq, first_idx, inv = np.unique(ids_all, return_index=True, return_inverse=True)
+        dl = t.column("dl").to_numpy(zero_copy_only=False)[first_idx].astype(np.float64)
+        tidx = np.array(
+            [st["term_idx"][tok] for tok in t.column("tok").to_pylist()], dtype=np.int64
+        )
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        # per-row contribution, spelled exactly as inline / the oracle:
+        # ((idf * tf) * (k1+1)) / (tf + k1 * (1 - b + b * (dl/avgdl)))
+        denom = tf + kk1 * (1.0 - bb + bb * (dl[inv] / st["avgdl"]))
+        contrib = st["idf"][tidx] * tf * (kk1 + 1.0) / denom
+        # ONE quantization per contribution → exact int64 sums from here
+        cq = np.rint(contrib * _SCALE).astype(np.int64)
+        m = np.zeros((len(uniq), n_t), dtype=np.int64)
+        np.add.at(m, (inv, tidx), cq)  # duplicate (doc,term) rows impossible, but exact anyway
+        scores = m @ st["member"]  # (docs × queries) int64 — order-free
+        boundary = np.zeros(len(uniq), dtype=bool)
+        boundary[0] = boundary[-1] = True
+        out_j: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        interior = ~boundary
+        for j in range(n_q):
+            col = scores[:, j]
+            # interior docs: exact block-local top-k candidates
+            nz = np.nonzero(interior & (col > 0))[0]
+            if len(nz):
+                order = np.lexsort((uniq[nz], -col[nz]))[:k]
+                sel = nz[order]
+                out_j.append(np.full(len(sel), j, dtype=np.int64))
+                out_d.append(uniq[sel])
+                out_p.append(col[sel])
+                out_b.append(np.zeros(len(sel), dtype=bool))
+            # boundary docs: integer partials for the driver fix-up
+            bz = np.nonzero(boundary & (col > 0))[0]
+            if len(bz):
+                out_j.append(np.full(len(bz), j, dtype=np.int64))
+                out_d.append(uniq[bz])
+                out_p.append(col[bz])
+                out_b.append(np.ones(len(bz), dtype=bool))
+        if not out_j:
+            return empty
+        return pa.table(
+            {
+                "query_j": pa.array(np.concatenate(out_j)),
+                "doc_id": pa.array(np.concatenate(out_d).tolist(), type=id_type),
+                "part": pa.array(np.concatenate(out_p)),
+                "boundary": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    cands = [
+        tb
+        for tb in ray.get(
+            s.map_batches(block_score, batch_format="pyarrow", batch_size=None)
+            .materialize()
+            .to_arrow_refs()
+        )
+        if tb.num_rows
+    ]
+    if not cands:
+        return empty_result()
+    allc = pa.concat_tables(cands).combine_chunks()
+    id_type = allc.schema.field("doc_id").type
+    qj = allc.column("query_j").to_numpy(zero_copy_only=False)
+    dids = np.asarray(allc.column("doc_id").to_pylist(), dtype=object)
+    parts = allc.column("part").to_numpy(zero_copy_only=False).astype(np.int64)
+    is_b = allc.column("boundary").to_numpy(zero_copy_only=False)
+
+    out_q: list[str] = []
+    out_r: list[int] = []
+    out_d: list[object] = []
+    out_s: list[float] = []
+    for j, qid in enumerate(q_ids):
+        mj = qj == j
+        # re-sum boundary partials exactly (a doc boundary in several
+        # blocks contributes one partial per block)
+        bd = dids[mj & is_b]
+        bp = parts[mj & is_b]
+        if len(bd):
+            u, binv = np.unique(bd, return_inverse=True)
+            tot = np.zeros(len(u), dtype=np.int64)
+            np.add.at(tot, binv, bp)
+            cd = np.concatenate([dids[mj & ~is_b], u])
+            cp = np.concatenate([parts[mj & ~is_b], tot])
+        else:
+            cd = dids[mj & ~is_b]
+            cp = parts[mj & ~is_b]
+        if not len(cd):
+            continue
+        sc = np.round(cp / _SCALE, 6)  # half-even, mirrored by round_even in SQL
+        keep = sc > 0
+        cd, sc = cd[keep], sc[keep]
+        if not len(cd):
+            continue
+        order = np.lexsort((cd, -sc))[:k]
+        out_q.extend([qid] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(cd[order].tolist())
+        out_s.extend(sc[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, type=id_type),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
