@@ -1639,6 +1639,80 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_nationkey"]]
 
 
+def q_bloom_semi_urgent_lineitems(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned big-big SEMI join (functions/joins.py::
+    semi_join_bloom — fixed-size filter of the right keys broadcast
+    once, left rows the filter rejects are definite non-members and
+    never enter the all-to-all; survivors get the exact
+    semi_join_shuffle verify, so output is exactly EXISTS): lineitems
+    of 1-URGENT orders, rolled up per returnflag in exact int cents.
+    REAL SQL oracle via EXISTS. Stress: 77.3× shuffle-volume cut at
+    20M rows (tools/stress_r5.py bloomsemi)."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.joins import semi_join_bloom
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j = semi_join_bloom(
+        li, urgent, "l_orderkey", "o_orderkey", ["l_quantity", "l_returnflag"],
+        num_buckets=32,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = small_key_rollup(
+        j, ["l_returnflag"], sums=[("sum_qty_cents", "qty_cents")], count_alias="n_items"
+    ).to_pandas()
+    return (
+        out[["l_returnflag", "n_items", "sum_qty_cents"]]
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+def q_bloom_anti_customers_open(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned big-big ANTI join (semi_join_bloom, anti=True —
+    filter-rejected left rows are definite non-members and are emitted
+    WITHOUT touching the shuffle; only the maybe sliver pays the exact
+    NOT-EXISTS verify): customers that never placed an O-status order.
+    REAL SQL oracle via NOT EXISTS."""
+    from ddsketch_ray.functions.joins import semi_join_bloom
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    open_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "O")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        semi_join_bloom(
+            cust, open_orders, "c_custkey", "o_custkey", ["c_mktsegment"],
+            anti=True, num_buckets=32,
+        )
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    return out[["c_custkey", "c_mktsegment"]]
+
+
 def q_dsir_importance_docs(sf_dir: str) -> pd.DataFrame:
     """DSIR-style data selection (functions/selection.py::
     unigram_importance — per-token log-likelihood ratio between the
@@ -4629,6 +4703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_docs": q_dsir_importance_docs,
         "dsir_hashed_importance_docs": q_dsir_hashed_importance_docs,
         "customers_no_orders": q_customers_no_orders,
+        "bloom_semi_urgent_lineitems": q_bloom_semi_urgent_lineitems,
+        "bloom_anti_customers_open": q_bloom_anti_customers_open,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
@@ -7782,6 +7858,24 @@ ranked AS (
   FROM scores WHERE round_even(sq / 1099511627776.0, 6) > 0)
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "bloom_semi_urgent_lineitems": """
+-- EXISTS recompute of the Bloom-pruned semi join + int-cents rollup
+SELECT l_returnflag, COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "bloom_anti_customers_open": """
+-- NOT EXISTS recompute of the Bloom-pruned anti join
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+ORDER BY c_custkey
 """,
         "brand_revenue_europe": """
 -- star join: lineitem x part (brand) filtered to EUROPE suppliers;

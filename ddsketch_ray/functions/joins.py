@@ -915,3 +915,98 @@ def semi_join_shuffle(
         return out.rename_columns([left_key] + left_cols)
 
     return tagged.groupby("_b").map_groups(bucket_filter, batch_format="pyarrow")
+
+
+def semi_join_bloom(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols,
+    anti: bool = False,
+    fp_rate: float = 0.001,
+    capacity: int | None = None,
+    num_buckets: int = 64,
+    seed: int = 0,
+):
+    """Bloom-pruned big-big semi/anti join — EXACT output, shuffle
+    volume cut to (matches + fp_rate × non-matches) of the left side.
+
+    ``semi_join_shuffle`` ships EVERY left row through the bucket
+    all-to-all even when almost nothing matches; at 100 TB that shuffle
+    is the whole job. This plan spends one fixed-size broadcast to
+    avoid it: build a Bloom filter of the right keys through the
+    aggregate tree (the filter is m bits REGARDLESS of key count —
+    the small-side-doesn't-fit regime ``semi_join_broadcast`` can't
+    serve), ``ray.put`` it once, and pre-filter the left side
+    block-locally. Rows the filter rejects are DEFINITE non-members
+    (a Bloom filter has no false negatives): semi drops them on the
+    spot, anti emits them directly. Only the "maybe" rows — true
+    matches plus the fp_rate sliver — enter the exact
+    ``semi_join_shuffle`` verify, so the final output is exactly
+    EXISTS / NOT EXISTS, never approximate.
+
+    The anti plan consumes ``left_ds`` twice (definite-keep filter +
+    maybe-verify branch; Ray re-executes the upstream read per
+    consumer): two streaming column-pruned scans in exchange for
+    shuffling only the matched sliver — the right trade whenever the
+    scan is cheaper than the all-to-all, i.e. whenever this function
+    is the right choice at all. Null left keys follow EXISTS
+    semantics on both routes (dropped by semi, kept by anti) — the
+    verify enforces it for maybes, and a null row landing on the
+    definite route is by construction absent from the right.
+
+    measured (tools/stress_r5.py bloomsemi): 20M-row left × 500k-key
+    right, 1.2% match rate — shuffle-carried rows 20M → 258.6k
+    (77.3×; filter 7.2 Mbits ≈ 0.9 MB broadcast vs 500k raw keys),
+    bit-equal output. Single-node wall 12.0 → 10.7 s only, because a
+    local "shuffle" never touches a network — the volume ratio is the
+    multi-node story.
+    """
+    import ray
+
+    from ddsketch_ray.agg import BloomAgg, hash_any_column, sketch_from_result
+
+    left_cols = list(left_cols)
+    if capacity is None:
+        capacity = max(64, right_ds.count())
+    hash_seed = seed + 101  # decouple filter hashing from bucket hashing
+    bloom = sketch_from_result(
+        right_ds.aggregate(
+            BloomAgg(
+                on=right_key,
+                capacity=capacity,
+                fp_rate=fp_rate,
+                seed=hash_seed,
+                alias_name="bf",
+            )
+        )["bf"]
+    )
+    bloom_ref = ray.put(bloom)
+    keep_cols = [left_key] + left_cols
+
+    def prune(keep_maybe: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            bf = ray.get(bloom_ref)  # zero-copy bitmap per stateless task
+            h = hash_any_column(t.column(left_key), is_arrow=True, seed=hash_seed)
+            maybe = bf.contains_hashed(h)
+            mask = maybe if keep_maybe else ~maybe
+            return t.filter(pa.array(mask)).select(keep_cols)
+
+        return fn
+
+    maybes = left_ds.map_batches(prune(True), batch_format="pyarrow", batch_size=None)
+    verified = semi_join_shuffle(
+        maybes,
+        right_ds,
+        left_key,
+        right_key,
+        left_cols,
+        anti=anti,
+        num_buckets=num_buckets,
+        seed=seed,
+    )
+    if not anti:
+        return verified
+    definite = left_ds.map_batches(prune(False), batch_format="pyarrow", batch_size=None)
+    return verified.union(definite)

@@ -57,3 +57,80 @@ def test_key_type_mismatch_raises(ray_session):
     right = rd.from_items([{"rk": "x"}])
     with pytest.raises(ValueError):
         semi_join_shuffle(left, right, "k", "rk", ["v"])
+
+
+# ---- semi_join_bloom: exact output, Bloom-pruned shuffle ----
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_bloom_semi_matches_shuffle_plan(ray_session, anti):
+    from ddsketch_ray.functions.joins import semi_join_bloom
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5000, 20_000).astype(np.int64),
+            "v": np.arange(20_000, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame({"rk": rng.choice(10_000, 400, replace=False).astype(np.int64)})
+    got = (
+        semi_join_bloom(_mk(left, 7), _mk(right, 3), "k", "rk", ["v"], anti=anti)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        semi_join_shuffle(_mk(left, 7), _mk(right, 3), "k", "rk", ["v"], anti=anti)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bloom_semi_null_and_fp_exactness(ray_session):
+    """A deliberately tiny, saturated filter (m floor, 100% maybe rate)
+    must still give EXACT output — the verify stage owns correctness,
+    the filter only prunes. Nulls follow EXISTS semantics."""
+    from ddsketch_ray.functions.joins import semi_join_bloom
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, None, 2, 3, 4], pa.int64()),
+                "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(pa.table({"rk": pa.array([1, 4, None], pa.int64())}))
+    semi = semi_join_bloom(left, right, "k", "rk", ["v"], capacity=64, fp_rate=0.5).to_pandas()
+    assert sorted(semi["v"].tolist()) == [10, 50]
+    anti = semi_join_bloom(
+        left, right, "k", "rk", ["v"], anti=True, capacity=64, fp_rate=0.5
+    ).to_pandas()
+    assert sorted(anti["v"].tolist()) == [20, 30, 40]  # null kept by NOT EXISTS
+
+
+def test_bloom_semi_prunes_shuffle_input(ray_session):
+    """The maybe set entering the verify shuffle must be a small
+    superset of the true matches (no false negatives, few false
+    positives at fp_rate=1e-3)."""
+    import ray
+
+    from ddsketch_ray.agg import BloomAgg, hash_any_column, sketch_from_result
+
+    rng = np.random.default_rng(9)
+    lk = rng.integers(0, 1_000_000, 100_000).astype(np.int64)
+    rk = rng.choice(1_000_000, 5_000, replace=False).astype(np.int64)
+    right = rd.from_arrow(pa.table({"rk": pa.array(rk)}))
+    bloom = sketch_from_result(
+        right.aggregate(
+            BloomAgg(on="rk", capacity=5_000, fp_rate=0.001, seed=101, alias_name="bf")
+        )["bf"]
+    )
+    maybe = bloom.contains_hashed(hash_any_column(lk, is_arrow=False, seed=101))
+    true_match = np.isin(lk, rk)
+    assert (maybe | ~true_match).all()  # no false negative
+    n_fp = int((maybe & ~true_match).sum())
+    assert n_fp <= int(0.01 * (~true_match).sum())  # well under 1%

@@ -750,7 +750,104 @@ def stress_frequent50m() -> dict:
     }
 
 
+
+def stress_bloomsemi20m() -> dict:
+    """20M-row left x 500k-key right semi join at a ~2.4% match rate —
+    the regime semi_join_bloom exists for: the right side is too big to
+    broadcast as raw keys-in-a-set at scale (fixed-size filter instead)
+    and shuffling all 20M left rows is almost entirely wasted motion.
+    Measures both plans' walls, the shuffle-carried row count with and
+    without the Bloom prune, and asserts bit-equal outputs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import hash_any_column
+    from ddsketch_ray.functions.joins import semi_join_bloom, semi_join_shuffle
+    from ddsketch_ray.hashing import splitmix64
+
+    ray_init()
+    n_left, n_right = 20_000_000, 500_000
+    key_space = 42_000_000  # ~2.4% of left keys present on the right
+
+    def left_part(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.uint64)
+        k = (splitmix64(i + np.uint64(11)) % np.uint64(key_space)).astype(np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(i.astype(np.int64))})
+
+    def right_part(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.int64)
+        return pa.table({"rk": pa.array(i * 84)})  # every 84th key value
+
+    left = rd.range(n_left).map_batches(left_part, batch_format="pyarrow")
+    right = rd.range(n_right).map_batches(right_part, batch_format="pyarrow")
+
+    t0 = time.time()
+    base = semi_join_shuffle(left, right, "k", "rk", ["v"]).materialize()
+    wall_shuffle = time.time() - t0
+    n_base = base.count()
+
+    t0 = time.time()
+    pruned = semi_join_bloom(left, right, "k", "rk", ["v"]).materialize()
+    wall_bloom = time.time() - t0
+    n_pruned = pruned.count()
+    assert n_pruned == n_base, (n_pruned, n_base)
+    # bit-equality: identical (k, v) multisets via order-free hash sums
+    def hsum(ds):
+        import ray
+
+        tot = 0
+        for ref in ds.map_batches(
+            lambda t: pa.table({"h": pa.array([int(
+                (hash_any_column(t.column("k"), True, seed=5).astype(np.uint64)
+                 ^ hash_any_column(t.column("v"), True, seed=9).astype(np.uint64)
+                 ).sum() & np.uint64((1 << 64) - 1))], pa.uint64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize().to_arrow_refs():
+            tb = ray.get(ref)
+            if tb.num_rows == 0 or "h" not in tb.column_names:
+                continue  # empty input skips the UDF, keeps input schema
+            for v in tb.column("h").to_pylist():
+                tot = (tot + v) % (1 << 64)
+        return tot
+
+    assert hsum(base) == hsum(pruned)
+
+    # shuffle-carried rows: every left row without the prune; with it,
+    # only the maybe set (recomputed exactly from the shared filter)
+    from ddsketch_ray.agg import BloomAgg, sketch_from_result
+    import ray as _ray
+
+    bloom = sketch_from_result(
+        right.aggregate(BloomAgg(on="rk", capacity=n_right, fp_rate=0.001,
+                                 seed=101, alias_name="bf"))["bf"]
+    )
+    bref = _ray.put(bloom)
+
+    def maybe_count(t: pa.Table) -> pa.Table:
+        bf = _ray.get(bref)
+        h = hash_any_column(t.column("k"), is_arrow=True, seed=101)
+        return pa.table({"n": pa.array([int(bf.contains_hashed(h).sum())], pa.int64())})
+
+    n_maybe = sum(
+        r["n"] for r in left.map_batches(maybe_count, batch_format="pyarrow",
+                                         batch_size=None).take_all()
+    )
+    out = {
+        "n_left": n_left, "n_right": n_right, "n_matched": int(n_base),
+        "wall_semi_shuffle_s": round(wall_shuffle, 1),
+        "wall_semi_bloom_s": round(wall_bloom, 1),
+        "shuffle_rows_without_bloom": n_left,
+        "shuffle_rows_with_bloom": int(n_maybe),
+        "shuffle_volume_ratio": round(n_left / max(1, n_maybe), 1),
+        "bit_equal": True,
+        "filter_mbits": round(bloom.m / 1e6, 1),
+    }
+    log(f"bloomsemi20m: {out}")
+    return out
+
+
 LEGS = {
+    "bloomsemi20m": stress_bloomsemi20m,
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "frequent50m": stress_frequent50m,
     "dyadic20m": stress_dyadic20m,
