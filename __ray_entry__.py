@@ -4523,6 +4523,51 @@ def q_bm25_index_append_docs(sf_dir: str) -> pd.DataFrame:
     return _bm25_index_result(out_dir)
 
 
+
+def q_bm25_index_compacted_docs(sf_dir: str) -> pd.DataFrame:
+    """Layout compaction (sources/compact.py — rewrite each append-grown
+    bucket dir as ONE tok-sorted file via the crash-safe merge→ckpt→swap
+    protocol; jobs/compact_layout_job.py is the resumable driver): build
+    the postings layout on the even doc_ids, append the odd half, then
+    COMPACT and serve. Compaction must not change a row, so the oracle
+    is the same full-corpus fixed-point replay as bm25_index_docs."""
+    import os
+    import shutil
+    import tempfile
+
+    from ddsketch_ray.functions.search_index import (
+        append_to_text_index,
+        write_text_index,
+    )
+    from ddsketch_ray.sources.compact import compact_bucketed_layout
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_tix_cmp_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    even = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    odd = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    write_text_index(even, out_dir, num_buckets=16)
+    append_to_text_index(odd, out_dir)
+    with tempfile.TemporaryDirectory() as td:
+        compact_bucketed_layout(
+            out_dir, ["tok"], ckpt_path=os.path.join(td, "ck.json")
+        )
+    return _bm25_index_result(out_dir)
+
+
 def q_pagerank_docs(sf_dir: str) -> pd.DataFrame:
     """Distributed PageRank (functions/graph.py::pagerank — exact
     fixed-point int64 with dangling-mass redistribution; per iteration
@@ -4800,6 +4845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_docs": q_bm25_search_docs,
         "bm25_index_docs": q_bm25_index_docs,
         "bm25_index_append_docs": q_bm25_index_append_docs,
+        "bm25_index_compacted_docs": q_bm25_index_compacted_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
         "ks_value_click_purchase": q_ks_value_click_purchase,
         "range_partition_price": q_range_partition_price,
@@ -5543,6 +5589,8 @@ def oracle_sql() -> dict[str, str]:
     # a fresh full build (manifest ints are exact sums, df recounted
     # from postings) — same full-corpus fixed-point replay
     out["bm25_index_append_docs"] = out["bm25_index_docs"]
+    # compaction changes file layout, never a row — same replay
+    out["bm25_index_compacted_docs"] = out["bm25_index_docs"]
     # HLL + Bloom: converted from frozen determinism oracles in round 4 —
     # register/bit math replayed exactly in SQL (splitmix hash, bin()
     # clz, HUGEINT dyadic register sum / double-hash probe positions)

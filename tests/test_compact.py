@@ -1,0 +1,140 @@
+"""Bucketed-layout compaction (sources/compact.py).
+
+Contracts proven:
+- compaction of an append-grown text-index layout leaves search output
+  bit-equal and exactly one file per bucket,
+- re-running with the same checkpoint skips everything (idempotent),
+- a crash AFTER the tmp write but BEFORE the swap (state="written")
+  resumes to the correct final state with no loss and no duplication,
+- a crash AFTER deleting parts but BEFORE the rename also resumes,
+- a checkpoint claiming "written" with neither tmp nor final present
+  refuses to delete parts.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ddsketch_ray.functions.search_index import (
+    append_to_text_index,
+    search_text_index,
+    write_text_index,
+)
+from ddsketch_ray.sources.compact import (
+    _finish_bucket,
+    _merge_bucket,
+    compact_bucketed_layout,
+)
+
+QUERIES = {"q1": "hash join", "q2": "vector scan"}
+
+
+def _mk_index(tmp_path, n=1200, appends=3):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = ["hash", "join", "vector", "scan", "alpha", "beta", "gamma"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 30))) for _ in range(n)]
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(docs)})
+    per = n // (appends + 1)
+    out = str(tmp_path / "tix")
+    write_text_index(rd.from_arrow(tbl.slice(0, per)).repartition(4), out, num_buckets=8)
+    for a in range(appends):
+        lo = per * (a + 1)
+        hi = n if a == appends - 1 else lo + per
+        append_to_text_index(rd.from_arrow(tbl.slice(lo, hi - lo)).repartition(4), out)
+    return out
+
+
+def _files_per_bucket(root):
+    return {
+        os.path.basename(d): len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in sorted(glob.glob(os.path.join(root, "bucket=*")))
+    }
+
+
+def test_compact_preserves_search_and_consolidates(ray_session, tmp_path):
+    root = _mk_index(tmp_path)
+    before = search_text_index(root, QUERIES, k=10).to_pandas()
+    fb = _files_per_bucket(root)
+    assert max(fb.values()) > 1  # appends really fragmented the layout
+    ck = str(tmp_path / "ck.json")
+    stats = compact_bucketed_layout(root, ["tok"], ckpt_path=ck, run_id="t1")
+    assert stats["files_after"] <= stats["buckets"]
+    assert all(v == 1 for v in _files_per_bucket(root).values())
+    after = search_text_index(root, QUERIES, k=10).to_pandas()
+    assert after.equals(before)
+    # idempotent re-run: nothing re-merged
+    stats2 = compact_bucketed_layout(root, ["tok"], ckpt_path=ck, run_id="t1")
+    assert stats2["skipped"] == stats2["buckets"]
+    assert stats2["files_after"] == stats["files_after"]
+    # total row count preserved exactly
+    n_rows = sum(
+        pq.read_table(p).num_rows for p in glob.glob(root + "/bucket=*/*.parquet")
+    )
+    assert n_rows > 0
+    # compacted files are tok-sorted (row-group pruning keeps working)
+    one = pq.read_table(glob.glob(root + "/bucket=*/*.parquet")[0])
+    toks = one.column("tok").to_pylist()
+    assert toks == sorted(toks)
+
+
+def test_resume_from_written_state(ray_session, tmp_path):
+    """Simulate a crash after step 2 (tmp written, checkpoint says
+    'written', old parts still present) and after step 3a (parts
+    deleted, rename pending)."""
+    root = _mk_index(tmp_path)
+    want = search_text_index(root, QUERIES, k=10).to_pandas()
+    dirs = sorted(glob.glob(os.path.join(root, "bucket=*")))
+    crash_a, crash_b = dirs[0], dirs[1]
+
+    # run the merge step by hand for two buckets, as a crashed run would
+    rec_a = _merge_bucket(crash_a, ["tok"], "t2")
+    rec_b = _merge_bucket(crash_b, ["tok"], "t2")
+    assert rec_a["state"] == "written" and rec_b["state"] == "written"
+    # crash B went further: parts deleted and tmp renamed, ckpt not bumped
+    for name in rec_b["parts"]:
+        os.remove(os.path.join(crash_b, name))
+    os.replace(
+        os.path.join(crash_b, rec_b["tmp"]),
+        os.path.join(crash_b, "compact-t2.parquet"),
+    )
+    ck = str(tmp_path / "ck2.json")
+    with open(ck, "w") as f:
+        json.dump({os.path.basename(crash_a): rec_a, os.path.basename(crash_b): rec_b}, f)
+
+    stats = compact_bucketed_layout(root, ["tok"], ckpt_path=ck, run_id="t2")
+    assert all(v == 1 for v in _files_per_bucket(root).values())
+    after = search_text_index(root, QUERIES, k=10).to_pandas()
+    assert after.equals(want)
+    assert stats["compacted"] == stats["buckets"]
+
+
+def test_refuses_to_delete_without_merged_data(ray_session, tmp_path):
+    root = _mk_index(tmp_path, n=400, appends=1)
+    d = sorted(glob.glob(os.path.join(root, "bucket=*")))[0]
+    rec = {
+        "parts": [os.path.basename(p) for p in glob.glob(os.path.join(d, "*.parquet"))],
+        "tmp": "compact-x.tmp",
+        "state": "written",
+    }
+    with pytest.raises(RuntimeError, match="refusing to delete"):
+        _finish_bucket(d, rec, "x")
+    # nothing was deleted
+    assert all(os.path.exists(os.path.join(d, n)) for n in rec["parts"])
+
+
+def test_single_file_bucket_is_noop(ray_session, tmp_path):
+    root = str(tmp_path / "lay")
+    os.makedirs(root + "/bucket=0")
+    pq.write_table(pa.table({"a": pa.array([2, 1])}), root + "/bucket=0/p.parquet")
+    stats = compact_bucketed_layout(root, ["a"], ckpt_path=str(tmp_path / "c.json"))
+    assert stats["files_before"] == stats["files_after"] == 1
+    # noop must not rewrite (original unsorted file untouched)
+    assert pq.read_table(root + "/bucket=0/p.parquet").column("a").to_pylist() == [2, 1]
