@@ -196,7 +196,13 @@ def write_text_index(
         batch_size=None,
     )
     if n_docs:
-        postings.sort(["bucket", "tok"]).write_parquet(out_dir, partition_cols=["bucket"])
+        # 64k-row row groups: the serve-time term filter prunes at row-
+        # group granularity via the tok sort — one ~1M-row group per
+        # file would force decoding the whole bucket for any one term
+        # (measured 515 → 31 ms/serve on the 600k-page stress corpus)
+        postings.sort(["bucket", "tok"]).write_parquet(
+            out_dir, partition_cols=["bucket"], row_group_size=64_000
+        )
     meta = {
         "version": 1,
         "n_docs": int(n_docs),
@@ -230,7 +236,9 @@ def append_to_text_index(new_ds, out_dir: str) -> int:
         _postings_map(meta["text_col"], meta["doc_id_col"], meta["num_buckets"], meta["seed"]),
         batch_format="pyarrow",
         batch_size=None,
-    ).sort(["bucket", "tok"]).write_parquet(out_dir, partition_cols=["bucket"])
+    ).sort(["bucket", "tok"]).write_parquet(
+        out_dir, partition_cols=["bucket"], row_group_size=64_000
+    )
     meta["n_docs"] = int(meta["n_docs"] + n_new)
     meta["sum_dl"] = int(meta["sum_dl"] + dl_new)
     with open(os.path.join(out_dir, META_NAME), "w") as f:
@@ -238,24 +246,63 @@ def append_to_text_index(new_ds, out_dir: str) -> int:
     return int(n_new)
 
 
-def _read_term_buckets(out_dir: str, terms: list[str], num_buckets: int, seed: int):
-    """Dataset over ONLY the query terms' bucket files, filtered to the
-    terms (row-group pruned — the files are tok-sorted). Returns None
-    when no matching bucket directory exists."""
-    import ray.data as rd
+def _term_bucket_files(
+    out_dir: str, terms: list[str], num_buckets: int, seed: int
+) -> tuple[list[str], dict[str, list[str]]]:
+    """ONLY the query terms' bucket files — the pruning the layout
+    exists for. Returns (all pruned files, per-term file lists). Byte
+    sizes are known before any read, so the physical-plan gate costs
+    nothing; the per-term lists let the driver plan issue one
+    EQUALITY-filtered read per term (row-group statistics prune
+    equality predicates; an isin over the union evaluates post-decode
+    and measured 0.30 s where six equality reads take 0.05 s)."""
+    tb = _term_bucket(pa.array(terms, pa.string()), num_buckets, seed)
+    by_bucket: dict[int, list[str]] = {
+        b: sorted(_glob.glob(f"{out_dir}/bucket={b}/*.parquet"))
+        for b in sorted(set(tb.tolist()))
+    }
+    files = [f for b in sorted(by_bucket) for f in by_bucket[b]]
+    per_term = {t: by_bucket[int(b)] for t, b in zip(terms, tb.tolist())}
+    return files, per_term
 
-    buckets = sorted(
-        set(_term_bucket(pa.array(terms, pa.string()), num_buckets, seed).tolist())
-    )
-    files: list[str] = []
-    for b in buckets:
-        files.extend(sorted(_glob.glob(f"{out_dir}/bucket={b}/*.parquet")))
-    if not files:
-        return None
-    return rd.read_parquet(
-        files,
-        columns=["tok", "doc_id", "tf", "dl"],
-        filter=pc.field("tok").isin(terms),
+
+def _contrib_quantized(idf_t, tf, dl, avgdl, k1, b):
+    """Per-(doc, term) BM25 contribution → 2^40 int64 units — the
+    expression spelled EXACTLY as the inline plan / SQL oracle
+    (((idf·tf)·(k1+1)) / (tf + k1·(1−b+b·(dl/avgdl)))), quantized once
+    (np.rint == round_even)."""
+    denom = tf + k1 * (1.0 - b + b * (dl / avgdl))
+    return np.rint(idf_t * tf * (k1 + 1.0) / denom * _SCALE).astype(np.int64)
+
+
+def _rank_rows(per_query, q_ids, k, id_type) -> pa.Table:
+    """Final ranking: per query, (doc ids, int64 score sums) → rounded
+    score, (score DESC, doc ASC) order, rank 1..k."""
+    out_q: list[str] = []
+    out_r: list[int] = []
+    out_d: list[object] = []
+    out_s: list[float] = []
+    for qid in q_ids:
+        cd, cp = per_query.get(qid, (None, None))
+        if cd is None or not len(cd):
+            continue
+        sc = np.round(cp / _SCALE, 6)  # half-even, mirrored by round_even in SQL
+        keep = sc > 0
+        cd, sc = cd[keep], sc[keep]
+        if not len(cd):
+            continue
+        order = np.lexsort((cd, -sc))[:k]
+        out_q.extend([qid] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(cd[order].tolist())
+        out_s.extend(sc[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, type=id_type),
+            "score": pa.array(out_s, pa.float64()),
+        }
     )
 
 
@@ -265,6 +312,8 @@ def search_text_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    mode: str = "auto",
+    driver_bytes_limit: int = 128 << 20,
 ) -> pa.Table:
     """Global BM25 top-k per query, served from the persisted layout.
     Same output schema and ranking contract as
@@ -273,11 +322,31 @@ def search_text_index(
     ascending doc_id. Scores come from the order-independent
     fixed-point chain (module docstring) — ranks match the inline path
     everywhere the two chains' 2^-40-resolution scores round alike
-    (pytest-asserted on the test corpora)."""
-    import ray
+    (pytest-asserted on the test corpora).
 
+    Two physical plans behind one result (the dedup/pagerank
+    ``mode="auto"`` size-gate pattern; bit-equal by construction since
+    integer sums are order-free, pytest-proven). The gate input is the
+    pruned bucket files' total BYTE size — known from the filesystem
+    before any read, so deciding costs nothing:
+
+    - **driver** (≤ ``driver_bytes_limit``, default 128 MB of pruned
+      parquet): read the matched postings directly with pyarrow and
+      score dense on the driver — ZERO Ray executions per serve. A
+      serving lookup over a few pruned megabytes must not spin a
+      distributed pipeline: the fixed per-execution cost of even one
+      Dataset pass is ~10× the lookup itself (measured 1.24 s/batch
+      distributed → 0.13 s driver on a 600k-page corpus — 8.9×
+      steady-state vs inline bm25_search; tools/stress_r5.py
+      textindex600k).
+    - **distributed** (above the gate): Dataset read → df pass →
+      doc-sort → per-block scoring with boundary fix-up — nothing
+      driver-side ever exceeds O(blocks × queries × k); the hot-term
+      regime's plan."""
     from ddsketch_ray.functions.search import tokenize_query
 
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
     with open(os.path.join(out_dir, META_NAME)) as f:
         meta = json.load(f)
     n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
@@ -298,10 +367,68 @@ def search_text_index(
 
     if not terms or not q_ids or n_docs == 0:
         return empty_result()
-    pruned = _read_term_buckets(out_dir, terms, meta["num_buckets"], meta["seed"])
-    if pruned is None:
+    files, per_term = _term_bucket_files(out_dir, terms, meta["num_buckets"], meta["seed"])
+    if not files:
         return empty_result()
-    pruned = pruned.materialize()  # read once; reused by the df pass and the sort
+
+    avgdl = sum_dl / n_docs if sum_dl else 1.0
+    kk1, bb = float(k1), float(b)
+    n_q = len(q_ids)
+    n_t = len(terms)
+    term_idx = {t: i for i, t in enumerate(terms)}
+    member = np.zeros((n_t, n_q), dtype=np.int64)
+    for j, qid in enumerate(q_ids):
+        for t in q_terms[qid]:
+            member[term_idx[t], j] = 1
+
+    pruned_bytes = sum(os.path.getsize(f) for f in files)
+    if mode == "driver" or (mode == "auto" and pruned_bytes <= driver_bytes_limit):
+        # ---- driver plan: direct pyarrow read, zero Ray executions;
+        # one equality-filtered read per term so row-group statistics
+        # prune (terms match disjoint rows — concat is exact) ----
+        import pyarrow.dataset as pads
+
+        t_parts = []
+        tidx_parts = []
+        for term in terms:
+            if not per_term[term]:  # term's bucket was never written
+                continue
+            tp = pads.dataset(per_term[term], format="parquet").to_table(
+                columns=["doc_id", "tf", "dl"],
+                filter=pc.field("tok") == term,
+            )
+            if tp.num_rows:
+                t_parts.append(tp)
+                tidx_parts.append(np.full(tp.num_rows, term_idx[term], dtype=np.int64))
+        if not t_parts:
+            return empty_result()
+        t = pa.concat_tables(t_parts).combine_chunks()
+        tidx = np.concatenate(tidx_parts)
+        id_type = t.schema.field("doc_id").type
+        dfv_i = np.zeros(n_t, dtype=np.int64)
+        np.add.at(dfv_i, tidx, 1)
+        dfv = dfv_i.astype(np.float64)
+        idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        ids_all = np.asarray(t.column("doc_id").to_pylist(), dtype=object)
+        uniq, inv = np.unique(ids_all, return_inverse=True)
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        cq = _contrib_quantized(idf[tidx], tf, dl, avgdl, kk1, bb)
+        m = np.zeros((len(uniq), n_t), dtype=np.int64)
+        np.add.at(m, (inv, tidx), cq)
+        scores = m @ member
+        per_query = {qid: (uniq, scores[:, j]) for j, qid in enumerate(q_ids)}
+        return _rank_rows(per_query, q_ids, k, id_type)
+
+    # ---- distributed plan ----
+    import ray
+    import ray.data as rd
+
+    pruned = rd.read_parquet(
+        files,
+        columns=["tok", "doc_id", "tf", "dl"],
+        filter=pc.field("tok").isin(terms),
+    ).materialize()  # read once; reused by the df pass and the sort
 
     # ---- df: exact per-term postings row counts, O(blocks×terms) ----
     def df_batch(t: pa.Table) -> pa.Table:
@@ -325,20 +452,11 @@ def search_text_index(
                 df[tok] += d
 
     # ---- broadcast scoring state (identical expressions to inline) ----
-    avgdl = sum_dl / n_docs if sum_dl else 1.0
     dfv = np.array([df[t] for t in terms], dtype=np.float64)
     idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
-    term_idx = {t: i for i, t in enumerate(terms)}
-    member = np.zeros((len(terms), len(q_ids)), dtype=np.int64)
-    for j, qid in enumerate(q_ids):
-        for t in q_terms[qid]:
-            member[term_idx[t], j] = 1
     bcast = ray.put(
         {"term_idx": term_idx, "idf": idf, "member": member, "avgdl": float(avgdl)}
     )
-    kk1, bb = float(k1), float(b)
-    n_q = len(q_ids)
-    n_t = len(terms)
 
     # ---- the only shuffle: matched rows sorted by doc so each doc's
     # cross-bucket rows become one contiguous run ----
@@ -365,12 +483,8 @@ def search_text_index(
             [st["term_idx"][tok] for tok in t.column("tok").to_pylist()], dtype=np.int64
         )
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        # per-row contribution, spelled exactly as inline / the oracle:
-        # ((idf * tf) * (k1+1)) / (tf + k1 * (1 - b + b * (dl/avgdl)))
-        denom = tf + kk1 * (1.0 - bb + bb * (dl[inv] / st["avgdl"]))
-        contrib = st["idf"][tidx] * tf * (kk1 + 1.0) / denom
         # ONE quantization per contribution → exact int64 sums from here
-        cq = np.rint(contrib * _SCALE).astype(np.int64)
+        cq = _contrib_quantized(st["idf"][tidx], tf, dl[inv], st["avgdl"], kk1, bb)
         m = np.zeros((len(uniq), n_t), dtype=np.int64)
         np.add.at(m, (inv, tidx), cq)  # duplicate (doc,term) rows impossible, but exact anyway
         scores = m @ st["member"]  # (docs × queries) int64 — order-free
@@ -428,10 +542,7 @@ def search_text_index(
     parts = allc.column("part").to_numpy(zero_copy_only=False).astype(np.int64)
     is_b = allc.column("boundary").to_numpy(zero_copy_only=False)
 
-    out_q: list[str] = []
-    out_r: list[int] = []
-    out_d: list[object] = []
-    out_s: list[float] = []
+    per_query: dict[str, tuple] = {}
     for j, qid in enumerate(q_ids):
         mj = qj == j
         # re-sum boundary partials exactly (a doc boundary in several
@@ -447,23 +558,5 @@ def search_text_index(
         else:
             cd = dids[mj & ~is_b]
             cp = parts[mj & ~is_b]
-        if not len(cd):
-            continue
-        sc = np.round(cp / _SCALE, 6)  # half-even, mirrored by round_even in SQL
-        keep = sc > 0
-        cd, sc = cd[keep], sc[keep]
-        if not len(cd):
-            continue
-        order = np.lexsort((cd, -sc))[:k]
-        out_q.extend([qid] * len(order))
-        out_r.extend(range(1, len(order) + 1))
-        out_d.extend(cd[order].tolist())
-        out_s.extend(sc[order].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.string()),
-            "rank": pa.array(out_r, pa.int64()),
-            "doc_id": pa.array(out_d, type=id_type),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+        per_query[qid] = (cd, cp)
+    return _rank_rows(per_query, q_ids, k, id_type)

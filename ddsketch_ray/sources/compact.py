@@ -75,7 +75,7 @@ def _save_ckpt(path: str | None, state: dict) -> None:
     os.replace(tmp, path)
 
 
-def _merge_bucket(bucket_dir: str, sort_cols: list[str], run_id: str) -> dict:
+def _merge_bucket(bucket_dir: str, sort_cols: list[str], run_id: str, row_group_size: int = 64_000) -> dict:
     """Step 1: read parts → one sorted table → tmp file. Returns the
     checkpoint record (state='written')."""
     parts = sorted(_glob.glob(os.path.join(bucket_dir, "*.parquet")))
@@ -87,7 +87,9 @@ def _merge_bucket(bucket_dir: str, sort_cols: list[str], run_id: str) -> dict:
     t = pa.concat_tables([pq.read_table(p) for p in parts]).combine_chunks()
     if sort_cols:
         t = t.sort_by([(c, "ascending") for c in sort_cols])
-    pq.write_table(t, tmp)
+    # small row groups keep predicate pruning effective after the
+    # merge (the layouts this compacts are read with column filters)
+    pq.write_table(t, tmp, row_group_size=row_group_size)
     rec["state"] = "written"
     return rec
 
@@ -115,6 +117,7 @@ def compact_bucketed_layout(
     ckpt_path: str | None = None,
     run_id: str = "r0",
     parallelism: int = 8,
+    row_group_size: int = 64_000,
 ) -> dict:
     """Compact every ``key=value`` bucket directory under ``root`` to a
     single file sorted by ``sort_cols``. Re-runnable with the same
@@ -151,7 +154,7 @@ def compact_bucketed_layout(
     merge = ray.remote(num_cpus=1)(_merge_bucket)
     for i in range(0, len(todo), max(1, parallelism)):
         batch = todo[i : i + max(1, parallelism)]
-        recs = ray.get([merge.remote(d, sort_cols, run_id) for d in batch])
+        recs = ray.get([merge.remote(d, sort_cols, run_id, row_group_size) for d in batch])
         for d, rec in zip(batch, recs):
             key = os.path.basename(d)
             ckpt[key] = rec

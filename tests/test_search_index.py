@@ -147,3 +147,16 @@ def test_edge_cases(ray_session, index_dir, tmp_path):
     # k larger than matches: every matching doc ranked, none twice
     big = search_text_index(index_dir, {"q1": "hash"}, k=10_000).to_pandas()
     assert big["doc_id"].is_unique and (big["rank"].to_numpy() == np.arange(1, len(big) + 1)).all()
+
+
+def test_driver_and_distributed_plans_bit_equal(index_dir):
+    """mode='auto' gates to the driver plan; force both plans and
+    assert bit-equality (integer sums are order-free, so the two
+    physical plans compute literally the same numbers)."""
+    a = search_text_index(index_dir, QUERIES, k=10, mode="driver").to_pandas()
+    b = search_text_index(index_dir, QUERIES, k=10, mode="distributed").to_pandas()
+    assert a.equals(b)
+    c = search_text_index(index_dir, QUERIES, k=10, mode="auto").to_pandas()
+    assert c.equals(a)
+    with pytest.raises(ValueError):
+        search_text_index(index_dir, QUERIES, mode="bogus")

