@@ -274,6 +274,53 @@ def bench_bm25() -> float:
     return time.perf_counter() - t0
 
 
+
+_TIX_DIR = os.environ.get("GRAFT_TIX_DIR", "/tmp/ddsr_bench_tix")
+
+
+def ensure_text_index(n: int) -> str:
+    """Persisted inverted index over the bench webpage corpus — built
+    once per corpus (like ensure_corpus/ensure_embeddings), reused by
+    every bm25_index_serve timing."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.search_index import write_text_index
+
+    meta_p = os.path.join(_TIX_DIR, "_text_index_meta.json")
+    stamp = os.path.join(_TIX_DIR, "_bench_stamp.json")
+    if os.path.exists(meta_p) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if json.load(f).get("n") == n:
+                return _TIX_DIR
+    import shutil
+
+    shutil.rmtree(_TIX_DIR, ignore_errors=True)
+    path = ensure_corpus(n)
+    ds = rd.read_parquet(path, columns=["url", "text"])
+    write_text_index(ds, _TIX_DIR, text_col="text", doc_id_col="url", num_buckets=64)
+    with open(stamp, "w") as f:
+        json.dump({"n": n}, f)
+    return _TIX_DIR
+
+
+def bench_bm25_index_serve() -> float:
+    """Serving 10 query batches from the persisted inverted index
+    (round 5): per-term equality-pruned reads through the byte-gated
+    driver plan — the amortized counterpart of bm25_600k_pages (which
+    re-tokenizes the corpus per call)."""
+    from ddsketch_ray.functions.search_index import search_text_index
+
+    root = ensure_text_index(READ_N)
+    batches = [
+        {"a": f"baba loroh q{i}", "b": f"vekep hucu sisig q{i}", "c": "falan podo"}
+        for i in range(10)
+    ]
+    t0 = time.perf_counter()
+    for q in batches:
+        search_text_index(root, q, k=10)
+    return time.perf_counter() - t0
+
+
 _EMB_DIR = os.environ.get("GRAFT_EMB_DIR", "/tmp/ddsr_bench_emb1m")
 
 
@@ -468,6 +515,7 @@ def run_bench() -> dict:
         ("bigjoin_lineitem_orders", bench_bigjoin),
         ("vocab_600k_pages", bench_vocab),
         ("bm25_600k_pages", bench_bm25),
+        ("bm25_index_serve_10x", bench_bm25_index_serve),
         ("kmeans_1m_embeddings", bench_kmeans),
         ("pack_documents", bench_pack),
         ("mixture_documents", bench_mixture),

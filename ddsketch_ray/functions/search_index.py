@@ -335,8 +335,8 @@ def search_text_index(
       score dense on the driver — ZERO Ray executions per serve. A
       serving lookup over a few pruned megabytes must not spin a
       distributed pipeline: the fixed per-execution cost of even one
-      Dataset pass is ~10× the lookup itself (measured 1.24 s/batch
-      distributed → 0.13 s driver on a 600k-page corpus — 8.9×
+      Dataset pass is ~20× the lookup itself (measured 1.24 s/batch
+      distributed → 0.06 s driver on a 600k-page corpus — 16.5×
       steady-state vs inline bm25_search; tools/stress_r5.py
       textindex600k).
     - **distributed** (above the gate): Dataset read → df pass →
@@ -409,16 +409,47 @@ def search_text_index(
         np.add.at(dfv_i, tidx, 1)
         dfv = dfv_i.astype(np.float64)
         idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
-        ids_all = np.asarray(t.column("doc_id").to_pylist(), dtype=object)
-        uniq, inv = np.unique(ids_all, return_inverse=True)
+        # group rows by doc via Arrow dictionary-encode (C++ hash; a
+        # to_pylist + np.unique on millions of object strings was the
+        # hot-term serve's whole cost — 8.5 s → 0.5 s per batch on the
+        # 600k-page bench corpus with df≈300k url ids per term)
+        enc = pc.dictionary_encode(t.column("doc_id").combine_chunks())
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_ids = enc.dictionary  # first-seen order, NOT id-sorted
+        # integer rank in ascending-id order (Arrow sort == Python/SQL
+        # string order for UTF-8) so per-query tie-breaks lexsort ints
+        sort_idx = pc.sort_indices(uniq_ids).to_numpy(zero_copy_only=False)
+        id_rank = np.empty(len(uniq_ids), dtype=np.int64)
+        id_rank[sort_idx] = np.arange(len(uniq_ids), dtype=np.int64)
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
         cq = _contrib_quantized(idf[tidx], tf, dl, avgdl, kk1, bb)
-        m = np.zeros((len(uniq), n_t), dtype=np.int64)
+        m = np.zeros((len(uniq_ids), n_t), dtype=np.int64)
         np.add.at(m, (inv, tidx), cq)
         scores = m @ member
-        per_query = {qid: (uniq, scores[:, j]) for j, qid in enumerate(q_ids)}
-        return _rank_rows(per_query, q_ids, k, id_type)
+        out_q: list[str] = []
+        out_r: list[int] = []
+        out_d: list = []
+        out_s: list[float] = []
+        for j, qid in enumerate(q_ids):
+            sc = np.round(scores[:, j] / _SCALE, 6)
+            idx = np.nonzero(sc > 0)[0]
+            if not len(idx):
+                continue
+            order = np.lexsort((id_rank[idx], -sc[idx]))[:k]
+            sel = idx[order]
+            out_q.extend([qid] * len(sel))
+            out_r.extend(range(1, len(sel) + 1))
+            out_d.extend(uniq_ids.take(pa.array(sel)).to_pylist())
+            out_s.extend(sc[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "rank": pa.array(out_r, pa.int64()),
+                "doc_id": pa.array(out_d, type=id_type),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
 
     # ---- distributed plan ----
     import ray
