@@ -2228,6 +2228,70 @@ def q_jsonl_token_stats(sf_dir: str) -> pd.DataFrame:
     return df[["lang", "n_docs", "sum_tokens"]]
 
 
+def q_bloom_left_join_customer_urgent(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned LEFT equi join (functions/joins.py::
+    equi_join_bloom, how='left' — filter-rejected left rows can only
+    produce the null-filled row, so they skip the shuffle entirely and
+    are emitted with pa.nulls right columns, mirroring the joiner's
+    own unmatched fill; only the maybe sliver pays the bucket
+    all-to-all): every customer joined to their earliest 1-URGENT
+    order date, rolled up per market segment. REAL SQL oracle via
+    LEFT JOIN a filtered aggregate."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.joins import equi_join_bloom
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # right side: per-customer earliest urgent order date, as int days
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_orderdate"])
+
+    def min_urgent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        # timestamp[us] → whole epoch days, exact integer division
+        us = t.column("o_orderdate").cast(pa.int64())
+        days = pc.divide(us, 86_400_000_000)
+        return pa.table({"cust": t.column("o_custkey"), "days": days})
+
+    # pre-aggregate per block, final exact min via the sort plan is
+    # overkill for sf-gate sizes — equi_join_bloom verifies through the
+    # bucket join, so feed it the per-customer MIN built by groupby
+    per_cust = (
+        urgent.map_batches(min_urgent, batch_format="pyarrow", batch_size=None)
+        .groupby("cust")
+        .min("days")
+    ).map_batches(
+        lambda t: t.rename_columns(["cust", "first_urgent_days"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j = equi_join_bloom(
+        cust, per_cust, "c_custkey", "cust", ["c_mktsegment"], ["first_urgent_days"],
+        how="left", num_buckets=32,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "has_urgent": pc.cast(
+                    pc.is_valid(t.column("first_urgent_days")), pa.int64()
+                ),
+                "days_or_zero": pc.fill_null(t.column("first_urgent_days"), 0),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = small_key_rollup(
+        j,
+        ["c_mktsegment"],
+        sums=[("n_with_urgent", "has_urgent"), ("sum_first_days", "days_or_zero")],
+        count_alias="n_customers",
+    ).to_pandas()
+    return (
+        out[["c_mktsegment", "n_customers", "n_with_urgent", "sum_first_days"]]
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
 def q_pivot_orders_status(sf_dir: str) -> pd.DataFrame:
     """Pivot / wide grouped aggregate (functions/analytics.py::
     pivot_rollup — per-batch indicator columns + two-level partial
@@ -4750,6 +4814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": q_customers_no_orders,
         "bloom_semi_urgent_lineitems": q_bloom_semi_urgent_lineitems,
         "bloom_anti_customers_open": q_bloom_anti_customers_open,
+        "bloom_left_join_customer_urgent": q_bloom_left_join_customer_urgent,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
@@ -7924,6 +7989,21 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderstatus = 'O')
 ORDER BY c_custkey
+""",
+        "bloom_left_join_customer_urgent": """
+-- LEFT JOIN recompute of the Bloom-pruned left equi join
+WITH pu AS (
+  SELECT o_custkey AS cust,
+         MIN(datediff('day', TIMESTAMP '1970-01-01', o_orderdate))::BIGINT
+           AS first_urgent_days
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+SELECT c_mktsegment,
+       COUNT(*)::BIGINT AS n_customers,
+       SUM(CASE WHEN pu.first_urgent_days IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS n_with_urgent,
+       SUM(COALESCE(pu.first_urgent_days, 0))::BIGINT AS sum_first_days
+FROM customer c LEFT JOIN pu ON pu.cust = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
         "brand_revenue_europe": """
 -- star join: lineitem x part (brand) filtered to EUROPE suppliers;

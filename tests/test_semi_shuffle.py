@@ -134,3 +134,36 @@ def test_bloom_semi_prunes_shuffle_input(ray_session):
     assert (maybe | ~true_match).all()  # no false negative
     n_fp = int((maybe & ~true_match).sum())
     assert n_fp <= int(0.01 * (~true_match).sum())  # well under 1%
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_bloom_equi_join_matches_shuffle_plan(ray_session, how):
+    from ddsketch_ray.functions.joins import equi_join_bloom, equi_join_shuffle
+
+    rng = np.random.default_rng(11)
+    lk = [None if i % 97 == 0 else int(v) for i, v in enumerate(rng.integers(0, 3000, 8000))]
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lk, pa.int64()), "v": pa.array(np.arange(8000, dtype=np.int64))})
+    ).repartition(5)
+    rk = rng.choice(6000, 500, replace=False).astype(np.int64)
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array(rk), "payload": pa.array([f"p{x}" for x in rk])})
+    ).repartition(3)
+    got = (
+        equi_join_bloom(left, right, "k", "rk", ["v"], ["payload"], how=how)
+        .to_pandas()
+        .sort_values(["k", "v"], na_position="first")
+        .reset_index(drop=True)
+    )
+    want = (
+        equi_join_shuffle(left, right, "k", "rk", ["v"], ["payload"], how=how)
+        .to_pandas()
+        .sort_values(["k", "v"], na_position="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    if how == "left":
+        # null-key rows survive with null payload; definite non-members
+        # took the shuffle-free route and still null-fill identically
+        assert got["k"].isna().sum() > 0
+        assert got.loc[got["k"].isna(), "payload"].isna().all()

@@ -922,8 +922,76 @@ def stress_textindex600k() -> dict:
     return out
 
 
+def stress_bloomjoin20m() -> dict:
+    """The Bloom prune on the FULL join (equi_join_bloom): same 20M x
+    500k shape as bloomsemi20m but the right side carries payload the
+    join must deliver. Asserts the pruned inner join is bit-equal to
+    the unpruned equi_join_shuffle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import hash_any_column
+    from ddsketch_ray.functions.joins import equi_join_bloom, equi_join_shuffle
+    from ddsketch_ray.hashing import splitmix64
+
+    ray_init()
+    n_left, n_right = 20_000_000, 500_000
+    key_space = 42_000_000
+
+    def left_part(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.uint64)
+        k = (splitmix64(i + np.uint64(11)) % np.uint64(key_space)).astype(np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(i.astype(np.int64))})
+
+    def right_part(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.int64)
+        return pa.table({"rk": pa.array(i * 84), "payload": pa.array(i * 7 + 3)})
+
+    left = rd.range(n_left).map_batches(left_part, batch_format="pyarrow")
+    right = rd.range(n_right).map_batches(right_part, batch_format="pyarrow")
+
+    t0 = time.time()
+    base = equi_join_shuffle(left, right, "k", "rk", ["v"], ["payload"]).materialize()
+    wall_shuffle = time.time() - t0
+    t0 = time.time()
+    pruned = equi_join_bloom(left, right, "k", "rk", ["v"], ["payload"]).materialize()
+    wall_bloom = time.time() - t0
+    n_base, n_pruned = base.count(), pruned.count()
+    assert n_base == n_pruned, (n_base, n_pruned)
+
+    def hsum(ds):
+        import ray
+
+        tot = 0
+        for ref in ds.map_batches(
+            lambda t: pa.table({"h": pa.array([int(
+                (hash_any_column(t.column("k"), True, seed=5).astype(np.uint64)
+                 ^ hash_any_column(t.column("v"), True, seed=9).astype(np.uint64)
+                 ^ hash_any_column(t.column("payload"), True, seed=13).astype(np.uint64)
+                 ).sum() & np.uint64((1 << 64) - 1))], pa.uint64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize().to_arrow_refs():
+            tb = ray.get(ref)
+            if tb.num_rows == 0 or "h" not in tb.column_names:
+                continue
+            for v in tb.column("h").to_pylist():
+                tot = (tot + v) % (1 << 64)
+        return tot
+
+    assert hsum(base) == hsum(pruned)
+    out = {
+        "n_left": n_left, "n_right": n_right, "n_joined": int(n_base),
+        "wall_join_shuffle_s": round(wall_shuffle, 1),
+        "wall_join_bloom_s": round(wall_bloom, 1),
+        "bit_equal": True,
+    }
+    log(f"bloomjoin20m: {out}")
+    return out
+
+
 LEGS = {
     "bloomsemi20m": stress_bloomsemi20m,
+    "bloomjoin20m": stress_bloomjoin20m,
     "textindex600k": stress_textindex600k,
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "frequent50m": stress_frequent50m,
