@@ -138,3 +138,63 @@ def test_single_file_bucket_is_noop(ray_session, tmp_path):
     assert stats["files_before"] == stats["files_after"] == 1
     # noop must not rewrite (original unsorted file untouched)
     assert pq.read_table(root + "/bucket=0/p.parquet").column("a").to_pylist() == [2, 1]
+
+
+def test_compact_minhash_and_ivf_layouts(ray_session, tmp_path):
+    """Compaction generalizes beyond the text index: the MinHash LSH
+    index's two bucketed layouts and a persisted IVF layout (with an
+    append) serve identical answers after compaction, at one file per
+    bucket/list."""
+    import ray.data as rd
+
+    from ddsketch_ray.functions.ann import append_to_ivf, read_ivf_probe, write_ivf
+    from ddsketch_ray.functions.dedup_index import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    # --- minhash index ---
+    rng = np.random.default_rng(4)
+    vocab = [f"tok{i}" for i in range(60)]
+    docs = [" ".join(rng.choice(vocab, size=25)) for _ in range(400)]
+    docs += docs[:40]  # guaranteed near-dups for the probe
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)})
+    ).repartition(6)
+    root = str(tmp_path / "mh")
+    write_minhash_index(corpus, root, num_buckets=8)
+    probe = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(10_000, 10_020), pa.int64()),
+             "text": pa.array(docs[:20])}
+        )
+    ).repartition(2)
+    before = dedup_against_index(probe, root).to_pandas().sort_values("new_id").reset_index(drop=True)
+    for sub, key in (("bands", "band_hash"), ("sigs", "doc_id")):
+        stats = compact_bucketed_layout(
+            os.path.join(root, sub), [key], ckpt_path=str(tmp_path / f"mh_{sub}.json")
+        )
+        assert stats["files_after"] <= stats["buckets"]
+    after = dedup_against_index(probe, root).to_pandas().sort_values("new_id").reset_index(drop=True)
+    assert after.equals(before)
+
+    # --- IVF layout with an appended ingest batch ---
+    d = 8
+    emb = rng.normal(size=(300, d))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array(list(emb))})
+    base = rd.from_arrow(tbl.slice(0, 200)).repartition(4)
+    extra = rd.from_arrow(tbl.slice(200, 100)).repartition(2)
+    ivf_root = str(tmp_path / "ivf")
+    write_ivf(base, ivf_root, n_centroids=4)
+    append_to_ivf(extra, ivf_root)
+    qidx = [3, 77, 250]
+    queries = {"ids": [int(i) for i in qidx], "mat": emb[qidx]}
+    want = read_ivf_probe(ivf_root, queries, k=5, n_probe=4).to_pandas()
+    stats = compact_bucketed_layout(
+        ivf_root, ["vec_id"], ckpt_path=str(tmp_path / "ivf.json")
+    )
+    assert stats["files_after"] <= stats["buckets"]
+    got = read_ivf_probe(ivf_root, queries, k=5, n_probe=4).to_pandas()
+    assert got.equals(want)
