@@ -2292,6 +2292,41 @@ def q_bloom_left_join_customer_urgent(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_validate_orders(sf_dir: str) -> pd.DataFrame:
+    """Declarative data-quality validation (functions/validate.py::
+    validate_table — ONE shared streaming pass for all row-local rules
+    with O(blocks × rules) driver ints, the sort-plan distinct count
+    for `unique`, and the Bloom-pruned anti join for referential
+    integrity). Seven rules over orders, including a deliberately
+    violated in_set/in_range pair and a ref rule against the
+    c_custkey-divisible-by-3 customer subset. REAL SQL oracle: each
+    rule replayed as a COUNT(*) FILTER."""
+    from ddsketch_ray.functions.validate import validate_table
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    def _div3(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 3 == 0))
+
+    ref = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _div3, batch_format="pyarrow", batch_size=None
+    )
+    rules = [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "unique", "col": "o_orderkey"},
+        {"rule": "in_set", "col": "o_orderstatus", "values": ["F", "O"]},
+        {"rule": "in_range", "col": "o_totalprice", "lo": 1000.0, "hi": 300000.0},
+        {"rule": "regex", "col": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"rule": "positive", "col": "o_totalprice"},
+        {"rule": "ref", "col": "o_custkey", "ref_col": "c_custkey"},
+    ]
+    out = validate_table(orders, rules, refs={6: ref}).to_pandas()
+    return out.sort_values("rule_id").reset_index(drop=True)
+
+
 def q_pivot_orders_status(sf_dir: str) -> pd.DataFrame:
     """Pivot / wide grouped aggregate (functions/analytics.py::
     pivot_rollup — per-batch indicator columns + two-level partial
@@ -4815,6 +4850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_urgent_lineitems": q_bloom_semi_urgent_lineitems,
         "bloom_anti_customers_open": q_bloom_anti_customers_open,
         "bloom_left_join_customer_urgent": q_bloom_left_join_customer_urgent,
+        "validate_orders": q_validate_orders,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
@@ -8004,6 +8040,39 @@ SELECT c_mktsegment,
        SUM(COALESCE(pu.first_urgent_days, 0))::BIGINT AS sum_first_days
 FROM customer c LEFT JOIN pu ON pu.cust = c.c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "validate_orders": """
+-- each rule replayed as a COUNT(*) FILTER with identical null semantics
+SELECT 0::BIGINT AS rule_id, 'not_null' AS rule, 'o_custkey' AS col,
+       COUNT(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS n_violations FROM orders
+UNION ALL
+SELECT 1, 'unique', 'o_orderkey',
+       (COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey))::BIGINT FROM orders
+UNION ALL
+SELECT 2, 'in_set', 'o_orderstatus',
+       COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F', 'O'))::BIGINT FROM orders
+UNION ALL
+SELECT 3, 'in_range', 'o_totalprice',
+       COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                          AND (o_totalprice < 1000.0 OR o_totalprice > 300000.0))::BIGINT
+FROM orders
+UNION ALL
+SELECT 4, 'regex', 'o_orderpriority',
+       COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))::BIGINT
+FROM orders
+UNION ALL
+SELECT 5, 'positive', 'o_totalprice',
+       COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND o_totalprice <= 0)::BIGINT
+FROM orders
+UNION ALL
+SELECT 6, 'ref', 'o_custkey',
+       COUNT(*) FILTER (WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+         SELECT 1 FROM customer c
+         WHERE c.c_custkey = orders.o_custkey AND c.c_custkey % 3 = 0))::BIGINT
+FROM orders
+ORDER BY rule_id
 """,
         "brand_revenue_europe": """
 -- star join: lineitem x part (brand) filtered to EUROPE suppliers;
