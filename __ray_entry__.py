@@ -2292,6 +2292,47 @@ def q_bloom_left_join_customer_urgent(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_skewjoin_revenue_by_status(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware auto-salted shuffle join (functions/joins.py::
+    equi_join_skew — ONE Misra-Gries pre-pass over the probe keys picks
+    the salt from the heaviest key's upper-bound share; uniform keys
+    run the plain un-replicated plan, a hot key spreads its bucket's
+    probe work across ~share×num_buckets sub-tasks): lineitem ⨝ orders
+    revenue per order status, exact int cents. REAL SQL oracle via
+    JOIN + GROUP BY. The hot-key path is pytest-forced bit-equal
+    (tests/test_semi_shuffle.py); the 20M-row skew stress is in
+    BASELINE.md."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.joins import equi_join_skew
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    j = equi_join_skew(
+        li, orders, "l_orderkey", "o_orderkey", ["price_cents"], ["o_orderstatus"],
+        num_buckets=32,
+    )
+    out = small_key_rollup(
+        j, ["o_orderstatus"], sums=[("revenue_cents", "price_cents")],
+        count_alias="n_items",
+    ).to_pandas()
+    return (
+        out[["o_orderstatus", "n_items", "revenue_cents"]]
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+
+
 def q_validate_orders(sf_dir: str) -> pd.DataFrame:
     """Declarative data-quality validation (functions/validate.py::
     validate_table — ONE shared streaming pass for all row-local rules
@@ -4851,6 +4892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti_customers_open": q_bloom_anti_customers_open,
         "bloom_left_join_customer_urgent": q_bloom_left_join_customer_urgent,
         "validate_orders": q_validate_orders,
+        "skewjoin_revenue_by_status": q_skewjoin_revenue_by_status,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_prev_event_value": q_asof_prev_event_value,
@@ -8073,6 +8115,14 @@ SELECT 6, 'ref', 'o_custkey',
          WHERE c.c_custkey = orders.o_custkey AND c.c_custkey % 3 = 0))::BIGINT
 FROM orders
 ORDER BY rule_id
+""",
+        "skewjoin_revenue_by_status": """
+-- JOIN + GROUP BY recompute of the auto-salted shuffle join
+SELECT o.o_orderstatus,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
 """,
         "brand_revenue_europe": """
 -- star join: lineitem x part (brand) filtered to EUROPE suppliers;

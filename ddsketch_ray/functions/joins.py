@@ -1107,3 +1107,77 @@ def equi_join_bloom(
         return joined
     definite = left_ds.map_batches(prune(False), batch_format="pyarrow", batch_size=None)
     return joined.union(definite)
+
+
+def _salt_for(mg, num_buckets: int, max_salt: int, hot_factor: float) -> int:
+    """Salt from a Misra-Gries summary of the probe-side keys: the
+    heaviest candidate's UPPER-bound share of the stream (stored count
+    + offset — MG can only undercount, so this never misses a hot key
+    that matters). A key with share ``s`` concentrates s×n rows into
+    ONE bucket task; engage when that exceeds ``hot_factor``× the
+    average bucket load, and split its probe work across ~s×num_buckets
+    sub-bucket tasks (capped: every salt step replicates the right
+    side once more)."""
+    import math
+
+    if not mg.n or not mg.size:
+        return 1
+    top_upper = int(mg.counts.max()) + int(mg.offset)
+    share = top_upper / mg.n
+    if share <= hot_factor / num_buckets:
+        return 1
+    return min(max_salt, max(2, math.ceil(share * num_buckets)))
+
+
+def equi_join_skew(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols,
+    right_cols,
+    num_buckets: int = 64,
+    how: str = "inner",
+    seed: int = 0,
+    mg_k: int = 64,
+    max_salt: int = 16,
+    hot_factor: float = 2.0,
+):
+    """Skew-aware ``equi_join_shuffle``: measure, then salt.
+
+    ``equi_join_shuffle`` exposes ``salt`` but the caller must know the
+    skew in advance — exactly what nobody knows about 100 TB of web
+    data. This wrapper spends ONE column-pruned Misra-Gries pass over
+    the probe-side keys (a ≤``mg_k``-counter summary per block through
+    the aggregate tree — no shuffle, no value explosion) and picks the
+    salt from the heaviest key's upper-bound share (``_salt_for``).
+    Uniform keys measure share ≈ 1/num_buckets and run the plain
+    un-replicated plan; a hot key engages just enough replication to
+    spread its bucket. Output is identical for every salt (pytest
+    forces hot and uniform paths against salt=1).
+
+    measured (tools/stress_r5.py skewjoin20m): 20M-row left with 30%
+    of rows on ONE key × 500k-key payload right — auto salt 16, wall
+    16.2 → 13.8 s single-node, bit-equal output. The single-node win
+    is bounded because idle buckets absorb the straggler; on a real
+    cluster the unsalted hot task IS the job's tail latency, which is
+    what the salt removes.
+    """
+    from ddsketch_ray.agg import MisraGriesAgg, sketch_from_result
+
+    mg = sketch_from_result(
+        left_ds.aggregate(MisraGriesAgg(on=left_key, k=mg_k, alias_name="mg"))["mg"]
+    )
+    salt = _salt_for(mg, num_buckets, max_salt, hot_factor)
+    return equi_join_shuffle(
+        left_ds,
+        right_ds,
+        left_key,
+        right_key,
+        left_cols,
+        right_cols,
+        num_buckets=num_buckets,
+        how=how,
+        seed=seed,
+        salt=salt,
+    )

@@ -167,3 +167,46 @@ def test_bloom_equi_join_matches_shuffle_plan(ray_session, how):
         # took the shuffle-free route and still null-fill identically
         assert got["k"].isna().sum() > 0
         assert got.loc[got["k"].isna(), "payload"].isna().all()
+
+
+def test_skew_join_auto_salt(ray_session):
+    """equi_join_skew: MG pre-pass picks salt>1 under a hot key and 1
+    under uniform keys; output bit-equal to the unsalted plan."""
+    from ddsketch_ray.agg import MisraGriesAgg, sketch_from_result
+    from ddsketch_ray.functions.joins import (
+        _salt_for,
+        equi_join_shuffle,
+        equi_join_skew,
+    )
+
+    rng = np.random.default_rng(21)
+    k = rng.integers(0, 4000, 30_000).astype(np.int64)
+    k[: 9_000] = 42  # 30% hot key
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(k), "v": pa.array(np.arange(30_000, dtype=np.int64))})
+    ).repartition(6)
+    rk = np.unique(np.r_[rng.choice(8000, 600, replace=False), 42]).astype(np.int64)
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array(rk), "payload": pa.array([f"p{x}" for x in rk])})
+    ).repartition(3)
+
+    mg = sketch_from_result(
+        left.aggregate(MisraGriesAgg(on="k", k=64, alias_name="mg"))["mg"]
+    )
+    assert _salt_for(mg, 64, 16, 2.0) > 1  # hot key detected
+    got = (
+        equi_join_skew(left, right, "k", "rk", ["v"], ["payload"], num_buckets=16)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    want = (
+        equi_join_shuffle(left, right, "k", "rk", ["v"], ["payload"], num_buckets=16)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # uniform keys: the pre-pass must NOT engage replication
+    uk = rng.permutation(np.arange(30_000)).astype(np.int64)
+    uleft = rd.from_arrow(pa.table({"k": pa.array(uk), "v": pa.array(uk)})).repartition(6)
+    mg_u = sketch_from_result(
+        uleft.aggregate(MisraGriesAgg(on="k", k=64, alias_name="mg"))["mg"]
+    )
+    assert _salt_for(mg_u, 64, 16, 2.0) == 1

@@ -989,9 +989,90 @@ def stress_bloomjoin20m() -> dict:
     return out
 
 
+def stress_skewjoin20m() -> dict:
+    """Skew-aware auto-salted join (equi_join_skew): 20M-row left where
+    30% of rows share ONE key, x 500k-key payload right (hot key
+    included). Without salt the hot key's 6M rows land in one bucket
+    task; the MG pre-pass measures the share and picks the salt.
+    Asserts bit-equal output vs the unsalted plan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import hash_any_column
+    from ddsketch_ray.functions.joins import equi_join_shuffle, equi_join_skew
+    from ddsketch_ray.hashing import splitmix64
+
+    ray_init()
+    n_left, n_right = 20_000_000, 500_000
+    hot_key = 84 * 7  # present on the right (right keys are i*84)
+
+    def left_part(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.uint64)
+        r = splitmix64(i + np.uint64(23))
+        k = (r % np.uint64(42_000_000)).astype(np.int64)
+        hot = (r % np.uint64(10)) < np.uint64(3)  # 30% of rows
+        k[hot] = hot_key
+        return pa.table({"k": pa.array(k), "v": pa.array(i.astype(np.int64))})
+
+    def right_part(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.int64)
+        return pa.table({"rk": pa.array(i * 84), "payload": pa.array(i * 7 + 3)})
+
+    left = rd.range(n_left).map_batches(left_part, batch_format="pyarrow")
+    right = rd.range(n_right).map_batches(right_part, batch_format="pyarrow")
+
+    t0 = time.time()
+    base = equi_join_shuffle(left, right, "k", "rk", ["v"], ["payload"]).materialize()
+    wall_unsalted = time.time() - t0
+    t0 = time.time()
+    auto = equi_join_skew(left, right, "k", "rk", ["v"], ["payload"]).materialize()
+    wall_auto = time.time() - t0
+    n_base, n_auto = base.count(), auto.count()
+    assert n_base == n_auto, (n_base, n_auto)
+
+    def hsum(ds):
+        import ray
+
+        tot = 0
+        for ref in ds.map_batches(
+            lambda t: pa.table({"h": pa.array([int(
+                (hash_any_column(t.column("k"), True, seed=5).astype(np.uint64)
+                 ^ hash_any_column(t.column("v"), True, seed=9).astype(np.uint64)
+                 ^ hash_any_column(t.column("payload"), True, seed=13).astype(np.uint64)
+                 ).sum() & np.uint64((1 << 64) - 1))], pa.uint64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize().to_arrow_refs():
+            tb = ray.get(ref)
+            if tb.num_rows == 0 or "h" not in tb.column_names:
+                continue
+            for v in tb.column("h").to_pylist():
+                tot = (tot + v) % (1 << 64)
+        return tot
+
+    assert hsum(base) == hsum(auto)
+    # the salt the MG pass actually picked
+    from ddsketch_ray.agg import MisraGriesAgg, sketch_from_result
+    from ddsketch_ray.functions.joins import _salt_for
+
+    mg = sketch_from_result(
+        left.aggregate(MisraGriesAgg(on="k", k=64, alias_name="mg"))["mg"]
+    )
+    out = {
+        "n_left": n_left, "n_right": n_right, "n_joined": int(n_base),
+        "hot_share": 0.3, "auto_salt": _salt_for(mg, 64, 16, 2.0),
+        "wall_unsalted_s": round(wall_unsalted, 1),
+        "wall_auto_salt_s": round(wall_auto, 1),
+        "speedup": round(wall_unsalted / max(1e-9, wall_auto), 2),
+        "bit_equal": True,
+    }
+    log(f"skewjoin20m: {out}")
+    return out
+
+
 LEGS = {
     "bloomsemi20m": stress_bloomsemi20m,
     "bloomjoin20m": stress_bloomjoin20m,
+    "skewjoin20m": stress_skewjoin20m,
     "textindex600k": stress_textindex600k,
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "frequent50m": stress_frequent50m,
