@@ -2368,6 +2368,27 @@ def q_validate_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("rule_id").reset_index(drop=True)
 
 
+
+def q_validate_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Deterministic violation examples (functions/validate.py::
+    sample_violations — per block the rule mask + the block's k lowest
+    ids, O(blocks × k) driver merge): the 10 lowest-keyed orders whose
+    total price falls outside [1000, 300000]. REAL SQL oracle via
+    WHERE ... ORDER BY ... LIMIT."""
+    from ddsketch_ray.functions.validate import sample_violations
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    out = sample_violations(
+        orders,
+        {"rule": "in_range", "col": "o_totalprice", "lo": 1000.0, "hi": 300000.0},
+        "o_orderkey",
+        k=10,
+        extra_cols=("o_orderstatus",),
+    ).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_pivot_orders_status(sf_dir: str) -> pd.DataFrame:
     """Pivot / wide grouped aggregate (functions/analytics.py::
     pivot_rollup — per-batch indicator columns + two-level partial
@@ -4892,6 +4913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti_customers_open": q_bloom_anti_customers_open,
         "bloom_left_join_customer_urgent": q_bloom_left_join_customer_urgent,
         "validate_orders": q_validate_orders,
+        "validate_sample_orders": q_validate_sample_orders,
         "skewjoin_revenue_by_status": q_skewjoin_revenue_by_status,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
@@ -8123,6 +8145,12 @@ SELECT o.o_orderstatus,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+""",
+        "validate_sample_orders": """
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+WHERE o_totalprice IS NOT NULL
+  AND (o_totalprice < 1000.0 OR o_totalprice > 300000.0)
+ORDER BY o_orderkey LIMIT 10
 """,
         "brand_revenue_europe": """
 -- star join: lineitem x part (brand) filtered to EUROPE suppliers;

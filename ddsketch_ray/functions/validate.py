@@ -20,7 +20,8 @@ the cheapest plan each rule class admits —
   reference side is millions of keys.
 
 Every rule's count is exactly the COUNT(*) a SQL WHERE would produce —
-the gate query `validate_orders_lineitem` replays each rule in DuckDB.
+the gate queries `validate_orders` / `validate_sample_orders` replay
+each rule in DuckDB.
 
 Rules are dicts (JSON-serializable, so a validation suite can live in
 config): ``{"rule": "not_null", "col": c}``, ``{"rule": "in_range",
@@ -44,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["validate_table"]
+__all__ = ["validate_table", "sample_violations"]
 
 _ROW_LOCAL = ("not_null", "in_range", "in_set", "regex", "positive")
 
@@ -173,3 +174,81 @@ def validate_table(ds, rules: list[dict], refs: dict[int, object] | None = None)
             ),
         }
     )
+
+
+def sample_violations(
+    ds,
+    rule: dict,
+    id_col: str,
+    k: int = 10,
+    extra_cols: tuple = (),
+) -> pa.Table:
+    """Deterministic examples for a ROW-LOCAL rule: the k violating
+    rows with the LOWEST ``id_col`` (not "first seen" — that would
+    depend on block layout). Per block: evaluate the rule mask, keep
+    the block's k lowest ids; driver merges O(blocks × k) rows and
+    truncates — the grouped-top-k candidate argument. SQL replay:
+    ``WHERE <violation> ORDER BY id LIMIT k``. Returns
+    (id_col, col, *extra_cols) with the checked column's values intact
+    (nulls included for not_null)."""
+    import ray
+
+    kind = rule["rule"]
+    if kind not in _ROW_LOCAL:
+        raise ValueError(
+            f"sample_violations covers row-local rules only, not {kind!r}"
+        )
+    col = rule["col"]
+    keep_cols = [id_col, col] + [c for c in extra_cols if c not in (id_col, col)]
+
+    def block_sample(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if kind == "not_null":
+            mask = pc.is_null(c)
+        elif kind == "in_range":
+            mask = pc.and_(
+                pc.is_valid(c),
+                pc.fill_null(
+                    pc.or_(pc.less(c, rule["lo"]), pc.greater(c, rule["hi"])), False
+                ),
+            )
+        elif kind == "in_set":
+            mask = pc.and_(
+                pc.is_valid(c),
+                pc.fill_null(
+                    pc.invert(pc.is_in(c, value_set=pa.array(rule["values"]))), False
+                ),
+            )
+        elif kind == "regex":
+            mask = pc.and_(
+                pc.is_valid(c),
+                pc.fill_null(
+                    pc.invert(pc.match_substring_regex(c, rule["pattern"])), False
+                ),
+            )
+        else:  # positive
+            mask = pc.and_(
+                pc.is_valid(c), pc.fill_null(pc.less_equal(c, 0), False)
+            )
+        bad = t.filter(mask).select(keep_cols)
+        if bad.num_rows > k:
+            bad = bad.sort_by(id_col).slice(0, k)
+        return bad
+
+    parts = [
+        tb
+        for tb in ray.get(
+            ds.map_batches(block_sample, batch_format="pyarrow", batch_size=None)
+            .materialize()
+            .to_arrow_refs()
+        )
+        if tb.num_rows and set(keep_cols) <= set(tb.column_names)
+    ]
+    if not parts:
+        empty_types = {}
+        base = getattr(ds.schema(), "base_schema", ds.schema())
+        for c in keep_cols:
+            empty_types[c] = pa.array([], type=base.field(c).type)
+        return pa.table(empty_types)
+    allp = pa.concat_tables(parts).combine_chunks()
+    return allp.sort_by(id_col).slice(0, k).select(keep_cols)

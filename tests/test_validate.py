@@ -87,3 +87,25 @@ def test_errors(frame):
         validate_table(ds, [{"rule": "bogus", "col": "id"}])
     with pytest.raises(ValueError, match="reference Dataset"):
         validate_table(ds, [{"rule": "ref", "col": "fk", "ref_col": "k"}])
+
+
+def test_sample_violations_lowest_ids(frame):
+    import ray.data as rd  # noqa: F401
+
+    from ddsketch_ray.functions.validate import sample_violations
+
+    ds, df, _ = frame
+    got = sample_violations(
+        ds, {"rule": "in_range", "col": "v", "lo": 0, "hi": 150}, "id", k=7,
+        extra_cols=("cat",),
+    ).to_pandas()
+    bad = df[(df["v"] < 0) | (df["v"] > 150)].dropna(subset=["id"])
+    want = bad.sort_values("id").head(7)[["id", "v", "cat"]].reset_index(drop=True)
+    got["id"] = got["id"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want.astype({"id": np.int64}))
+    # not_null: the violating rows carry the null value itself
+    nulls = sample_violations(ds, {"rule": "not_null", "col": "id"}, "v", k=5).to_pandas()
+    assert nulls["id"].isna().all()
+    # non-row-local rules are rejected
+    with pytest.raises(ValueError, match="row-local"):
+        sample_violations(ds, {"rule": "unique", "col": "id"}, "id")
