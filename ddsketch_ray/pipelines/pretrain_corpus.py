@@ -95,6 +95,8 @@ def pretrain_corpus_job(
     files_per_partition: int = 1,
     num_buckets: int = 64,
     jaccard_threshold: float = 0.7,
+    validate_rules: list[dict] | None = None,
+    max_violations: int = 0,
 ) -> dict:
     """Run (or resume) the whole chain. Returns a summary dict with
     per-stage wall times, row counts, and resume accounting. The final
@@ -134,6 +136,37 @@ def pretrain_corpus_job(
             extra, skipped=False, wall_s=round(time.perf_counter() - t0, 3)
         )
         return sdir
+
+    # ---- stage 0 (optional): fail-fast input validation ----
+    # a 100-TB run must refuse bad input BEFORE paying five stages of
+    # work: one shared scan for the row-local rules (+ the sort-plan
+    # unique / Bloom-anti ref rules if configured), report persisted,
+    # job ABORTS when any rule exceeds max_violations
+    if validate_rules:
+        def build_validate(sdir: str) -> dict:
+            import pyarrow.parquet as pq
+
+            from ddsketch_ray.functions.validate import validate_table
+
+            ds_in = rd.read_parquet(input_files)
+            rep = validate_table(ds_in, validate_rules)
+            pq.write_table(rep, os.path.join(sdir, "report.parquet"))
+            worst = {
+                r["rule"] + ":" + r["col"]: int(n)
+                for r, n in zip(validate_rules, rep.column("n_violations").to_pylist())
+            }
+            bad = {k: v for k, v in worst.items() if v > max_violations}
+            if bad:
+                raise ValueError(
+                    f"input validation failed (> {max_violations} violations): {bad}"
+                )
+            return {"rule_counts": worst}
+
+        stage(
+            "stage0-validate",
+            {"rules": validate_rules, "max_violations": max_violations},
+            build_validate,
+        )
 
     # ---- stage 1: prep (split → redact → token gate → exact dedup) ----
     def build_prep(sdir: str) -> dict:

@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--files-per-partition", type=int, default=1)
     ap.add_argument("--concurrency", type=int, default=8)
     ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--validate-rules", default=None,
+                    help="JSON list of validate_table rules; the job aborts "
+                         "before stage 1 when any count exceeds --max-violations")
+    ap.add_argument("--max-violations", type=int, default=0)
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="init a local session with this many CPUs (omit under ray job submit)")
     args = ap.parse_args()
@@ -98,6 +102,8 @@ def main() -> int:
         concurrency=args.concurrency,
         files_per_partition=args.files_per_partition,
         num_buckets=args.num_buckets,
+        validate_rules=json.loads(args.validate_rules) if args.validate_rules else None,
+        max_violations=args.max_violations,
     )
     print(json.dumps(summary))
     ray.shutdown()

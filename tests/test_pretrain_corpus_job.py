@@ -151,3 +151,54 @@ def test_pretrain_corpus_param_change_rebuilds(ray_session, tmp_path):
     assert not second["stages"]["stage5-pack"]["skipped"]
     m = _manifest_df(second["manifest_dir"])
     assert (m["seq_off"] + m["take_n"] <= 16).all()
+
+
+def test_pretrain_validate_stage_gates_input(ray_session, tmp_path):
+    """stage0-validate: clean rules pass (counts recorded, stage marker
+    written, resume skips it); a violated rule ABORTS before stage 1
+    spends anything."""
+    from ddsketch_ray.pipelines.pretrain_corpus import pretrain_corpus_job
+
+    files = _write_corpus(tmp_path / "in", n_files=2, docs_per_file=40)
+    rules = [
+        {"rule": "not_null", "col": "doc_id"},
+        {"rule": "unique", "col": "doc_id"},
+        {"rule": "in_set", "col": "lang", "values": ["en", "zh", "es"]},
+    ]
+    out = str(tmp_path / "out")
+    s = pretrain_corpus_job(
+        files,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        out_dir=out,
+        run_id="v1",
+        num_merges=5,
+        seq_len=64,
+        validate_rules=rules,
+    )
+    st0 = s["stages"]["stage0-validate"]
+    assert not st0["skipped"] and st0["rule_counts"]["unique:doc_id"] == 0
+    assert os.path.exists(os.path.join(out, "stage0-validate", "report.parquet"))
+    # resume: every stage including validation is marker-skipped
+    s2 = pretrain_corpus_job(
+        files,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        out_dir=out,
+        run_id="v1",
+        num_merges=5,
+        seq_len=64,
+        validate_rules=rules,
+    )
+    assert all(v["skipped"] for v in s2["stages"].values())
+
+    # violated rule: abort before stage 1
+    bad_rules = [{"rule": "in_set", "col": "lang", "values": ["en"]}]  # zh/es violate
+    out_bad = str(tmp_path / "out_bad")
+    with pytest.raises(ValueError, match="input validation failed"):
+        pretrain_corpus_job(
+            files,
+            ckpt_dir=str(tmp_path / "ckpt_bad"),
+            out_dir=out_bad,
+            run_id="v2",
+            validate_rules=bad_rules,
+        )
+    assert not os.path.exists(os.path.join(out_bad, "stage1-prep"))
