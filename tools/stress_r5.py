@@ -899,6 +899,14 @@ def stress_textindex600k() -> dict:
     served = [search_text_index(root, q, k=10) for q in batches]
     wall_serve = time.time() - t0
 
+    # the hot-term plan: force the distributed serve on one batch and
+    # assert it computes literally the same table (order-free integer
+    # sums make the two physical plans bit-equal)
+    t0 = time.time()
+    dist0 = search_text_index(root, batches[0], k=10, mode="distributed")
+    wall_dist_one = time.time() - t0
+    assert dist0.equals(served[0]), "distributed serve != driver serve"
+
     t0 = time.time()
     inline = [bm25_search(corpus, q, k=10) for q in batches]
     wall_inline = time.time() - t0
@@ -912,6 +920,7 @@ def stress_textindex600k() -> dict:
         "wall_serve_20_batches_s": round(wall_serve, 1),
         "wall_inline_20_batches_s": round(wall_inline, 1),
         "serve_ms_per_batch": round(1000 * wall_serve / len(batches), 1),
+        "forced_distributed_serve_s": round(wall_dist_one, 2),
         "amortized_speedup": round(wall_inline / max(1e-9, wall_build + wall_serve), 2),
         "steady_state_speedup": round(
             (wall_inline / len(batches)) / max(1e-9, wall_serve / len(batches)), 1
