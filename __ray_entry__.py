@@ -2369,6 +2369,52 @@ def q_validate_orders(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_zorder_box_events(sf_dir: str) -> pd.DataFrame:
+    """Z-order multi-column layout (sources/zorder.py — Morton-
+    interleave the quantized (user_id, value) ranks, one sort, 64k row
+    groups; a box predicate on EITHER column then prunes row groups,
+    which a single-column sort can only do for its own prefix; 13.9×
+    row-group pruning on the non-prefix column at 20M rows,
+    BASELINE.md). Build the layout once in /tmp, run a two-column box
+    query, roll up per event_type in exact cents. The filter is exact
+    row-level pyarrow semantics, so the REAL SQL oracle is a plain
+    WHERE over the raw table — layout affects speed, never rows."""
+    import os
+    import shutil
+
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.sources.zorder import read_zorder_box, write_zorder
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+    out_dir = f"/tmp/graft_zorder_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_zorder(ds, out_dir, ["user_id", "value"], row_group_size=16_384)
+    hits = read_zorder_box(
+        out_dir, {"user_id": (2, 9), "value": (10.0, 80.0)}
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = small_key_rollup(
+        hits, ["event_type"], sums=[("sum_value_cents", "value_cents")],
+        count_alias="n_events",
+    ).to_pandas()
+    return (
+        out[["event_type", "n_events", "sum_value_cents"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def q_validate_sample_orders(sf_dir: str) -> pd.DataFrame:
     """Deterministic violation examples (functions/validate.py::
     sample_violations — per block the rule mask + the block's k lowest
@@ -4914,6 +4960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_left_join_customer_urgent": q_bloom_left_join_customer_urgent,
         "validate_orders": q_validate_orders,
         "validate_sample_orders": q_validate_sample_orders,
+        "zorder_box_events": q_zorder_box_events,
         "skewjoin_revenue_by_status": q_skewjoin_revenue_by_status,
         "asof_rates_events": q_asof_rates_events,
         "range_join_price_bands": q_range_join_price_bands,
@@ -8151,6 +8198,14 @@ SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
 WHERE o_totalprice IS NOT NULL
   AND (o_totalprice < 1000.0 OR o_totalprice > 300000.0)
 ORDER BY o_orderkey LIMIT 10
+""",
+        "zorder_box_events": """
+-- plain WHERE recompute: the z-order layout changes IO, never rows
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events
+WHERE user_id BETWEEN 2 AND 9 AND value BETWEEN 10.0 AND 80.0
+GROUP BY event_type ORDER BY event_type
 """,
         "brand_revenue_europe": """
 -- star join: lineitem x part (brand) filtered to EUROPE suppliers;

@@ -1078,10 +1078,118 @@ def stress_skewjoin20m() -> dict:
     return out
 
 
+def stress_zorder20m() -> dict:
+    """Z-order layout (sources/zorder.py) vs a single-column-sorted
+    layout: 20M rows with two independent uniform columns, box query
+    covering ~1% of each axis. Measures row groups whose stats
+    intersect the box (the pruning the layout exists for) and the
+    filtered-read wall; asserts both layouts return identical rows."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ddsketch_ray.hashing import splitmix64
+    from ddsketch_ray.sources.zorder import read_zorder_box, write_zorder
+
+    ray_init()
+    n = 20_000_000
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.uint64)
+        a = (splitmix64(i + np.uint64(3)) % np.uint64(1_000_000)).astype(np.int64)
+        b = (splitmix64(i + np.uint64(9)) % np.uint64(1_000_000)).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "v": pa.array(i.astype(np.int64))})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow")
+    z_dir, s_dir = "/tmp/stress_z", "/tmp/stress_zsort"
+    shutil.rmtree(z_dir, ignore_errors=True); shutil.rmtree(s_dir, ignore_errors=True)
+
+    t0 = time.time()
+    write_zorder(ds, z_dir, ["a", "b"])
+    wall_zwrite = time.time() - t0
+    t0 = time.time()
+    ds.sort("a").write_parquet(s_dir, row_group_size=64_000)
+    wall_swrite = time.time() - t0
+
+    box_ab = {"a": (500_000, 510_000), "b": (200_000, 210_000)}  # ~1% x ~1%
+    box_b = {"b": (200_000, 210_000)}  # the column the a-sort can't prune
+
+    def rg_touched(d, box):
+        tot = hit = 0
+        for f in sorted(_glob.glob(d + "/*.parquet")):
+            md = _pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                tot += 1
+                ok = True
+                for c, (lo, hi) in box.items():
+                    st = md.row_group(g).column(names[c]).statistics
+                    if st is not None and (st.max < lo or st.min > hi):
+                        ok = False
+                        break
+                hit += ok
+        return hit, tot
+
+    z_hit, z_tot = rg_touched(z_dir, box_ab)
+    s_hit, s_tot = rg_touched(s_dir, box_ab)
+    zb_hit, _ = rg_touched(z_dir, box_b)
+    sb_hit, _ = rg_touched(s_dir, box_b)
+
+    def run_box(d, box):
+        t0 = time.time()
+        out = read_zorder_box(d, box).materialize()
+        return out, time.time() - t0
+
+    box = box_ab
+    zres, wall_zread = run_box(z_dir, box_ab)
+    sres, wall_sread = run_box(s_dir, box_ab)
+    zbres, wall_zbread = run_box(z_dir, box_b)
+    sbres, wall_sbread = run_box(s_dir, box_b)
+    assert zbres.count() == sbres.count()
+    nz, ns = zres.count(), sres.count()
+    assert nz == ns, (nz, ns)
+    # identical row multisets (order-free sum of v)
+    def vsum(dsx):
+        import ray
+
+        tot = 0
+        for ref in dsx.map_batches(
+            lambda t: pa.table({"s": pa.array([int(t.column("v").to_numpy().sum())], pa.int64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize().to_arrow_refs():
+            tb = ray.get(ref)
+            if tb.num_rows and "s" in tb.column_names:
+                tot += sum(tb.column("s").to_pylist())
+        return tot
+
+    assert vsum(zres) == vsum(sres)
+    out = {
+        "n_rows": n, "box_rows": int(nz),
+        "wall_zorder_write_s": round(wall_zwrite, 1),
+        "wall_sorted_write_s": round(wall_swrite, 1),
+        "rowgroups_touched_zorder": f"{z_hit}/{z_tot}",
+        "rowgroups_touched_asorted": f"{s_hit}/{s_tot}",
+        "wall_box_read_zorder_s": round(wall_zread, 2),
+        "wall_box_read_asorted_s": round(wall_sread, 2),
+        "b_only_rowgroups_zorder": f"{zb_hit}/{z_tot}",
+        "b_only_rowgroups_asorted": f"{sb_hit}/{s_tot}",
+        "b_only_wall_zorder_s": round(wall_zbread, 2),
+        "b_only_wall_asorted_s": round(wall_sbread, 2),
+        "identical_rows": True,
+    }
+    log(f"zorder20m: {out}")
+    return out
+
+
 LEGS = {
     "bloomsemi20m": stress_bloomsemi20m,
     "bloomjoin20m": stress_bloomjoin20m,
     "skewjoin20m": stress_skewjoin20m,
+    "zorder20m": stress_zorder20m,
     "textindex600k": stress_textindex600k,
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "frequent50m": stress_frequent50m,
