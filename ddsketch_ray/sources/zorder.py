@@ -42,6 +42,15 @@ import pyarrow.compute as pc
 __all__ = ["write_zorder", "read_zorder_box", "zorder_key_batch"]
 
 
+def _as_numeric(col):
+    """Timestamps/dates participate as their epoch integers (a box on a
+    ts column is passed as datetime64/pd.Timestamp bounds by the
+    reader; internally everything ranks as int64 µs)."""
+    if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+        return col.cast(pa.int64())
+    return col
+
+
 def _col_stats(ds, cols: list[str]) -> dict[str, tuple[float, float]]:
     """Global (min, max) per column — one streaming pass, O(blocks ×
     cols) driver doubles."""
@@ -51,7 +60,7 @@ def _col_stats(ds, cols: list[str]) -> dict[str, tuple[float, float]]:
         mins = []
         maxs = []
         for c in cols:
-            col = t.column(c)
+            col = _as_numeric(t.column(c))
             mins.append(pc.min(col).as_py())
             maxs.append(pc.max(col).as_py())
         return pa.table(
@@ -90,7 +99,7 @@ def zorder_key_batch(
     n_cols = len(cols)
     z = np.zeros(t.num_rows, dtype=np.uint64)
     for j, c in enumerate(cols):
-        x = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = _as_numeric(t.column(c)).to_numpy(zero_copy_only=False).astype(np.float64)
         lo, hi = stats[c]
         span = hi - lo
         if span <= 0:

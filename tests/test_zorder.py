@@ -86,3 +86,19 @@ def test_nulls_and_constant_column(ray_session, tmp_path):
         bits=2,
     )
     assert z.tolist() == [0, 15]
+
+
+def test_timestamp_column(ray_session, tmp_path):
+    import ray.data as rd
+
+    ts = pa.array(
+        np.arange(0, 6_000_000_000, 1_000_000_000, dtype=np.int64).view("datetime64[us]"),
+        type=pa.timestamp("us"),
+    )
+    tbl = pa.table({"ts": ts, "v": pa.array(range(6), pa.int64())})
+    out = str(tmp_path / "zt")
+    write_zorder(rd.from_arrow(tbl), out, ["ts", "v"])
+    got = read_zorder_box(
+        out, {"ts": (np.datetime64(1_000_000_000, "us"), np.datetime64(3_000_000_000, "us"))}
+    ).to_pandas()
+    assert sorted(got["v"].tolist()) == [1, 2, 3]
