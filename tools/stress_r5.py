@@ -1185,11 +1185,82 @@ def stress_zorder20m() -> dict:
     return out
 
 
+def stress_compact600k() -> dict:
+    """Compaction at corpus scale: build the 600k-page text index in
+    one base write + three appends (the fragmented serving layout a
+    week of ingest produces), compact every bucket, and assert serving
+    is bit-equal before/after. Reports file counts, walls, and the
+    resume no-op."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.functions.search_index import (
+        append_to_text_index,
+        search_text_index,
+        write_text_index,
+    )
+    from ddsketch_ray.hashing import splitmix64
+    from ddsketch_ray.sources.compact import compact_bucketed_layout
+
+    ray_init()
+    n_pages = 600_000
+    vocab = [f"w{i:04d}" for i in range(4000)] + ["hash", "join", "scan"]
+    varr = np.array(vocab)
+
+    def gen_slice(lo, hi):
+        def gen(t: pa.Table) -> pa.Table:
+            i = t.column("id").to_numpy().astype(np.uint64) + np.uint64(lo)
+            seeds = (i[:, None] * np.uint64(80)) + np.arange(80, dtype=np.uint64)[None, :]
+            widx = (splitmix64(seeds.ravel() + np.uint64(77)) % np.uint64(len(varr))).astype(np.int64)
+            words = varr[widx].reshape(len(i), 80)
+            return pa.table({"doc_id": pa.array(i.astype(np.int64)),
+                             "text": pa.array([" ".join(r) for r in words])})
+        return rd.range(hi - lo).map_batches(gen, batch_format="pyarrow")
+
+    root = "/tmp/stress_cmp_tix"
+    shutil.rmtree(root, ignore_errors=True)
+    quarter = n_pages // 4
+    t0 = time.time()
+    write_text_index(gen_slice(0, quarter), root, num_buckets=64)
+    for a in range(1, 4):
+        append_to_text_index(gen_slice(a * quarter, (a + 1) * quarter), root)
+    wall_build = time.time() - t0
+
+    q = {"a": "hash join w0100", "b": "scan w0200 w0300"}
+    before = search_text_index(root, q, k=10)
+    files_before = len(_glob.glob(root + "/bucket=*/*.parquet"))
+    t0 = time.time()
+    stats = compact_bucketed_layout(root, ["tok"], ckpt_path="/tmp/stress_cmp_ck.json",
+                                    run_id="s1", parallelism=32)
+    wall_compact = time.time() - t0
+    after = search_text_index(root, q, k=10)
+    assert after.equals(before), "compaction changed a serving answer"
+    t0 = time.time()
+    stats2 = compact_bucketed_layout(root, ["tok"], ckpt_path="/tmp/stress_cmp_ck.json",
+                                     run_id="s1", parallelism=32)
+    wall_resume = time.time() - t0
+    assert stats2["skipped"] == stats2["buckets"]
+    out = {
+        "n_pages": n_pages, "appends": 3,
+        "wall_build_plus_appends_s": round(wall_build, 1),
+        "files_before": files_before, "files_after": stats["files_after"],
+        "wall_compact_s": round(wall_compact, 1),
+        "wall_resume_noop_s": round(wall_resume, 2),
+        "serve_bit_equal": True,
+    }
+    log(f"compact600k: {out}")
+    return out
+
+
 LEGS = {
     "bloomsemi20m": stress_bloomsemi20m,
     "bloomjoin20m": stress_bloomjoin20m,
     "skewjoin20m": stress_skewjoin20m,
     "zorder20m": stress_zorder20m,
+    "compact600k": stress_compact600k,
     "textindex600k": stress_textindex600k,
     "pagerank5m_shuffle": stress_pagerank5m_shuffle,
     "frequent50m": stress_frequent50m,
