@@ -131,6 +131,14 @@ def write_zorder(
     import ray.data as rd  # noqa: F401
 
     cols = list(cols)
+    if not cols:
+        raise ValueError("write_zorder needs at least one column")
+    # the Morton key must fit 64 bits: bits × n_cols ≤ 64. Auto-reduce
+    # per-column resolution for wide keys (4 cols → 16 bits each,
+    # 6 cols → 10) instead of silently wrapping the interleave.
+    bits = min(int(bits), 64 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)} > 64)")
     stats = _col_stats(ds, cols)
 
     def add_z(t: pa.Table) -> pa.Table:

@@ -102,3 +102,22 @@ def test_timestamp_column(ray_session, tmp_path):
         out, {"ts": (np.datetime64(1_000_000_000, "us"), np.datetime64(3_000_000_000, "us"))}
     ).to_pandas()
     assert sorted(got["v"].tolist()) == [1, 2, 3]
+
+
+def test_wide_key_auto_reduces_bits(ray_session, tmp_path):
+    """5 z columns × default 16 bits would overflow the 64-bit Morton
+    key — the writer must clamp resolution, not wrap silently."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    cols = {f"c{i}": pa.array(rng.integers(0, 1000, 5000), type=pa.int64()) for i in range(5)}
+    cols["v"] = pa.array(np.arange(5000, dtype=np.int64))
+    tbl = pa.table(cols)
+    out = str(tmp_path / "zw")
+    meta = write_zorder(rd.from_arrow(tbl).repartition(4), out, [f"c{i}" for i in range(5)])
+    assert meta["bits"] == 12  # 64 // 5
+    box = {"c0": (100, 200), "c3": (500, 600)}
+    got = read_zorder_box(out, box).to_pandas()
+    df = tbl.to_pandas()
+    m = (df["c0"] >= 100) & (df["c0"] <= 200) & (df["c3"] >= 500) & (df["c3"] <= 600)
+    assert sorted(got["v"].tolist()) == sorted(df[m]["v"].tolist())
