@@ -687,6 +687,48 @@ def q_minhash_dedup_sqlhash_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_dedup_best_rep_documents(sf_dir: str) -> pd.DataFrame:
+    """minhash_dedup(token_hash="poly") clusters over documents + the
+    same 50 planted near-dups as the sqlhash query, re-labeled by
+    select_representatives (functions/dedup.py) with score =
+    ASCII-whitespace token count — the "keep the longest member"
+    survivor policy a production corpus prep wants instead of the
+    structural min-id rep. The planted copy carries one extra token, so
+    every non-trivial cluster's winner provably DIFFERS from the dedup's
+    min-id rep — the re-selection sort-plan (one shuffle join, one
+    global sort, O(blocks) carry stitch) is exercised, not a
+    pass-through. The oracle recomputes the ENTIRE chain (full LSH
+    replay + windowed per-cluster argmax) independently in DuckDB."""
+    from ddsketch_ray.functions.dedup import minhash_dedup, select_representatives
+    from ddsketch_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = t.filter(pc.less(t.column("doc_id"), 50))
+        txt = pc.fill_null(m.column("text"), "")
+        txt = pc.binary_join_element_wise(pc.cast(txt, pa.string()), " zzz", "")
+        return pa.table({"doc_id": pc.add(m.column("doc_id"), 100000), "text": txt})
+
+    planted = ds.union(ds.map_batches(mutate, batch_format="pyarrow", batch_size=None))
+    assign = minhash_dedup(planted, token_hash="poly")
+    scores = planted.map_batches(
+        lambda t: token_count_batch(t)
+        .select(["doc_id", "n_tokens"])
+        .rename_columns(["doc_id", "score"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return (
+        select_representatives(assign, scores, score_col="score")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_simhash_dedup_sqlhash_documents(sf_dir: str) -> pd.DataFrame:
     """SimHash dedup with the SQL-replayable token hash over documents
     plus the same 50 planted near-dups as the minhash sqlhash query;
@@ -4928,6 +4970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_distributed_documents": q_minhash_dedup_distributed_documents,
         "minhash_dedup_sqlhash_documents": q_minhash_dedup_sqlhash_documents,
+        "dedup_best_rep_documents": q_dedup_best_rep_documents,
         "simhash_dedup_sqlhash_documents": q_simhash_dedup_sqlhash_documents,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "simhash_dedup_distributed_documents": q_simhash_dedup_distributed_documents,
@@ -6037,7 +6080,7 @@ FROM comp ORDER BY doc_id
 """
 
 
-def _minhash_sqlhash_oracle() -> str:
+def _minhash_sqlhash_oracle(tail: str | None = None) -> str:
     """REAL end-to-end SQL replay of minhash_dedup(token_hash="poly")
     over documents + 50 planted near-dups: polyhash token hashes
     (byte polynomial mod 2^64, as in the DSIR-hashed oracle), 5-gram
@@ -6047,7 +6090,9 @@ def _minhash_sqlhash_oracle() -> str:
     (pivot to 8 columns + 8 chained CTE stages), candidate pairs from
     band-bucket self-join, signature-agreement verify (ag/128.0 >= 0.7,
     same IEEE compare as the numpy mean), and connected components via
-    a recursive reachability CTE with MIN(reachable id) as the rep."""
+    a recursive reachability CTE with MIN(reachable id) as the rep.
+    ``tail`` replaces everything after the ``comp`` CTE so derived
+    oracles (``_best_rep_oracle``) can re-use the whole LSH replay."""
     _sm = _splitmix_sql
     empty_sh = _sm(f"CAST({_SPLITMIX_ZERO} AS UBIGINT)")
     bchain = [f"SELECT doc_id, band, {_sm('v0')} AS acc, v1, v2, v3, v4, v5, v6, v7 FROM bb"]
@@ -6115,10 +6160,33 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 ),
-comp AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
+comp AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a){tail or '''
 SELECT doc_id, rep::BIGINT AS rep, (doc_id = rep) AS is_survivor
-FROM comp ORDER BY doc_id
+FROM comp ORDER BY doc_id'''}
 """
+
+
+def _best_rep_oracle() -> str:
+    """select_representatives over the minhash-sqlhash clusters, score =
+    ASCII-whitespace token count (the oracle's own ``ntok`` CTE, the
+    repo's established token definition): winner per cluster =
+    ROW_NUMBER() OVER (PARTITION BY rep ORDER BY score DESC, doc_id) = 1
+    — exactly the operator's (-score, id) sort order. Reuses the ENTIRE
+    end-to-end LSH replay, so the chain dedup → quality-aware survivor
+    re-selection is recomputed independently in SQL."""
+    return _minhash_sqlhash_oracle(
+        tail=""",
+score AS (SELECT doc_id, n AS score FROM ntok),
+winr AS (
+  SELECT rep, doc_id AS winner FROM (
+    SELECT c.rep, c.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.rep
+                              ORDER BY s.score DESC, c.doc_id) AS rn
+    FROM comp c JOIN score s USING (doc_id)) WHERE rn = 1)
+SELECT c.doc_id, w.winner::BIGINT AS rep,
+       (c.doc_id = w.winner) AS is_survivor
+FROM comp c JOIN winr w USING (rep) ORDER BY c.doc_id"""
+    )
 
 
 def _minhash_index_oracle() -> str:
@@ -7854,6 +7922,7 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY doc_id
 """,
         "minhash_dedup_sqlhash_documents": _minhash_sqlhash_oracle(),
+        "dedup_best_rep_documents": _best_rep_oracle(),
         "simhash_dedup_sqlhash_documents": _simhash_sqlhash_oracle(),
         "dsir_hashed_importance_docs": rf"""
 -- feature-hashed DSIR, full recompute INCLUDING the bucket hash: the

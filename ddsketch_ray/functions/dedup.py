@@ -1918,3 +1918,207 @@ def decontaminate(
     return train_ds.map_batches(
         kernel, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+# --------------------------------------------- representative selection
+
+
+def select_representatives(
+    assign_ds,
+    scores_ds,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    num_buckets: int = 64,
+):
+    """Re-pick each dedup cluster's representative as its highest-score
+    member (ties → smallest id) — the "keep the best copy" policy a
+    production corpus prep wants instead of the structural min-id rep
+    that every dedup family here emits (no reference analogue —
+    gmorleo/DDSketch has no dedup; this extends the §2.3 set-ops row).
+
+    Inputs: ``assign_ds`` = ``(id_col, rep, ...)`` from any dedup
+    family (exact / MinHash / SimHash / Jaccard / embedding / SemDeDup
+    — they all share the contract); ``scores_ds`` = one non-null
+    INTEGER score per id (fixed-point-quantize floats upstream, the
+    repo's standard for order-independent SQL-replayable comparisons).
+    Output: ``(id_col, rep, is_survivor)`` with the same cluster
+    partition, ``rep`` = the winning member's id.
+
+    Plan (house sort-plan idiom, per_key_rank/cap_per_key family):
+
+    1. ONE shuffle join attaches scores to the (id, rep) rows — the
+       only all-to-all that moves data; payload is 3 int64 columns.
+    2. ONE global sort by (rep, -score, id): each cluster's winner is
+       the first row of its rep-run.
+    3. Per block: winner = first id of each run (vectorized gather).
+       A block's FIRST run may continue from the previous block, so
+       each block emits ONE summary row and the driver resolves
+       cross-block runs with an O(blocks) carry walk (ids unique ⇒
+       block order reconstructible; in-block + boundary (rep, id)
+       adjacency is validated and raises on duplicates — the pack.py
+       silent-corruption rule, which also catches a fanned-out join
+       from duplicate score rows).
+    4. A streaming finish rewrites only first-run rows of overridden
+       blocks. Driver footprint: one summary row per block + the
+       override dict (≤ blocks entries).
+    """
+    import ray
+
+    from ddsketch_ray.functions.joins import equi_join_shuffle
+
+    j = equi_join_shuffle(
+        assign_ds,
+        scores_ds,
+        id_col,
+        id_col,
+        ["rep"],
+        [score_col],
+        num_buckets=num_buckets,
+        how="left",
+        coalesce_blocks=True,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        s = t.column(score_col)
+        if s.null_count:
+            raise ValueError(
+                "select_representatives: missing score for some ids — "
+                "every cluster member needs exactly one score row"
+            )
+        s64 = s.cast(pa.int64()).to_numpy()
+        if len(s64) and int(s64.min()) == np.iinfo(np.int64).min:
+            raise ValueError("select_representatives: INT64_MIN score unsupported")
+        return pa.table(
+            {
+                "r": t.column("rep").cast(pa.int64()),
+                "n": pa.array(-s64),
+                "i": t.column(id_col).cast(pa.int64()),
+            }
+        )
+
+    s = j.map_batches(project, batch_format="pyarrow", batch_size=None).sort(
+        ["r", "n", "i"]
+    )
+
+    def block_pass(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e64 = pa.array([], pa.int64())
+            eb = pa.array([], pa.bool_())
+            return pa.table(
+                {
+                    id_col: e64,
+                    "rep": e64,
+                    "_first_run": eb,
+                    "_summary": eb,
+                    "_fk": e64,
+                    "_lk": e64,
+                    "_fo": e64,
+                    "_fi": e64,
+                    "_li": e64,
+                    "_wl": e64,
+                }
+            )
+        r = t.column("r").to_numpy()
+        o = t.column("n").to_numpy()
+        i = t.column("i").to_numpy()
+        n = len(r)
+        if n > 1 and ((r[1:] == r[:-1]) & (i[1:] == i[:-1])).any():
+            raise ValueError(
+                "select_representatives: duplicate (rep, id) rows — "
+                "more than one score row per id?"
+            )
+        kchg = np.r_[True, r[1:] != r[:-1]]
+        gstart = np.maximum.accumulate(np.where(kchg, np.arange(n), 0))
+        z = np.zeros(n - 1, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(i),
+                "rep": pa.array(i[gstart]),
+                "_first_run": pa.array(gstart == 0),
+                "_summary": pa.array(np.r_[True, np.zeros(n - 1, dtype=bool)]),
+                "_fk": pa.array(np.r_[r[0], z]),
+                "_lk": pa.array(np.r_[r[-1], z]),
+                "_fo": pa.array(np.r_[o[0], z]),
+                "_fi": pa.array(np.r_[i[0], z]),
+                "_li": pa.array(np.r_[i[-1], z]),
+                "_wl": pa.array(np.r_[i[int(gstart[-1])], z]),
+            }
+        )
+
+    rep_ds = s.map_batches(
+        block_pass, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    summ_refs = rep_ds.map_batches(
+        lambda t: t.filter(t.column("_summary")).select(
+            ["_fk", "_lk", "_fo", "_fi", "_li", "_wl"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_arrow_refs()
+    # tiny inputs: all-to-all stages can emit schema-LESS empty blocks
+    # (zero columns) that pass through map_batches untouched — drop them
+    parts = [p for p in (ray.get(x) for x in summ_refs) if p.num_columns]
+    if not parts:
+        import ray.data as _rd
+
+        e64 = pa.array([], pa.int64())
+        return _rd.from_arrow(
+            pa.table(
+                {id_col: e64, "rep": e64, "is_survivor": pa.array([], pa.bool_())}
+            )
+        )
+    summ = pa.concat_tables(parts)
+    summ = summ.sort_by(
+        [("_fk", "ascending"), ("_fo", "ascending"), ("_fi", "ascending")]
+    )
+    fk = summ.column("_fk").to_numpy()
+    lk = summ.column("_lk").to_numpy()
+    fi = summ.column("_fi").to_numpy()
+    li = summ.column("_li").to_numpy()
+    wl = summ.column("_wl").to_numpy()
+    if len(np.unique(fi)) != len(fi):
+        raise ValueError(
+            "select_representatives: duplicate block-identity ids — id_col not unique"
+        )
+    override: dict[int, int] = {}
+    carry_rep: int | None = None
+    carry_last_id = 0
+    carry_win = 0
+    for b in range(len(fk)):
+        if carry_rep is not None and int(fk[b]) == carry_rep:
+            if int(fi[b]) == carry_last_id:
+                raise ValueError(
+                    "select_representatives: duplicate (rep, id) across block "
+                    "boundary — more than one score row per id?"
+                )
+            override[int(fi[b])] = carry_win
+            if int(fk[b]) != int(lk[b]):
+                carry_win = int(wl[b])
+        else:
+            carry_win = int(wl[b])
+        carry_rep = int(lk[b])
+        carry_last_id = int(li[b])
+    over_ref = ray.put(override)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            e64 = pa.array([], pa.int64())
+            return pa.table(
+                {id_col: e64, "rep": e64, "is_survivor": pa.array([], pa.bool_())}
+            )
+        ov = ray.get(over_ref)
+        ids = t.column(id_col).to_numpy()
+        w = t.column("rep").to_numpy().copy()
+        if bool(t.column("_summary")[0].as_py()) and int(ids[0]) in ov:
+            m = t.column("_first_run").to_numpy()
+            w[m] = ov[int(ids[0])]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "rep": pa.array(w),
+                "is_survivor": pa.array(ids == w),
+            }
+        )
+
+    return rep_ds.map_batches(finish, batch_format="pyarrow", batch_size=None)
