@@ -1925,7 +1925,7 @@ def decontaminate(
 
 def select_representatives(
     assign_ds,
-    scores_ds,
+    scores_ds=None,
     id_col: str = "doc_id",
     score_col: str = "score",
     num_buckets: int = 64,
@@ -1941,6 +1941,9 @@ def select_representatives(
     — they all share the contract); ``scores_ds`` = one non-null
     INTEGER score per id (fixed-point-quantize floats upstream, the
     repo's standard for order-independent SQL-replayable comparisons).
+    Pass ``scores_ds=None`` when ``score_col`` is already a column of
+    ``assign_ds`` — that skips the shuffle join (step 1) entirely, the
+    common case when scores were computed on the same table.
     Output: ``(id_col, rep, is_survivor)`` with the same cluster
     partition, ``rep`` = the winning member's id.
 
@@ -1964,19 +1967,22 @@ def select_representatives(
     """
     import ray
 
-    from ddsketch_ray.functions.joins import equi_join_shuffle
+    if scores_ds is None:
+        j = assign_ds
+    else:
+        from ddsketch_ray.functions.joins import equi_join_shuffle
 
-    j = equi_join_shuffle(
-        assign_ds,
-        scores_ds,
-        id_col,
-        id_col,
-        ["rep"],
-        [score_col],
-        num_buckets=num_buckets,
-        how="left",
-        coalesce_blocks=True,
-    )
+        j = equi_join_shuffle(
+            assign_ds,
+            scores_ds,
+            id_col,
+            id_col,
+            ["rep"],
+            [score_col],
+            num_buckets=num_buckets,
+            how="left",
+            coalesce_blocks=True,
+        )
 
     def project(t: pa.Table) -> pa.Table:
         s = t.column(score_col)

@@ -82,6 +82,28 @@ def test_singletons_keep_themselves(ray_session):
     assert got["is_survivor"].all()
 
 
+def test_preattached_scores_skip_join_same_result(ray_session):
+    rng = np.random.default_rng(7)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    cluster = rng.integers(0, 40, n)
+    rep = pd.Series(ids).groupby(cluster).transform("min").to_numpy()
+    assign = pd.DataFrame({"doc_id": ids, "rep": rep.astype(np.int64)})
+    scores = pd.DataFrame(
+        {"doc_id": ids, "score": rng.integers(0, 4, n).astype(np.int64)}
+    )
+    joined = rd.from_arrow(
+        pa.Table.from_pandas(assign.merge(scores, on="doc_id"))
+    ).repartition(6)
+    got = (
+        select_representatives(joined, None, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _brute(assign, scores))
+
+
 def test_duplicate_score_rows_raise(ray_session):
     ids = np.arange(20, dtype=np.int64)
     assign = pd.DataFrame({"doc_id": ids, "rep": np.zeros(20, dtype=np.int64)})

@@ -1255,7 +1255,71 @@ def stress_compact600k() -> dict:
     return out
 
 
+def stress_selrep1m() -> dict:
+    """select_representatives at 1.1M rows: 200k clusters of 5 plus one
+    100k-member hot cluster (a single sort run spanning many blocks —
+    the cross-block carry walk's worst case), heavy score ties (range
+    0..15) so the min-id tie-break decides constantly. Bit-checked
+    against a sequential pandas argmax reference; driver RSS recorded
+    (the operator holds only per-block summaries + the override dict;
+    the 1.1M-row to_pandas below is the CHECK, not the plan)."""
+    ray_init()
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.dedup import select_representatives
+    from ddsketch_ray.hashing import splitmix64
+
+    n5 = 1_000_000
+    ids5 = np.arange(n5, dtype=np.int64)
+    hot = np.arange(n5, n5 + 100_000, dtype=np.int64)
+    ids = np.concatenate([ids5, hot])  # already ascending
+    reps = np.concatenate(
+        [ids5 - (ids5 % 5), np.full(100_000, n5, dtype=np.int64)]
+    )
+    scores = (splitmix64(ids.astype(np.uint64)) & np.uint64(15)).astype(np.int64)
+    a = rd.from_arrow(pa.table({"doc_id": ids, "rep": reps})).repartition(128)
+    s = rd.from_arrow(pa.table({"doc_id": ids, "score": scores})).repartition(128)
+    t0 = time.time()
+    out = select_representatives(a, s, num_buckets=128).materialize()
+    wall = time.time() - t0
+    rss_after_plan = rss_gb()
+
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = pd.DataFrame({"doc_id": ids, "rep": reps, "score": scores})
+    df = df.sort_values(["rep", "score", "doc_id"], ascending=[True, False, True])
+    win = df.groupby("rep", sort=False)["doc_id"].first()
+    expected = win.loc[reps].to_numpy()
+    assert np.array_equal(got["doc_id"].to_numpy(), ids)
+    assert np.array_equal(got["rep"].to_numpy(), expected), "winner mismatch"
+    n_clusters = 200_000 + 1
+    assert int(got["is_survivor"].sum()) == n_clusters
+    # pre-attached fast path (scores already a column → no shuffle join)
+    pre = rd.from_arrow(
+        pa.table({"doc_id": ids, "rep": reps, "score": scores})
+    ).repartition(128)
+    t0 = time.time()
+    out2 = select_representatives(pre, None, num_buckets=128).materialize()
+    wall_pre = time.time() - t0
+    got2 = out2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(got2["rep"].to_numpy(), expected), "pre-attached mismatch"
+
+    res = {
+        "rows": len(ids),
+        "clusters": n_clusters,
+        "hot_cluster": 100_000,
+        "wall_s": round(wall, 1),
+        "wall_preattached_s": round(wall_pre, 1),
+        "rows_per_s": int(len(ids) / wall),
+        "driver_rss_gb_after_plan": round(rss_after_plan, 2),
+        "bit_equal": True,
+    }
+    log(f"selrep1m: {res}")
+    return res
+
+
 LEGS = {
+    "selrep1m": stress_selrep1m,
     "bloomsemi20m": stress_bloomsemi20m,
     "bloomjoin20m": stress_bloomjoin20m,
     "skewjoin20m": stress_skewjoin20m,
