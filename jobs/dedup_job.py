@@ -52,9 +52,18 @@ def main() -> int:
                     help="LSH phase plan: auto size-gates driver vs fully distributed")
     ap.add_argument("--driver-threshold", type=int, default=2_000_000,
                     help="auto mode: band-row count above which the distributed plan runs")
+    ap.add_argument("--keep-best-col", default=None,
+                    help="re-label each cluster with its highest-scoring member "
+                         "(ties -> smallest id); names an INTEGER column of the input")
+    ap.add_argument("--keep-best-tokens", action="store_true",
+                    help="re-label each cluster with its longest member "
+                         "(ASCII-whitespace token count of --text-col)")
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="init a local session with this many CPUs (omit under ray job submit)")
     args = ap.parse_args()
+    if args.keep_best_col and args.keep_best_tokens:
+        print("--keep-best-col and --keep-best-tokens are exclusive", file=sys.stderr)
+        return 2
 
     import ray
 
@@ -88,6 +97,39 @@ def main() -> int:
         mode=args.mode,
         driver_threshold=args.driver_threshold,
     )
+    if args.keep_best_col or args.keep_best_tokens:
+        # post-stage: deterministic re-selection over the (id, rep) rows —
+        # composes with resume because it is a pure function of the
+        # checkpointed assignments + the input scores
+        import ray.data as rd
+
+        from ddsketch_ray.functions.dedup import select_representatives
+        from ddsketch_ray.sources.readers import strip_schema_metadata
+
+        if args.keep_best_tokens:
+            from ddsketch_ray.functions.text import token_count_batch
+
+            docs = strip_schema_metadata(
+                rd.read_parquet(files, columns=[args.id_col, args.text_col])
+            )
+            scores = docs.map_batches(
+                lambda t: token_count_batch(t, text_col=args.text_col)
+                .select([args.id_col, "n_tokens"])
+                .rename_columns([args.id_col, "score"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        else:
+            docs = strip_schema_metadata(
+                rd.read_parquet(files, columns=[args.id_col, args.keep_best_col])
+            )
+            scores = docs.map_batches(
+                lambda t: t.rename_columns([args.id_col, "score"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        out = select_representatives(out, scores, id_col=args.id_col)
+
     if args.out:
         out.write_parquet(args.out)  # streaming sink, one file per block
         import ray.data as rd
