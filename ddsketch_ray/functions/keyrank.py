@@ -138,7 +138,20 @@ def per_key_rank(
     )
     import ray as _ray
 
-    summ_t = pa.concat_tables([_ray.get(r) for r in summ])
+    # tiny inputs: upstream all-to-alls (e.g. a shuffle join feeding this)
+    # can emit schema-LESS empty blocks that pass through map_batches
+    # untouched — drop them before the concat
+    _parts = [p for p in (_ray.get(r) for r in summ) if p.num_columns]
+    if not _parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    rank_alias: pa.array([], pa.int64()),
+                }
+            )
+        )
+    summ_t = pa.concat_tables(_parts)
     summ_t = summ_t.sort_by([("_fk", "ascending"), ("_fo", "ascending"), ("_fi", "ascending")])
     fi = summ_t.column("_fi").to_pylist()
     if len(set(fi)) != len(fi):
