@@ -729,6 +729,44 @@ def q_dedup_best_rep_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_split_by_cluster_documents(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe train/val split: near-duplicate documents must land
+    on the SAME side (hashing doc ids splits a near-dup pair across
+    train and val — eval contamination), so the split hashes the
+    cluster REP instead: sampling.hash_split over the rep column of the
+    minhash_dedup(token_hash="poly") assignments (same planted corpus
+    as the sqlhash query, so non-trivial clusters exist). Output one
+    (doc_id, rep, split) row per doc; the oracle replays the ENTIRE
+    chain — full LSH clustering + SplitMix64(rep) % 100 intervals —
+    independently in DuckDB."""
+    from ddsketch_ray.functions.dedup import minhash_dedup
+    from ddsketch_ray.functions.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = t.filter(pc.less(t.column("doc_id"), 50))
+        txt = pc.fill_null(m.column("text"), "")
+        txt = pc.binary_join_element_wise(pc.cast(txt, pa.string()), " zzz", "")
+        return pa.table({"doc_id": pc.add(m.column("doc_id"), 100000), "text": txt})
+
+    planted = ds.union(ds.map_batches(mutate, batch_format="pyarrow", batch_size=None))
+    assign = minhash_dedup(planted, token_hash="poly")
+    out = hash_split(
+        assign, "rep", [("train", 90), ("val", 10)], seed=0
+    ).map_batches(
+        lambda t: t.select(["doc_id", "rep", "split"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # the guarantee itself: every cluster is entirely on one side
+    assert (df.groupby("rep")["split"].nunique() == 1).all()
+    return df
+
+
 def q_simhash_dedup_sqlhash_documents(sf_dir: str) -> pd.DataFrame:
     """SimHash dedup with the SQL-replayable token hash over documents
     plus the same 50 planted near-dups as the minhash sqlhash query;
@@ -4971,6 +5009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_distributed_documents": q_minhash_dedup_distributed_documents,
         "minhash_dedup_sqlhash_documents": q_minhash_dedup_sqlhash_documents,
         "dedup_best_rep_documents": q_dedup_best_rep_documents,
+        "split_by_cluster_documents": q_split_by_cluster_documents,
         "simhash_dedup_sqlhash_documents": q_simhash_dedup_sqlhash_documents,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "simhash_dedup_distributed_documents": q_simhash_dedup_distributed_documents,
@@ -6186,6 +6225,22 @@ winr AS (
 SELECT c.doc_id, w.winner::BIGINT AS rep,
        (c.doc_id = w.winner) AS is_survivor
 FROM comp c JOIN winr w USING (rep) ORDER BY c.doc_id"""
+    )
+
+
+def _split_by_cluster_oracle() -> str:
+    """hash_split over the cluster rep (hash_ints(rep, seed=0) =
+    splitmix64(rep ^ splitmix64(0)), bucket = h % 100, train [0,90) /
+    val [90,100)) on top of the full end-to-end LSH replay."""
+    rep_hash = _splitmix_sql(
+        f"xor(CAST(rep AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))"
+    )
+    return _minhash_sqlhash_oracle(
+        tail=f""",
+sp AS (SELECT doc_id, rep, {rep_hash} % 100 AS b FROM comp)
+SELECT doc_id, rep::BIGINT AS rep,
+       CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split
+FROM sp ORDER BY doc_id"""
     )
 
 
@@ -7923,6 +7978,7 @@ ORDER BY doc_id
 """,
         "minhash_dedup_sqlhash_documents": _minhash_sqlhash_oracle(),
         "dedup_best_rep_documents": _best_rep_oracle(),
+        "split_by_cluster_documents": _split_by_cluster_oracle(),
         "simhash_dedup_sqlhash_documents": _simhash_sqlhash_oracle(),
         "dsir_hashed_importance_docs": rf"""
 -- feature-hashed DSIR, full recompute INCLUDING the bucket hash: the
