@@ -1330,6 +1330,59 @@ def q_bigjoin_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_join_auto_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
+    """The measured join planner (functions/joins.py:join_auto) on the
+    bigjoin workload: ONE entry point picks broadcast / bloom /
+    salted-shuffle from counted sizes + a Misra-Gries skew pass. At
+    sf0.01 orders (unique keys, small) selects the broadcast plan; the
+    query ALSO forces the planner past the broadcast gate
+    (broadcast_limit_rows=0 → the shuffle family) and asserts both
+    plans agree row-for-row before returning — plan independence proven
+    at the driver contract, not just in pytest. Oracle = the plain SQL
+    join aggregate (same as bigjoin_revenue_by_priority)."""
+    from ddsketch_ray.functions.analytics import small_key_rollup
+    from ddsketch_ray.functions.joins import join_auto
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    li_c = li.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def rollup(joined) -> pd.DataFrame:
+        out = small_key_rollup(
+            joined,
+            ["o_orderpriority"],
+            sums=[("rev_c", "price_c")],
+            count_alias="n_items",
+        ).to_pandas()
+        out["revenue"] = out.pop("rev_c") / 100.0
+        out["n_items"] = out["n_items"].astype(np.int64)
+        return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+    auto, plan = join_auto(
+        li_c, orders, "l_orderkey", "o_orderkey",
+        ["price_c"], ["o_orderpriority"], num_buckets=128, explain=True,
+    )
+    forced, plan2 = join_auto(
+        li_c, orders, "l_orderkey", "o_orderkey",
+        ["price_c"], ["o_orderpriority"], num_buckets=128,
+        broadcast_limit_rows=0, explain=True,
+    )
+    a, b = rollup(auto), rollup(forced)
+    assert plan["plan"] != plan2["plan"], (plan, plan2)
+    assert a.equals(b), "join_auto plans disagree"
+    return a
+
+
 def q_customers_outside_asia(sf_dir: str) -> pd.DataFrame:
     """Broadcast ANTI join (the blocklist-filter shape of training-data
     pipelines): customers whose nation is NOT in region ASIA. The key
@@ -5050,6 +5103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_left_rates_events": q_asof_left_rates_events,
         "asof_prev_value_by_type": q_asof_prev_value_by_type,
         "bigjoin_revenue_by_priority": q_bigjoin_revenue_by_priority,
+        "join_auto_revenue_by_priority": q_join_auto_revenue_by_priority,
         "customers_outside_asia": q_customers_outside_asia,
         "top_docs_by_lang": q_top_docs_by_lang,
         "docs_above_median_tokens": q_docs_above_median_tokens,
@@ -7444,6 +7498,14 @@ FROM events e ASOF LEFT JOIN dim d
 ORDER BY event_id
 """,
         "bigjoin_revenue_by_priority": """
+SELECT o.o_orderpriority,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+        "join_auto_revenue_by_priority": """
+-- join_auto picks the physical plan; the logical join is this
 SELECT o.o_orderpriority,
        COUNT(*)::BIGINT AS n_items,
        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue

@@ -1181,3 +1181,139 @@ def equi_join_skew(
         seed=seed,
         salt=salt,
     )
+
+
+def join_auto(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols,
+    right_cols,
+    how: str = "inner",
+    num_buckets: int = 64,
+    seed: int = 0,
+    broadcast_limit_rows: int = 2_000_000,
+    bloom_probe_factor: int = 8,
+    mg_k: int = 64,
+    max_salt: int = 16,
+    hot_factor: float = 2.0,
+    n_left: int | None = None,
+    n_right: int | None = None,
+    explain: bool = False,
+):
+    """Measured join planner: ONE entry point that picks the cheapest
+    exact plan from this module's family, the way the dedup substrate's
+    ``mode="auto"`` gates driver vs distributed. Output rows and columns
+    are identical across plans (``left_key`` + ``left_cols`` +
+    ``right_cols``; row ORDER is plan-dependent — sort downstream);
+    only the movement strategy changes:
+
+    1. **broadcast** — right side ≤ ``broadcast_limit_rows`` AND its
+       keys are unique (verified exactly on the materialized dim, via
+       one Arrow ``count_distinct``): zero shuffle, the dim rides
+       ``ray.put`` once. Duplicate right keys fall through (broadcast
+       is a lookup join; many-to-many needs the shuffle family).
+    2. otherwise one column-pruned Misra-Gries pass over the probe keys
+       picks the **salt** (``_salt_for`` — uniform keys measure
+       share ≈ 1/num_buckets and stay unsalted), then:
+    3. **bloom** — probe side ≥ ``bloom_probe_factor``× the right side:
+       the all-to-all carries only left rows that might match
+       (measured 77× shuffle-volume cut at 1.2% match, BASELINE.md);
+    4. **shuffle** — the general bucketed co-partition plan.
+
+    Sizes come from ``ds.count()`` — free on parquet reads (metadata),
+    one execution on derived pipelines; pass ``n_left``/``n_right``
+    (or ``.materialize()`` upstream) to skip that pass. The planning
+    passes consume the inputs again (count / MG / bloom build), which
+    is the price of measuring instead of guessing — at 100 TB a wrong
+    plan costs more than a narrow extra scan.
+
+    ``explain=True`` returns ``(ds, plan)`` where ``plan`` records the
+    decision (plan name, salt, sizes) for logs and tests.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    nl = left_ds.count() if n_left is None else int(n_left)
+    nr = right_ds.count() if n_right is None else int(n_right)
+
+    plan: dict = {"n_left": nl, "n_right": nr, "salt": 1}
+
+    def _ret(ds):
+        return (ds, plan) if explain else ds
+
+    if 0 < nr <= broadcast_limit_rows:
+        refs = (
+            right_ds.map_batches(
+                lambda t: t.select([right_key] + list(right_cols)),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        parts = [p for p in (ray.get(r) for r in refs) if p.num_columns]
+        dim = pa.concat_tables(parts)
+        if pc.count_distinct(dim.column(right_key)).as_py() == dim.num_rows:
+            plan["plan"] = "broadcast"
+            big = left_ds.map_batches(
+                lambda t: t.select([left_key] + list(left_cols)),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            return _ret(
+                equi_join_broadcast(
+                    big,
+                    dim,
+                    left_key,
+                    list(right_cols),
+                    dim_key_col=right_key,
+                    how=how,
+                )
+            )
+        plan["right_keys_unique"] = False  # lookup join ineligible
+
+    from ddsketch_ray.agg import MisraGriesAgg, sketch_from_result
+
+    mg = sketch_from_result(
+        left_ds.aggregate(MisraGriesAgg(on=left_key, k=mg_k, alias_name="mg"))["mg"]
+    )
+    salt = _salt_for(mg, num_buckets, max_salt, hot_factor)
+    plan["salt"] = salt
+
+    if nr > 0 and nl >= bloom_probe_factor * nr:
+        plan["plan"] = "bloom"
+        return _ret(
+            equi_join_bloom(
+                left_ds,
+                right_ds,
+                left_key,
+                right_key,
+                left_cols,
+                right_cols,
+                how=how,
+                capacity=max(64, nr),
+                num_buckets=num_buckets,
+                seed=seed,
+                salt=salt,
+            )
+        )
+    plan["plan"] = "shuffle"
+    return _ret(
+        equi_join_shuffle(
+            left_ds,
+            right_ds,
+            left_key,
+            right_key,
+            left_cols,
+            right_cols,
+            num_buckets=num_buckets,
+            how=how,
+            seed=seed,
+            salt=salt,
+        )
+    )
