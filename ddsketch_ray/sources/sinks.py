@@ -58,6 +58,43 @@ def write_bucketed(
     if sort_by_bucket:
         bucketed = bucketed.sort("bucket")
     bucketed.write_parquet(out_dir, partition_cols=["bucket"])
+    _write_layout_manifest(
+        out_dir,
+        {
+            "kind": "bucketed",
+            "key_col": key_col,
+            "num_buckets": int(num_buckets),
+            "seed": int(seed),
+            "sort_by_bucket": bool(sort_by_bucket),
+        },
+    )
+
+
+def _write_layout_manifest(out_dir: str, meta: dict) -> None:
+    """``_layout.json`` beside the hive dirs: the bucketing parameters a
+    future reader/joiner needs. The leading underscore keeps Arrow/Ray
+    parquet discovery away (default ``ignore_prefixes`` = ['.', '_'])."""
+    import json
+    import os
+
+    tmp = os.path.join(out_dir, "_layout.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "_layout.json"))
+
+
+def layout_manifest(out_dir: str) -> dict | None:
+    """The ``_layout.json`` of a persisted layout, or None for layouts
+    written before manifests existed (callers then pass parameters
+    explicitly, the old contract)."""
+    import json
+    import os
+
+    p = os.path.join(out_dir, "_layout.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def read_bucket(out_dir: str, bucket: int, columns=None):
@@ -75,7 +112,7 @@ def join_bucketed(
     key_col: str,
     left_cols,
     right_cols,
-    num_buckets: int,
+    num_buckets: int | None = None,
     how: str = "inner",
 ):
     """ZERO-SHUFFLE equi-join of two ``write_bucketed`` tables that were
@@ -93,7 +130,15 @@ def join_bucketed(
     shuffle join instead.
 
     Left/right column names must not clash (project/rename before
-    writing). Returns a Dataset (key_col, *left_cols, *right_cols)."""
+    writing). Returns a Dataset (key_col, *left_cols, *right_cols).
+
+    Layout compatibility is VALIDATED from the ``_layout.json``
+    manifests ``write_bucketed`` leaves behind: mismatched num_buckets
+    or seed co-locates DIFFERENT keys per bucket and silently drops
+    matches — the worst failure mode a layout join has — so any
+    disagreement between manifests (or with an explicit
+    ``num_buckets``) raises. ``num_buckets=None`` reads it from the
+    manifests; pre-manifest layouts must pass it explicitly."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -103,6 +148,35 @@ def join_bucketed(
         raise ValueError(f"column name clash: {sorted(clash)}")
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
+
+    lman, rman = layout_manifest(left_dir), layout_manifest(right_dir)
+    for side, man in (("left", lman), ("right", rman)):
+        if man is None:
+            continue
+        if man.get("kind") != "bucketed":
+            raise ValueError(f"{side} layout is {man.get('kind')!r}, not bucketed")
+        if num_buckets is not None and man["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"{side} layout has num_buckets={man['num_buckets']}, "
+                f"caller passed {num_buckets}"
+            )
+    if lman is not None and rman is not None:
+        if (lman["num_buckets"], lman["seed"]) != (rman["num_buckets"], rman["seed"]):
+            raise ValueError(
+                "incompatible bucketed layouts: "
+                f"left (num_buckets={lman['num_buckets']}, seed={lman['seed']}) vs "
+                f"right (num_buckets={rman['num_buckets']}, seed={rman['seed']}) — "
+                "bucket i would hold different key sets; rewrite one side"
+            )
+    if num_buckets is None:
+        man = lman or rman
+        if man is None:
+            raise ValueError(
+                "num_buckets=None needs a _layout.json manifest on at least "
+                "one side (layouts written before manifests existed must "
+                "pass num_buckets explicitly)"
+            )
+        num_buckets = int(man["num_buckets"])
     join_type = "inner" if how == "inner" else "left outer"
 
     # right-side schema read once driver-side so a missing (empty)

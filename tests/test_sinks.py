@@ -112,3 +112,52 @@ def test_read_value_range_outside_data(ray_session, tmp_path):
     assert 0 < len(part) < len(df) / 2
     assert (part["v"] > cuts[-1]).all() or len(part) == 0
     assert len(part[(part.v >= 1e6) & (part.v < 2e6)]) == 0
+
+
+def test_layout_manifest_auto_and_mismatch(ray_session, tmp_path):
+    from ddsketch_ray.sources.sinks import join_bucketed, layout_manifest
+
+    left = pd.DataFrame({"k": np.arange(60, dtype=np.int64), "v": np.arange(60, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(30, dtype=np.int64), "w": np.arange(30, dtype=np.int64)})
+    ld, rd_ = str(tmp_path / "ml"), str(tmp_path / "mr")
+    write_bucketed(rd.from_pandas(left), ld, "k", num_buckets=8)
+    write_bucketed(rd.from_pandas(right), rd_, "k", num_buckets=8)
+
+    man = layout_manifest(ld)
+    assert man == {
+        "kind": "bucketed", "key_col": "k", "num_buckets": 8,
+        "seed": 0, "sort_by_bucket": True,
+    }
+
+    # num_buckets=None reads the manifest
+    out = (
+        join_bucketed(ld, rd_, "k", ["v"], ["w"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+
+    # explicit num_buckets disagreeing with the manifest raises
+    with pytest.raises(ValueError, match="num_buckets"):
+        join_bucketed(ld, rd_, "k", ["v"], ["w"], num_buckets=4)
+
+    # incompatible layouts (different seed) raise instead of silently
+    # dropping matches
+    rd2 = str(tmp_path / "mr2")
+    write_bucketed(rd.from_pandas(right), rd2, "k", num_buckets=8, seed=1)
+    with pytest.raises(ValueError, match="incompatible"):
+        join_bucketed(ld, rd2, "k", ["v"], ["w"])
+
+    # pre-manifest layout (manifest removed): num_buckets=None refuses,
+    # explicit value still works
+    import os
+
+    os.remove(os.path.join(ld, "_layout.json"))
+    os.remove(os.path.join(rd_, "_layout.json"))
+    with pytest.raises(ValueError, match="manifest"):
+        join_bucketed(ld, rd_, "k", ["v"], ["w"])
+    out2 = (
+        join_bucketed(ld, rd_, "k", ["v"], ["w"], num_buckets=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out2, want)
