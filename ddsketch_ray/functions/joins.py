@@ -1191,7 +1191,7 @@ def join_auto(
     left_cols,
     right_cols,
     how: str = "inner",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     seed: int = 0,
     broadcast_limit_rows: int = 2_000_000,
     bloom_probe_factor: int = 8,
@@ -1229,8 +1229,13 @@ def join_auto(
     is the price of measuring instead of guessing — at 100 TB a wrong
     plan costs more than a narrow extra scan.
 
+    ``num_buckets=None`` sizes the shuffle-family parallelism to the
+    session: 4 × cluster CPUs, the measured block-count rule from
+    ``equi_join_shuffle``'s bucket sweep (16 → 15.0 s, 128 → 4.4 s at
+    sf0.1/32 CPUs).
+
     ``explain=True`` returns ``(ds, plan)`` where ``plan`` records the
-    decision (plan name, salt, sizes) for logs and tests.
+    decision (plan name, salt, sizes, num_buckets) for logs and tests.
     """
     import ray
 
@@ -1238,10 +1243,17 @@ def join_auto(
 
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
+    if num_buckets is None:
+        num_buckets = max(16, 4 * int(ray.cluster_resources().get("CPU", 8)))
     nl = left_ds.count() if n_left is None else int(n_left)
     nr = right_ds.count() if n_right is None else int(n_right)
 
-    plan: dict = {"n_left": nl, "n_right": nr, "salt": 1}
+    plan: dict = {
+        "n_left": nl,
+        "n_right": nr,
+        "salt": 1,
+        "num_buckets": num_buckets,
+    }
 
     def _ret(ds):
         return (ds, plan) if explain else ds

@@ -99,3 +99,16 @@ def test_size_hints_skip_count(ray_session):
     assert plan["plan"] == "broadcast"
     assert plan["n_left"] == 100 and plan["n_right"] == 20
     _check_equal(out, left, right, "inner")
+
+
+def test_auto_num_buckets_sized_to_cluster(ray_session):
+    import ray
+
+    left = pd.DataFrame({"k": np.arange(30, dtype=np.int64) % 10, "lv": np.arange(30, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([0, 0, 1], dtype=np.int64), "rv": np.array([1, 2, 3], dtype=np.int64)})
+    out, plan = join_auto(
+        _mk(left), _mk(right), "k", "k", ["lv"], ["rv"],
+        broadcast_limit_rows=0, explain=True,
+    )
+    assert plan["num_buckets"] == max(16, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    _check_equal(out, left, right, "inner")
