@@ -1078,6 +1078,94 @@ def stress_skewjoin20m() -> dict:
     return out
 
 
+def stress_joinauto20m() -> dict:
+    """join_auto (the measured planner) on the skewjoin corpus: 20M-row
+    skewed left × 500k-key payload right. The default gates pick the
+    BROADCAST plan (right ≤ 2M rows, unique keys — zero shuffle);
+    forcing past the broadcast gate picks bloom+salt (20M ≥ 8×500k,
+    MG sees the 30% hot key). All plans bit-equal (content hash) to the
+    plain unsalted shuffle baseline; walls show the planner's default
+    choice is the fastest available plan on this shape."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ray.agg import hash_any_column
+    from ddsketch_ray.functions.joins import equi_join_shuffle, join_auto
+    from ddsketch_ray.hashing import splitmix64
+
+    ray_init()
+    n_left, n_right = 20_000_000, 500_000
+    hot_key = 84 * 7
+
+    def left_part(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.uint64)
+        r = splitmix64(i + np.uint64(23))
+        k = (r % np.uint64(42_000_000)).astype(np.int64)
+        hot = (r % np.uint64(10)) < np.uint64(3)
+        k[hot] = hot_key
+        return pa.table({"k": pa.array(k), "v": pa.array(i.astype(np.int64))})
+
+    def right_part(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.int64)
+        return pa.table({"rk": pa.array(i * 84), "payload": pa.array(i * 7 + 3)})
+
+    left = rd.range(n_left).map_batches(left_part, batch_format="pyarrow")
+    right = rd.range(n_right).map_batches(right_part, batch_format="pyarrow")
+
+    def hsum(ds):
+        import ray
+
+        tot = 0
+        for ref in ds.map_batches(
+            lambda t: pa.table({"h": pa.array([int(
+                (hash_any_column(t.column("k"), True, seed=5).astype(np.uint64)
+                 ^ hash_any_column(t.column("v"), True, seed=9).astype(np.uint64)
+                 ^ hash_any_column(t.column("payload"), True, seed=13).astype(np.uint64)
+                 ).sum() & np.uint64((1 << 64) - 1))], pa.uint64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize().to_arrow_refs():
+            tb = ray.get(ref)
+            if tb.num_rows == 0 or "h" not in tb.column_names:
+                continue
+            for v in tb.column("h").to_pylist():
+                tot = (tot + v) % (1 << 64)
+        return tot
+
+    t0 = time.time()
+    base = equi_join_shuffle(left, right, "k", "rk", ["v"], ["payload"]).materialize()
+    wall_shuffle = time.time() - t0
+
+    t0 = time.time()
+    auto, plan = join_auto(left, right, "k", "rk", ["v"], ["payload"], explain=True)
+    auto = auto.materialize()
+    wall_auto = time.time() - t0
+
+    t0 = time.time()
+    forced, plan2 = join_auto(
+        left, right, "k", "rk", ["v"], ["payload"],
+        broadcast_limit_rows=0, explain=True,
+    )
+    forced = forced.materialize()
+    wall_forced = time.time() - t0
+
+    assert plan["plan"] == "broadcast", plan
+    assert plan2["plan"] == "bloom" and plan2["salt"] > 1, plan2
+    hb = hsum(base)
+    assert hsum(auto) == hb and hsum(forced) == hb
+
+    out = {
+        "n_left": n_left, "n_right": n_right,
+        "plan_default": plan["plan"], "plan_forced": plan2["plan"],
+        "forced_salt": plan2["salt"],
+        "wall_plain_shuffle_s": round(wall_shuffle, 1),
+        "wall_auto_broadcast_s": round(wall_auto, 1),
+        "wall_forced_bloom_salt_s": round(wall_forced, 1),
+        "bit_equal": True,
+    }
+    log(f"joinauto20m: {out}")
+    return out
+
+
 def stress_zorder20m() -> dict:
     """Z-order layout (sources/zorder.py) vs a single-column-sorted
     layout: 20M rows with two independent uniform columns, box query
@@ -1320,6 +1408,7 @@ def stress_selrep1m() -> dict:
 
 LEGS = {
     "selrep1m": stress_selrep1m,
+    "joinauto20m": stress_joinauto20m,
     "bloomsemi20m": stress_bloomsemi20m,
     "bloomjoin20m": stress_bloomjoin20m,
     "skewjoin20m": stress_skewjoin20m,
