@@ -2080,6 +2080,24 @@ def q_kmv_setops_custkeys(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_kmv_overlap_matrix_events(sf_dir: str) -> pd.DataFrame:
+    """Audience-overlap matrix (functions/analytics.py::
+    kmv_overlap_matrix): distinct-user overlap between EVERY pair of
+    event types from ONE grouped bottom-64 KMV pass — the theta-sketch
+    dashboard query (Beyer et al. SIGMOD 2007 coordinated samples answer
+    all G·(G−1)/2 pairs from G sketches). k=64 < 150 distinct users per
+    type at sf0.01, so the saturated (k−1)/U_(k) estimator branch is the
+    one under test. Exact SQL oracle: per-group bottom-k recomputed via
+    SplitMix64 window ranking, pairs via self-join — fully dynamic, no
+    hardcoded type names. jaccard/n ratios have power-of-two
+    denominators (k=64) so ROUND(,6) is exact on both sides."""
+    from ddsketch_ray.functions.analytics import kmv_overlap_matrix
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    df = kmv_overlap_matrix(ds, "event_type", "user_id", k=64).to_pandas()
+    return df.rename(columns={}).reset_index(drop=True)
+
+
 def q_clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
     """Composite training-data cleaning pipeline (the C4-style shape):
     quality-score filter → exact near-zero-cost dedup → per-language
@@ -5083,6 +5101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_stats": q_clean_corpus_stats,
         "kmv_sample_custkeys": q_kmv_sample_custkeys,
         "kmv_setops_custkeys": q_kmv_setops_custkeys,
+        "kmv_overlap_matrix_events": q_kmv_overlap_matrix_events,
         "ams_join_size": q_ams_join_size,
         "moments_quantiles_price": q_moments_quantiles_price,
         "logreg_quality_lang": q_logreg_quality_lang,
@@ -7932,6 +7951,46 @@ SELECT kk AS k_used, n_both,
   ROUND((CAST(n_only_b AS DOUBLE) / CAST(kk AS DOUBLE)) * eu, 6) AS est_diff_o,
   ROUND(CAST(n_both AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS jaccard
 FROM e
+""",
+        "kmv_overlap_matrix_events": f"""
+-- kmv_overlap_matrix: per-group bottom-64 via SplitMix64 window
+-- ranking, every unordered pair via self-join (no hardcoded group
+-- names), union bottom-64 per pair, membership counts, then the SAME
+-- float expressions as kmv_set_ops (one division, one multiply)
+WITH d AS (SELECT DISTINCT event_type AS g, user_id FROM events
+           WHERE user_id IS NOT NULL),
+h AS (SELECT g, {_splitmix_sql(f"xor(CAST(user_id AS UBIGINT), CAST({_SPLITMIX_ZERO} AS UBIGINT))")} AS hv FROM d),
+bk AS (SELECT g, hv FROM (SELECT g, hv,
+         row_number() OVER (PARTITION BY g ORDER BY hv) AS r FROM h)
+       WHERE r <= 64),
+gs AS (SELECT DISTINCT g FROM bk),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+m0 AS (SELECT DISTINCT p.ga, p.gb, x.hv FROM pairs p
+       JOIN bk x ON x.g = p.ga OR x.g = p.gb),
+m AS (SELECT ga, gb, hv FROM (SELECT ga, gb, hv,
+        row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS r FROM m0)
+      WHERE r <= 64),
+mem AS (SELECT m.ga, m.gb, m.hv,
+        (ka.hv IS NOT NULL) AS in_a, (kb.hv IS NOT NULL) AS in_b
+        FROM m LEFT JOIN bk ka ON ka.g = m.ga AND ka.hv = m.hv
+               LEFT JOIN bk kb ON kb.g = m.gb AND kb.hv = m.hv),
+st AS (SELECT ga, gb, COUNT(*)::BIGINT AS kk,
+    SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+    SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END)::BIGINT AS n_only_a,
+    SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS n_only_b,
+    MAX(hv) AS hk
+  FROM mem GROUP BY ga, gb),
+e AS (SELECT *, CASE WHEN kk < 64 THEN CAST(kk AS DOUBLE)
+                     ELSE (63.0 * 18446744073709551616.0) / CAST(hk AS DOUBLE)
+                END AS eu
+      FROM st)
+SELECT ga AS group_a, gb AS group_b, kk AS k_used, n_both,
+  ROUND(eu, 6) AS est_union,
+  ROUND((CAST(n_both AS DOUBLE) / CAST(kk AS DOUBLE)) * eu, 6) AS est_intersection,
+  ROUND((CAST(n_only_a AS DOUBLE) / CAST(kk AS DOUBLE)) * eu, 6) AS est_diff_a,
+  ROUND((CAST(n_only_b AS DOUBLE) / CAST(kk AS DOUBLE)) * eu, 6) AS est_diff_b,
+  ROUND(CAST(n_both AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS jaccard
+FROM e ORDER BY group_a, group_b
 """,
         "dds_quantiles_price": _dds_sql("lineitem", "l_extendedprice"),
         "dds_quantiles_events_ckpt": _dds_sql("events", "value"),

@@ -1014,3 +1014,87 @@ def frequent_items_by_group(
             "n": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def kmv_overlap_matrix(ds, group_col: str, value_col: str, k: int = 64, seed: int = 0):
+    """Pairwise distinct-set overlap between every pair of groups from
+    ONE grouped KMV pass — the theta-sketch audience-overlap dashboard
+    (distinct-user overlap between event types, distinct-url overlap
+    between languages/hosts). Beyer et al. SIGMOD 2007 §4 set algebra
+    via ``sketches/kmv.py::kmv_set_ops``; bottom-k by a SHARED hash is
+    a coordinated sample, so one sketch per group answers all
+    G·(G−1)/2 pairs.
+
+    Distributed cost is the single ``groupby(group_col)`` building G
+    bottom-k sketches (G small by contract — group keys are categories,
+    not ids); the pairwise loop runs on the driver over k-sized arrays,
+    O(G²·k) — ~40 KB at G=10, k=512. Estimates are exact below
+    saturation (all groups < k distinct) and (k−1)/U_(k)-approximate
+    above it; either way the output is deterministic, merge-order
+    independent, and exactly reproducible by a SplitMix64 SQL oracle
+    (`kmv_overlap_matrix_events` gate query).
+
+    Returns a pa.Table with one row per unordered pair, ordered
+    (group_a < group_b): ``group_a, group_b, k_used, n_both,
+    est_union, est_intersection, est_diff_a, est_diff_b, jaccard``
+    (floats ROUND(,6) to match the SQL mirror).
+    """
+    from itertools import combinations
+
+    from ddsketch_ray.agg import KMVAgg, sketch_from_result
+    from ddsketch_ray.sketches.kmv import kmv_set_ops
+
+    rows = (
+        ds.groupby(group_col)
+        .aggregate(KMVAgg(on=value_col, k=k, seed=seed, alias_name="kmv"))
+        .to_pandas()
+    )
+    if len(rows) == 0:
+        return pa.table(
+            {
+                "group_a": pa.array([], pa.string()),
+                "group_b": pa.array([], pa.string()),
+                "k_used": pa.array([], pa.int64()),
+                "n_both": pa.array([], pa.int64()),
+                "est_union": pa.array([], pa.float64()),
+                "est_intersection": pa.array([], pa.float64()),
+                "est_diff_a": pa.array([], pa.float64()),
+                "est_diff_b": pa.array([], pa.float64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    sketches = {
+        row[group_col]: sketch_from_result(row["kmv"]) for _, row in rows.iterrows()
+    }
+    out: dict[str, list] = {
+        "group_a": [], "group_b": [], "k_used": [], "n_both": [],
+        "est_union": [], "est_intersection": [], "est_diff_a": [],
+        "est_diff_b": [], "jaccard": [],
+    }
+    for ga, gb in combinations(sorted(sketches), 2):
+        r = kmv_set_ops(sketches[ga], sketches[gb])
+        out["group_a"].append(ga)
+        out["group_b"].append(gb)
+        out["k_used"].append(int(r["k_used"]))
+        out["n_both"].append(int(r["n_both"]))
+        out["est_union"].append(round(r["est_union"], 6))
+        out["est_intersection"].append(round(r["est_intersection"], 6))
+        out["est_diff_a"].append(round(r["est_diff_a"], 6))
+        out["est_diff_b"].append(round(r["est_diff_b"], 6))
+        out["jaccard"].append(round(r["jaccard"], 6))
+    grp_type = (
+        pa.int64() if isinstance(next(iter(sketches)), (int, np.integer)) else pa.string()
+    )
+    return pa.table(
+        {
+            "group_a": pa.array(out["group_a"], grp_type),
+            "group_b": pa.array(out["group_b"], grp_type),
+            "k_used": pa.array(out["k_used"], pa.int64()),
+            "n_both": pa.array(out["n_both"], pa.int64()),
+            "est_union": pa.array(out["est_union"], pa.float64()),
+            "est_intersection": pa.array(out["est_intersection"], pa.float64()),
+            "est_diff_a": pa.array(out["est_diff_a"], pa.float64()),
+            "est_diff_b": pa.array(out["est_diff_b"], pa.float64()),
+            "jaccard": pa.array(out["jaccard"], pa.float64()),
+        }
+    )

@@ -61,3 +61,50 @@ def test_saturated_accuracy_and_merge_order_independence():
         m.merge(p)
     r2 = kmv_set_ops(m, b)
     assert r2 == r
+
+
+def test_overlap_matrix_exact_below_saturation(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import kmv_overlap_matrix
+
+    # three groups of integer ids with known overlaps, all below k
+    rows = (
+        [("a", i) for i in range(0, 30)]
+        + [("b", i) for i in range(20, 50)]   # |a∩b| = 10
+        + [("c", i) for i in range(100, 120)]  # disjoint from a and b
+    )
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    ds = rd.from_pandas(df).repartition(5)
+    out = kmv_overlap_matrix(ds, "g", "v", k=64).to_pandas()
+    out = out.set_index(["group_a", "group_b"])
+    ab = out.loc[("a", "b")]
+    assert ab["k_used"] == 50 and ab["n_both"] == 10
+    assert ab["est_union"] == 50.0 and ab["est_intersection"] == 10.0
+    assert ab["est_diff_a"] == 20.0 and ab["est_diff_b"] == 20.0
+    ac = out.loc[("a", "c")]
+    assert ac["n_both"] == 0 and ac["est_intersection"] == 0.0
+    bc = out.loc[("b", "c")]
+    assert bc["est_union"] == 50.0
+    assert list(out.index) == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_overlap_matrix_partitioning_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ddsketch_ray.functions.analytics import kmv_overlap_matrix
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 5000),
+            "v": rng.integers(0, 800, 5000),
+        }
+    )
+    a = kmv_overlap_matrix(rd.from_pandas(df).repartition(2), "g", "v", k=32).to_pandas()
+    b = kmv_overlap_matrix(rd.from_pandas(df).repartition(13), "g", "v", k=32).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # saturated: k_used == k on every pair
+    assert (a["k_used"] == 32).all()
