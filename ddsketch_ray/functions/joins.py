@@ -774,7 +774,40 @@ def equi_join_shuffle(
         tagged = tagged.repartition(num_buckets * salt)
     join_type = "inner" if how == "inner" else "left outer"
 
+    out_fields = (
+        [(left_key, ltypes[left_key])]
+        + [(c, ltypes[c]) for c in left_cols]
+        + [(c, rtypes[c]) for c in right_cols]
+    )
+    exp_types = {"_k": ltypes[left_key]}
+    for c in left_cols:
+        exp_types[f"l_{c}"] = ltypes[c]
+    for c in right_cols:
+        exp_types[f"r_{c}"] = rtypes[c]
+
     def bucket_join(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_side" not in g.column_names:
+            # degenerate group: tiny inputs through the union/sort can
+            # emit schema-less empty blocks that surface here as
+            # zero-column tables (CLAUDE.md landmine)
+            return pa.table({n: pa.array([], type=t) for n, t in out_fields})
+        if any(pa.types.is_null(f.type) for f in g.schema):
+            # a group whose key (or payload) values are ALL null — e.g.
+            # the null-keyed left rows co-bucketed by their shared hash —
+            # comes back null-TYPED after Ray's sort routes it through
+            # pandas; Arrow's hash join rejects a null-typed key, so
+            # restore the declared types (values stay null)
+            g = pa.table(
+                {
+                    name: (
+                        g.column(name).cast(exp_types[name])
+                        if pa.types.is_null(g.schema.field(name).type)
+                        and name in exp_types
+                        else g.column(name)
+                    )
+                    for name in g.column_names
+                }
+            )
         side = g.column("_side").to_numpy()
         lt = g.filter(pa.array(side == 0)).select(["_k"] + [f"l_{c}" for c in left_cols])
         lt = lt.rename_columns(["_k"] + left_cols)
